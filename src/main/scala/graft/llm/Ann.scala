@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]` in the `embeddings` fixture).
+  *
+  * Two tiers, as a 100 TB pipeline needs both:
+  *  - [[bruteTopK]]: exact cosine top-k — the correctness baseline. The
+  *    query set is broadcast (queries ≪ corpus); the corpus is scanned once,
+  *    scores computed in a narrow codegen'd map, and the only shuffle is the
+  *    per-query top-k (k rows per query per partition after the window's
+  *    partial rank pushdown).
+  *  - [[lshTopK]]: random-hyperplane-bucketed candidates then exact re-rank —
+  *    the scale path: the corpus is hashed once, candidates come from a
+  *    bucket equi-join, and only candidates are scored. Recall vs
+  *    [[bruteTopK]] is property-tested in `AnnSpec`.
+  */
+object Ann {
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact cosine top-k: for each query vector, the k highest-cosine corpus
+    * rows (query itself excluded). Scores are rounded before ranking so the
+    * ranking is reproducible across engines; ties break on corpus id. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosine(col("cv"), col("qv")), 4).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN: hash corpus + queries with random hyperplane
+    * projections, take candidates from shared buckets (equi-join on
+    * (hash-table idx, bucket)), then exact-rank candidates per query.
+    * `numHashTables` trades recall for candidate volume. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              bucketLength: Double = 2.0, numHashTables: Int = 6,
+              seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("arr"))
+      .withColumn("v", array_to_vector(col("arr")))
+    val q = queries.select(col(idCol).as("id"), asDouble(col(vecCol)).as("arr"))
+      .withColumn("v", array_to_vector(col("arr")))
+    val lsh = new BucketedRandomProjectionLSH().setInputCol("v").setOutputCol("h")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
+    val model = lsh.fit(c)
+    def buckets(df: DataFrame): DataFrame =
+      model.transform(df).select(col("id"), col("arr"),
+        posexplode(transform(col("h"),
+          hv => element_at(vector_to_array(hv), 1).cast("long"))))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val cb = buckets(c).select(col("id").as("nn_id"), col("arr").as("cv"),
+      col("tbl"), col("bucket"))
+    val qb = buckets(q).select(col("id").as("query_id"), col("arr").as("qv"),
+      col("tbl"), col("bucket"))
+    val cands = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .where(col("nn_id") =!= col("query_id"))
+      .select("query_id", "nn_id", "cv", "qv").distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)
+    cands
+      .select(col("query_id"), col("nn_id"),
+        round(cosine(col("cv"), col("qv")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,149 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, MinHashLSHModel}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, over `documents`.
+  *
+  * Scale design: every near-dup variant here is *blocked* — candidate pairs
+  * come from an equi-join on a blocking key (shingle, LSH bucket, SimHash
+  * band), never from an all-pairs comparison. The only O(n²) path is the
+  * tiny exact-Jaccard oracle used in tests.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct text, keeping the
+    * smallest doc_id as the canonical survivor plus the duplicate count.
+    * A single hash-shuffle groupBy; the md5 key keeps the shuffle narrow
+    * (16 bytes) regardless of document size. */
+  def exact(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word n-shingles of a text column. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(c)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Exact n-gram (shingle) Jaccard near-dup pairs, formulated as a shingle
+    * equi-join — the scalable exact method: explode distinct shingles, join
+    * on shingle, count shared, then J = shared / (|A| + |B| - shared).
+    * Never materializes non-overlapping pairs. Skew note: stop-shingles can
+    * create hot keys; `maxShingleDf` drops shingles whose document frequency
+    * exceeds the cap (a standard, explicit precision/recall trade). */
+  def jaccardPairs(df: DataFrame, textCol: String = "text", n: Int = 3,
+                   threshold: Double = 0.5, maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = df.select(col("doc_id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val exploded = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val filtered = maxShingleDf match {
+      case Some(cap) =>
+        val df_ = exploded.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+          .where(col("sdf") <= cap)
+        exploded.join(df_, "shingle")
+      case None => exploded
+    }
+    val a = filtered.select(col("doc_id").as("idA"), col("n_sh").as("nA"), col("shingle"))
+    val b = filtered.select(col("doc_id").as("idB"), col("n_sh").as("nB"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .where(col("idA") < col("idB"))
+      .groupBy("idA", "idB", "nA", "nB")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("nA") + col("nB") - col("shared")))
+      .where(col("jaccard") >= threshold)
+      .select("idA", "idB", "jaccard")
+  }
+
+  /** MinHash+LSH near-dup: shingle → binary HashingTF vector → MinHashLSH
+    * band-join. `approxSimilarityJoin` distance is (1 - est. Jaccard); pairs
+    * with estimated Jaccard ≥ threshold survive. The band join is an
+    * equi-join on (table, hash) — sub-O(n²) by construction. */
+  def minhashPairs(df: DataFrame, textCol: String = "text", n: Int = 3,
+                   threshold: Double = 0.5, numHashTables: Int = 8,
+                   dim: Int = 1 << 18, seed: Long = 42L): DataFrame = {
+    val sh = df.select(col("doc_id").as("id"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("v")
+      .setNumFeatures(dim).setBinary(true)
+    val vecs = tf.transform(sh).cache()
+    val model: MinHashLSHModel = new MinHashLSH().setInputCol("v")
+      .setOutputCol("hashes").setNumHashTables(numHashTables).setSeed(seed)
+      .fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, "jaccard_dist")
+      .selectExpr("datasetA.id as idA", "datasetB.id as idB", "jaccard_dist")
+      .where(col("idA") < col("idB"))
+  }
+
+  /** 64-bit SimHash signature per document: per-token xxhash64, each bit
+    * votes ±1, sign of the vote sum. */
+  def simhash(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val sig = udf { (hashes: Seq[Long]) =>
+      val votes = new Array[Int](64)
+      hashes.foreach { h =>
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+      }
+      votes.zipWithIndex.foldLeft(0L) { case (acc, (v, b)) =>
+        if (v > 0) acc | (1L << b) else acc }
+    }
+    df.select(col("doc_id"),
+        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), sig(col("th")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs via banding: split the 64-bit signature into
+    * `bands` equal slices and equi-join on (band index, band value) — any
+    * pair within Hamming distance < bands shares ≥1 band (pigeonhole), so
+    * recall is exact for maxHamming = bands - 1. */
+  def simhashPairs(df: DataFrame, textCol: String = "text",
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val bits = 64 / bands
+    val sigs = simhash(df, textCol).cache()
+    // bands is a plan-time constant, so the band array is built statically
+    // (shiftrightunsigned requires a literal shift amount).
+    val bandVals = (0 until bands).map { i =>
+      shiftrightunsigned(col("simhash"), i * bits).bitwiseAND(lit((1L << bits) - 1))
+    }
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandVals: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    val a = banded.select(col("doc_id").as("idA"), col("simhash").as("sigA"),
+      col("band"), col("band_val"))
+    val b = banded.select(col("doc_id").as("idB"), col("simhash").as("sigB"),
+      col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("sigA").bitwiseXOR(col("sigB"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup over unit-normalized vectors, blocked by a
+    * caller-supplied key (e.g. an LSH bucket or coarse quantization) so the
+    * pair space is bounded. Vectors are cast to double before arithmetic so
+    * results are engine-reproducible. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  blockKey: Column, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"),
+      blockKey.as("blk"))
+    val norm = v.withColumn("nrm",
+      sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
+    val a = norm.select(col("id").as("idA"), col("v").as("vA"), col("nrm").as("nA"), col("blk"))
+    val b = norm.select(col("id").as("idB"), col("v").as("vB"), col("nrm").as("nB"), col("blk"))
+    a.join(b, Seq("blk")).where(col("idA") < col("idB"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("vA"), col("vB"), (x, y) => x * y), lit(0.0d), (s, x) => s + x)
+          / (col("nA") * col("nB")))
+      .where(col("cosine") >= threshold)
+      .select("idA", "idB", "cosine")
+  }
+}

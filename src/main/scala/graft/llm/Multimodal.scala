@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: images/audio/video as opaque `binary` columns
+  * with typed metadata, processed in batch-friendly partition-level loops.
+  *
+  * The decode step is a clearly-marked STUB — real codecs (JPEG/PNG/ffmpeg)
+  * are not in this container — but everything Spark-level is real and
+  * tested: the schema contract, the binary column flow, partition sizing,
+  * and the per-partition batch loop (the Scala analogue of `mapInPandas`:
+  * one iterator pass per partition, no per-row setup cost, codec state
+  * reused across the batch).
+  *
+  * Scale notes: binary payloads dominate row size, so ops that only need
+  * metadata must never deserialize `content` — [[describe]] is a narrow
+  * projection that prunes the binary column out of the scan entirely when
+  * the source is columnar.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: id, modality tag, opaque payload, typed
+    * metadata struct. */
+  val schema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true))), nullable = true)))
+
+  /** Build a multimodal frame from the `documents` fixture: the UTF-8 bytes
+    * stand in for an opaque media payload (deterministic, fixture-derived —
+    * the Spark-side plumbing is identical for real image bytes). */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      lit("image").as("modality"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(col("source").as("source"),
+             octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
+
+  /** Metadata-only description — narrow projection; binary column pruned at
+    * the scan when reading parquet. */
+  def describe(assets: DataFrame): DataFrame =
+    assets.select(col("asset_id"), col("modality"),
+      col("meta.n_bytes").as("n_bytes"),
+      hex(substring(col("content"), 1, 4)).as("magic"))
+
+  case class DecodedMeta(asset_id: Long, width: Int, height: Int, channels: Int)
+
+  /** STUB decoder: deterministic fake dimensions derived from the payload
+    * bytes. A real deployment swaps `decodeOne` for an actual codec; the
+    * batch shape (one decoder instantiation per partition, streamed rows)
+    * is the part under test. */
+  def decodeImageMeta(spark: SparkSession, assets: DataFrame): Dataset[DecodedMeta] = {
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup: a real codec/session would be created here once
+        it.map { case (id, bytes) => decodeOne(id, bytes) }
+      }
+  }
+
+  /** STUB: stands in for a real image decode; deterministic in the bytes. */
+  private[llm] def decodeOne(id: Long, bytes: Array[Byte]): DecodedMeta = {
+    val n = if (bytes == null) 0 else bytes.length
+    val b0 = if (n > 0) bytes(0) & 0xff else 0
+    val b1 = if (n > 1) bytes(1) & 0xff else 0
+    DecodedMeta(id, width = 64 + (b0 % 64), height = 64 + (b1 % 64),
+      channels = if (n % 2 == 0) 3 else 1)
+  }
+
+  /** Frame-sampling plumbing: slice the payload into `frames` equal spans
+    * (stands in for video frame extraction); pure SQL, no UDF. */
+  def sampleFrames(assets: DataFrame, frames: Int): DataFrame =
+    assets.select(col("asset_id"),
+        posexplode(transform(sequence(lit(0), lit(frames - 1)), i =>
+          substring_binary(col("content"),
+            (i * octet_length(col("content")) / frames) + 1,
+            octet_length(col("content")) / frames))))
+      .withColumnRenamed("pos", "frame_no").withColumnRenamed("col", "frame_bytes")
+      .withColumn("frame_len", octet_length(col("frame_bytes")))
+
+  private def substring_binary(c: org.apache.spark.sql.Column,
+                               pos: org.apache.spark.sql.Column,
+                               len: org.apache.spark.sql.Column) =
+    c.substr(pos, len)
+}

@@ -1,0 +1,90 @@
+package graft.matching
+
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier}
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit, TrainValidationSplitModel}
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** M2-M6 + X2 — train/tune/evaluate/score the pair classifier (ref
+  * `03_Train & Deploy Model.py:120-314,434-446,567-579`).
+  *
+  * Substitutions recorded in SURVEY §7.6: GBTClassifier for XGBoost (same
+  * gradient-boosted-tree family), ParamGrid + TrainValidationSplit for
+  * hyperopt TPE, native `.transform` scoring for the pyfunc UDF. Training
+  * never leaves Spark — the reference's `toPandas()` export (`03:120`) is
+  * exactly the driver-side collect this engine forbids at scale.
+  */
+object Matcher {
+
+  val FeatureCols: Array[String] = Array("name_sqdist", "descript_sqdist", "price_sqdist")
+
+  /** M2 — stratified split by label, seeded (`03:130-142`'s 70/15/15). */
+  def stratifiedSplit(df: DataFrame, fractions: Seq[Double], labelCol: String = "label",
+                      seed: Long = 42L): Seq[DataFrame] = {
+    require(math.abs(fractions.sum - 1.0) < 1e-9)
+    // randomSplit within each stratum keeps the label ratio in every split.
+    val strata = df.select(labelCol).distinct().collect().map(_.get(0))
+    val splitsPerStratum = strata.map { v =>
+      df.where(col(labelCol) === v).randomSplit(fractions.toArray, seed)
+    }
+    fractions.indices.map(i => splitsPerStratum.map(_(i)).reduce(_.unionByName(_)))
+  }
+
+  /** M3 — 'balanced' class weights as a weight column (`03:156-161`). */
+  def addClassWeights(df: DataFrame, labelCol: String = "label",
+                      weightCol: String = "weight"): DataFrame = {
+    val counts = df.groupBy(labelCol).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("tot"), count(lit(1)).as("k"))
+    // balanced weight = total / (numClasses * classCount)
+    df.join(broadcast(counts), Seq(labelCol))
+      .crossJoin(broadcast(total))
+      .withColumn(weightCol, col("tot").cast("double") / (col("k") * col("n")))
+      .drop("n", "tot", "k")
+  }
+
+  /** M4+M5 — assemble distance features, grid-search a GBT classifier with a
+    * train/validation split, parallel trials (`03:164-253`). */
+  def trainTuned(train: DataFrame, seed: Long = 42L, parallelism: Int = 4,
+                 maxIterGrid: Seq[Int] = Seq(10, 20),
+                 maxDepthGrid: Seq[Int] = Seq(3, 5)): TrainValidationSplitModel = {
+    val asm = new VectorAssembler().setInputCols(FeatureCols)
+      .setOutputCol("features").setHandleInvalid("keep")
+    val gbt = new GBTClassifier().setLabelCol("label").setWeightCol("weight")
+      .setFeaturesCol("features").setSeed(seed)
+    val grid = new ParamGridBuilder()
+      .addGrid(gbt.maxIter, maxIterGrid)
+      .addGrid(gbt.maxDepth, maxDepthGrid)
+      .build()
+    new TrainValidationSplit()
+      .setEstimator(new Pipeline().setStages(Array(asm, gbt)))
+      .setEvaluator(evaluator)
+      .setEstimatorParamMaps(grid)
+      .setTrainRatio(0.8).setParallelism(parallelism).setSeed(seed)
+      .fit(train)
+  }
+
+  /** M6 — area under the precision-recall curve (`03:218,311-314`). */
+  def evaluator: BinaryClassificationEvaluator =
+    new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderPR")
+
+  def areaUnderPR(model: PipelineModel, test: DataFrame): Double =
+    evaluator.evaluate(model.transform(test))
+
+  /** X2 — score pairs with the fitted model: P(match) from the probability
+    * vector, no UDF boundary (`03:434-446` replacement). */
+  def score(model: PipelineModel, pairs: DataFrame,
+             scoreCol: String = "match_score"): DataFrame =
+    model.transform(pairs)
+      .withColumn(scoreCol, vector_to_array(col("probability")).getItem(1))
+      .drop("features", "rawPrediction", "probability", "prediction")
+
+  /** O1 — final ranked match output (`03:579`). */
+  def ranked(scored: DataFrame, scoreCol: String = "match_score"): DataFrame =
+    scored.orderBy(col(scoreCol).desc)
+}

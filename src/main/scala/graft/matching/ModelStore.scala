@@ -1,0 +1,47 @@
+package graft.matching
+
+import org.apache.spark.ml.util.MLWritable
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** M7 + S6 — filesystem model registry standing in for the MLflow registry
+  * (ref `03_Train & Deploy Model.py:283-343`): versioned saves under
+  * `<root>/<name>/v<N>/`, plus a `production` pointer file implementing the
+  * stage-transition lifecycle (archive old → promote new). Transport only;
+  * the persisted bytes are MLlib's own MLWriter format (S6, `01:517-531`).
+  */
+object ModelStore {
+
+  def save(model: MLWritable, root: String, name: String): Int = {
+    val dir = Paths.get(root, name)
+    Files.createDirectories(dir)
+    val next = versions(root, name).maxOption.getOrElse(0) + 1
+    model.write.overwrite().save(dir.resolve(s"v$next").toString)
+    next
+  }
+
+  def versions(root: String, name: String): Seq[Int] = {
+    val dir = Paths.get(root, name)
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.matches("v\\d+"))
+      .map(_.drop(1).toInt).toSeq
+  }
+
+  /** Promote a version to Production (archives the previous pointer
+    * implicitly — the pointer is the stage). */
+  def setProduction(root: String, name: String, version: Int): Unit =
+    Files.writeString(Paths.get(root, name, "production"), version.toString)
+
+  def productionVersion(root: String, name: String): Option[Int] = {
+    val p = Paths.get(root, name, "production")
+    if (Files.exists(p)) Some(Files.readString(p).trim.toInt) else None
+  }
+
+  /** Path of the Production model, for `XxxModel.load`. */
+  def productionPath(root: String, name: String): String = {
+    val v = productionVersion(root, name).getOrElse(
+      throw new IllegalStateException(s"no production version for $name"))
+    Paths.get(root, name, s"v$v").toString
+  }
+}

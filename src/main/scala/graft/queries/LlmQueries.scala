@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Ann, Dedup, LangId, Multimodal, TextAnalysis}
+
+/** The beyond-reference LLM-training-data-pipeline operators: dedup,
+  * similarity search, text analysis, multimodal columns — each a
+  * first-class registered query over the `documents`/`embeddings` fixtures.
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures.tokSql
+
+  val defs: Seq[(String, Q)] = Seq(
+    // Exact dedup by content hash (hash-groupBy; 16-byte shuffle key).
+    "dd_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+
+    // Exact n-gram Jaccard near-dup via shingle equi-join (never all-pairs).
+    "dd_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.35)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // MinHash+LSH near-dup (banded; recall property-tested vs exact).
+    "dd_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.35)
+        .select(col("idA"), col("idB"), round(col("jaccard_dist"), 3).as("jaccard_dist"))),
+
+    // SimHash near-dup via band join (pigeonhole-exact recall for hamming<bands).
+    "dd_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 16)),
+
+    // Embedding-cosine near-dup, blocked by (label, key-mod) coarse cells.
+    "dd_cosine" -> ((s, dir) =>
+      Dedup.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          blockKey = struct(col("label"), pmod(col("vec_id"), lit(5))),
+          threshold = 0.3)
+        .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))),
+
+    // Exact brute-force cosine top-k (the ANN correctness baseline).
+    "ann_brute_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.bruteTopK(emb, emb.where("vec_id < 8"), k = 10)
+    }),
+
+    // LSH-bucketed ANN (the scale path; recall property-tested vs brute).
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.lshTopK(emb, emb.where("vec_id < 8"), k = 10)
+    }),
+
+    // Token counting: whitespace + alnum + BPE-ish sub-token counts.
+    "tx_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+
+    // Quality scoring signals.
+    "tx_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+
+    // Language-ID heuristic (marker-word overlap).
+    "tx_langid" -> ((s, dir) => LangId.predict(Tables.documents(s, dir))),
+
+    // Document fingerprint (rolling polynomial hash).
+    "tx_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    // Multimodal: metadata-only description (binary column never decoded).
+    "mm_binary_meta" -> ((s, dir) =>
+      Multimodal.describe(Multimodal.fromDocuments(Tables.documents(s, dir)))
+        .select("asset_id", "modality", "n_bytes")),
+
+    // Multimodal: stubbed batch decode through the partition-level loop.
+    "mm_decode_stub" -> ((s, dir) =>
+      Multimodal.decodeImageMeta(s, Multimodal.fromDocuments(Tables.documents(s, dir))).toDF()),
+
+    // Multimodal: frame-sampling plumbing (binary slicing, pure SQL).
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.fromDocuments(Tables.documents(s, dir)).where("asset_id < 100"), 4)
+        .select("asset_id", "frame_no", "frame_len"))
+  )
+
+  private def markerList(lang: String): String =
+    LangId.markers(lang).map(w => s"'$w'").mkString(", ")
+
+  val oracles: Seq[(String, String)] = Seq(
+    "dd_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dd_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(tok) >= 3
+         |    THEN list_transform(range(0, len(tok) - 2),
+         |         i -> concat(tok[CAST(i AS INT)+1], ' ', tok[CAST(i AS INT)+2], ' ', tok[CAST(i AS INT)+3]))
+         |    ELSE [array_to_string(tok, ' ')] END) AS sh
+         |  FROM (SELECT doc_id, ${tokSql("text")} AS tok FROM documents)),
+         |ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS idA, b.doc_id AS idB, a.n_sh AS nA, b.n_sh AS nB,
+         |         count(*) AS shared
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT idA, idB,
+         |  round(CAST(shared AS DOUBLE) / (nA + nB - shared), 6) AS jaccard
+         |FROM pairs WHERE CAST(shared AS DOUBLE) / (nA + nB - shared) >= 0.35""".stripMargin,
+    "dd_cosine" ->
+      """WITH v AS (SELECT vec_id, label, vec_id % 5 AS sub,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, sub, v,
+        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)
+        |SELECT a.vec_id AS idA, b.vec_id AS idB,
+        |  round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM n a JOIN n b ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) >= 0.3""".stripMargin,
+    "ann_brute_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        |    round(list_sum(list_transform(list_zip(c.v, q.v), p -> p[1] * p[2])) / (c.nrm * q.nrm), 4) AS cosine
+        |  FROM n c, (SELECT * FROM n WHERE vec_id < 8) q
+        |  WHERE c.vec_id != q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nn_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin,
+    "tx_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INT) AS ws_tokens,
+         |  CAST(len(${tokSql("text")}) AS INT) AS alnum_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INT) AS bpeish_tokens
+         |FROM documents""".stripMargin,
+    "tx_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio,
+         |  round(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
+         |  round(len(list_filter(${tokSql("text")}, x -> x IN (${markerList("en")}))) / CAST(greatest(len(${tokSql("text")}), 1) AS DOUBLE), 6) AS stopword_ratio,
+         |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(greatest(len(${tokSql("text")}), 1) AS DOUBLE), 6) AS mean_word_len
+         |FROM documents""".stripMargin,
+    "tx_langid" -> {
+      val langs = LangId.markers.keys.toSeq.sorted
+      val hitCols = langs.map(l =>
+        s"CAST(len(list_filter(tok, x -> x IN (${markerList(l)}))) AS INT) AS hits_$l").mkString(",\n  ")
+      val maxExpr = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+      val caseExpr = langs.dropRight(1).map(l =>
+        s"WHEN hits_$l = m THEN '$l'").mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+      s"""WITH t AS (SELECT doc_id, ${tokSql("text")} AS tok FROM documents),
+         |s AS (SELECT doc_id,
+         |  $hitCols
+         |FROM t),
+         |m AS (SELECT doc_id, $maxExpr AS m, * FROM s)
+         |SELECT doc_id, m AS marker_hits, $caseExpr AS lang_pred FROM m""".stripMargin
+    },
+    "tx_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(list_filter(regexp_split_to_array(text, ''), c -> c <> ''),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id AS asset_id, 'image' AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.er.Catalogs
+import graft.blocking.Blocking
+import graft.features.TextFeatures
+import graft.matching.{Distances, Matcher, ModelStore}
+import graft.pairs.Pairs
+
+/** The end-to-end fuzzy-match dataflow (the reference's reason to exist):
+  * clean → feature pipelines → LSH blocking → candidate pairs → label join →
+  * distance features → GBT train/evaluate → score → ranked matches
+  * (notebooks 01→02→03 re-expressed Spark-first).
+  *
+  * Catalog sides are key-sampled subsets of `part` (deterministic filters) —
+  * the production-shaped move for a matching run: dedupe/sample before
+  * pairwise work, let LSH keep the pair space near-linear. ML stages emit
+  * deterministic summaries (fitted state has no SQL oracle); deep checks
+  * live in MatcherSpec/BlockingSpec.
+  */
+object MatchQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Build catalogs (subset by key), fit features, return (features, golden
+    * restricted to the subset). */
+  private def featureStage(s: SparkSession, dir: String, keyFilter: String,
+                           w2vMaxIter: Int = 4): (DataFrame, DataFrame) = {
+    val a = Catalogs.sideA(s, dir).where(keyFilter).withColumn("table", lit("abt"))
+    val b = Catalogs.sideB(s, dir).where(keyFilter).withColumn("table", lit("buy"))
+    val all = a.unionByName(b).select("table", "id", "name", "description", "price")
+    val (_, _, _, feats) = TextFeatures.buildFeatures(all, w2vMaxIter = w2vMaxIter)
+    // golden pairs restricted to the sampled subset (semi-join on side A ids)
+    (feats.cache(), Catalogs.golden(s, dir)
+      .join(a.select(col("id").as("idA")), Seq("idA"), "left_semi"))
+  }
+
+  /** Full match flow on a key subset; returns the scored, ranked pairs. */
+  def flagship(s: SparkSession, dir: String, keyFilter: String = "id % 10 < 2"): DataFrame = {
+    val (feats, golden) = featureStage(s, dir, keyFilter)
+    val featA = feats.where("table = 'abt'")
+    val featB = feats.where("table = 'buy'")
+
+    // LSH blocking on name features (threshold per ref `02:90`)
+    val lsh = Blocking.fitLsh(featA, "name_features")
+    val nameCands = Blocking.similarityJoin(lsh, featA, featB, threshold = 1.3)
+      .select("idA", "idB")
+
+    val cands = Pairs.candidates(golden, nameCands)
+    val labeled = Pairs.labelJoin(cands, golden)
+    val dists = Distances.pairDistances(labeled, featA, featB)
+      .join(labeled, Seq("idA", "idB"))
+    val weighted = Matcher.addClassWeights(dists)
+
+    val Seq(train, test) = Matcher.stratifiedSplit(weighted, Seq(0.8, 0.2))
+    val model = Matcher.trainTuned(train, maxIterGrid = Seq(10), maxDepthGrid = Seq(3))
+      .bestModel.asInstanceOf[PipelineModel]
+    Matcher.ranked(Matcher.score(model, dists))
+      .select(col("idA"), col("idB"), col("label"), round(col("match_score"), 3).as("match_score"))
+      .limit(500)
+  }
+
+  val defs: Seq[(String, Q)] = Seq(
+    // The flagship end-to-end match query (entry() runs this at sf0.001).
+    "er_flagship_match" -> ((s, dir) => flagship(s, dir)),
+
+    // J4 — LSH approximate similarity join on name features (A vs B — the
+    // documented semantics, not the reference's `02:144-145` self-join slip).
+    "j4_lsh_join" -> ((s, dir) => {
+      val (feats, _) = featureStage(s, dir, "id % 20 = 0")
+      val lsh = Blocking.fitLsh(feats.where("table = 'abt'"), "name_features")
+      Blocking.similarityJoin(lsh, feats.where("table = 'abt'"),
+          feats.where("table = 'buy'"), threshold = 1.3)
+        .select(col("idA"), col("idB"), round(col("distance"), 3).as("distance"))
+    }),
+
+    // S6 — model artifact save/load round-trip: transform outputs identical.
+    "s6_artifact_roundtrip" -> ((s, dir) => {
+      val a = Catalogs.sideA(s, dir).where("id % 20 = 0").withColumn("table", lit("abt"))
+        .withColumn("description", coalesce(col("description"), lit("")))
+      val pipe = TextFeatures.namePipeline().fit(a)
+      val path = "/root/repo/target/qtmp/s6_name_pipeline"
+      pipe.write.overwrite().save(path)
+      val loaded = PipelineModel.load(path)
+      val orig = pipe.transform(a).select(col("id"), col("name_features"))
+      val rt = loaded.transform(a).select(col("id"), col("name_features").as("nf2"))
+      orig.join(rt, "id")
+        .agg(sum(when(col("name_features") === col("nf2"), 0).otherwise(1)).as("mismatches"),
+             count(lit(1)).as("rows"))
+    }),
+
+    // M2 — stratified split: per-split class counts (seeded).
+    "m2_stratified_split" -> ((s, dir) => {
+      val labeled = Fixtures.labeledPairs(s, dir)
+      val splits = Matcher.stratifiedSplit(labeled, Seq(0.7, 0.15, 0.15))
+      splits.zipWithIndex.map { case (df, i) =>
+        df.groupBy("label").agg(count(lit(1)).as("n")).withColumn("split", lit(i))
+      }.reduce(_.unionByName(_)).select("split", "label", "n")
+    }),
+
+    // M3 — balanced class weights (oracle-checked).
+    "m3_class_weights" -> ((s, dir) =>
+      Matcher.addClassWeights(Fixtures.labeledPairs(s, dir))
+        .select(col("label"), round(col("weight"), 6).as("weight")).distinct()),
+
+    // M4+M5+M6 — tuned GBT train + areaUnderPR on a held-out stratified
+    // test split (metric value sanity-asserted in MatcherSpec).
+    "m5_train_eval" -> ((s, dir) => {
+      import s.implicits._
+      val (feats, golden) = featureStage(s, dir, "id % 25 = 0")
+      val cands = Fixtures.candidatePairs(s, dir)
+        .join(feats.where("table='abt'").select(col("id").as("idA")), "idA")
+        .join(feats.where("table='buy'").select(col("id").as("idB")), "idB")
+      val labeled = Pairs.labelJoin(cands, golden)
+      val dists = Distances.pairDistances(labeled, feats.where("table='abt'"),
+        feats.where("table='buy'")).join(labeled, Seq("idA", "idB"))
+      val weighted = Matcher.addClassWeights(dists)
+      val Seq(train, test) = Matcher.stratifiedSplit(weighted, Seq(0.8, 0.2))
+      val tuned = Matcher.trainTuned(train)
+      val best = tuned.bestModel.asInstanceOf[PipelineModel]
+      val aupr = Matcher.areaUnderPR(best, test)
+      Seq((train.count(), test.count(), aupr > 0.5, aupr <= 1.0))
+        .toDF("n_train", "n_test", "aupr_above_half", "aupr_valid")
+    }),
+
+    // M7 — filesystem model registry lifecycle: save v1, save v2, promote
+    // v2, load Production, score consistency.
+    "m7_model_store" -> ((s, dir) => {
+      import s.implicits._
+      val a = Catalogs.sideA(s, dir).where("id % 20 = 0").withColumn("table", lit("abt"))
+        .withColumn("description", coalesce(col("description"), lit("")))
+      val pipe = TextFeatures.namePipeline().fit(a)
+      val root = "/root/repo/target/qtmp/registry"
+      val name = "name_pipeline"
+      val v1 = ModelStore.save(pipe, root, name)
+      val v2 = ModelStore.save(pipe, root, name)
+      ModelStore.setProduction(root, name, v2)
+      val prod = PipelineModel.load(ModelStore.productionPath(root, name))
+      val same = prod.transform(a).select("id", "name_features")
+        .join(pipe.transform(a).select(col("id"), col("name_features").as("nf2")), "id")
+        .where(col("name_features") =!= col("nf2")).count() == 0
+      Seq((v1 < v2, ModelStore.productionVersion(root, name).contains(v2), same))
+        .toDF("versions_increment", "production_points_at_v2", "prod_scores_match")
+    }),
+
+    // X2 — model scoring through native transform (no UDF boundary).
+    "x2_model_score" -> ((s, dir) => flagship(s, dir, "id % 5 = 0")
+      .select("idA", "idB", "match_score"))
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "m3_class_weights" ->
+      s"""WITH ${Fixtures.labeledCte},
+         |counts AS (SELECT label, count(*) AS n FROM labeled GROUP BY label),
+         |total AS (SELECT sum(n) AS tot, count(*) AS k FROM counts)
+         |SELECT DISTINCT label, round(CAST(tot AS DOUBLE) / (k * n), 6) AS weight
+         |FROM counts, total""".stripMargin
+  )
+}

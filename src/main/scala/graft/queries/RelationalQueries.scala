@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.er.Catalogs
+import graft.io.IO
+import graft.pairs.Pairs
+
+/** SURVEY §2 relational inventory (S/P/J/U/A/W/O/X3 rows), each a registered
+  * query with a DuckDB oracle. Query bodies stay declarative DataFrame plans
+  * so Catalyst handles pushdown/pruning/join selection; explicit
+  * `broadcast()` hints mark dimension sides.
+  */
+object RelationalQueries {
+  private val Tmp = "/root/repo/target/qtmp"
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Seq[(String, Q)] = Seq(
+    // S2 — CSV scan with explicit schema (write fixture-derived CSV, read it
+    // back schema-declared; proves the reader never infers).
+    "s2_csv_scan" -> ((s, dir) => {
+      val out = s"$Tmp/s2_csv"
+      Tables.part(s, dir).selectExpr("p_partkey", "p_name", "p_brand", "p_size")
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+      IO.readCsv(s, out, StructType(Seq(
+        StructField("p_partkey", LongType), StructField("p_name", StringType),
+        StructField("p_brand", StringType), StructField("p_size", IntegerType))))
+    }),
+
+    // S3 — overwrite parquet sink, read-back equivalence.
+    "s3_parquet_sink" -> ((s, dir) => {
+      val out = s"$Tmp/s3_parquet"
+      IO.writeOverwrite(
+        Tables.orders(s, dir).selectExpr("o_orderkey", "o_custkey", "o_orderstatus"), out)
+      s.read.parquet(out)
+    }),
+
+    // S4 — table scan by path with projection + filter (pushdown verified in
+    // RelationalSpec via the explain output).
+    "s4_table_scan" -> ((s, dir) =>
+      Tables.part(s, dir).select("p_partkey", "p_name").where(col("p_size") >= 40)),
+
+    // S5 — MERGE-equivalent upsert: matched rows take source values for the
+    // update columns only; unmatched target rows unchanged; new rows inserted.
+    "s5_upsert" -> ((s, dir) => {
+      val target = Tables.part(s, dir)
+        .selectExpr("p_partkey as id", "p_name as name", "round(p_retailprice, 2) as price")
+      val source = Tables.part(s, dir).where("p_partkey % 5 = 0")
+        .selectExpr("p_partkey as id", "concat('upd ', p_name) as name",
+                    "round(p_retailprice * 2, 2) as price")
+        .unionByName(Tables.part(s, dir).where("p_partkey % 97 = 0")
+          .selectExpr("p_partkey + 10000000 as id", "p_name as name",
+                      "round(p_retailprice, 2) as price"))
+      IO.upsert(target, source, Seq("id"), Seq("price"))
+    }),
+
+    // P1 — string clean + cast ('$'-strip then float).
+    "p1_clean_cast" -> ((s, dir) =>
+      Catalogs.sideB(s, dir)
+        .selectExpr("id", "cast(replace(price, '$', '') as float) as price_f")),
+
+    // P2 — literal provenance column.
+    "p2_lit_provenance" -> ((s, dir) =>
+      Catalogs.sideA(s, dir).select(col("id"), lit("abt").as("table"))
+        .unionByName(Catalogs.sideB(s, dir).select(col("id"), lit("buy").as("table")))),
+
+    // P3 — COALESCE null defaulting on the perturbed (nullable) description.
+    "p3_coalesce" -> ((s, dir) =>
+      Catalogs.sideB(s, dir)
+        .select(col("id"), coalesce(col("description"), lit("")).as("description"))),
+
+    // P4 — projection / rename / struct-field extraction round-trip.
+    "p4_projection" -> ((s, dir) =>
+      Catalogs.sideA(s, dir)
+        .select(col("id"), struct(col("name"), col("price")).as("rec"))
+        .select(col("id"), col("rec.name").as("name"), col("rec.price").as("price"))),
+
+    // P5 — predicate filter, pushed to the parquet scan.
+    "p5_filter" -> ((s, dir) =>
+      Tables.part(s, dir).where("p_size >= 30 and p_brand = 'Brand#13'")
+        .select("p_partkey", "p_name", "p_size")),
+
+    // P6+J2 — left-outer label join with COALESCE default.
+    "p6_label_default" -> ((s, dir) => Fixtures.labeledPairs(s, dir)),
+
+    // P7 — sampling (seeded; statistically verified, rows-only oracle).
+    "p7_sample" -> ((s, dir) => Tables.lineitem(s, dir).sample(0.01, 42L)),
+
+    // P8 — caching: same frame aggregated twice; second pass hits the cache.
+    "p8_cache" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_returnflag", "l_quantity").cache()
+      li.count() // materialize
+      li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    }),
+
+    // P9/O2 — limit over a deterministic order.
+    "p9_limit" -> ((s, dir) =>
+      Tables.part(s, dir).select("p_partkey", "p_name").orderBy("p_partkey").limit(50)),
+
+    // J1 — 3-way equi-join (dimension sides broadcast).
+    "j1_threeway_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")),
+
+    // J2 — left-outer join with null-side defaulting.
+    "j2_leftouter" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "left_outer")
+        .select(col("o_orderkey"), coalesce(col("c_name"), lit("unknown")).as("cust"))),
+
+    // J3 — aliased equi-joins attaching per-side attributes to a pair table.
+    "j3_aliased_join" -> ((s, dir) =>
+      Tables.lineitem(s, dir).as("l")
+        .join(broadcast(Tables.part(s, dir).as("A")), col("l.l_partkey") === col("A.p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir).as("B")), col("l.l_suppkey") === col("B.s_suppkey"))
+        .select(col("l.l_orderkey"), col("l.l_linenumber"),
+          col("A.p_name").as("part_name"), col("B.s_name").as("supp_name"))),
+
+    // J5 — exact cross-join similarity oracle on key-restricted subsets
+    // (the reference discusses and rejects this at scale; kept as the
+    // correctness baseline for LSH recall).
+    "j5_crossjoin_exact" -> ((s, dir) => crossJoinShared(s, dir)),
+
+    // U1 — bag union of the two catalogs.
+    "u1_union_all" -> ((s, dir) =>
+      Catalogs.sideA(s, dir).select(col("id"), col("name"), lit("abt").as("table"))
+        .unionByName(
+          Catalogs.sideB(s, dir).select(col("id"), col("name"), lit("buy").as("table")))),
+
+    // U2 — union + distinct (set union) of candidate pair sets.
+    "u2_union_distinct" -> ((s, dir) => Fixtures.candidatePairs(s, dir)),
+
+    // A1 — grouped collect_list (order-normalized for determinism).
+    "a1_collect_list" -> ((s, dir) =>
+      Tables.orders(s, dir).groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        array_join(sort_array(collect_list(col("o_orderpriority"))), ",").as("priorities"))),
+
+    // A2 — grouped count (class balance).
+    "a2_grouped_count" -> ((s, dir) =>
+      Fixtures.labeledPairs(s, dir).groupBy("label").agg(count(lit(1)).as("instances"))),
+
+    // A3 — global count action.
+    "a3_global_count" -> ((s, dir) =>
+      Fixtures.candidatePairs(s, dir).agg(count(lit(1)).as("n"))),
+
+    // W1 — global class ratio, scale-safe agg+broadcast form (never the
+    // single-partition global window).
+    "w1_class_ratio" -> ((s, dir) =>
+      Pairs.classRatios(Fixtures.labeledPairs(s, dir))
+        .select(col("label"), col("instances"), round(col("ratio"), 6).as("ratio"))),
+
+    // O1 — globally ranked output (deterministic tie-break).
+    "o1_ranked" -> ((s, dir) =>
+      crossJoinShared(s, dir)
+        .orderBy(col("shared").desc, col("ida").asc, col("idb").asc).limit(100)),
+
+    // X3 — generator (posexplode) with position output.
+    "x3_posexplode" -> ((s, dir) =>
+      Tables.documents(s, dir).where("doc_id < 50")
+        .select(col("doc_id"),
+          posexplode(graft.llm.TextAnalysis.tokens(col("text"))))
+        .withColumnRenamed("pos", "pos").withColumnRenamed("col", "token"))
+  )
+
+  /** Shared-token cross-join similarity on key-restricted catalog subsets. */
+  private def crossJoinShared(s: SparkSession, dir: String): DataFrame = {
+    def toks(c: org.apache.spark.sql.Column) =
+      array_distinct(graft.llm.TextAnalysis.tokens(c))
+    val a = Catalogs.sideA(s, dir).where("id % 101 = 0")
+      .select(col("id").as("ida"), toks(col("name")).as("ta"))
+    val b = Catalogs.sideB(s, dir).where("id % 101 = 0")
+      .select(col("id").as("idb"), toks(col("name")).as("tb"))
+    a.crossJoin(b)
+      .select(col("ida"), col("idb"),
+        size(array_intersect(col("ta"), col("tb"))).as("shared"))
+      .where(col("shared") >= 2)
+  }
+
+  import Fixtures.tokSql
+  private val crossJoinSql =
+    s"""WITH a AS (SELECT id AS ida, list_distinct(${tokSql("name")}) AS ta
+       |           FROM (${Catalogs.sideASql}) WHERE id % 101 = 0),
+       |     b AS (SELECT id AS idb, list_distinct(${tokSql("name")}) AS tb
+       |           FROM (${Catalogs.sideBSql}) WHERE id % 101 = 0)
+       |SELECT ida, idb, CAST(len(list_intersect(ta, tb)) AS INT) AS shared
+       |FROM a, b WHERE len(list_intersect(ta, tb)) >= 2""".stripMargin
+
+  val oracles: Seq[(String, String)] = Seq(
+    "s2_csv_scan" -> "SELECT p_partkey, p_name, p_brand, p_size FROM part",
+    "s3_parquet_sink" -> "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+    "s4_table_scan" -> "SELECT p_partkey, p_name FROM part WHERE p_size >= 40",
+    "s5_upsert" ->
+      s"""WITH target AS (SELECT p_partkey AS id, p_name AS name, round(p_retailprice, 2) AS price FROM part),
+         |source AS (
+         |  SELECT p_partkey AS id, concat('upd ', p_name) AS name, round(p_retailprice * 2, 2) AS price
+         |  FROM part WHERE p_partkey % 5 = 0
+         |  UNION ALL
+         |  SELECT p_partkey + 10000000 AS id, p_name AS name, round(p_retailprice, 2) AS price
+         |  FROM part WHERE p_partkey % 97 = 0)
+         |SELECT t.id, t.name, CASE WHEN s.id IS NOT NULL THEN s.price ELSE t.price END AS price
+         |FROM target t LEFT JOIN source s ON t.id = s.id
+         |UNION ALL
+         |SELECT s.id, s.name, s.price FROM source s
+         |WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.id = s.id)""".stripMargin,
+    "p1_clean_cast" ->
+      s"SELECT id, CAST(replace(price, '$$', '') AS REAL) AS price_f FROM (${Catalogs.sideBSql})",
+    "p2_lit_provenance" ->
+      """SELECT p_partkey AS id, 'abt' AS "table" FROM part
+        |UNION ALL SELECT p_partkey AS id, 'buy' AS "table" FROM part""".stripMargin,
+    "p3_coalesce" ->
+      s"SELECT id, coalesce(description, '') AS description FROM (${Catalogs.sideBSql})",
+    "p4_projection" -> s"SELECT id, name, price FROM (${Catalogs.sideASql})",
+    "p5_filter" ->
+      "SELECT p_partkey, p_name, p_size FROM part WHERE p_size >= 30 AND p_brand = 'Brand#13'",
+    "p6_label_default" ->
+      s"WITH ${Fixtures.labeledCte} SELECT idA, idB, label FROM labeled",
+    "p8_cache" ->
+      "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag",
+    "p9_limit" -> "SELECT p_partkey, p_name FROM part ORDER BY p_partkey LIMIT 50",
+    "j1_threeway_join" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "j2_leftouter" ->
+      """SELECT o_orderkey, coalesce(c_name, 'unknown') AS cust
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "j3_aliased_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, A.p_name AS part_name, B.s_name AS supp_name
+        |FROM lineitem l JOIN part A ON l.l_partkey = A.p_partkey
+        |JOIN supplier B ON l.l_suppkey = B.s_suppkey""".stripMargin,
+    "j5_crossjoin_exact" -> crossJoinSql,
+    "u1_union_all" ->
+      s"""SELECT id, name, 'abt' AS "table" FROM (${Catalogs.sideASql})
+         |UNION ALL SELECT id, name, 'buy' AS "table" FROM (${Catalogs.sideBSql})""".stripMargin,
+    "u2_union_distinct" ->
+      s"WITH ${Fixtures.candsCte} SELECT idA, idB FROM cands",
+    "a1_collect_list" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "a2_grouped_count" ->
+      s"WITH ${Fixtures.labeledCte} SELECT label, CAST(count(*) AS BIGINT) AS instances FROM labeled GROUP BY label",
+    "a3_global_count" ->
+      s"WITH ${Fixtures.candsCte} SELECT CAST(count(*) AS BIGINT) AS n FROM cands",
+    "w1_class_ratio" ->
+      s"""WITH ${Fixtures.labeledCte},
+         |counts AS (SELECT label, count(*) AS instances FROM labeled GROUP BY label),
+         |total AS (SELECT sum(instances) AS total_instances FROM counts)
+         |SELECT label, CAST(instances AS BIGINT) AS instances,
+         |       round(instances / CAST(total_instances AS DOUBLE), 6) AS ratio
+         |FROM counts, total""".stripMargin,
+    "o1_ranked" ->
+      s"SELECT * FROM ($crossJoinSql) ORDER BY shared DESC, ida ASC, idb ASC LIMIT 100",
+    "x3_posexplode" ->
+      s"""SELECT doc_id, CAST(generate_subscripts(tok, 1) - 1 AS INT) AS pos, unnest(tok) AS token
+         |FROM (SELECT doc_id, ${tokSql("text")} AS tok FROM documents WHERE doc_id < 50)""".stripMargin
+  )
+}
