@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Dedup
+
+/** Dedup operators: exact, shingle-Jaccard, MinHash recall, SimHash. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),   // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "the quick brown fox jumps over a lazy dog today") // near dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: duplicates collapse to min doc_id with counts") {
+    val out = Dedup.exact(docs).as[(String, Long, Long)].collect()
+      .map { case (_, keep, n) => keep -> n }.toMap
+    assert(out(1L) == 2)  // docs 1+2 merged, keeper is min id
+    assert(out(3L) == 1 && out(4L) == 1 && out(5L) == 1)
+    assert(out.values.sum == 5)
+  }
+
+  test("shingles: hand-computed 3-gram set") {
+    val sh = docs.where($"doc_id" === 4)
+      .select(Dedup.shingles($"text", 3).as("sh")).as[Seq[String]].head().toSet
+    assert(sh == Set("completely different content", "different content about",
+      "content about spark", "about spark engines"))
+  }
+
+  test("jaccardPairs: identical docs have J=1; near dups above threshold") {
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash recall: finds the high-Jaccard pairs the exact method finds") {
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    val approx = Dedup.minhashPairs(docs, threshold = 0.5, numHashTables = 16)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.99, s"minhash recall $recall on exact=$exact approx=$approx")
+  }
+
+  test("simhash: identical texts get identical signatures; banding finds them") {
+    val sigs = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("cosinePairs: hand-computed cosine within blocks only") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.1f), 0),
+      (3L, Array(-1.0f, 0.0f), 0), (4L, Array(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.cosinePairs(vecs, "vec_id", "embedding", col("label"), 0.9)
+      .as[(Long, Long, Double)].collect()
+    val ids = out.map(r => (r._1, r._2)).toSet
+    assert(ids == Set((1L, 2L)))             // 3 is opposite; 4 in another block
+    assert(out.head._3 > 0.99 && out.head._3 <= 1.0)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.functions._
+import graft.matching.{Distances, Matcher, ModelStore}
+
+/** X1/M2-M7/X2 — distances, classifier training, registry. */
+class MatcherSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Separable synthetic distance features: matches near 0, non-matches far.
+  private def syntheticPairs(n: Int) = {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to n).map { i =>
+      val label = i % 2
+      val base = if (label == 1) 0.05 else 1.5
+      (i, i + 1000, base + rnd.nextDouble() * 0.1,
+        base + rnd.nextDouble() * 0.1, base + rnd.nextDouble() * 0.05, label)
+    }
+    rows.toDF("idA", "idB", "name_sqdist", "descript_sqdist", "price_sqdist", "label")
+  }
+
+  test("sqdist kernel: zero on self, symmetric, hand-computed value") {
+    import org.apache.spark.ml.linalg.Vectors
+    val v1 = Vectors.dense(1.0, 2.0)
+    val v2 = Vectors.dense(4.0, 6.0)
+    val df = Seq((v1, v2)).toDF("a", "b")
+    val Array(d1, d2, self) = df.select(
+      Distances.sqdist($"a", $"b"), Distances.sqdist($"b", $"a"),
+      Distances.sqdist($"a", $"a")).as[(Double, Double, Double)]
+      .head() match { case (x, y, z) => Array(x, y, z) }
+    assert(d1 == 25.0 && d2 == 25.0 && self == 0.0) // 3²+4²
+  }
+
+  test("stratified split: per-class ratios approximately preserved") {
+    val df = syntheticPairs(2000)
+    val splits = Matcher.stratifiedSplit(df, Seq(0.7, 0.15, 0.15))
+    assert(splits.map(_.count()).sum == 2000)
+    val frac1 = splits.map(s =>
+      s.where($"label" === 1).count().toDouble / s.count())
+    frac1.foreach(f => assert(math.abs(f - 0.5) < 0.1,
+      s"stratification lost: $frac1"))
+  }
+
+  test("class weights: balanced — sum of weights equal per class") {
+    val df = syntheticPairs(300).where($"label" === 1)
+      .union(syntheticPairs(300).where($"label" === 0).limit(50))
+    val w = Matcher.addClassWeights(df)
+    val sums = w.groupBy("label").agg(sum("weight").as("s"))
+      .as[(Int, Double)].collect().toMap
+    assert(math.abs(sums(0) - sums(1)) < 1e-6)
+  }
+
+  test("GBT train + areaUnderPR on separable data; native-transform scoring") {
+    val df = Matcher.addClassWeights(syntheticPairs(400))
+    val Seq(train, test) = Matcher.stratifiedSplit(df, Seq(0.8, 0.2))
+    val model = Matcher.trainTuned(train, maxIterGrid = Seq(5), maxDepthGrid = Seq(3))
+      .bestModel.asInstanceOf[PipelineModel]
+    val aupr = Matcher.areaUnderPR(model, test)
+    assert(aupr > 0.95, s"separable data should be near-perfect, got $aupr")
+    val scored = Matcher.score(model, test)
+    val scores = scored.select("match_score").as[Double].collect()
+    assert(scores.forall(sc => sc >= 0.0 && sc <= 1.0))
+    // ranked output descends
+    val ranked = Matcher.ranked(scored).select("match_score").as[Double].collect()
+    assert(ranked.sameElements(ranked.sortBy(-_)))
+  }
+
+  test("model store: versioning, production pointer, load round-trip") {
+    val root = "/root/repo/target/test_tmp/registry"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/m"))
+    val df = Matcher.addClassWeights(syntheticPairs(200))
+    val model = Matcher.trainTuned(df, maxIterGrid = Seq(3), maxDepthGrid = Seq(2))
+      .bestModel.asInstanceOf[PipelineModel]
+    val v1 = ModelStore.save(model, root, "m")
+    val v2 = ModelStore.save(model, root, "m")
+    assert(v2 == v1 + 1)
+    ModelStore.setProduction(root, "m", v2)
+    assert(ModelStore.productionVersion(root, "m").contains(v2))
+    val loaded = PipelineModel.load(ModelStore.productionPath(root, "m"))
+    val a = Matcher.score(model, df).select("idA", "match_score")
+      .as[(Int, Double)].collect().toMap
+    val b = Matcher.score(loaded, df).select("idA", "match_score")
+      .as[(Int, Double)].collect().toMap
+    assert(a == b) // persisted model scores identically
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Multimodal
+
+/** Multimodal plumbing: schema contract, stub decode batch loop, framing. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val assets =
+    Multimodal.fromDocuments(Tables.documents(spark, sf).where("doc_id < 20"))
+
+  test("schema contract: binary payload + typed metadata struct") {
+    assert(assets.schema("content").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(assets.schema("meta").dataType.isInstanceOf[
+      org.apache.spark.sql.types.StructType])
+  }
+
+  test("describe: metadata-only pass never decodes; n_bytes correct") {
+    val row = Multimodal.describe(assets).where($"asset_id" === 0)
+      .select("n_bytes", "magic").as[(Long, String)].head()
+    val text = Tables.documents(spark, sf).where("doc_id = 0")
+      .select("text").as[String].head()
+    assert(row._1 == text.getBytes("UTF-8").length)
+    assert(row._2 == text.take(4).getBytes("UTF-8").map("%02X".format(_)).mkString)
+  }
+
+  test("decode stub: deterministic in payload bytes, batch loop runs") {
+    val out1 = Multimodal.decodeImageMeta(spark, assets).collect().sortBy(_.asset_id)
+    val out2 = Multimodal.decodeImageMeta(spark, assets).collect().sortBy(_.asset_id)
+    assert(out1.length == 20)
+    assert(out1.toSeq == out2.toSeq)
+    out1.foreach { m =>
+      assert(m.width >= 64 && m.width < 128 && m.height >= 64 && m.height < 128)
+    }
+  }
+
+  test("frame sampling: n frames per asset, spans cover prefix of payload") {
+    val frames = Multimodal.sampleFrames(assets, 4)
+    val counts = frames.groupBy("asset_id").count().as[(Long, Long)].collect()
+    assert(counts.forall(_._2 == 4))
+    val lens = frames.where($"asset_id" === 1)
+      .select("frame_len").as[Int].collect()
+    assert(lens.distinct.length == 1) // equal spans
+  }
+}

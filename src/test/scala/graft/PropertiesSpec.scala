@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.ml.linalg.Vectors
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.llm.{Ann, TextAnalysis}
+
+/** ScalaCheck-generator-driven properties (SURVEY §5): kernel identities and
+  * idempotences. Generators are sampled with fixed seeds (the
+  * scalatestplus bridge artifact is not in the offline cache, so sampling
+  * is driven manually — same generators, deterministic). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecGen = Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("sqdist: zero on self, symmetric, nonnegative (50 random vectors)") {
+    samples(Gen.zip(vecGen, vecGen), 50).foreach { case (a, b) =>
+      val (va, vb) = (Vectors.dense(a.toArray), Vectors.dense(b.toArray))
+      assert(math.abs(Vectors.sqdist(va, vb) - Vectors.sqdist(vb, va)) < 1e-9)
+      assert(Vectors.sqdist(va, vb) >= 0.0)
+      assert(Vectors.sqdist(va, va) == 0.0)
+    }
+  }
+
+  test("union+distinct idempotent: candidates(x, x) == distinct(x)") {
+    val base = Seq((1, 2), (1, 2), (3, 4)).toDF("idA", "idB")
+    val once = graft.pairs.Pairs.candidates(base, base)
+    assert(once.count() == 2)
+    assert(graft.pairs.Pairs.candidates(once, once).count() == 2)
+  }
+
+  test("normalizer idempotent: normalizing a unit vector is identity") {
+    val units = samples(vecGen.suchThat(_.exists(_ != 0.0)), 20).map { a =>
+      val v = a.toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      Vectors.dense(v.map(_ / n))
+    }
+    val df = units.map(Tuple1(_)).toDF("v")
+    val out = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("v").setOutputCol("o").setP(2.0)
+      .transform(df).select("v", "o").collect()
+      .map(r => (r.getAs[org.apache.spark.ml.linalg.Vector](0),
+                 r.getAs[org.apache.spark.ml.linalg.Vector](1)))
+    out.foreach { case (u, r) =>
+      u.toArray.zip(r.toArray).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9)
+      }
+    }
+  }
+
+  test("cosine bounded in [-1, 1] on fixture embeddings") {
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val vals = emb.as("a").crossJoin(emb.as("b")).limit(500)
+      .select(Ann.cosine(
+        transform(col("a.embedding"), x => x.cast("double")),
+        transform(col("b.embedding"), x => x.cast("double"))).as("c"))
+      .as[Double].collect()
+    vals.foreach(c => assert(c >= -1.0000001 && c <= 1.0000001))
+  }
+
+  test("fingerprint stable under identity, sensitive to permutation") {
+    val strs = samples(Gen.alphaNumStr.suchThat(s => s.length > 1 && s.toSet.size > 1), 20)
+    strs.foreach { s =>
+      val df = Seq((1L, s), (2L, s), (3L, s.reverse)).toDF("doc_id", "text")
+      val fp = df.select($"doc_id", TextAnalysis.fingerprint($"text").as("f"))
+        .as[(Long, Long)].collect().toMap
+      assert(fp(1L) == fp(2L))
+      if (s != s.reverse) assert(fp(1L) != fp(3L))
+    }
+  }
+}

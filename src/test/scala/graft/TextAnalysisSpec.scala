@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{LangId, TextAnalysis}
+
+/** Text-analysis operators: hand-computed expectations. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: lowercase alnum, empty tokens dropped") {
+    val out = Seq((1, "Hello, World!! 42x  ")).toDF("id", "text")
+      .select(TextAnalysis.tokens($"text")).as[Seq[String]].head()
+    assert(out == Seq("hello", "world", "42x"))
+  }
+
+  test("tokenCounts: whitespace vs alnum vs BPE-ish") {
+    val df = Seq((1L, "don't stop-me now 99")).toDF("doc_id", "text")
+    val (ws, alnum, bpe) = TextAnalysis.tokenCounts(df)
+      .select("ws_tokens", "alnum_tokens", "bpeish_tokens")
+      .as[(Int, Int, Int)].head()
+    assert(ws == 4)        // don't | stop-me | now | 99
+    assert(alnum == 6)     // don, t, stop, me, now, 99
+    assert(bpe == 9)       // don ' t stop - me now 9 9
+  }
+
+  test("fingerprint: deterministic rolling hash, differs across texts") {
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, "abc")).toDF("doc_id", "text")
+    val fp = df.select($"doc_id", TextAnalysis.fingerprint($"text").as("f"))
+      .as[(Long, Long)].collect().toMap
+    // hand-computed: ((0*31+97)*31+98)*31+99 = 97*961 + 98*31 + 99
+    assert(fp(1L) == 97L * 961 + 98 * 31 + 99)
+    assert(fp(1L) == fp(3L) && fp(1L) != fp(2L))
+  }
+
+  test("langid: marker-word argmax with deterministic tie-break") {
+    val df = Seq(
+      (1L, "the cat and the dog is in that house"),
+      (2L, "der hund ist nicht ein problem und das"),
+      (3L, "zzz qqq xxx")) // no markers anywhere → tie at 0 → first lang asc
+      .toDF("doc_id", "text")
+    val out = LangId.predict(df).select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "de")
+  }
+
+  test("qualityScore: ratios bounded and consistent") {
+    val out = TextAnalysis.qualityScore(
+      Seq((1L, "Clean text, with words.")).toDF("doc_id", "text"))
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    val (_, n, alpha, punct, stopr, mwl) = out
+    assert(n == 23.0)
+    assert(alpha > 0.7 && alpha < 1.0)
+    assert(punct > 0.0 && punct < 0.2)
+    assert(stopr >= 0.0 && stopr <= 1.0 && mwl > 0)
+  }
+}
