@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Distances {
 
+  /** Day-1 UDF form (the reference's own kernel shape, kept for SQL-name
+    * parity and as the cross-check in tests). */
   val sqdist = udf { (x: Vector, y: Vector) => Vectors.sqdist(x, y) }
+
+  /** Codegen Catalyst expression form — used in the hot path. */
+  def sqdistNative(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.SqDist.sq_dist(a, b)
 
   /** Register for SQL use, mirroring `spark.udf.register` at `03:96`. */
   def register(spark: SparkSession): Unit =
@@ -31,11 +37,12 @@ object Distances {
       .join(broadcast(featA.as("A")), col("idA") === col("A.id"))
       .join(broadcast(featB.as("B")), col("idB") === col("B.id"))
 
-  /** X1 — squared distances per attribute (`03:101-107`). */
+  /** X1 — squared distances per attribute (`03:101-107`), via the native
+    * codegen expression (UDF form available as [[sqdist]]). */
   def pairDistances(pairs: DataFrame, featA: DataFrame, featB: DataFrame): DataFrame =
     attachFeatures(pairs, featA, featB).select(
       col("idA"), col("idB"),
-      sqdist(col("A.name_features"), col("B.name_features")).as("name_sqdist"),
-      sqdist(col("A.descript_features"), col("B.descript_features")).as("descript_sqdist"),
-      sqdist(col("A.price_features"), col("B.price_features")).as("price_sqdist"))
+      sqdistNative(col("A.name_features"), col("B.name_features")).as("name_sqdist"),
+      sqdistNative(col("A.descript_features"), col("B.descript_features")).as("descript_sqdist"),
+      sqdistNative(col("A.price_features"), col("B.price_features")).as("price_sqdist"))
 }

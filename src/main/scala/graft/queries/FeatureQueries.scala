@@ -87,6 +87,17 @@ object FeatureQueries {
             .cast("long").as("nnz"))
     }),
 
+    // F8 — HashingTF count mode at the reference's 2^18 dims, through the
+    // full descript TF-IDF pipeline (rows-only: murmur3 state).
+    "f8_hashing_tf_counts" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).where("doc_id < 200")
+        .withColumnRenamed("text", "description")
+      val m = TextFeatures.descriptTfidfPipeline().fit(docs)
+      m.transform(docs).select(col("doc_id"),
+        round(aggregate(vector_to_array(col("descript_features")), lit(0.0d),
+          (a, x) => a + x * x), 4).as("sq_sum"))
+    }),
+
     // F9 — IDF fit + transform summary (fitted state; rows-only).
     "f9_idf" -> ((s, dir) => {
       val toks = docTokens(s, dir)

@@ -111,6 +111,17 @@ object MatchQueries {
              count(lit(1)).as("rows"))
     }),
 
+    // F13 — pipeline composition: the three fitted pipelines chained over
+    // one frame, vector schema contract asserted by output dims.
+    "f13_pipeline_chain" -> ((s, dir) => {
+      import org.apache.spark.ml.functions.vector_to_array
+      val (feats, _) = featureStage(s, dir)
+      feats.select(col("table"), col("id"),
+        size(vector_to_array(col("name_features"))).as("name_dim"),
+        size(vector_to_array(col("descript_features"))).as("descript_dim"),
+        size(vector_to_array(col("price_features"))).as("price_dim"))
+    }),
+
     // M2 — stratified split: per-split class counts (seeded).
     "m2_stratified_split" -> ((s, dir) => {
       val labeled = Fixtures.labeledPairs(s, dir)

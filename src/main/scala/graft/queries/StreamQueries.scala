@@ -1,0 +1,71 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Structured Streaming operators surfaced as registered queries: each runs
+  * the *streaming* engine (file source → stateful op → memory sink,
+  * Trigger.AvailableNow) over the events fixture, producing a deterministic
+  * batch-comparable result for the DuckDB oracle.
+  */
+object StreamQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  private val runId = new AtomicInteger(0)
+
+  val defs: Seq[(String, Q)] = Seq(
+    // Watermarked tumbling-window aggregation through the streaming engine.
+    "st_window_counts" -> ((s, dir) => {
+      val out = EventStreams.runToBatch(
+        EventStreams.windowedCounts(EventStreams.readEventStream(s, dir)),
+        s"st_window_counts_${runId.incrementAndGet()}", complete = true)
+      out
+    }),
+
+    // Streaming dedup on (event_id, ts) within the watermark horizon.
+    "st_dedup" -> ((s, dir) => {
+      EventStreams.runToBatch(
+        EventStreams.dedupEvents(EventStreams.readEventStream(s, dir))
+          .select("event_id", "user_id", "event_type"),
+        s"st_dedup_${runId.incrementAndGet()}", complete = false)
+    }),
+
+    // Custom sessionization state (flatMapGroupsWithState), batch execution
+    // of the same code path the stream runs.
+    "st_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val evs = EventStreams.readEvents(s, dir)
+        .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[EventStreams.Ev]
+      EventStreams.sessionize(evs, gapMinutes = 30).toDF()
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "st_window_counts" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st_dedup" ->
+      "SELECT event_id, user_id, event_type FROM events",
+    "st_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM o)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, grp""".stripMargin
+  )
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming layer (beyond the batch-only reference): windowed
+  * aggregation with watermark, streaming dedup, and custom sessionization
+  * state over the `events` fixture.
+  *
+  * Scale notes: windowed counts are a standard watermarked stateful agg —
+  * state is bounded by (watermark horizon × key cardinality). Sessionize
+  * keeps one small state object per user key and emits on timeout; both
+  * shuffle once on their grouping key. The same transformations run in
+  * batch mode (Spark executes [flat]mapGroupsWithState on static Datasets
+  * too), which is how the DuckDB oracle checks them.
+  */
+object EventStreams {
+
+  /** The fixture's `ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects outright; read it as raw nanos (legacy conf) and convert to a
+    * microsecond timestamp explicitly. Applied to both batch and stream
+    * reads so the two paths agree. */
+  private def nanosToTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  /** The scan consults this conf at *execution* time, so it must stay set
+    * for the session (harmless: `events.ts` is the corpus's only ns
+    * column, and the explicit conversion below restores timestamp
+    * semantics). */
+  private def enableNanosAsLong(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Batch read of the events fixture with the ns→µs conversion applied. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    enableNanosAsLong(spark)
+    nanosToTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** File-source stream over the events fixture (schema declared, never
+    * inferred — streaming sources require it anyway). The file source wants
+    * a *directory*, so the fixture's single file is staged into one. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    enableNanosAsLong(spark)
+    val staged = stageDir(dir)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    nanosToTs(spark.readStream.schema(schema).parquet(staged))
+  }
+
+  private def stageDir(dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(dir, "events.parquet")
+    val out = Paths.get("/root/repo/target/qtmp",
+      s"stream_events_${Integer.toHexString(dir.hashCode)}")
+    Files.createDirectories(out)
+    val dst = out.resolve("events.parquet")
+    if (!Files.exists(dst) || Files.size(dst) != Files.size(src))
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    out.toString
+  }
+
+  /** Tumbling-window counts per event type, watermarked. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 minute",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming dedup on event_id within the watermark horizon. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
+
+  case class Ev(event_id: Long, ts: java.time.LocalDateTime, user_id: Long,
+                event_type: String, value: Double)
+  case class Session(user_id: Long, session_start: String, session_end: String,
+                     n_events: Long, total_value: Double)
+
+  /** Sessionization with a gap timeout via flatMapGroupsWithState — the
+    * custom-state operator the built-ins can't express. Runs identically on
+    * a static Dataset (each group seen once, state discarded), which is the
+    * oracle-checkable path. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Ev], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, evs, state: GroupState[List[Ev]]) =>
+          val all = (state.getOption.getOrElse(Nil) ++ evs)
+            .sortBy(e => (e.ts.toEpochSecond(java.time.ZoneOffset.UTC), e.ts.getNano))
+          state.remove()
+          sessionsOf(all, gapMinutes).iterator
+      }
+  }
+
+  private def sessionsOf(evs: List[Ev], gapMinutes: Int): List[Session] = {
+    if (evs.isEmpty) return Nil
+    val gap = java.time.Duration.ofMinutes(gapMinutes.toLong)
+    val groups = evs.tail.foldLeft(List(List(evs.head))) { (acc, e) =>
+      val cur = acc.head
+      if (java.time.Duration.between(cur.head.ts, e.ts).compareTo(gap) <= 0)
+        (e :: cur) :: acc.tail   // cur.head is the most recent event
+      else List(e) :: acc
+    }
+    groups.reverse.map { g =>
+      val s = g.reverse
+      Session(s.head.user_id, fmt(s.head.ts), fmt(s.last.ts), s.size.toLong,
+        BigDecimal(s.map(_.value).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+  }
+
+  private def fmt(t: java.time.LocalDateTime): String =
+    t.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  /** Run a streaming frame to completion on the currently-available data
+    * (Trigger.AvailableNow) into a memory sink; returns the materialized
+    * result. Lets the registered queries exercise the *streaming* engine
+    * while still producing a comparable batch result. */
+  def runToBatch(stream: DataFrame, name: String, complete: Boolean): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode(if (complete) OutputMode.Complete() else OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

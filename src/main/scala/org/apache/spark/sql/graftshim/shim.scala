@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` Column↔Expression conversion for the
+  * engine's custom Catalyst expressions (Spark 4 moved these behind the
+  * classic/Connect split). Lives in the sql package tree for access; the
+  * engine's own code stays in `graft.*`. */
+object Shim {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{MatchQueries, RelationalQueries}
+
+/** Plan-shape audits (the 100 TB checklist): filters and projections reach
+  * the parquet scan, dimension joins broadcast, hot paths stay in
+  * whole-stage codegen. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val q = (RelationalQueries.defs ++ MatchQueries.defs).toMap.apply(name)
+    q(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  test("s4/p5: predicate pushed to parquet scan") {
+    val plan = planOf("p5_filter")
+    assert(plan.contains("PushedFilters: ["), s"no pushdown in:\n$plan")
+    assert(plan.contains("p_size") && plan.contains("p_brand"))
+  }
+
+  test("s4: column pruning — scan reads only referenced columns") {
+    val plan = planOf("s4_table_scan")
+    assert(plan.contains("ReadSchema"), plan)
+    // the scan schema must not include unprojected wide columns
+    assert(!plan.contains("p_retailprice"), s"unpruned scan:\n$plan")
+  }
+
+  test("j1/j3: dimension joins execute as broadcast hash joins") {
+    val p1 = planOf("j1_threeway_join")
+    assert(p1.contains("BroadcastHashJoin"), p1)
+    val p3 = planOf("j3_aliased_join")
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    assert(!p3.contains("SortMergeJoin"), s"dimension join shuffled:\n$p3")
+  }
+
+  test("whole-stage codegen spans the scan+filter+project pipeline") {
+    val plan = planOf("p1_clean_cast")
+    // codegen stages render as "*(n) Op" in the executed plan string
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan)
+  }
+
+  test("u1: union is a no-shuffle bag concat") {
+    val plan = planOf("u1_union_all")
+    assert(!plan.contains("Exchange"), s"union introduced a shuffle:\n$plan")
+  }
+
+  test("limit with order collapses to TakeOrderedAndProject (top-k)") {
+    val plan = planOf("p9_limit")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.time.LocalDateTime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.streaming.EventStreams
+
+/** Structured Streaming: incremental arrival via MemoryStream — windowed
+  * counts accumulate across batches, dedup drops duplicate ids, sessionize
+  * splits on the gap. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, min: Int, user: Long, typ: String, v: Double) =
+    (id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), user, typ, v)
+
+  test("windowed counts accumulate over multiple incremental batches") {
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](spark)
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.windowedCounts(df, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(ev(3, 3, 1, "click", 3.0), ev(4, 11, 1, "buy", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("win_test")
+        .select("event_type", "n", "total_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(out == Set(("click", 3L, 6.0), ("buy", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops re-arriving event ids") {
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](spark)
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.dedupEvents(df, "1 hour")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ev(1, 1, 1, "click", 1.0), ev(1, 1, 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2) // ids 1 and 2, once each
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions, aggregates per session") {
+    def mk(id: Long, t: String, u: Long, v: Double) =
+      EventStreams.Ev(id, LocalDateTime.parse(t), u, "e", v)
+    val evs = Seq(
+      mk(1, "2024-01-01T10:00:00", 1, 1.0),
+      mk(2, "2024-01-01T10:10:00", 1, 2.0),   // same session (10 < 30 gap)
+      mk(3, "2024-01-01T11:30:00", 1, 3.0),   // 80-min gap → new session
+      mk(4, "2024-01-01T10:05:00", 2, 5.0)).toDS()
+    val out = EventStreams.sessionize(evs, 30).collect().toSet
+    assert(out == Set(
+      EventStreams.Session(1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2, 3.0),
+      EventStreams.Session(1, "2024-01-01 11:30:00", "2024-01-01 11:30:00", 1, 3.0),
+      EventStreams.Session(2, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1, 5.0)))
+  }
+
+  test("file-source stream over the events fixture runs AvailableNow") {
+    val out = EventStreams.runToBatch(
+      EventStreams.windowedCounts(EventStreams.readEventStream(spark, sf)),
+      "fixture_win_test", complete = true)
+    assert(out.count() > 0)
+    assert(out.columns.toSeq == Seq("w_start", "event_type", "n", "total_value"))
+  }
+}
