@@ -1,0 +1,103 @@
+package graft.er
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.blocking.Blocking
+import graft.features.TextFeatures
+import graft.matching.{Distances, Matcher, ModelStore}
+import graft.pairs.Pairs
+
+/** The engine's public end-to-end API: everything the reference's three
+  * notebooks do (feature engineering → candidate generation → training →
+  * scoring/deploy), as a library a reference user can call directly.
+  *
+  * ```
+  * val cfg    = EntityResolution.Config()
+  * val feats  = EntityResolution.fitFeatures(catalogs, cfg)     // notebook 01
+  * val pairs  = EntityResolution.labeledCandidates(feats, golden, cfg) // 02
+  * val model  = EntityResolution.train(feats, pairs, cfg)       // 03 (train)
+  * val ranked = EntityResolution.scoreAll(feats, pairs.select("idA","idB"), model.model) // 03 (infer)
+  * ```
+  */
+object EntityResolution {
+
+  /** Engine knobs, defaulted to the reference's recorded parameters
+    * (`BASELINE.md`): LSH bucketLength=1.0 / numHashTables=10, name
+    * threshold 1.3, description threshold 1.1. */
+  case class Config(
+      bucketLength: Double = 1.0,
+      numHashTables: Int = 10,
+      nameThreshold: Double = 1.3,
+      descriptThreshold: Double = 1.1,
+      w2vMaxIter: Int = 8,
+      seed: Long = 42L,
+      gbtMaxIterGrid: Seq[Int] = Seq(10, 20),
+      gbtMaxDepthGrid: Seq[Int] = Seq(3, 5))
+
+  /** Notebook 01: fit the three feature pipelines over the unioned catalogs
+    * (columns: table, id, name, description, price) and emit the
+    * `abtbuyfeatures`-shaped frame. */
+  def fitFeatures(catalogs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val (_, _, _, feats) =
+      TextFeatures.buildFeatures(catalogs, w2vMaxIter = cfg.w2vMaxIter, seed = cfg.seed)
+    feats
+  }
+
+  /** Notebook 02 (candidates): LSH-block the name features of side A
+    * against side B; returns (idA, idB) candidate pairs. Joins *distinct
+    * names* (lossless — identical name ⇒ identical vector) and expands to
+    * ids post-filter, so the LSH shuffle is linear in distinct entities
+    * (see Blocking.dedupedSimilarityJoin). */
+  def nameCandidates(feats: DataFrame, cfg: Config = Config()): DataFrame = {
+    val featA = feats.where("table = 'abt'")
+    val featB = feats.where("table = 'buy'")
+    Blocking.dedupedSimilarityJoin(featA, featB, keyCol = "name",
+        featureCol = "name_features", threshold = cfg.nameThreshold,
+        bucketLength = cfg.bucketLength, numHashTables = cfg.numHashTables,
+        seed = cfg.seed)
+      .select("idA", "idB")
+  }
+
+  /** Notebook 02 (labels): golden ∪ candidates, deduped, left-outer labeled. */
+  def labeledCandidates(feats: DataFrame, golden: DataFrame,
+                        cfg: Config = Config()): DataFrame = {
+    val cands = Pairs.candidates(golden, nameCandidates(feats, cfg))
+    Pairs.labelJoin(cands, golden)
+  }
+
+  case class TrainedMatcher(model: PipelineModel, areaUnderPR: Double)
+
+  /** Notebook 03 (train): pairwise distance features → class weights →
+    * stratified split → tuned GBT → AUPR on the held-out split. */
+  def train(feats: DataFrame, labeled: DataFrame,
+            cfg: Config = Config()): TrainedMatcher = {
+    val featA = feats.where("table = 'abt'")
+    val featB = feats.where("table = 'buy'")
+    val dists = Distances.pairDistances(labeled, featA, featB)
+      .join(labeled, Seq("idA", "idB"))
+    val weighted = Matcher.addClassWeights(dists)
+    val Seq(tr, te) = Matcher.stratifiedSplit(weighted, Seq(0.8, 0.2), seed = cfg.seed)
+    val tuned = Matcher.trainTuned(tr, seed = cfg.seed,
+      maxIterGrid = cfg.gbtMaxIterGrid, maxDepthGrid = cfg.gbtMaxDepthGrid)
+    val best = tuned.bestModel.asInstanceOf[PipelineModel]
+    TrainedMatcher(best, Matcher.areaUnderPR(best, te))
+  }
+
+  /** Notebook 03 (inference): score candidate pairs with a fitted matcher
+    * and return them ranked by match probability. */
+  def scoreAll(feats: DataFrame, pairs: DataFrame, model: PipelineModel): DataFrame = {
+    val featA = feats.where("table = 'abt'")
+    val featB = feats.where("table = 'buy'")
+    val dists = Distances.pairDistances(pairs, featA, featB)
+    Matcher.ranked(Matcher.score(model, dists))
+  }
+
+  /** Notebook 03 (deploy): push the fitted matcher into the filesystem
+    * registry and promote it to Production. */
+  def deploy(trained: TrainedMatcher, root: String, name: String): Int = {
+    val v = ModelStore.save(trained.model, root, name)
+    ModelStore.setProduction(root, name, v)
+    v
+  }
+}

@@ -116,7 +116,8 @@ object TextFeatures {
       seed = seed).fit(base)
     val priceM = pricePipeline().fit(base)
     val feats = priceM.transform(descM.transform(nameM.transform(base)))
-      .select("table", "id", "name_features", "descript_features", "price_features")
+      .select("table", "id", "name",
+        "name_features", "descript_features", "price_features")
     (nameM, descM, priceM, feats)
   }
 }

@@ -42,7 +42,7 @@ class DedupSpec extends SparkSpec {
   test("minhash recall: finds the high-Jaccard pairs the exact method finds") {
     val exact = Dedup.jaccardPairs(docs, threshold = 0.5)
       .select("idA", "idB").as[(Long, Long)].collect().toSet
-    val approx = Dedup.minhashPairs(docs, threshold = 0.5, numHashTables = 16)
+    val approx = Dedup.minhashPairs(docs, threshold = 0.5, bands = 16, rowsPerBand = 2)
       .select("idA", "idB").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty)
     val recall = exact.intersect(approx).size.toDouble / exact.size

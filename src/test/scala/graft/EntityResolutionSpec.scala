@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.functions._
+import graft.er.{Catalogs, EntityResolution}
+
+/** End-to-end public API: the full notebook-01→02→03 flow on the sf0.001
+  * catalogs, with a match-quality bar (the reference's implicit oracle —
+  * average precision on held-out golden labels, SURVEY §5). */
+class EntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val cfg = EntityResolution.Config(
+    w2vMaxIter = 2, gbtMaxIterGrid = Seq(10), gbtMaxDepthGrid = Seq(3))
+
+  private lazy val (feats, golden) = {
+    val a = Catalogs.sideA(spark, sf).withColumn("table", lit("abt"))
+    val b = Catalogs.sideB(spark, sf).withColumn("table", lit("buy"))
+    val all = a.unionByName(b).select("table", "id", "name", "description", "price")
+    (EntityResolution.fitFeatures(all, cfg).cache(), Catalogs.golden(spark, sf))
+  }
+
+  test("candidates: LSH blocking recalls every golden identity pair") {
+    val cands = EntityResolution.nameCandidates(feats, cfg)
+    // golden pairs are identity pairs; side B's name embeds side A's tokens,
+    // so every golden pair must survive blocking at the 1.3 threshold
+    val goldenSet = golden.as[(Long, Long)].collect().toSet
+    val candSet = cands.as[(Long, Long)].collect().toSet
+    val recall = goldenSet.intersect(candSet).size.toDouble / goldenSet.size
+    assert(recall >= 0.95, s"blocking recall $recall")
+  }
+
+  test("train: held-out areaUnderPR clears the quality bar; scoring ranks " +
+       "golden pairs above non-matches") {
+    val labeled = EntityResolution.labeledCandidates(feats, golden, cfg)
+    val trained = EntityResolution.train(feats, labeled, cfg)
+    assert(trained.areaUnderPR > 0.8, s"AUPR ${trained.areaUnderPR}")
+
+    val scored = EntityResolution.scoreAll(
+        feats, labeled.select("idA", "idB"), trained.model)
+      .join(labeled, Seq("idA", "idB"))
+    val byIdentity = scored
+      .groupBy(($"idA" === $"idB").as("identity"))
+      .agg(avg("match_score").as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(byIdentity(true) > byIdentity(false) + 0.3,
+      s"identity pairs should far outscore non-matches: $byIdentity")
+  }
+
+  test("deploy: registry round-trip serves identical scores") {
+    val labeled = EntityResolution.labeledCandidates(feats, golden, cfg)
+    val trained = EntityResolution.train(feats, labeled, cfg)
+    val root = "/root/repo/target/test_tmp/er_registry"
+    val v = EntityResolution.deploy(trained, root, "matcher")
+    val loaded = PipelineModel.load(
+      graft.matching.ModelStore.productionPath(root, "matcher"))
+    val pairs = labeled.select("idA", "idB").limit(50)
+    val a = EntityResolution.scoreAll(feats, pairs, trained.model)
+      .select("idA", "match_score").as[(Long, Double)].collect().toMap
+    val b = EntityResolution.scoreAll(feats, pairs, loaded)
+      .select("idA", "match_score").as[(Long, Double)].collect().toMap
+    assert(v >= 1 && a == b)
+  }
+}
