@@ -33,7 +33,8 @@ object EntityResolution {
       w2vMaxIter: Int = 8,
       seed: Long = 42L,
       gbtMaxIterGrid: Seq[Int] = Seq(10, 20),
-      gbtMaxDepthGrid: Seq[Int] = Seq(3, 5))
+      gbtMaxDepthGrid: Seq[Int] = Seq(3, 5),
+      maxTrainPairs: Long = 200000L)
 
   /** Notebook 01: fit the three feature pipelines over the unioned catalogs
     * (columns: table, id, name, description, price) and emit the
@@ -74,8 +75,20 @@ object EntityResolution {
             cfg: Config = Config()): TrainedMatcher = {
     val featA = feats.where("table = 'abt'")
     val featB = feats.where("table = 'buy'")
-    val dists = Distances.pairDistances(labeled, featA, featB)
-      .join(labeled, Seq("idA", "idB"))
+    // A permissive blocking threshold can admit a near-quadratic candidate
+    // set; training on all of it buys nothing (the decision boundary lives
+    // on 3 scalar features). Cap the training set with a seeded
+    // label-stratified downsample — scoring still covers every candidate.
+    val n = labeled.count()
+    val sampled =
+      if (n <= cfg.maxTrainPairs) labeled
+      else {
+        val frac = cfg.maxTrainPairs.toDouble / n
+        // keep ALL positives (rare class); downsample negatives
+        labeled.stat.sampleBy("label", Map(0 -> frac, 1 -> 1.0), cfg.seed)
+      }
+    val dists = Distances.pairDistances(sampled, featA, featB)
+      .join(sampled, Seq("idA", "idB"))
     val weighted = Matcher.addClassWeights(dists)
     val Seq(tr, te) = Matcher.stratifiedSplit(weighted, Seq(0.8, 0.2), seed = cfg.seed)
     val tuned = Matcher.trainTuned(tr, seed = cfg.seed,
