@@ -46,6 +46,47 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF-style ANN: cluster the corpus into `nCells` KMeans cells once
+    * (the "coarse quantizer"), assign each corpus vector to its cell, and
+    * answer each query by exact-ranking only the `nProbe` cells nearest to
+    * the query centroid. The classic inverted-file trade: one cheap
+    * clustering pass at build time, then per-query work proportional to
+    * (corpus / nCells) × nProbe instead of the full corpus. Centroids are
+    * broadcast (tiny); the probe join is an equi-join on cell id. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val c = corpus.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("v", array_to_vector(col("cv")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("v")
+      .setPredictionCol("cell").fit(c)
+    val assigned = km.transform(c).select("nn_id", "cv", "cell")
+    // nProbe nearest cells per query, via broadcast centroid table
+    val centroids = km.clusterCenters.zipWithIndex.map { case (ctr, i) =>
+      (i, ctr.toArray.toSeq)
+    }.toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("cdist", aggregate(
+        zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (s, x) => s + x))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").asc, col("cell").asc)))
+      .where(col("rk") <= nProbe)
+      .select("query_id", "qv", "cell")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosine(col("cv"), col("qv")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: hash corpus + queries with random hyperplane
     * projections, take candidates from shared buckets (equi-join on
     * (hash-table idx, bucket)), then exact-rank candidates per query.

@@ -51,6 +51,12 @@ object LlmQueries {
       Ann.lshTopK(emb, emb.where("vec_id < 8"), k = 10)
     }),
 
+    // IVF ANN: KMeans coarse quantizer + multi-probe exact re-rank.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfTopK(emb, emb.where("vec_id < 8"), k = 10)
+    }),
+
     // Token counting: whitespace + alnum + BPE-ish sub-token counts.
     "tx_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
 

@@ -28,6 +28,22 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("ivfTopK recall vs brute; probing more cells improves recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where("vec_id < 5")
+    val brute = Ann.bruteTopK(emb, queries, k = 10)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    def recallAt(nProbe: Int): Double = {
+      val ivf = Ann.ivfTopK(emb, queries, k = 10, nCells = 16, nProbe = nProbe)
+        .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+      brute.intersect(ivf).size.toDouble / brute.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    assert(r8 >= r2, s"more probes must not lose recall: $r2 -> $r8")
+    assert(r8 >= 0.5, s"IVF recall at nProbe=8 too low: $r8")
+  }
+
   test("bruteTopK: k bound respected per query") {
     val emb = Tables.embeddings(spark, sf)
     val out = Ann.bruteTopK(emb, emb.where("vec_id < 3"), k = 7)
