@@ -34,7 +34,14 @@ object EntityResolution {
       seed: Long = 42L,
       gbtMaxIterGrid: Seq[Int] = Seq(10, 20),
       gbtMaxDepthGrid: Seq[Int] = Seq(3, 5),
-      maxTrainPairs: Long = 200000L)
+      maxTrainPairs: Long = 200000L,
+      // The reference unions description-blocked candidates into the pair
+      // set (`02:213-218`). Keep that as the default semantics, but allow
+      // turning it off: on a corpus whose description column is
+      // low-cardinality (this fixture: ~6 distinct type strings), blocking
+      // on it is uninformative and floods the candidate set with
+      // negatives — a knob a production matcher needs anyway.
+      descriptBlocking: Boolean = true)
 
   /** Notebook 01: fit the three feature pipelines over the unioned catalogs
     * (columns: table, id, name, description, price) and emit the
@@ -60,11 +67,28 @@ object EntityResolution {
       .select("idA", "idB")
   }
 
-  /** Notebook 02 (labels): golden ∪ candidates, deduped, left-outer labeled. */
+  /** Notebook 02 (candidates, description side): the second blocking pass
+    * over description features (`02:142-155`), with the documented A-vs-B
+    * semantics (the reference accidentally self-joins the abt side there —
+    * SURVEY §7.4). Description is a lower-cardinality key than name, so
+    * the distinct-key join is even cheaper. */
+  def descriptCandidates(feats: DataFrame, cfg: Config = Config()): DataFrame = {
+    val featA = feats.where("table = 'abt'")
+    val featB = feats.where("table = 'buy'")
+    Blocking.dedupedSimilarityJoin(featA, featB, keyCol = "description",
+        featureCol = "descript_features", threshold = cfg.descriptThreshold,
+        bucketLength = cfg.bucketLength, numHashTables = cfg.numHashTables,
+        seed = cfg.seed + 1)
+      .select("idA", "idB")
+  }
+
+  /** Notebook 02 (labels): golden ∪ name candidates ∪ description
+    * candidates, deduped, left-outer labeled (`02:213-242`). */
   def labeledCandidates(feats: DataFrame, golden: DataFrame,
                         cfg: Config = Config()): DataFrame = {
-    val cands = Pairs.candidates(golden, nameCandidates(feats, cfg))
-    Pairs.labelJoin(cands, golden)
+    val candSets = Seq(golden, nameCandidates(feats, cfg)) ++
+      (if (cfg.descriptBlocking) Seq(descriptCandidates(feats, cfg)) else Nil)
+    Pairs.labelJoin(Pairs.candidates(candSets: _*), golden)
   }
 
   case class TrainedMatcher(model: PipelineModel, areaUnderPR: Double)

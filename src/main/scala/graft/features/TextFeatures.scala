@@ -115,8 +115,10 @@ object TextFeatures {
     val descM = descriptW2VPipeline(maxIter = w2vMaxIter, minCount = w2vMinCount,
       seed = seed).fit(base)
     val priceM = pricePipeline().fit(base)
+    // name/description come along as blocking keys (a deduped LSH join
+    // needs a key that *determines* the corresponding feature vector)
     val feats = priceM.transform(descM.transform(nameM.transform(base)))
-      .select("table", "id", "name",
+      .select("table", "id", "name", "description",
         "name_features", "descript_features", "price_features")
     (nameM, descM, priceM, feats)
   }

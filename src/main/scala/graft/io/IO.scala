@@ -31,6 +31,18 @@ object IO {
   def writeOverwrite(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Bucketed write: co-locate a table on its join key so repeated joins
+    * and aggregations on that key skip the shuffle entirely (bucket
+    * pruning + bucketed scan). Bucketing requires the catalog
+    * (`saveAsTable`), not a bare path. At 100 TB this is the difference
+    * between re-shuffling the fact table per query and shuffling once at
+    * write time. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
   /** S5 — MERGE-equivalent upsert, pure DataFrame ops.
     *
     * Semantics of `03:486-494`: `WHEN MATCHED UPDATE SET` only `updateCols`

@@ -64,8 +64,11 @@ object MatchQueries {
 
   private def flagshipUncached(s: SparkSession, dir: String, keyFilter: String): DataFrame = {
     val (feats, golden) = featureStage(s, dir, keyFilter)
+    // description blocking off: the fixture's description column is ~6
+    // distinct strings — blocking on it is a candidate flood, not a signal
     val cfg = EntityResolution.Config(
-      w2vMaxIter = 4, gbtMaxIterGrid = Seq(10), gbtMaxDepthGrid = Seq(3))
+      w2vMaxIter = 4, gbtMaxIterGrid = Seq(10), gbtMaxDepthGrid = Seq(3),
+      descriptBlocking = false)
     val labeled = EntityResolution.labeledCandidates(feats, golden, cfg)
     val trained = EntityResolution.train(feats, labeled, cfg)
     EntityResolution.scoreAll(feats, labeled.select("idA", "idB"), trained.model)

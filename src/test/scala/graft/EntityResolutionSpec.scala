@@ -11,7 +11,8 @@ class EntityResolutionSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val cfg = EntityResolution.Config(
-    w2vMaxIter = 2, gbtMaxIterGrid = Seq(10), gbtMaxDepthGrid = Seq(3))
+    w2vMaxIter = 2, gbtMaxIterGrid = Seq(10), gbtMaxDepthGrid = Seq(3),
+    descriptBlocking = false) // fixture descriptions are ~6 distinct strings
 
   private lazy val (feats, golden) = {
     val a = Catalogs.sideA(spark, sf).withColumn("table", lit("abt"))
@@ -28,6 +29,15 @@ class EntityResolutionSpec extends SparkSpec {
     val candSet = cands.as[(Long, Long)].collect().toSet
     val recall = goldenSet.intersect(candSet).size.toDouble / goldenSet.size
     assert(recall >= 0.95, s"blocking recall $recall")
+  }
+
+  test("description blocking: second-pass candidates union in when enabled") {
+    val dCands = EntityResolution.descriptCandidates(feats, cfg)
+    assert(dCands.count() > 0)
+    val withD = EntityResolution.labeledCandidates(feats, golden,
+      cfg.copy(descriptBlocking = true)).count()
+    val withoutD = EntityResolution.labeledCandidates(feats, golden, cfg).count()
+    assert(withD >= withoutD) // union can only add candidates
   }
 
   test("train: held-out areaUnderPR clears the quality bar; scoring ranks " +

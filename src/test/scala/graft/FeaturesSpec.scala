@@ -91,7 +91,8 @@ class FeaturesSpec extends SparkSpec {
         "p_type as description", "concat('$', p_retailprice) as price")
     val (_, _, _, feats) = TextFeatures.buildFeatures(cats, w2vMaxIter = 1)
     assert(feats.columns.toSeq ==
-      Seq("table", "id", "name", "name_features", "descript_features", "price_features"))
+      Seq("table", "id", "name", "description",
+        "name_features", "descript_features", "price_features"))
     assert(feats.count() == 40)
   }
 }
