@@ -137,4 +137,51 @@ object EntityResolution {
     ModelStore.setProduction(root, name, v)
     v
   }
+
+  case class FittedPipelines(name: PipelineModel, descript: PipelineModel,
+                             price: PipelineModel)
+
+  /** Fit the feature pipelines and keep the fitted models (the artifacts
+    * notebook 01 persists and notebook 03 reloads). */
+  def fitFeatureModels(catalogs: DataFrame,
+                       cfg: Config = Config()): (FittedPipelines, DataFrame) = {
+    val (n, d, p, feats) = graft.features.TextFeatures.buildFeatures(
+      catalogs, w2vMaxIter = cfg.w2vMaxIter, seed = cfg.seed)
+    (FittedPipelines(n, d, p), feats)
+  }
+
+  /** Notebook 03 (inference, `03:455-479`): run new/updated catalog rows
+    * through the three *fitted* pipelines — no refit at inference time. */
+  def transformCatalog(pipes: FittedPipelines, catalog: DataFrame): DataFrame = {
+    val base = catalog
+      .withColumn("description", coalesce(col("description"), lit("")))
+      .withColumn("price_f", regexp_replace(col("price"), "\\$", "").cast("float"))
+    pipes.price.transform(pipes.descript.transform(pipes.name.transform(base)))
+      .select("table", "id", "name", "description",
+        "name_features", "descript_features", "price_features")
+  }
+
+  /** Notebook 03 (incremental inference, `03:455-579`): featurize the new
+    * rows with the stored pipelines, MERGE them into the parquet feature
+    * store (S5 — matched rows update only the three feature columns),
+    * re-block the new rows against the stored opposite side, score with
+    * the Production matcher, and return the ranked matches. */
+  def inferIncremental(newRows: DataFrame, featureStorePath: String,
+                       pipes: FittedPipelines, matcher: PipelineModel,
+                       cfg: Config = Config()): DataFrame = {
+    val spark = newRows.sparkSession
+    val newFeats = transformCatalog(pipes, newRows)
+    graft.io.IO.upsertPath(spark, featureStorePath, newFeats,
+      keys = Seq("table", "id"),
+      updateCols = Seq("name_features", "descript_features", "price_features"))
+    val store = spark.read.parquet(featureStorePath)
+    val storedB = store.where("table = 'buy'")
+    val cands = Blocking.dedupedSimilarityJoin(
+        newFeats.where("table = 'abt'"), storedB, keyCol = "name",
+        featureCol = "name_features", threshold = cfg.nameThreshold,
+        bucketLength = cfg.bucketLength, numHashTables = cfg.numHashTables,
+        seed = cfg.seed)
+      .select("idA", "idB").distinct()
+    scoreAll(store, cands, matcher)
+  }
 }

@@ -29,29 +29,46 @@ object MatchQueries {
     * `03:357-429`). Mirror that: memoize the fitted feature stage and the
     * scored flagship per (session, dir, filter) so queries sharing a stage
     * (er_flagship_match / x2 / m5) fit it once per JVM. */
+  private case class Stage(feats: DataFrame, golden: DataFrame,
+                           pipes: EntityResolution.FittedPipelines)
   private val stageCache =
-    scala.collection.concurrent.TrieMap[(Int, String, String), (DataFrame, DataFrame)]()
+    scala.collection.concurrent.TrieMap[(Int, String, String), Stage]()
+  private val matcherCache =
+    scala.collection.concurrent.TrieMap[(Int, String, String),
+      (PipelineModel, DataFrame)]()
   private val flagshipCache =
     scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
 
-  /** Build catalogs (subset by key), fit features, return (features, golden
-    * restricted to the subset). */
-  private def featureStage(s: SparkSession, dir: String,
-                           keyFilter: String = "id % 10 = 0",
-                           w2vMaxIter: Int = 4): (DataFrame, DataFrame) =
-    stageCache.getOrElseUpdate((System.identityHashCode(s), dir, keyFilter),
-      featureStageUncached(s, dir, keyFilter, w2vMaxIter))
+  private val flagshipCfg = EntityResolution.Config(
+    w2vMaxIter = 4, gbtMaxIterGrid = Seq(10), gbtMaxDepthGrid = Seq(3),
+    // the fixture's description column is ~6 distinct strings — blocking
+    // on it is a candidate flood, not a signal
+    descriptBlocking = false)
 
-  private def featureStageUncached(s: SparkSession, dir: String, keyFilter: String,
-                                   w2vMaxIter: Int): (DataFrame, DataFrame) = {
-    val a = Catalogs.sideA(s, dir).where(keyFilter).withColumn("table", lit("abt"))
-    val b = Catalogs.sideB(s, dir).where(keyFilter).withColumn("table", lit("buy"))
-    val all = a.unionByName(b).select("table", "id", "name", "description", "price")
-    val (_, _, _, feats) = TextFeatures.buildFeatures(all, w2vMaxIter = w2vMaxIter)
-    // golden pairs restricted to the sampled subset (semi-join on side A ids)
-    (feats.cache(), Catalogs.golden(s, dir)
-      .join(a.select(col("id").as("idA")), Seq("idA"), "left_semi"))
-  }
+  /** Build catalogs (subset by key), fit features; memoized per
+    * (session, dir, filter). */
+  private def featureStage(s: SparkSession, dir: String,
+                           keyFilter: String = "id % 10 = 0"): Stage =
+    stageCache.getOrElseUpdate((System.identityHashCode(s), dir, keyFilter), {
+      val a = Catalogs.sideA(s, dir).where(keyFilter).withColumn("table", lit("abt"))
+      val b = Catalogs.sideB(s, dir).where(keyFilter).withColumn("table", lit("buy"))
+      val all = a.unionByName(b).select("table", "id", "name", "description", "price")
+      val (pipes, feats) = EntityResolution.fitFeatureModels(all, flagshipCfg)
+      // golden pairs restricted to the sampled subset (semi-join on A ids)
+      Stage(feats.cache(), Catalogs.golden(s, dir)
+        .join(a.select(col("id").as("idA")), Seq("idA"), "left_semi"), pipes)
+    })
+
+  /** Labeled candidates + trained matcher for a stage; memoized. */
+  private def trainedMatcher(s: SparkSession, dir: String,
+                             keyFilter: String = "id % 10 = 0"): (PipelineModel, DataFrame) =
+    matcherCache.getOrElseUpdate((System.identityHashCode(s), dir, keyFilter), {
+      val st = featureStage(s, dir, keyFilter)
+      val labeled = EntityResolution.labeledCandidates(st.feats, st.golden, flagshipCfg)
+        .cache()
+      val trained = EntityResolution.train(st.feats, labeled, flagshipCfg)
+      (trained.model, labeled)
+    })
 
   /** Full match flow on a key subset; returns the scored, ranked pairs
     * (materialized via cache so sibling queries reuse results, not plans). */
@@ -63,15 +80,9 @@ object MatchQueries {
     })
 
   private def flagshipUncached(s: SparkSession, dir: String, keyFilter: String): DataFrame = {
-    val (feats, golden) = featureStage(s, dir, keyFilter)
-    // description blocking off: the fixture's description column is ~6
-    // distinct strings — blocking on it is a candidate flood, not a signal
-    val cfg = EntityResolution.Config(
-      w2vMaxIter = 4, gbtMaxIterGrid = Seq(10), gbtMaxDepthGrid = Seq(3),
-      descriptBlocking = false)
-    val labeled = EntityResolution.labeledCandidates(feats, golden, cfg)
-    val trained = EntityResolution.train(feats, labeled, cfg)
-    EntityResolution.scoreAll(feats, labeled.select("idA", "idB"), trained.model)
+    val st = featureStage(s, dir, keyFilter)
+    val (model, labeled) = trainedMatcher(s, dir, keyFilter)
+    EntityResolution.scoreAll(st.feats, labeled.select("idA", "idB"), model)
       .join(labeled, Seq("idA", "idB"))
       .orderBy(col("match_score").desc, col("idA"), col("idB"))
       .select(col("idA"), col("idB"), col("label"), round(col("match_score"), 3).as("match_score"))
@@ -85,10 +96,10 @@ object MatchQueries {
     // J4 — LSH approximate similarity join on name features (A vs B — the
     // documented semantics, not the reference's `02:144-145` self-join slip).
     "j4_lsh_join" -> ((s, dir) => {
-      val (feats, _) = featureStage(s, dir, "id % 20 = 0")
-      val lsh = Blocking.fitLsh(feats.where("table = 'abt'"), "name_features")
-      Blocking.similarityJoin(lsh, feats.where("table = 'abt'"),
-          feats.where("table = 'buy'"), threshold = 1.3)
+      val st = featureStage(s, dir, "id % 20 = 0")
+      val lsh = Blocking.fitLsh(st.feats.where("table = 'abt'"), "name_features")
+      Blocking.similarityJoin(lsh, st.feats.where("table = 'abt'"),
+          st.feats.where("table = 'buy'"), threshold = 1.3)
         .select(col("idA"), col("idB"), round(col("distance"), 3).as("distance"))
     }),
 
@@ -111,7 +122,7 @@ object MatchQueries {
     // one frame, vector schema contract asserted by output dims.
     "f13_pipeline_chain" -> ((s, dir) => {
       import org.apache.spark.ml.functions.vector_to_array
-      val (feats, _) = featureStage(s, dir)
+      val feats = featureStage(s, dir).feats
       feats.select(col("table"), col("id"),
         size(vector_to_array(col("name_features"))).as("name_dim"),
         size(vector_to_array(col("descript_features"))).as("descript_dim"),
@@ -136,7 +147,8 @@ object MatchQueries {
     // test split (metric value sanity-asserted in MatcherSpec).
     "m5_train_eval" -> ((s, dir) => {
       import s.implicits._
-      val (feats, golden) = featureStage(s, dir)
+      val st = featureStage(s, dir)
+      val (feats, golden) = (st.feats, st.golden)
       val cands = Fixtures.candidatePairs(s, dir)
         .join(feats.where("table='abt'").select(col("id").as("idA")), "idA")
         .join(feats.where("table='buy'").select(col("id").as("idB")), "idB")
@@ -174,7 +186,27 @@ object MatchQueries {
 
     // X2 — model scoring through native transform (no UDF boundary).
     "x2_model_score" -> ((s, dir) => flagship(s, dir)
-      .select("idA", "idB", "match_score"))
+      .select("idA", "idB", "match_score")),
+
+    // The reference's full inference loop (`03:455-579`): featurize
+    // new/updated rows with FITTED pipelines, MERGE into the parquet
+    // feature store (S5), re-block vs stored features, score, rank.
+    "er_inference" -> ((s, dir) => {
+      // reuse the memoized flagship stage + matcher (the reference reloads
+      // its persisted artifacts at inference time, `03:357-429`)
+      val st = featureStage(s, dir)
+      val (model, _) = trainedMatcher(s, dir)
+      val store = "/root/repo/target/qtmp/er_feature_store"
+      st.feats.write.mode("overwrite").parquet(store)
+      // "new/updated products": a key-subset of side A with changed price
+      val newRows = Catalogs.sideA(s, dir).where("id % 50 = 0")
+        .withColumn("table", lit("abt"))
+        .withColumn("price", concat(lit("$9"),
+          regexp_replace(col("price"), "\\$", "")))
+        .select("table", "id", "name", "description", "price")
+      EntityResolution.inferIncremental(newRows, store, st.pipes, model, flagshipCfg)
+        .select(col("idA"), col("idB"), round(col("match_score"), 3).as("match_score"))
+    })
   )
 
   val oracles: Seq[(String, String)] = Seq(

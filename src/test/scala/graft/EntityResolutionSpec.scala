@@ -57,6 +57,39 @@ class EntityResolutionSpec extends SparkSpec {
       s"identity pairs should far outscore non-matches: $byIdentity")
   }
 
+  test("inference loop: MERGE into the feature store + re-block + score") {
+    val a = Catalogs.sideA(spark, sf).withColumn("table", lit("abt"))
+    val b = Catalogs.sideB(spark, sf).withColumn("table", lit("buy"))
+    val all = a.unionByName(b).select("table", "id", "name", "description", "price")
+    val (pipes, allFeats) = EntityResolution.fitFeatureModels(all, cfg)
+    val store = "/root/repo/target/test_tmp/er_store"
+    allFeats.write.mode("overwrite").parquet(store)
+    val before = spark.read.parquet(store).count()
+
+    val labeled = EntityResolution.labeledCandidates(allFeats.cache(),
+      Catalogs.golden(spark, sf), cfg)
+    val trained = EntityResolution.train(allFeats, labeled, cfg)
+
+    // updated price for a key subset + one brand-new product id
+    val newRows = Catalogs.sideA(spark, sf).where("id % 40 = 0")
+      .withColumn("table", lit("abt"))
+      .unionByName(Seq(("abt", 999999L, "cold widget", "PROMO", "$9.99"))
+        .toDF("table", "id", "name", "description", "price"))
+      .select("table", "id", "name", "description", "price")
+    val ranked = EntityResolution.inferIncremental(
+      newRows, store, pipes, trained.model, cfg)
+
+    val after = spark.read.parquet(store)
+    assert(after.count() == before + 1)        // upsert inserted the new id
+    assert(after.where("id = 999999").count() == 1)
+    assert(ranked.count() > 0)
+    // the brand-new product must surface candidate matches ("cold widget"
+    // exists on the buy side under brand prefixes)
+    assert(ranked.where("idA = 999999").count() > 0)
+    val top = ranked.select("match_score").as[Double].collect()
+    assert(top.forall(sc => sc >= 0.0 && sc <= 1.0))
+  }
+
   test("deploy: registry round-trip serves identical scores") {
     val labeled = EntityResolution.labeledCandidates(feats, golden, cfg)
     val trained = EntityResolution.train(feats, labeled, cfg)
