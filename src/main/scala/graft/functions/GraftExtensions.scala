@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: installs the engine's custom
+  * Catalyst functions into every session built with
+  * `.withExtensions(new GraftExtensions)` — or cluster-wide via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. This is the
+  * deployment-grade registration path; `SqDist.register` remains for
+  * ad-hoc per-session use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("sq_dist"),
+      new ExpressionInfo(classOf[SqDist].getName, "sq_dist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sq_dist takes exactly 2 arguments")
+        SqDist(children(0), children(1))
+      }))
+  }
+}

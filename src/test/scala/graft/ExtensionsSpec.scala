@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions install path: a session built with
+  * GraftExtensions resolves sq_dist in SQL with no per-session
+  * registration call. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("session built withExtensions resolves sq_dist through the parser") {
+    val shared = SparkSpec.session // reuse the JVM-wide SparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(spark ne shared) // extensions applied to a fresh session
+      import spark.implicits._
+      Seq((Vectors.dense(0.0, 3.0), Vectors.dense(4.0, 0.0))).toDF("a", "b")
+        .createOrReplaceTempView("ext_t")
+      val d = spark.sql("SELECT sq_dist(a, b) FROM ext_t").as[Double].head()
+      assert(d == 25.0)
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+}
