@@ -41,13 +41,13 @@ object Dedup {
     val sh = df.select(col("doc_id"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val exploded = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val filtered = maxShingleDf match {
+    val filtered = (maxShingleDf match {
       case Some(cap) =>
         val df_ = exploded.groupBy("shingle").agg(count(lit(1)).as("sdf"))
           .where(col("sdf") <= cap)
         exploded.join(df_, "shingle")
       case None => exploded
-    }
+    }).cache() // read twice (both join sides) — shingle/tokenize once
     val a = filtered.select(col("doc_id").as("idA"), col("n_sh").as("nA"), col("shingle"))
     val b = filtered.select(col("doc_id").as("idB"), col("n_sh").as("nB"), col("shingle"))
     a.join(b, Seq("shingle"))

@@ -141,6 +141,21 @@ object RelationalQueries {
         count(lit(1)).as("n_orders"),
         array_join(sort_array(collect_list(col("o_orderpriority"))), ",").as("priorities"))),
 
+    // A5 — classic pricing-summary aggregation over the fact table
+    // (multi-aggregate groupBy with decimal-stable rounding; the shape
+    // every OLAP engine is judged on).
+    "a5_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
     // A2 — grouped count (class balance).
     "a2_grouped_count" -> ((s, dir) =>
       Fixtures.labeledPairs(s, dir).groupBy("label").agg(count(lit(1)).as("instances"))),
@@ -244,6 +259,17 @@ object RelationalQueries {
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
         |  array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities
         |FROM orders GROUP BY o_custkey""".stripMargin,
+    "a5_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "a2_grouped_count" ->
       s"WITH ${Fixtures.labeledCte} SELECT label, CAST(count(*) AS BIGINT) AS instances FROM labeled GROUP BY label",
     "a3_global_count" ->
