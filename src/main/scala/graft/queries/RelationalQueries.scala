@@ -164,6 +164,44 @@ object RelationalQueries {
     "a3_global_count" -> ((s, dir) =>
       Fixtures.candidatePairs(s, dir).agg(count(lit(1)).as("n"))),
 
+    // A6 — rollup (subtotal lattice) over orders: beyond the reference's
+    // surface, standard engine breadth.
+    "a6_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))),
+
+    // A7 — exact percentiles + distinct count per group.
+    "a7_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        countDistinct(col("l_partkey")).as("n_parts"))),
+
+    // J6 — semi/anti joins (the engine's upsert building blocks, surfaced
+    // as first-class queries).
+    "j6_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("status"))
+        .unionByName(
+          c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+            .select(col("c_custkey"), lit("no_orders").as("status")))
+    }),
+
+    // W2 — analytic window functions (row_number + lag) over event time.
+    "w2_event_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.streaming.EventStreams.readEvents(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.select(col("user_id"), col("event_id"), col("value"),
+          row_number().over(w).as("rn"),
+          lag(col("value"), 1).over(w).as("prev_value"))
+        .select(col("user_id"), col("event_id"), col("rn"),
+          round(col("value") - coalesce(col("prev_value"), lit(0.0)), 2).as("delta"))
+    }),
+
     // W1 — global class ratio, scale-safe agg+broadcast form (never the
     // single-partition global window).
     "w1_class_ratio" -> ((s, dir) =>
@@ -274,6 +312,29 @@ object RelationalQueries {
       s"WITH ${Fixtures.labeledCte} SELECT label, CAST(count(*) AS BIGINT) AS instances FROM labeled GROUP BY label",
     "a3_global_count" ->
       s"WITH ${Fixtures.candsCte} SELECT CAST(count(*) AS BIGINT) AS n FROM cands",
+    "a6_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "a7_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "j6_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS status FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "w2_event_lag" ->
+      """SELECT user_id, event_id,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  round(value - coalesce(lag(value, 1) OVER w, 0.0), 2) AS delta
+        |FROM (SELECT user_id, event_id, value,
+        |        make_timestamp(epoch_us(ts)) AS tsu FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)""".stripMargin,
     "w1_class_ratio" ->
       s"""WITH ${Fixtures.labeledCte},
          |counts AS (SELECT label, count(*) AS instances FROM labeled GROUP BY label),
