@@ -115,8 +115,15 @@ object EntityResolution {
       .join(sampled, Seq("idA", "idB"))
     val weighted = Matcher.addClassWeights(dists)
     val Seq(tr, te) = Matcher.stratifiedSplit(weighted, Seq(0.8, 0.2), seed = cfg.seed)
+    // partition target sized to the (known) row count: ~50k rows/partition,
+    // floor 4 — keeps boosted-tree iteration jobs from drowning in task
+    // overhead on small training sets without capping genuine scale
+    val parts = math.max(4, math.min(
+      feats.sparkSession.sparkContext.defaultParallelism,
+      (math.min(n, cfg.maxTrainPairs) / 50000L).toInt))
     val tuned = Matcher.trainTuned(tr, seed = cfg.seed,
-      maxIterGrid = cfg.gbtMaxIterGrid, maxDepthGrid = cfg.gbtMaxDepthGrid)
+      maxIterGrid = cfg.gbtMaxIterGrid, maxDepthGrid = cfg.gbtMaxDepthGrid,
+      coalesceTo = Some(parts))
     val best = tuned.bestModel.asInstanceOf[PipelineModel]
     TrainedMatcher(best, Matcher.areaUnderPR(best, te))
   }

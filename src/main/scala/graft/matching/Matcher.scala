@@ -47,10 +47,18 @@ object Matcher {
   }
 
   /** M4+M5 — assemble distance features, grid-search a GBT classifier with a
-    * train/validation split, parallel trials (`03:164-253`). */
+    * train/validation split, parallel trials (`03:164-253`).
+    *
+    * `coalesceTo`: boosted-tree training runs many short Spark jobs per
+    * iteration; on a small training set spread over many partitions the
+    * per-task overhead dominates. Callers that know the row count (e.g.
+    * EntityResolution.train after its sampling pass) pass a partition
+    * target sized to the data; None leaves partitioning untouched. */
   def trainTuned(train: DataFrame, seed: Long = 42L, parallelism: Int = 4,
                  maxIterGrid: Seq[Int] = Seq(10, 20),
-                 maxDepthGrid: Seq[Int] = Seq(3, 5)): TrainValidationSplitModel = {
+                 maxDepthGrid: Seq[Int] = Seq(3, 5),
+                 coalesceTo: Option[Int] = None): TrainValidationSplitModel = {
+    val prepared = coalesceTo.map(n => train.coalesce(n)).getOrElse(train)
     val asm = new VectorAssembler().setInputCols(FeatureCols)
       .setOutputCol("features").setHandleInvalid("keep")
     val gbt = new GBTClassifier().setLabelCol("label").setWeightCol("weight")
@@ -64,7 +72,7 @@ object Matcher {
       .setEvaluator(evaluator)
       .setEstimatorParamMaps(grid)
       .setTrainRatio(0.8).setParallelism(parallelism).setSeed(seed)
-      .fit(train)
+      .fit(prepared)
   }
 
   /** M6 — area under the precision-recall curve (`03:218,311-314`). */
