@@ -72,10 +72,17 @@ object Blocking {
     val model = fitLsh(ra, featureCol, bucketLength, numHashTables, seed)
     val keyPairs = similarityJoin(model, ra, rb, threshold)
       .select(col("idA").as("keyA"), col("idB").as("keyB"), col("distance"))
-    keyPairs
+    val out = keyPairs
       .join(a.select(col(keyCol).as("keyA"), col("id").as("idA")), Seq("keyA"))
       .join(b.select(col(keyCol).as("keyB"), col("id").as("idB")), Seq("keyB"))
       .select("idA", "idB", "distance")
+      // materialize (lineage-truncating local checkpoint), then drop the
+      // representative caches — otherwise every invocation in a long
+      // session leaks two cached frames into storage memory
+      .localCheckpoint()
+    ra.unpersist(blocking = false)
+    rb.unpersist(blocking = false)
+    out
   }
 
   private val sqdistUdf = udf { (x: Vector, y: Vector) => Vectors.sqdist(x, y) }

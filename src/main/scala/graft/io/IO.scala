@@ -65,17 +65,32 @@ object IO {
         when(col(matchFlag).isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
       else col(s"t.$c").as(c)
     }.toSeq: _*)
-    val inserts = source.join(broadcast(target.select(keys.map(col): _*)), keys, "left_anti")
+    // No broadcast hint here: the anti-join's build side would be the TARGET
+    // key set, which is the large table at scale (broadcasting it OOMs the
+    // driver at 100 TB). Let the planner/AQE pick — with a small source and a
+    // large target this resolves to a shuffled hash join keyed the same way
+    // as the update join above, so the two passes share the exchange.
+    val inserts = source.join(target.select(keys.map(col): _*), keys, "left_anti")
       .select(target.columns.map(col).toSeq: _*)
     updated.unionByName(inserts)
   }
 
-  /** Path-level upsert with atomic tmp-dir swap: compute the merged table,
-    * write it next to the target, then swap directories. The swap is
-    * metadata-only; a crash before the final move leaves the original target
-    * intact. */
+  /** Path-level upsert with a tmp-dir swap.
+    *
+    * Durability contract (each `move` is metadata-only and atomic, but the
+    * two-move *sequence* is not): a crash before the first move leaves the
+    * original target untouched; a crash between the moves leaves the data
+    * under `<target>.__graft_old`, and [[recoverPath]] (invoked here on
+    * entry) restores it on the next call. There IS a window in which no
+    * live `<target>` directory exists — concurrent readers must tolerate a
+    * retry, which is why both reads in this method go through
+    * [[recoverPath]]. Both paths must live on one filesystem
+    * (`ATOMIC_MOVE` throws across mount points); a production deployment
+    * on an object store would swap a manifest/table-catalog pointer
+    * instead of a directory rename. */
   def upsertPath(spark: SparkSession, targetPath: String, source: DataFrame,
                  keys: Seq[String], updateCols: Seq[String]): Unit = {
+    recoverPath(targetPath)
     val target = spark.read.parquet(targetPath)
     val merged = upsert(target, source, keys, updateCols)
     val tmp = targetPath + ".__graft_tmp"
@@ -86,6 +101,17 @@ object IO {
     Files.move(tgt, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), tgt, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursive(old)
+  }
+
+  /** Crash recovery for [[upsertPath]]: if the target directory is missing
+    * but the `.__graft_old` backup exists (crash between the two moves),
+    * restore the backup. Idempotent; safe to call before any read of a
+    * path that upsertPath manages. */
+  def recoverPath(targetPath: String): Unit = {
+    val tgt = Paths.get(targetPath)
+    val old = Paths.get(targetPath + ".__graft_old")
+    if (!Files.exists(tgt) && Files.exists(old))
+      Files.move(old, tgt, StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def deleteRecursive(p: Path): Unit =

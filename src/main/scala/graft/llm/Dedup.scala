@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize `result` eagerly (local checkpoint — truncates lineage and
+    * stores the small pair set), then release the intermediate caches it
+    * was built from. Without this, repeated operator invocations in a
+    * long-lived session accumulate storage memory until eviction pressure
+    * degrades the whole engine; checkpoint blocks, by contrast, are freed
+    * by the ContextCleaner once the returned frame is garbage collected. */
+  private def releasing(intermediates: DataFrame*)(result: DataFrame): DataFrame = {
+    val out = result.localCheckpoint()
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Exact dedup by content hash: one row per distinct text, keeping the
     * smallest doc_id as the canonical survivor plus the duplicate count.
     * A single hash-shuffle groupBy; the md5 key keeps the shuffle narrow
@@ -50,14 +62,16 @@ object Dedup {
     }).cache() // read twice (both join sides) — shingle/tokenize once
     val a = filtered.select(col("doc_id").as("idA"), col("n_sh").as("nA"), col("shingle"))
     val b = filtered.select(col("doc_id").as("idB"), col("n_sh").as("nB"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .where(col("idA") < col("idB"))
-      .groupBy("idA", "idB", "nA", "nB")
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("nA") + col("nB") - col("shared")))
-      .where(col("jaccard") >= threshold)
-      .select("idA", "idB", "jaccard")
+    releasing(filtered) {
+      a.join(b, Seq("shingle"))
+        .where(col("idA") < col("idB"))
+        .groupBy("idA", "idB", "nA", "nB")
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("nA") + col("nB") - col("shared")))
+        .where(col("jaccard") >= threshold)
+        .select("idA", "idB", "jaccard")
+    }
   }
 
   /** MinHash near-dup via *banded* signatures: k = bands × rowsPerBand
@@ -102,15 +116,17 @@ object Dedup {
     val pairs = a.join(b, Seq("band", "band_key"))
       .where(col("idA") < col("idB"))
       .select("idA", "idB").distinct()
-    pairs
-      .join(sig.select(col("id").as("idA"), col("sig").as("sigA")), Seq("idA"))
-      .join(sig.select(col("id").as("idB"), col("sig").as("sigB")), Seq("idB"))
-      .withColumn("jaccard_est",
-        size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y),
-          v => v)).cast("double") / k)
-      .where(col("jaccard_est") >= threshold)
-      .select(col("idA"), col("idB"),
-        (lit(1.0) - col("jaccard_est")).as("jaccard_dist"))
+    releasing(sig) {
+      pairs
+        .join(sig.select(col("id").as("idA"), col("sig").as("sigA")), Seq("idA"))
+        .join(sig.select(col("id").as("idB"), col("sig").as("sigB")), Seq("idB"))
+        .withColumn("jaccard_est",
+          size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y),
+            v => v)).cast("double") / k)
+        .where(col("jaccard_est") >= threshold)
+        .select(col("idA"), col("idB"),
+          (lit(1.0) - col("jaccard_est")).as("jaccard_dist"))
+    }
   }
 
   /** k MinHash values for a shingle set: FNV-1a 64 base hash per shingle,
@@ -162,9 +178,15 @@ object Dedup {
   /** SimHash near-dup pairs via banding: split the 64-bit signature into
     * `bands` equal slices and equi-join on (band index, band value) — any
     * pair within Hamming distance < bands shares ≥1 band (pigeonhole), so
-    * recall is exact for maxHamming = bands - 1. */
+    * recall is exact only when `maxHamming <= bands - 1`; the `require`
+    * refuses configurations that would silently under-report near-dups
+    * (a pair at distance `bands` can differ in every band). */
   def simhashPairs(df: DataFrame, textCol: String = "text",
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"banding recall guarantee needs maxHamming < bands; got maxHamming=$maxHamming, bands=$bands")
+    require(bands <= 64 && 64 % bands == 0,
+      s"bands must divide the 64-bit signature evenly; got $bands")
     val bits = 64 / bands
     val sigs = simhash(df, textCol).cache()
     // bands is a plan-time constant, so the band array is built statically
@@ -179,12 +201,14 @@ object Dedup {
       col("band"), col("band_val"))
     val b = banded.select(col("doc_id").as("idB"), col("simhash").as("sigB"),
       col("band"), col("band_val"))
-    a.join(b, Seq("band", "band_val"))
-      .where(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"),
-        bit_count(col("sigA").bitwiseXOR(col("sigB"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
+    releasing(sigs) {
+      a.join(b, Seq("band", "band_val"))
+        .where(col("idA") < col("idB"))
+        .select(col("idA"), col("idB"),
+          bit_count(col("sigA").bitwiseXOR(col("sigB"))).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= maxHamming)
+    }
   }
 
   /** Embedding-cosine near-dup over unit-normalized vectors, blocked by a

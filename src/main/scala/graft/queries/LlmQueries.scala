@@ -28,9 +28,12 @@ object LlmQueries {
       Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.35)
         .select(col("idA"), col("idB"), round(col("jaccard_dist"), 3).as("jaccard_dist"))),
 
-    // SimHash near-dup via band join (pigeonhole-exact recall for hamming<bands).
+    // SimHash near-dup via band join. 16 bands of 4 bits: pigeonhole makes
+    // recall exact for hamming <= 15 (bands must exceed maxHamming — with
+    // fewer bands, pairs inside the claimed radius can miss every band and
+    // silently vanish; simhashPairs now refuses such configs).
     "dd_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 16)),
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 15, bands = 16)),
 
     // Embedding-cosine near-dup, blocked by (label, key-mod) coarse cells.
     "dd_cosine" -> ((s, dir) =>

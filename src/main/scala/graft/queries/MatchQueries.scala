@@ -31,13 +31,31 @@ object MatchQueries {
     * (er_flagship_match / x2 / m5) fit it once per JVM. */
   private case class Stage(feats: DataFrame, golden: DataFrame,
                            pipes: EntityResolution.FittedPipelines)
+  // Keyed on sessionUUID (stable and unique per session), not
+  // identityHashCode (collidable, and it would pin DataFrames of stopped
+  // contexts forever); entries of stopped contexts are evicted on access.
   private val stageCache =
-    scala.collection.concurrent.TrieMap[(Int, String, String), Stage]()
+    scala.collection.concurrent.TrieMap[(String, String, String), Stage]()
   private val matcherCache =
-    scala.collection.concurrent.TrieMap[(Int, String, String),
+    scala.collection.concurrent.TrieMap[(String, String, String),
       (PipelineModel, DataFrame)]()
   private val flagshipCache =
-    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
+
+  private val liveSessions =
+    scala.collection.concurrent.TrieMap[String, SparkSession]()
+
+  private def cacheKey(s: SparkSession, dir: String, keyFilter: String) = {
+    liveSessions.put(org.apache.spark.sql.graftshim.Shim.sessionUuid(s), s)
+    // evict entries bound to stopped contexts — their DataFrames can never
+    // execute again and would otherwise be pinned for the JVM lifetime
+    liveSessions.filterInPlace((_, sess) => !sess.sparkContext.isStopped)
+    def live(k: (String, String, String)) = liveSessions.contains(k._1)
+    stageCache.filterInPlace((k, _) => live(k))
+    matcherCache.filterInPlace((k, _) => live(k))
+    flagshipCache.filterInPlace((k, _) => live(k))
+    (org.apache.spark.sql.graftshim.Shim.sessionUuid(s), dir, keyFilter)
+  }
 
   private val flagshipCfg = EntityResolution.Config(
     w2vMaxIter = 4, gbtMaxIterGrid = Seq(10), gbtMaxDepthGrid = Seq(3),
@@ -49,7 +67,7 @@ object MatchQueries {
     * (session, dir, filter). */
   private def featureStage(s: SparkSession, dir: String,
                            keyFilter: String = "id % 10 = 0"): Stage =
-    stageCache.getOrElseUpdate((System.identityHashCode(s), dir, keyFilter), {
+    stageCache.getOrElseUpdate(cacheKey(s, dir, keyFilter), {
       val a = Catalogs.sideA(s, dir).where(keyFilter).withColumn("table", lit("abt"))
       val b = Catalogs.sideB(s, dir).where(keyFilter).withColumn("table", lit("buy"))
       val all = a.unionByName(b).select("table", "id", "name", "description", "price")
@@ -62,7 +80,7 @@ object MatchQueries {
   /** Labeled candidates + trained matcher for a stage; memoized. */
   private def trainedMatcher(s: SparkSession, dir: String,
                              keyFilter: String = "id % 10 = 0"): (PipelineModel, DataFrame) =
-    matcherCache.getOrElseUpdate((System.identityHashCode(s), dir, keyFilter), {
+    matcherCache.getOrElseUpdate(cacheKey(s, dir, keyFilter), {
       val st = featureStage(s, dir, keyFilter)
       val labeled = EntityResolution.labeledCandidates(st.feats, st.golden, flagshipCfg)
         .cache()
@@ -73,7 +91,7 @@ object MatchQueries {
   /** Full match flow on a key subset; returns the scored, ranked pairs
     * (materialized via cache so sibling queries reuse results, not plans). */
   def flagship(s: SparkSession, dir: String, keyFilter: String = "id % 10 = 0"): DataFrame =
-    flagshipCache.getOrElseUpdate((System.identityHashCode(s), dir, keyFilter), {
+    flagshipCache.getOrElseUpdate(cacheKey(s, dir, keyFilter), {
       val df = flagshipUncached(s, dir, keyFilter).cache()
       df.count() // materialize once; later executions are cache reads
       df
@@ -95,11 +113,15 @@ object MatchQueries {
 
     // J4 — LSH approximate similarity join on name features (A vs B — the
     // documented semantics, not the reference's `02:144-145` self-join slip).
+    // Reuses the memoized default feature stage and key-filters its output
+    // (id%20 ⊂ id%10) rather than refitting a second pipeline stack — the
+    // reference likewise fits features once and blocks over subsets.
     "j4_lsh_join" -> ((s, dir) => {
-      val st = featureStage(s, dir, "id % 20 = 0")
-      val lsh = Blocking.fitLsh(st.feats.where("table = 'abt'"), "name_features")
-      Blocking.similarityJoin(lsh, st.feats.where("table = 'abt'"),
-          st.feats.where("table = 'buy'"), threshold = 1.3)
+      val st = featureStage(s, dir)
+      val a = st.feats.where("table = 'abt' and id % 20 = 0")
+      val b = st.feats.where("table = 'buy' and id % 20 = 0")
+      val lsh = Blocking.fitLsh(a, "name_features")
+      Blocking.similarityJoin(lsh, a, b, threshold = 1.3)
         .select(col("idA"), col("idB"), round(col("distance"), 3).as("distance"))
     }),
 
@@ -155,13 +177,22 @@ object MatchQueries {
       val labeled = Pairs.labelJoin(cands, golden)
       val dists = Distances.pairDistances(labeled, feats.where("table='abt'"),
         feats.where("table='buy'")).join(labeled, Seq("idA", "idB"))
-      val weighted = Matcher.addClassWeights(dists)
+      val weighted = Matcher.addClassWeights(dists).cache()
       val Seq(train, test) = Matcher.stratifiedSplit(weighted, Seq(0.8, 0.2))
-      val tuned = Matcher.trainTuned(train, maxIterGrid = Seq(10, 20), maxDepthGrid = Seq(3))
+      // boosted-tree iteration jobs drown in per-task overhead when a small
+      // training set is spread over many shuffle partitions — size the
+      // partition count to the data (~50k rows each, floor 4), same policy
+      // as EntityResolution.train
+      val parts = math.max(4, math.min(s.sparkContext.defaultParallelism,
+        (weighted.count() / 50000L).toInt))
+      val tuned = Matcher.trainTuned(train, maxIterGrid = Seq(10, 20),
+        maxDepthGrid = Seq(3), coalesceTo = Some(parts))
       val best = tuned.bestModel.asInstanceOf[PipelineModel]
       val aupr = Matcher.areaUnderPR(best, test)
-      Seq((train.count(), test.count(), aupr > 0.5, aupr <= 1.0))
+      val out = Seq((train.count(), test.count(), aupr > 0.5, aupr <= 1.0))
         .toDF("n_train", "n_test", "aupr_above_half", "aupr_valid")
+      weighted.unpersist(blocking = false)
+      out
     }),
 
     // M7 — filesystem model registry lifecycle: save v1, save v2, promote

@@ -11,4 +11,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Stable unique id of a session (`sessionUUID` lives on the classic
+    * concrete class, not the abstract API type) — used as a memoization key
+    * that, unlike `identityHashCode`, cannot collide across sessions. */
+  def sessionUuid(s: org.apache.spark.sql.SparkSession): String =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }
