@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{FeatureQueries, LlmQueries, MatchQueries, RelationalQueries, StreamQueries}
+import graft.queries.{BreadthQueries, FeatureQueries, LlmQueries, MatchQueries, RelationalQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,13 +20,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (RelationalQueries.defs ++ FeatureQueries.defs ++ MatchQueries.defs ++
-      LlmQueries.defs ++ StreamQueries.defs).toMap
+    (RelationalQueries.defs ++ BreadthQueries.defs ++ FeatureQueries.defs ++
+      MatchQueries.defs ++ LlmQueries.defs ++ StreamQueries.defs).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (vector /
     * fitted-model / hash-function state) → driver records rows-only. */
   def oracleSql: Map[String, String] =
-    (RelationalQueries.oracles ++ FeatureQueries.oracles ++ MatchQueries.oracles ++
-      LlmQueries.oracles ++ StreamQueries.oracles).toMap
+    (RelationalQueries.oracles ++ BreadthQueries.oracles ++ FeatureQueries.oracles ++
+      MatchQueries.oracles ++ LlmQueries.oracles ++ StreamQueries.oracles).toMap
 }

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.WeightedMean
+import graft.ops.AsOf
+import graft.streaming.EventStreams
+
+/** Relational breadth beyond the reference's own surface: pivot, cube /
+  * grouping sets, set ops, as-of + range (theta) joins, correlated
+  * subqueries, a custom typed UDAF, and partition-pruned scans — the
+  * operators a user of a general analytics engine reaches for next, each
+  * with a DuckDB oracle.
+  */
+object BreadthQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  private val Tmp = "/root/repo/target/qtmp"
+
+  private def views(s: SparkSession, dir: String): Unit = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+  }
+
+  val defs: Seq[(String, Q)] = Seq(
+    // A8 — pivot: per-priority order value by status, statuses as columns.
+    // Explicit pivot values keep the plan a single pass (no distinct-scan
+    // to discover columns — at scale the value list must be declared).
+    "a8_pivot" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))),
+
+    // A9 — cube: full subtotal lattice over (status, priority).
+    "a9_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))),
+
+    // A10 — grouping sets (explicit lattice, SQL surface).
+    "a10_grouping_sets" -> ((s, dir) => {
+      views(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
+    // A11 — custom typed UDAF: weighted mean runs as a real partial/final
+    // aggregate (map-side combine; one 16-byte buffer per group shuffled).
+    "a11_weighted_mean" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(round(WeightedMean(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("wavg_price"))),
+
+    // U3 — set intersection (nations having both customers and suppliers).
+    "u3_intersect" -> ((s, dir) =>
+      Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))),
+
+    // U4 — set difference (nations with customers but no suppliers).
+    "u4_except" -> ((s, dir) =>
+      Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))),
+
+    // J7 — as-of join: each click gets the user's most recent
+    // prior-or-equal purchase value (union+window form — one shuffle,
+    // never a per-key cross join).
+    "j7_asof_join" -> ((s, dir) => {
+      val ev = EventStreams.readEvents(s, dir)
+      val clicks = ev.where("event_type = 'click'")
+        .select("event_id", "user_id", "ts")
+      // unique (key, ts) on the right side — as-of contract
+      val purchases = ev.where("event_type = 'purchase'")
+        .groupBy("user_id", "ts").agg(max("value").as("pval"))
+      AsOf.joinBackward(clicks, purchases, "user_id", "ts", "pval", "lp")
+        .select(col("event_id"), col("user_id"),
+          round(coalesce(col("lp"), lit(-1.0)), 2).as("last_purchase_value"))
+    }),
+
+    // J8 — range (theta) join against a broadcast interval table: price
+    // band assignment. The band side is tiny and replicated; the fact side
+    // streams through a broadcast nested-loop — the right plan when the
+    // interval table fits in memory (the alternative at scale: bucket the
+    // fact by floor(price/width) and equi-join).
+    "j8_range_band" -> ((s, dir) => {
+      val bands = s.range(0, 10).select(col("id").as("band_id"),
+        (lit(900.0) + col("id") * 10).as("lo"),
+        (lit(910.0) + col("id") * 10).as("hi"))
+      Tables.part(s, dir).join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 4).as("avg_price"))
+    }),
+
+    // X4 — correlated EXISTS / NOT EXISTS subqueries (decorrelated by
+    // Catalyst into semi/anti joins — asserted in BreadthSpec).
+    "x4_exists_subquery" -> ((s, dir) => {
+      views(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_v c
+          |WHERE EXISTS (SELECT 1 FROM orders_v o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+          |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin)
+    }),
+
+    // X5 — correlated scalar subquery (each customer's costliest order;
+    // max() keeps the double comparison exact on both engines).
+    "x5_scalar_subquery" -> ((s, dir) => {
+      views(s, dir)
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+          |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders_v o2
+          |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+
+    // S7 — partition-pruned scan: write partitioned by status, read one
+    // partition back (BreadthSpec asserts the scan's PartitionFilters
+    // prune to a single directory).
+    "s7_partition_pruned" -> ((s, dir) => {
+      val out = s"$Tmp/s7_partitioned"
+      Tables.orders(s, dir).write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(out)
+      s.read.parquet(out).where("o_orderstatus = 'F'")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "a8_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "a9_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "a10_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "a11_weighted_mean" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "u3_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin,
+    "u4_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier""".stripMargin,
+    "j7_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS tsu,
+        |                  event_type, value FROM events),
+        |a AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),
+        |b AS (SELECT user_id, tsu, max(value) AS pval FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT a.event_id, a.user_id,
+        |       round(coalesce(b.pval, -1.0), 2) AS last_purchase_value
+        |FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.tsu >= b.tsu""".stripMargin,
+    "j8_range_band" ->
+      """SELECT b.band_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(p_retailprice), 4) AS avg_price
+        |FROM part JOIN (SELECT range AS band_id, 900.0 + range * 10 AS lo,
+        |                       910.0 + range * 10 AS hi
+        |                FROM range(0, 10)) b
+        |  ON p_retailprice >= b.lo AND p_retailprice < b.hi
+        |GROUP BY b.band_id""".stripMargin,
+    "x4_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin,
+    "x5_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    "s7_partition_pruned" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""".stripMargin
+  )
+}

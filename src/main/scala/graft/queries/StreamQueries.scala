@@ -41,6 +41,21 @@ object StreamQueries {
           col("user_id"), col("event_type"), col("value"))
         .as[EventStreams.Ev]
       EventStreams.sessionize(evs, gapMinutes = 30).toDF()
+    }),
+
+    // Sessionization through the STREAMING engine proper: watermark +
+    // EventTimeTimeout emission. Emits every session except, per user, a
+    // final open one whose timeout the last watermark never passed — the
+    // oracle mirrors exactly that emission rule.
+    "st_session_stream" -> ((s, dir) => {
+      import s.implicits._
+      val evs = EventStreams.readEventStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.EvI]
+      EventStreams.runToBatch(
+        EventStreams.sessionizeStream(evs, gapMinutes = 30).toDF(),
+        s"st_session_stream_${runId.incrementAndGet()}", complete = false)
     })
   )
 
@@ -51,6 +66,33 @@ object StreamQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "st_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
+    // Emission rule under AvailableNow: a session emits if a later
+    // same-user event closed it (grp < last grp) OR the final watermark
+    // (max event time, zero delay) passed its end+gap timeout.
+    "st_session_stream" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, grp,
+        |    min(ts) AS s_ts, max(ts) AS e_ts,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    round(sum(value), 2) AS total_value
+        |  FROM g GROUP BY user_id, grp),
+        |mx AS (SELECT max(ts) AS maxts FROM events),
+        |lastg AS (SELECT user_id, max(grp) AS lgrp FROM sess GROUP BY user_id)
+        |SELECT sess.user_id,
+        |  strftime(s_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(e_ts, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  n_events, total_value
+        |FROM sess JOIN lastg ON sess.user_id = lastg.user_id, mx
+        |WHERE grp < lgrp OR e_ts + INTERVAL 30 MINUTE < maxts""".stripMargin,
     "st_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,

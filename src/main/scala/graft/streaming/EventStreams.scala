@@ -95,7 +95,9 @@ object EventStreams {
       }
   }
 
-  private def sessionsOf(evs: List[Ev], gapMinutes: Int): List[Session] = {
+  /** Split time-ordered events into gap-delimited groups (each returned
+    * group in time order, groups in time order). */
+  private def splitSessions(evs: List[Ev], gapMinutes: Int): List[List[Ev]] = {
     if (evs.isEmpty) return Nil
     val gap = java.time.Duration.ofMinutes(gapMinutes.toLong)
     val groups = evs.tail.foldLeft(List(List(evs.head))) { (acc, e) =>
@@ -104,12 +106,63 @@ object EventStreams {
         (e :: cur) :: acc.tail   // cur.head is the most recent event
       else List(e) :: acc
     }
-    groups.reverse.map { g =>
-      val s = g.reverse
-      Session(s.head.user_id, fmt(s.head.ts), fmt(s.last.ts), s.size.toLong,
-        BigDecimal(s.map(_.value).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble)
-    }
+    groups.reverse.map(_.reverse)
+  }
+
+  private def toSession(g: List[Ev]): Session =
+    Session(g.head.user_id, fmt(g.head.ts), fmt(g.last.ts), g.size.toLong,
+      BigDecimal(g.map(_.value).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+
+  private def sessionsOf(evs: List[Ev], gapMinutes: Int): List[Session] =
+    splitSessions(evs, gapMinutes).map(toSession)
+
+  /** Event shape for the *streaming* sessionizer: `ts` as Instant ⇒
+    * TimestampType, which event-time watermarks require. */
+  case class EvI(event_id: Long, ts: java.time.Instant, user_id: Long,
+                 event_type: String, value: Double)
+
+  /** True streaming sessionization: watermark + EventTimeTimeout. Closed
+    * sessions (a later event arrived past the gap) emit immediately; each
+    * key's open session is held in state with a timeout at
+    * `session_end + gap` and emits when the watermark passes it. State per
+    * key is one session's events — bounded by session length, independent
+    * of stream length; keys are dropped from state on timeout, so total
+    * state is (active keys × open session size).
+    *
+    * Under Trigger.AvailableNow the engine keeps running batches until
+    * stateful timeouts quiesce, so a bounded input emits every session
+    * whose timeout precedes the final watermark (= max event time with a
+    * zero delay); per key, the last session stays unemitted unless the
+    * global max passes its timeout — exactly the semantics the registered
+    * query's oracle mirrors. */
+  def sessionizeStream(events: Dataset[EvI], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val utc = java.time.ZoneOffset.UTC
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Ev], Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, evs, state: GroupState[List[Ev]]) =>
+          if (state.hasTimedOut) {
+            val out = sessionsOf(state.get, gapMinutes)
+            state.remove()
+            out.iterator
+          } else {
+            val arrived = evs.map(e => Ev(e.event_id,
+              java.time.LocalDateTime.ofInstant(e.ts, utc),
+              e.user_id, e.event_type, e.value)).toList
+            val all = (state.getOption.getOrElse(Nil) ++ arrived)
+              .sortBy(e => (e.ts.toEpochSecond(utc), e.ts.getNano))
+            val groups = splitSessions(all, gapMinutes)
+            val open = groups.last
+            state.update(open)
+            state.setTimeoutTimestamp(
+              open.last.ts.toInstant(utc).toEpochMilli + gapMs)
+            groups.init.map(toSession).iterator
+          }
+      }
   }
 
   private def fmt(t: java.time.LocalDateTime): String =

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.WeightedMean
+import graft.ops.AsOf
+import graft.streaming.EventStreams
+
+/** Breadth operators: as-of join vs the naive formulation, custom UDAF
+  * arithmetic, partition pruning, and subquery decorrelation plan shapes. */
+class BreadthSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join matches the naive greatest-earlier-timestamp formulation") {
+    val ev = EventStreams.readEvents(spark, sf)
+    val clicks = ev.where("event_type = 'click'")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where("event_type = 'purchase'")
+      .groupBy("user_id", "ts").agg(max("value").as("pval"))
+
+    val fast = AsOf.joinBackward(clicks, purchases, "user_id", "ts", "pval", "lp")
+      .select(col("event_id"), coalesce(col("lp"), lit(-1.0)).as("lp"))
+
+    // naive oracle: range join + per-click argmax (quadratic — test only)
+    val best = clicks.as("c")
+      .join(purchases.as("p"),
+        col("c.user_id") === col("p.user_id") && col("p.ts") <= col("c.ts"),
+        "left_outer")
+      .groupBy(col("c.event_id").as("event_id"))
+      .agg(max(struct(col("p.ts"), col("p.pval"))).as("m"))
+      .select(col("event_id"), coalesce(col("m.pval"), lit(-1.0)).as("lp"))
+
+    val f = fast.as[(Long, Double)].collect().toMap
+    val n = best.as[(Long, Double)].collect().toMap
+    assert(f.size == n.size && f == n)
+  }
+
+  test("as-of join: left rows before any right row get the null default") {
+    val left = Seq((1L, 10L), (2L, 50L)).toDF("id", "t")
+    val right = Seq((1L, 20L, 7.0)).toDF("id", "t", "v")
+    val out = AsOf.joinBackward(
+        left.withColumn("k", lit("a")), right.withColumn("k", lit("a")),
+        "k", "t", "v", "vv")
+      .select("id", "vv").as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> None, 2L -> Some(7.0)))
+  }
+
+  test("as-of match is inclusive at equal timestamps") {
+    val left = Seq((1L, 20L)).toDF("id", "t").withColumn("k", lit("a"))
+    val right = Seq((9L, 20L, 3.0)).toDF("rid", "t", "v").withColumn("k", lit("a"))
+    val out = AsOf.joinBackward(left, right, "k", "t", "v", "vv")
+      .select("id", "vv").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3.0)))
+  }
+
+  test("weighted mean UDAF: hand-computed groups, zero-weight gives NaN") {
+    val df = Seq(("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 0.0))
+      .toDF("g", "x", "w")
+    val out = df.groupBy("g").agg(WeightedMean(col("x"), col("w")).as("m"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(out("a") - 17.5) < 1e-12) // (10*1 + 20*3) / 4
+    assert(out("b").isNaN)
+  }
+
+  test("partition-pruned scan reads only the filtered partition") {
+    val out = "/root/repo/target/qtmp/spec_s7"
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(out)
+    val scan = spark.read.parquet(out).where("o_orderstatus = 'F'")
+    val plan = scan.queryExecution.executedPlan
+    val files = plan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+    }.flatten
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("o_orderstatus=F") || f.contains("o_orderstatus%3DF")),
+      s"scan read beyond the pruned partition: ${files.mkString(", ")}")
+  }
+
+  test("EXISTS/NOT EXISTS decorrelate to semi/anti joins (no per-row subquery)") {
+    val df = SparkEntry.queries("x4_exists_subquery")(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftSemi"), phys.take(2000))
+    assert(phys.contains("LeftAnti"), phys.take(2000))
+  }
+
+  test("correlated scalar subquery rewrites to an aggregate join") {
+    val df = SparkEntry.queries("x5_scalar_subquery")(spark, sf)
+    // one max-order row per customer with the max: never empty, never wider
+    // than the customer count
+    val n = df.count()
+    val customers = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(n >= customers) // ties can produce extra rows
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("ScalarSubquery"), "subquery was not decorrelated")
+  }
+}

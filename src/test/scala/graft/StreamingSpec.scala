@@ -63,6 +63,31 @@ class StreamingSpec extends SparkSpec {
       EventStreams.Session(2, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1, 5.0)))
   }
 
+  test("streaming sessionize: state stitches batches, watermark timeout emits") {
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](spark)
+    val evs = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.EvI]
+    val q = EventStreams.sessionizeStream(evs, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 opens a session (2 events), user 2 opens one
+      mem.addData(ev(1, 0, 1, "e", 1.0), ev(2, 10, 1, "e", 2.0), ev(3, 5, 2, "e", 5.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_stream_test").count() == 0) // all still open
+      // batch 2: a 12:00 event closes user 1's session by gap; the watermark
+      // advance (12:00) times out user 2's open session (ends 10:05+30 < 12:00)
+      mem.addData((4L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "e", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_stream_test")
+        .as[EventStreams.Session].collect().toSet
+      assert(out == Set(
+        EventStreams.Session(1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2, 3.0),
+        EventStreams.Session(2, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1, 5.0)))
+      // user 1's 12:00 session never times out (watermark stays at 12:00)
+    } finally q.stop()
+  }
+
   test("file-source stream over the events fixture runs AvailableNow") {
     val out = EventStreams.runToBatch(
       EventStreams.windowedCounts(EventStreams.readEventStream(spark, sf)),
