@@ -29,7 +29,12 @@ object Ann {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine via the codegen [[graft.functions.CosineSim]] kernel — HOF
+    * lambdas evaluate interpreted, ~3·dim closure calls per pair; the
+    * expression form is one tight loop inside whole-stage codegen and
+    * reproduces the HOF accumulation order bit-for-bit (`AnnSpec`). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
 
   /** Exact cosine top-k: for each query vector, the k highest-cosine corpus
     * rows (query itself excluded). Scores are rounded before ranking so the

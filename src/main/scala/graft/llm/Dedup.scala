@@ -220,14 +220,13 @@ object Dedup {
     val v = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"),
       blockKey.as("blk"))
-    val norm = v.withColumn("nrm",
-      sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
-    val a = norm.select(col("id").as("idA"), col("v").as("vA"), col("nrm").as("nA"), col("blk"))
-    val b = norm.select(col("id").as("idB"), col("v").as("vB"), col("nrm").as("nB"), col("blk"))
+    val a = v.select(col("id").as("idA"), col("v").as("vA"), col("blk"))
+    val b = v.select(col("id").as("idB"), col("v").as("vB"), col("blk"))
     a.join(b, Seq("blk")).where(col("idA") < col("idB"))
+      // codegen kernel — the interpreted HOF form costs ~3·dim closure
+      // calls per candidate pair (see graft.functions.CosineSim)
       .withColumn("cosine",
-        aggregate(zip_with(col("vA"), col("vB"), (x, y) => x * y), lit(0.0d), (s, x) => s + x)
-          / (col("nA") * col("nB")))
+        graft.functions.CosineSim.cosine_sim(col("vA"), col("vB")))
       .where(col("cosine") >= threshold)
       .select("idA", "idB", "cosine")
   }

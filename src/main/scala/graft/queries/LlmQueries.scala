@@ -28,12 +28,14 @@ object LlmQueries {
       Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.35)
         .select(col("idA"), col("idB"), round(col("jaccard_dist"), 3).as("jaccard_dist"))),
 
-    // SimHash near-dup via band join. 16 bands of 4 bits: pigeonhole makes
-    // recall exact for hamming <= 15 (bands must exceed maxHamming — with
-    // fewer bands, pairs inside the claimed radius can miss every band and
-    // silently vanish; simhashPairs now refuses such configs).
+    // SimHash near-dup via band join: 4 bands of 16 bits — recall exact for
+    // hamming <= 3 (pigeonhole: bands must exceed maxHamming; simhashPairs
+    // refuses recall-lossy configs). Wide bands keep the blocking join
+    // selective: 16-bit band values rarely collide by chance, where a
+    // large-maxHamming config (say 16 bands of 4 bits) would bucket the
+    // whole corpus into 16 values per band and go quadratic.
     "dd_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 15, bands = 16)),
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3, bands = 4)),
 
     // Embedding-cosine near-dup, blocked by (label, key-mod) coarse cells.
     "dd_cosine" -> ((s, dir) =>
@@ -87,11 +89,53 @@ object LlmQueries {
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.fromDocuments(Tables.documents(s, dir)).where("asset_id < 100"), 4)
-        .select("asset_id", "frame_no", "frame_len"))
+        .select("asset_id", "frame_no", "frame_len")),
+
+    // The composite curation pipeline a training-data run actually executes:
+    // language gate → quality gate → exact dedup (min-id survivor) →
+    // near-dup removal (shingle Jaccard, greedy keep-smaller-id) → token
+    // accounting. Every stage is a narrow map or a key-blocked join; the
+    // whole chain is one DuckDB-checkable query.
+    "dd_curate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val quality = TextAnalysis.qualityScore(docs).select("doc_id", "n_chars", "alpha_ratio")
+      val lang = LangId.predict(docs).select("doc_id", "lang_pred")
+      val counts = TextAnalysis.tokenCounts(docs).select("doc_id", "alnum_tokens")
+      val kept = docs.select("doc_id", "text")
+        .join(quality, "doc_id").join(lang, "doc_id").join(counts, "doc_id")
+        .where(col("lang_pred") === "en" &&
+          col("alpha_ratio") >= 0.6 && col("n_chars") >= 100)
+      val exactKeep = kept.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      val kept2 = kept.join(exactKeep.select("doc_id"), Seq("doc_id"), "left_semi")
+      // greedy near-dup removal: any doc appearing as the larger id of a
+      // >= 0.5-Jaccard pair drops (deterministic; the canonical survivor of
+      // a dup cluster is its smallest id)
+      val losers = Dedup.jaccardPairs(kept2.select("doc_id", "text"), n = 3, threshold = 0.5)
+        .select(col("idB").as("doc_id")).distinct()
+      kept2.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "alnum_tokens")
+    })
   )
 
   private def markerList(lang: String): String =
     LangId.markers(lang).map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB mirror of [[LangId.predict]] — also embedded as a CTE body by
+    * the dd_curate oracle. */
+  private lazy val langidSql: String = {
+    val langs = LangId.markers.keys.toSeq.sorted
+    val hitCols = langs.map(l =>
+      s"CAST(len(list_filter(tok, x -> x IN (${markerList(l)}))) AS INT) AS hits_$l").mkString(",\n  ")
+    val maxExpr = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+    val caseExpr = langs.dropRight(1).map(l =>
+      s"WHEN hits_$l = m THEN '$l'").mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    s"""WITH t AS (SELECT doc_id, ${tokSql("text")} AS tok FROM documents),
+       |s AS (SELECT doc_id,
+       |  $hitCols
+       |FROM t),
+       |m AS (SELECT doc_id, $maxExpr AS m, * FROM s)
+       |SELECT doc_id, m AS marker_hits, $caseExpr AS lang_pred FROM m""".stripMargin
+  }
 
   val oracles: Seq[(String, String)] = Seq(
     "dd_exact" ->
@@ -150,20 +194,7 @@ object LlmQueries {
          |  round(len(list_filter(${tokSql("text")}, x -> x IN (${markerList("en")}))) / CAST(greatest(len(${tokSql("text")}), 1) AS DOUBLE), 6) AS stopword_ratio,
          |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(greatest(len(${tokSql("text")}), 1) AS DOUBLE), 6) AS mean_word_len
          |FROM documents""".stripMargin,
-    "tx_langid" -> {
-      val langs = LangId.markers.keys.toSeq.sorted
-      val hitCols = langs.map(l =>
-        s"CAST(len(list_filter(tok, x -> x IN (${markerList(l)}))) AS INT) AS hits_$l").mkString(",\n  ")
-      val maxExpr = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
-      val caseExpr = langs.dropRight(1).map(l =>
-        s"WHEN hits_$l = m THEN '$l'").mkString("CASE ", " ", s" ELSE '${langs.last}' END")
-      s"""WITH t AS (SELECT doc_id, ${tokSql("text")} AS tok FROM documents),
-         |s AS (SELECT doc_id,
-         |  $hitCols
-         |FROM t),
-         |m AS (SELECT doc_id, $maxExpr AS m, * FROM s)
-         |SELECT doc_id, m AS marker_hits, $caseExpr AS lang_pred FROM m""".stripMargin
-    },
+    "tx_langid" -> langidSql,
     "tx_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -174,6 +205,34 @@ object LlmQueries {
     "mm_binary_meta" ->
       """SELECT doc_id AS asset_id, 'image' AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "dd_curate" ->
+      s"""WITH lang AS ($langidSql),
+         |q AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars,
+         |        round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio
+         |      FROM documents),
+         |tc AS (SELECT doc_id, CAST(len(${tokSql("text")}) AS INT) AS alnum_tokens FROM documents),
+         |kept AS (SELECT d.doc_id, d.text, tc.alnum_tokens FROM documents d
+         |         JOIN q ON d.doc_id = q.doc_id
+         |         JOIN lang ON d.doc_id = lang.doc_id
+         |         JOIN tc ON d.doc_id = tc.doc_id
+         |         WHERE lang.lang_pred = 'en' AND q.alpha_ratio >= 0.6 AND q.n_chars >= 100),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+         |kept2 AS (SELECT k.doc_id, k.text, k.alnum_tokens FROM kept k
+         |          JOIN ex ON k.doc_id = ex.doc_id),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tok) >= 3
+         |         THEN list_transform(range(0, len(tok) - 2),
+         |              i -> concat(tok[CAST(i AS INT)+1], ' ', tok[CAST(i AS INT)+2], ' ', tok[CAST(i AS INT)+3]))
+         |         ELSE [array_to_string(tok, ' ')] END) AS sh
+         |       FROM (SELECT doc_id, ${tokSql("text")} AS tok FROM kept2)),
+         |exx AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+         |pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB, a.n_sh AS nA, b.n_sh AS nB,
+         |                 count(*) AS shared
+         |          FROM exx a JOIN exx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2, 3, 4),
+         |losers AS (SELECT DISTINCT idB AS doc_id FROM pairs
+         |           WHERE CAST(shared AS DOUBLE) / (nA + nB - shared) >= 0.5)
+         |SELECT doc_id, alnum_tokens FROM kept2
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
   )
 }

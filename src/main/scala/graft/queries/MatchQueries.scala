@@ -116,12 +116,15 @@ object MatchQueries {
     // Reuses the memoized default feature stage and key-filters its output
     // (id%20 ⊂ id%10) rather than refitting a second pipeline stack — the
     // reference likewise fits features once and blocks over subsets.
+    // Duplicate name keys never flow through the LSH explode/dedup shuffle:
+    // dedupedSimilarityJoin blocks distinct keys and expands ids after the
+    // distance filter (quadratic-in-duplication otherwise — Blocking.scala).
     "j4_lsh_join" -> ((s, dir) => {
       val st = featureStage(s, dir)
       val a = st.feats.where("table = 'abt' and id % 20 = 0")
       val b = st.feats.where("table = 'buy' and id % 20 = 0")
-      val lsh = Blocking.fitLsh(a, "name_features")
-      Blocking.similarityJoin(lsh, a, b, threshold = 1.3)
+      Blocking.dedupedSimilarityJoin(a, b, keyCol = "name",
+          featureCol = "name_features", threshold = 1.3)
         .select(col("idA"), col("idB"), round(col("distance"), 3).as("distance"))
     }),
 

@@ -57,6 +57,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhashPairs refuses recall-lossy configs (maxHamming >= bands)") {
+    // bands=4 can only guarantee recall for hamming <= 3: a pair at
+    // distance 4 may differ in every 16-bit band and never collide
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, maxHamming = 16, bands = 4)
+    }
+    intercept[IllegalArgumentException] { // 64 % bands != 0
+      Dedup.simhashPairs(docs, maxHamming = 3, bands = 5)
+    }
+  }
+
   test("cosinePairs: hand-computed cosine within blocks only") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.1f), 0),
