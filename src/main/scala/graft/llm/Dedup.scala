@@ -52,7 +52,14 @@ object Dedup {
                    threshold: Double = 0.5, maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = df.select(col("doc_id"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    val exploded = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    // join on the shingle's 64-bit hash, not the string: the self-join
+    // shuffles |docs|×|shingles| rows, and an 8-byte fixed-width key beats
+    // a multi-word string on shuffle volume and compare cost (shingle sets
+    // are distinct per doc, so hashing changes counts only on a 64-bit
+    // collision within a doc pair's union — vanishing at any corpus size
+    // this engine targets)
+    val exploded = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("shingle"))
     val filtered = (maxShingleDf match {
       case Some(cap) =>
         val df_ = exploded.groupBy("shingle").agg(count(lit(1)).as("sdf"))

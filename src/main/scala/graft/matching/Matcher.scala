@@ -4,7 +4,7 @@ import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.functions.vector_to_array
-import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit, TrainValidationSplitModel}
+import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel, ParamGridBuilder, TrainValidationSplit, TrainValidationSplitModel}
 import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -32,6 +32,32 @@ object Matcher {
       df.where(col(labelCol) === v).randomSplit(fractions.toArray, seed)
     }
     fractions.indices.map(i => splitsPerStratum.map(_(i)).reduce(_.unionByName(_)))
+  }
+
+  /** M2 variant — deterministic content-hash split: bucket = first 24 md5
+    * bits of the concatenated key, split by cumulative-fraction thresholds
+    * over 1000 buckets. Unlike the seeded Bernoulli `randomSplit`, this is
+    * reproducible across engines, runs, AND repartitions — the property a
+    * training pipeline needs so a row never migrates between train and
+    * test when the corpus is re-sharded. Narrow map, no shuffle, no RNG
+    * state; fully DuckDB-oracle-checkable. */
+  def withHashSplit(df: DataFrame, keyCols: Seq[String], fractions: Seq[Double],
+                    outCol: String = "split"): DataFrame = {
+    require(math.abs(fractions.sum - 1.0) < 1e-9)
+    val bucket = conv(substring(md5(concat_ws("_", keyCols.map(col): _*)), 1, 6), 16, 10)
+      .cast("long") % 1000
+    val edges = fractions.scanLeft(0.0)(_ + _).tail.map(c => math.round(c * 1000).toInt)
+    val expr = edges.init.zipWithIndex.reverse.foldLeft(lit(edges.size - 1)) {
+      case (acc, (edge, i)) => when(bucket < edge, i).otherwise(acc)
+    }
+    df.withColumn(outCol, expr)
+  }
+
+  /** Frame-per-split form of [[withHashSplit]]. */
+  def hashSplit(df: DataFrame, keyCols: Seq[String],
+                fractions: Seq[Double]): Seq[DataFrame] = {
+    val tagged = withHashSplit(df, keyCols, fractions)
+    fractions.indices.map(i => tagged.where(col("split") === i).drop("split"))
   }
 
   /** M3 — 'balanced' class weights as a weight column (`03:156-161`). */
@@ -73,6 +99,31 @@ object Matcher {
       .setEstimatorParamMaps(grid)
       .setTrainRatio(0.8).setParallelism(parallelism).setSeed(seed)
       .fit(prepared)
+  }
+
+  /** M4 variant — k-fold CrossValidator over the same grid (the other
+    * distributed-search surface SURVEY §7.3 maps hyperopt to). Prefer
+    * [[trainTuned]]'s single train/validation split when data is plentiful
+    * (k-fold costs k× the fits for variance reduction the pair corpus
+    * rarely needs); CV earns its cost on small labeled sets. */
+  def trainCrossValidated(train: DataFrame, seed: Long = 42L, folds: Int = 3,
+                          parallelism: Int = 4,
+                          maxIterGrid: Seq[Int] = Seq(10, 20),
+                          maxDepthGrid: Seq[Int] = Seq(3, 5)): CrossValidatorModel = {
+    val asm = new VectorAssembler().setInputCols(FeatureCols)
+      .setOutputCol("features").setHandleInvalid("keep")
+    val gbt = new GBTClassifier().setLabelCol("label").setWeightCol("weight")
+      .setFeaturesCol("features").setSeed(seed)
+    val grid = new ParamGridBuilder()
+      .addGrid(gbt.maxIter, maxIterGrid)
+      .addGrid(gbt.maxDepth, maxDepthGrid)
+      .build()
+    new CrossValidator()
+      .setEstimator(new Pipeline().setStages(Array(asm, gbt)))
+      .setEvaluator(evaluator)
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(folds).setParallelism(parallelism).setSeed(seed)
+      .fit(train)
   }
 
   /** M6 — area under the precision-recall curve (`03:218,311-314`). */

@@ -163,6 +163,14 @@ object MatchQueries {
       }.reduce(_.unionByName(_)).select("split", "label", "n")
     }),
 
+    // M2 variant — deterministic content-hash split (reproducible across
+    // engines/runs/repartitions, unlike seeded Bernoulli sampling), fully
+    // oracle-checked: per-split class counts.
+    "m2b_hash_split" -> ((s, dir) =>
+      Matcher.withHashSplit(Fixtures.labeledPairs(s, dir),
+          Seq("idA", "idB"), Seq(0.7, 0.15, 0.15))
+        .groupBy("split", "label").agg(count(lit(1)).as("n"))),
+
     // M3 — balanced class weights (oracle-checked).
     "m3_class_weights" -> ((s, dir) =>
       Matcher.addClassWeights(Fixtures.labeledPairs(s, dir))
@@ -244,6 +252,14 @@ object MatchQueries {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "m2b_hash_split" ->
+      s"""WITH ${Fixtures.labeledCte},
+         |b AS (SELECT label,
+         |        ('0x' || substr(md5(concat(idA, '_', idB)), 1, 6))::BIGINT % 1000 AS bkt
+         |      FROM labeled)
+         |SELECT CASE WHEN bkt < 700 THEN 0 WHEN bkt < 850 THEN 1 ELSE 2 END AS split,
+         |       label, CAST(count(*) AS BIGINT) AS n
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "m3_class_weights" ->
       s"""WITH ${Fixtures.labeledCte},
          |counts AS (SELECT label, count(*) AS n FROM labeled GROUP BY label),

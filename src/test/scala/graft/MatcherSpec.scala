@@ -66,6 +66,16 @@ class MatcherSpec extends SparkSpec {
     assert(ranked.sameElements(ranked.sortBy(-_)))
   }
 
+  test("CrossValidator variant: k-fold grid search picks a working model") {
+    val df = Matcher.addClassWeights(syntheticPairs(300)).coalesce(2)
+    val cv = Matcher.trainCrossValidated(df, folds = 2,
+      maxIterGrid = Seq(3, 5), maxDepthGrid = Seq(2))
+    val model = cv.bestModel.asInstanceOf[PipelineModel]
+    assert(Matcher.areaUnderPR(model, df) > 0.95)
+    assert(cv.avgMetrics.length == 2) // one metric per grid point
+    assert(cv.avgMetrics.forall(m => m >= 0.0 && m <= 1.0))
+  }
+
   test("model store: versioning, production pointer, load round-trip") {
     val root = "/root/repo/target/test_tmp/registry"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/m"))
