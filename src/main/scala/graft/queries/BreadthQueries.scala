@@ -117,6 +117,29 @@ object BreadthQueries {
           |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
     }),
 
+    // A12 — approximate sketches (HLL distinct count, quantile sketch)
+    // with a *verifiable* contract: the query emits the exact values plus
+    // booleans asserting the sketch landed inside its error bound, so the
+    // oracle can hash-check it even though sketch internals differ across
+    // engines. At 100 TB the sketches are the affordable path (fixed-size
+    // state through the shuffle vs a full distinct/sort); this query pins
+    // that they stay honest.
+    "a12_approx_sketch" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.agg(
+          countDistinct(col("l_partkey")).as("exact_nd"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"))
+        .select(
+          col("exact_nd"),
+          (abs(col("approx_nd") - col("exact_nd")).cast("double") / col("exact_nd") <= 0.05)
+            .as("hll_within_5pct"),
+          round(col("exact_p50"), 4).as("exact_p50"),
+          (abs(col("approx_p50") - col("exact_p50")) / col("exact_p50") <= 0.01)
+            .as("quantile_within_1pct"))
+    }),
+
     // S7 — partition-pruned scan: write partitioned by status, read one
     // partition back (BreadthSpec asserts the scan's PartitionFilters
     // prune to a single directory).
@@ -182,6 +205,12 @@ object BreadthQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
         |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    "a12_approx_sketch" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+        |  true AS hll_within_5pct,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |  true AS quantile_within_1pct
+        |FROM lineitem""".stripMargin,
     "s7_partition_pruned" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(o_totalprice), 2) AS total
