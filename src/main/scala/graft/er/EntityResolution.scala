@@ -113,19 +113,27 @@ object EntityResolution {
       }
     val dists = Distances.pairDistances(sampled, featA, featB)
       .join(sampled, Seq("idA", "idB"))
-    val weighted = Matcher.addClassWeights(dists)
-    val Seq(tr, te) = Matcher.stratifiedSplit(weighted, Seq(0.8, 0.2), seed = cfg.seed)
     // partition target sized to the (known) row count: ~50k rows/partition,
     // floor 4 — keeps boosted-tree iteration jobs from drowning in task
     // overhead on small training sets without capping genuine scale
     val parts = math.max(4, math.min(
       feats.sparkSession.sparkContext.defaultParallelism,
       (math.min(n, cfg.maxTrainPairs) / 50000L).toInt))
+    // materialize the distance features ONCE: the stratified split's label
+    // scan, every grid fit, the best-model refit, and the held-out
+    // evaluation would otherwise each re-execute the attach-features joins
+    // + sqdist pipeline (measured ~2× the whole training cost at sf0.1).
+    // The coalesce stays INSIDE trainTuned (training side only) so the
+    // split sees the plan's row order unchanged.
+    val weighted = Matcher.addClassWeights(dists).cache()
+    val Seq(tr, te) = Matcher.stratifiedSplit(weighted, Seq(0.8, 0.2), seed = cfg.seed)
     val tuned = Matcher.trainTuned(tr, seed = cfg.seed,
       maxIterGrid = cfg.gbtMaxIterGrid, maxDepthGrid = cfg.gbtMaxDepthGrid,
       coalesceTo = Some(parts))
     val best = tuned.bestModel.asInstanceOf[PipelineModel]
-    TrainedMatcher(best, Matcher.areaUnderPR(best, te))
+    val result = TrainedMatcher(best, Matcher.areaUnderPR(best, te))
+    weighted.unpersist(blocking = false)
+    result
   }
 
   /** Notebook 03 (inference): score candidate pairs with a fitted matcher
