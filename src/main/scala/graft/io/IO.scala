@@ -53,11 +53,16 @@ object IO {
     * incremental upsert against a large target).
     */
   def upsert(target: DataFrame, source: DataFrame,
-             keys: Seq[String], updateCols: Seq[String]): DataFrame = {
+             keys: Seq[String], updateCols: Seq[String],
+             broadcastSource: Boolean = true): DataFrame = {
     val matchFlag = "__graft_matched"
     val src = source.withColumn(matchFlag, lit(1))
+    // broadcast the DELTA side only, and only when the caller says it is
+    // small (the default incremental-upsert shape); a bulk merge of two
+    // large tables passes false and gets a shuffled hash join on the key
+    val srcSide = if (broadcastSource) broadcast(src.as("s")) else src.as("s")
     val joined = target.as("t").join(
-      broadcast(src.as("s")),
+      srcSide,
       keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
       "left_outer")
     val updated = joined.select(target.columns.map { c =>
