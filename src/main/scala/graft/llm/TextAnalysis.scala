@@ -27,6 +27,13 @@ object TextAnalysis {
         .as("bpeish_tokens"))
   }
 
+  /** Alphabetic-character ratio (rounded 6) — exposed at Column level so
+    * composite pipelines can gate on it in the same projection as their
+    * other signals (one pass over `text`, no joins). */
+  def alphaRatio(t: Column): Column =
+    round(length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+      / greatest(length(t).cast("double"), lit(1.0)), 6)
+
   /** Quality-scoring signals: length, alphabetic/punctuation/whitespace
     * ratios, mean word length, stop-word ratio — the standard cheap filters
     * applied before expensive pipeline stages. */
@@ -92,6 +99,11 @@ object LangId {
     while (i < n) { if (counts(i) > counts(best)) best = i; i += 1 }
     (counts(best), markerSets(best)._1)
   }
+
+  /** Column form: struct(_1 = marker_hits, _2 = lang_pred) over a token
+    * array — lets composite pipelines gate on language in the same
+    * projection as their other signals. */
+  def predictCol(toks: Column): Column = predictUdf(toks)
 
   /** Predict language as the marker set with the highest hit count;
     * deterministic tie-break on language code order. */

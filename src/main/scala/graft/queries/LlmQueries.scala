@@ -98,11 +98,15 @@ object LlmQueries {
     // whole chain is one DuckDB-checkable query.
     "dd_curate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val quality = TextAnalysis.qualityScore(docs).select("doc_id", "n_chars", "alpha_ratio")
-      val lang = LangId.predict(docs).select("doc_id", "lang_pred")
-      val counts = TextAnalysis.tokenCounts(docs).select("doc_id", "alnum_tokens")
-      val kept = docs.select("doc_id", "text")
-        .join(quality, "doc_id").join(lang, "doc_id").join(counts, "doc_id")
+      // all gate signals in ONE projection (no joins, one pass over text) —
+      // the shape a 100 TB curation run wants: signals at scan speed, then
+      // only survivors reach the dedup shuffles
+      val t = col("text")
+      val kept = docs.select(col("doc_id"), t,
+          length(t).cast("double").as("n_chars"),
+          TextAnalysis.alphaRatio(t).as("alpha_ratio"),
+          size(TextAnalysis.tokens(t)).as("alnum_tokens"),
+          LangId.predictCol(TextAnalysis.tokens(t)).getField("_2").as("lang_pred"))
         .where(col("lang_pred") === "en" &&
           col("alpha_ratio") >= 0.6 && col("n_chars") >= 100)
       val exactKeep = kept.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
