@@ -127,10 +127,16 @@ object EntityResolution {
     // split sees the plan's row order unchanged.
     val weighted = Matcher.addClassWeights(dists).cache()
     val Seq(tr, te) = Matcher.stratifiedSplit(weighted, Seq(0.8, 0.2), seed = cfg.seed)
-    val tuned = Matcher.trainTuned(tr, seed = cfg.seed,
-      maxIterGrid = cfg.gbtMaxIterGrid, maxDepthGrid = cfg.gbtMaxDepthGrid,
-      coalesceTo = Some(parts))
-    val best = tuned.bestModel.asInstanceOf[PipelineModel]
+    // a singleton grid is no search — skip the TVS fit-then-refit double
+    val best =
+      if (cfg.gbtMaxIterGrid.size == 1 && cfg.gbtMaxDepthGrid.size == 1)
+        Matcher.trainSingle(tr, seed = cfg.seed,
+          maxIter = cfg.gbtMaxIterGrid.head, maxDepth = cfg.gbtMaxDepthGrid.head,
+          coalesceTo = Some(parts))
+      else
+        Matcher.trainTuned(tr, seed = cfg.seed,
+          maxIterGrid = cfg.gbtMaxIterGrid, maxDepthGrid = cfg.gbtMaxDepthGrid,
+          coalesceTo = Some(parts)).bestModel.asInstanceOf[PipelineModel]
     val result = TrainedMatcher(best, Matcher.areaUnderPR(best, te))
     weighted.unpersist(blocking = false)
     result

@@ -101,6 +101,23 @@ object Matcher {
       .fit(prepared)
   }
 
+  /** Degenerate-search fast path: a 1×1 grid has nothing to select, so a
+    * TrainValidationSplit would fit the one candidate on 80%, "evaluate"
+    * it unopposed, then refit on 100% — two boosted-tree fits for zero
+    * search. Fit once on the full training set instead. Callers with real
+    * grids go through [[trainTuned]]/[[trainCrossValidated]]. */
+  def trainSingle(train: DataFrame, seed: Long = 42L,
+                  maxIter: Int = 10, maxDepth: Int = 3,
+                  coalesceTo: Option[Int] = None): PipelineModel = {
+    val prepared = coalesceTo.map(n => train.coalesce(n)).getOrElse(train)
+    val asm = new VectorAssembler().setInputCols(FeatureCols)
+      .setOutputCol("features").setHandleInvalid("keep")
+    val gbt = new GBTClassifier().setLabelCol("label").setWeightCol("weight")
+      .setFeaturesCol("features").setSeed(seed)
+      .setMaxIter(maxIter).setMaxDepth(maxDepth)
+    new Pipeline().setStages(Array(asm, gbt)).fit(prepared)
+  }
+
   /** M4 variant — k-fold CrossValidator over the same grid (the other
     * distributed-search surface SURVEY §7.3 maps hyperopt to). Prefer
     * [[trainTuned]]'s single train/validation split when data is plentiful

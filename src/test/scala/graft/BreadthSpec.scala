@@ -52,6 +52,18 @@ class BreadthSpec extends SparkSpec {
     assert(out == Seq((1L, 3.0)))
   }
 
+  test("hash split: row-to-split mapping survives repartitioning; fractions roughly hold") {
+    val df = (1L to 2000L).map(i => (i, i * 7 % 1000)).toDF("idA", "idB")
+    def mapping(d: org.apache.spark.sql.DataFrame) =
+      graft.matching.Matcher.withHashSplit(d, Seq("idA", "idB"), Seq(0.7, 0.15, 0.15))
+        .select("idA", "split").as[(Long, Int)].collect().toMap
+    val base = mapping(df)
+    assert(mapping(df.repartition(7)) == base)   // randomSplit would NOT survive this
+    assert(mapping(df.coalesce(1)) == base)
+    val frac0 = base.values.count(_ == 0).toDouble / base.size
+    assert(math.abs(frac0 - 0.7) < 0.05, s"split-0 fraction $frac0")
+  }
+
   test("weighted mean UDAF: hand-computed groups, zero-weight gives NaN") {
     val df = Seq(("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 0.0))
       .toDF("g", "x", "w")
