@@ -142,6 +142,20 @@ object BreadthQueries {
             .as("quantile_within_1pct"))
     }),
 
+    // X6 — schema'd JSON extraction from a string column (the semi-
+    // structured payload every event pipeline carries). from_json with a
+    // declared schema beats get_json_object at scale: one parse per row
+    // into an InternalRow, column-prunable, no per-field re-parse.
+    "x6_json_extract" -> ((s, dir) => {
+      val ev = EventStreams.readEvents(s, dir)
+      ev.select(col("event_type"),
+          from_json(col("props"), "k INT", Map.empty[String, String])
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 6).as("avg_k"))
+    }),
+
     // S7 — partition-pruned scan: write partitioned by status, read one
     // partition back (BreadthSpec asserts the scan's PartitionFilters
     // prune to a single directory).
@@ -213,6 +227,11 @@ object BreadthQueries {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
         |  true AS quantile_within_1pct
         |FROM lineitem""".stripMargin,
+    "x6_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "s7_partition_pruned" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(o_totalprice), 2) AS total

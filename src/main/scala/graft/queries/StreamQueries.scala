@@ -43,6 +43,21 @@ object StreamQueries {
       EventStreams.sessionize(evs, gapMinutes = 30).toDF()
     }),
 
+    // Stream-stream interval join through the streaming engine: clicks to
+    // same-user purchases in the trailing 24 hours. Inner matches emit
+    // as both sides arrive, so the bounded fixture yields exactly the
+    // batch interval-join result the oracle computes.
+    "st_stream_join" -> ((s, dir) => {
+      val c = EventStreams.readEventStream(s, dir).where("event_type = 'click'")
+        .selectExpr("user_id AS c_user", "ts AS c_ts", "event_id AS c_id")
+      val p = EventStreams.readEventStream(s, dir).where("event_type = 'purchase'")
+        .selectExpr("user_id AS p_user", "ts AS p_ts", "event_id AS p_id")
+      EventStreams.runToBatch(
+        EventStreams.streamIntervalJoin(c, p, intervalMinutes = 24 * 60)
+          .select("c_id", "p_id"),
+        s"st_stream_join_${runId.incrementAndGet()}", complete = false)
+    }),
+
     // Sessionization through the STREAMING engine proper: watermark +
     // EventTimeTimeout emission. Emits every session except, per user, a
     // final open one whose timeout the last watermark never passed — the
@@ -66,6 +81,12 @@ object StreamQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "st_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
+    "st_stream_join" ->
+      """SELECT c.event_id AS c_id, p.event_id AS p_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts - INTERVAL 24 HOUR AND p.ts <= c.ts""".stripMargin,
     // Emission rule under AvailableNow: a session emits if a later
     // same-user event closed it (grp < last grp) OR the final watermark
     // (max event time, zero delay) passed its end+gap timeout.

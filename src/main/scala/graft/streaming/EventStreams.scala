@@ -168,6 +168,27 @@ object EventStreams {
   private def fmt(t: java.time.LocalDateTime): String =
     t.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
 
+  /** Stream-stream interval join: clicks to same-user purchases within the
+    * trailing `intervalMinutes` window. Executes as a symmetric hash join
+    * keyed on the equality column with the time range as the join
+    * condition; the watermarks bound both sides' state to
+    * (watermark horizon + interval), which is what makes a stream-stream
+    * join feasible at all at scale — without them state grows with the
+    * stream. Inner-join matches emit as soon as both rows have arrived
+    * (no watermark wait), so a bounded input yields exactly the batch
+    * interval-join result.
+    *
+    * Inputs must carry distinct column names: clicks(c_user, c_ts, ...),
+    * purchases(p_user, p_ts, ...). */
+  def streamIntervalJoin(clicks: DataFrame, purchases: DataFrame,
+                         intervalMinutes: Int,
+                         watermark: String = "1 hour"): DataFrame =
+    clicks.withWatermark("c_ts", watermark)
+      .join(purchases.withWatermark("p_ts", watermark),
+        expr(s"""c_user = p_user AND
+                 p_ts >= c_ts - INTERVAL $intervalMinutes MINUTES AND
+                 p_ts <= c_ts"""))
+
   /** Run a streaming frame to completion on the currently-available data
     * (Trigger.AvailableNow) into a memory sink; returns the materialized
     * result. Lets the registered queries exercise the *streaming* engine
