@@ -58,6 +58,20 @@ object StreamQueries {
         s"st_stream_join_${runId.incrementAndGet()}", complete = false)
     }),
 
+    // foreachBatch + MERGE sink: a streaming aggregate incrementally
+    // maintained in a parquet store through the engine's upsert — the
+    // production sink shape for keyed state (file sinks only append).
+    "st_foreach_upsert" -> ((s, dir) => {
+      val store = s"/root/repo/target/qtmp/st_upsert_store_${runId.incrementAndGet()}"
+      val agg = EventStreams.readEventStream(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      val q = EventStreams.maintainAggregateStore(agg, store,
+        keys = Seq("event_type"), updateCols = Seq("n", "total_value"))
+      q.awaitTermination()
+      s.read.parquet(store)
+    }),
+
     // Sessionization through the STREAMING engine proper: watermark +
     // EventTimeTimeout emission. Emits every session except, per user, a
     // final open one whose timeout the last watermark never passed — the
@@ -81,6 +95,10 @@ object StreamQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "st_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
+    "st_foreach_upsert" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "st_stream_join" ->
       """SELECT c.event_id AS c_id, p.event_id AS p_id
         |FROM events c JOIN events p

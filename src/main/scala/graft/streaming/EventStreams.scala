@@ -189,6 +189,28 @@ object EventStreams {
                  p_ts >= c_ts - INTERVAL $intervalMinutes MINUTES AND
                  p_ts <= c_ts"""))
 
+  /** foreachBatch sink: maintain a parquet aggregate store from a
+    * Complete-mode streaming aggregate by MERGE-ing each micro-batch's
+    * state via the engine's upsert (S5). This is the production streaming
+    * sink shape — the built-in file sink can only append, so keyed upserts
+    * into a store go through foreachBatch + MERGE. First batch creates the
+    * store; every batch (including the first) then runs the merge path so
+    * the upsert machinery is exercised even on single-batch inputs.
+    * Returns the started query; caller awaits/termination. */
+  def maintainAggregateStore(aggStream: DataFrame, storePath: String,
+                             keys: Seq[String], updateCols: Seq[String],
+                             availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    import java.nio.file.{Files, Paths}
+    val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = { (batch, _) =>
+      val df = batch.toDF()
+      if (!Files.exists(Paths.get(storePath)))
+        df.write.mode("overwrite").parquet(storePath)
+      graft.io.IO.upsertPath(df.sparkSession, storePath, df, keys, updateCols)
+    }
+    val w = aggStream.writeStream.outputMode(OutputMode.Complete()).foreachBatch(fn)
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** Run a streaming frame to completion on the currently-available data
     * (Trigger.AvailableNow) into a memory sink; returns the materialized
     * result. Lets the registered queries exercise the *streaming* engine

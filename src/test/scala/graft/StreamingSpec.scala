@@ -88,6 +88,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch+MERGE maintains a parquet aggregate store across batches") {
+    val store = "/root/repo/target/test_tmp/fb_store"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store + ".__graft_old"))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](spark)
+    val agg = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    val q = EventStreams.maintainAggregateStore(agg, store,
+      keys = Seq("event_type"), updateCols = Seq("n", "total_value"),
+      availableNow = false)
+    try {
+      mem.addData(ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "buy", 4.0))
+      q.processAllAvailable()
+      mem.addData(ev(3, 3, 2, "click", 2.5)) // click count 1 -> 2 via MERGE
+      q.processAllAvailable()
+      val out = spark.read.parquet(store)
+        .as[(String, Long, Double)].collect().toSet
+      assert(out == Set(("click", 2L, 3.5), ("buy", 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("file-source stream over the events fixture runs AvailableNow") {
     val out = EventStreams.runToBatch(
       EventStreams.windowedCounts(EventStreams.readEventStream(spark, sf)),
