@@ -210,6 +210,21 @@ object LlmQueries {
       """SELECT doc_id AS asset_id, 'image' AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+    // the STUB decode is deterministic in the payload bytes, and the
+    // fixture text is pure ASCII — so the fake dims are SQL-expressible
+    "mm_decode_stub" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(64 + ((CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END) % 64) AS INT) AS width,
+        |  CAST(64 + ((CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END) % 64) AS INT) AS height,
+        |  CAST(CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels
+        |FROM documents""".stripMargin,
+    // frame spans are floor(n/frames) bytes each (Spark's double division
+    // + int cast truncates; DuckDB mirrors with floor())
+    "mm_frame_sample" ->
+      """SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_no,
+        |  CAST(floor(octet_length(encode(text)) / 4.0) AS INT) AS frame_len
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS f)
+        |WHERE doc_id < 100""".stripMargin,
     "dd_curate" ->
       s"""WITH lang AS ($langidSql),
          |q AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars,

@@ -128,7 +128,10 @@ object MatchQueries {
         .select(col("idA"), col("idB"), round(col("distance"), 3).as("distance"))
     }),
 
-    // S6 — model artifact save/load round-trip: transform outputs identical.
+    // S6 — model artifact save/load round-trip. The output is a verifiable
+    // contract (mismatch count must be exactly 0 over exactly the input
+    // row count), so the DuckDB oracle can hash-check it even though the
+    // fitted state itself has no SQL form.
     "s6_artifact_roundtrip" -> ((s, dir) => {
       val a = Catalogs.sideA(s, dir).where("id % 20 = 0").withColumn("table", lit("abt"))
         .withColumn("description", coalesce(col("description"), lit("")))
@@ -140,7 +143,7 @@ object MatchQueries {
       val rt = loaded.transform(a).select(col("id"), col("name_features").as("nf2"))
       orig.join(rt, "id")
         .agg(sum(when(col("name_features") === col("nf2"), 0).otherwise(1)).as("mismatches"),
-             count(lit(1)).as("rows"))
+             count(lit(1)).as("n_rows"))
     }),
 
     // F13 — pipeline composition: the three fitted pipelines chained over
@@ -154,13 +157,24 @@ object MatchQueries {
         size(vector_to_array(col("price_features"))).as("price_dim"))
     }),
 
-    // M2 — stratified split: per-split class counts (seeded).
+    // M2 — stratified split, emitted as its verifiable contract: the split
+    // must partition the input exactly (counts sum back) and preserve the
+    // class ratio in every split. Per-split counts themselves are
+    // seed-dependent (Bernoulli), so the contract is what an oracle can
+    // check; m2b_hash_split is the fully-value-checked split variant.
     "m2_stratified_split" -> ((s, dir) => {
-      val labeled = Fixtures.labeledPairs(s, dir)
+      import s.implicits._
+      val labeled = Fixtures.labeledPairs(s, dir).cache()
+      val total = labeled.count()
+      val globalFrac = labeled.where(col("label") === 1).count().toDouble / total
       val splits = Matcher.stratifiedSplit(labeled, Seq(0.7, 0.15, 0.15))
-      splits.zipWithIndex.map { case (df, i) =>
-        df.groupBy("label").agg(count(lit(1)).as("n")).withColumn("split", lit(i))
-      }.reduce(_.unionByName(_)).select("split", "label", "n")
+      val counts = splits.map(_.count())
+      val fracs = splits.map(df =>
+        df.where(col("label") === 1).count().toDouble / math.max(df.count(), 1L))
+      labeled.unpersist(blocking = false)
+      Seq((total, counts.sum == total,
+           fracs.forall(f => math.abs(f - globalFrac) < 0.1)))
+        .toDF("total_rows", "splits_complete", "ratios_preserved")
     }),
 
     // M2 variant — deterministic content-hash split (reproducible across
@@ -200,8 +214,10 @@ object MatchQueries {
         maxDepthGrid = Seq(3), coalesceTo = Some(parts))
       val best = tuned.bestModel.asInstanceOf[PipelineModel]
       val aupr = Matcher.areaUnderPR(best, test)
-      val out = Seq((train.count(), test.count(), aupr > 0.5, aupr <= 1.0))
-        .toDF("n_train", "n_test", "aupr_above_half", "aupr_valid")
+      // contract output: the pair count is exact (oracle-computable from
+      // the candidate CTE), the AUPR bounds are the quality invariant
+      val out = Seq((labeled.count(), aupr > 0.5, aupr <= 1.0))
+        .toDF("n_pairs", "aupr_above_half", "aupr_valid")
       weighted.unpersist(blocking = false)
       out
     }),
@@ -226,9 +242,15 @@ object MatchQueries {
         .toDF("versions_increment", "production_points_at_v2", "prod_scores_match")
     }),
 
-    // X2 — model scoring through native transform (no UDF boundary).
+    // X2 — model scoring through native transform (no UDF boundary),
+    // emitted as its verifiable contract: exactly the flagship's 500
+    // ranked pairs, every score a probability. (The scored pairs
+    // themselves are in er_flagship_match; score values are model-state-
+    // dependent and have no SQL form.)
     "x2_model_score" -> ((s, dir) => flagship(s, dir)
-      .select("idA", "idB", "match_score")),
+      .agg(count(lit(1)).as("n_scored"),
+        (min(col("match_score")) >= 0.0 && max(col("match_score")) <= 1.0)
+          .as("scores_in_unit_interval"))),
 
     // The reference's full inference loop (`03:455-579`): featurize
     // new/updated rows with FITTED pipelines, MERGE into the parquet
@@ -252,6 +274,34 @@ object MatchQueries {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // contract oracles: deterministic values computed in SQL, invariant
+    // booleans as literals — the driver's hash compare now FAILS if the
+    // round-trip mismatches, a split loses rows, a score leaves [0,1],
+    // or the registry lifecycle breaks
+    "s6_artifact_roundtrip" ->
+      s"""SELECT CAST(0 AS BIGINT) AS mismatches, CAST(count(*) AS BIGINT) AS n_rows
+         |FROM (${Catalogs.sideASql}) WHERE id % 20 = 0""".stripMargin,
+    "m7_model_store" ->
+      """SELECT true AS versions_increment, true AS production_points_at_v2,
+        |  true AS prod_scores_match""".stripMargin,
+    "f13_pipeline_chain" ->
+      s"""SELECT t."table", t.id, CAST(46656 AS INT) AS name_dim,
+         |  CAST(50 AS INT) AS descript_dim, CAST(1 AS INT) AS price_dim
+         |FROM (SELECT 'abt' AS "table", id FROM (${Catalogs.sideASql}) WHERE id % 10 = 0
+         |      UNION ALL
+         |      SELECT 'buy' AS "table", id FROM (${Catalogs.sideBSql}) WHERE id % 10 = 0) t""".stripMargin,
+    "x2_model_score" ->
+      "SELECT CAST(500 AS BIGINT) AS n_scored, true AS scores_in_unit_interval",
+    "m2_stratified_split" ->
+      s"""WITH ${Fixtures.labeledCte}
+         |SELECT CAST(count(*) AS BIGINT) AS total_rows,
+         |  true AS splits_complete, true AS ratios_preserved
+         |FROM labeled""".stripMargin,
+    "m5_train_eval" ->
+      s"""WITH ${Fixtures.candsCte}
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  true AS aupr_above_half, true AS aupr_valid
+         |FROM cands WHERE idA % 10 = 0 AND idB % 10 = 0""".stripMargin,
     "m2b_hash_split" ->
       s"""WITH ${Fixtures.labeledCte},
          |b AS (SELECT label,

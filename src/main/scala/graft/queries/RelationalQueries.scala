@@ -86,8 +86,18 @@ object RelationalQueries {
     // P6+J2 — left-outer label join with COALESCE default.
     "p6_label_default" -> ((s, dir) => Fixtures.labeledPairs(s, dir)),
 
-    // P7 — sampling (seeded; statistically verified, rows-only oracle).
-    "p7_sample" -> ((s, dir) => Tables.lineitem(s, dir).sample(0.01, 42L)),
+    // P7 — sampling, emitted as its verifiable contract: the corpus size
+    // is exact and the seeded sample's realized fraction must sit inside
+    // a tolerance band (the sampled rows themselves are seed-dependent
+    // Bernoulli draws with no SQL form).
+    "p7_sample" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val total = li.count()
+      val sampled = li.sample(0.01, 42L).count()
+      import s.implicits._
+      Seq((total, math.abs(sampled.toDouble / total - 0.01) < 0.005))
+        .toDF("n_total", "sample_frac_within_tol")
+    }),
 
     // P8 — caching: same frame aggregated twice; second pass hits the cache.
     "p8_cache" -> ((s, dir) => {
@@ -273,6 +283,9 @@ object RelationalQueries {
       "SELECT p_partkey, p_name, p_size FROM part WHERE p_size >= 30 AND p_brand = 'Brand#13'",
     "p6_label_default" ->
       s"WITH ${Fixtures.labeledCte} SELECT idA, idB, label FROM labeled",
+    "p7_sample" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  true AS sample_frac_within_tol FROM lineitem""".stripMargin,
     "p8_cache" ->
       "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag",
     "p9_limit" -> "SELECT p_partkey, p_name FROM part ORDER BY p_partkey LIMIT 50",
