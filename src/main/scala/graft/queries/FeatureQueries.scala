@@ -75,39 +75,53 @@ object FeatureQueries {
         .select(col("doc_id"), array_join(col("ngs"), ",").as("bigrams"))
     }),
 
-    // F7 — binary HashingTF at 36³ dims: murmur3 bucketing has no SQL
-    // mirror; emit deterministic summaries (nnz + index checksum).
+    // F7 — binary HashingTF at 36³ dims. Murmur3 bucketing has no SQL
+    // mirror, but its CONTRACT does: declared dimensionality, strictly
+    // 0/1 values, and nnz bounded by the distinct-token count (hashing
+    // can merge buckets, never split) — all oracle-hash-checked.
     "f7_hashing_tf" -> ((s, dir) => {
       val tf = new HashingTF().setInputCol("tokens").setOutputCol("v")
         .setNumFeatures(36 * 36 * 36).setBinary(true)
+      val arr = vector_to_array(col("v"))
       tf.transform(docTokens(s, dir))
         .select(col("doc_id"),
-          size(vector_to_array(col("v"))).as("dim"),
-          aggregate(vector_to_array(col("v")), lit(0.0d), (a, x) => a + x)
-            .cast("long").as("nnz"))
+          size(arr).as("dim"),
+          (aggregate(arr, lit(0.0d), (a, x) => a + x * (lit(1.0) - x)) === 0.0)
+            .as("values_binary"),
+          (aggregate(arr, lit(0.0d), (a, x) => a + x).cast("long")
+            <= size(array_distinct(col("tokens")))).as("nnz_le_distinct"))
     }),
 
-    // F8 — HashingTF count mode at the reference's 2^18 dims, through the
-    // full descript TF-IDF pipeline (rows-only: murmur3 state).
+    // F8 — HashingTF count mode at the reference's 2^18 dims through the
+    // descript TF-IDF pipeline. Hashing conserves term mass: the TF vector
+    // sums to EXACTLY the bigram count of the stop-filtered tokens, which
+    // the oracle computes independently of murmur3.
     "f8_hashing_tf_counts" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).where("doc_id < 200")
         .withColumnRenamed("text", "description")
       val m = TextFeatures.descriptTfidfPipeline().fit(docs)
+      val tfArr = vector_to_array(col("description_tf"))
       m.transform(docs).select(col("doc_id"),
-        round(aggregate(vector_to_array(col("descript_features")), lit(0.0d),
-          (a, x) => a + x * x), 4).as("sq_sum"))
+        size(tfArr).as("dim"),
+        aggregate(tfArr, lit(0.0d), (a, x) => a + x).cast("long").as("sum_tf"))
     }),
 
-    // F9 — IDF fit + transform summary (fitted state; rows-only).
+    // F9 — IDF fit + transform invariants: with add-1 smoothing every IDF
+    // weight is strictly positive, so the transform preserves the support
+    // (nnz) and never produces a negative weight.
     "f9_idf" -> ((s, dir) => {
       val toks = docTokens(s, dir)
       val tf = new HashingTF().setInputCol("tokens").setOutputCol("tfv")
         .setNumFeatures(1 << 12)
       val tfd = tf.transform(toks)
       val idf = new IDF().setInputCol("tfv").setOutputCol("tfidf").fit(tfd)
+      val tfArr = vector_to_array(col("tfv"))
+      val idfArr = vector_to_array(col("tfidf"))
       idf.transform(tfd).select(col("doc_id"),
-        round(aggregate(vector_to_array(col("tfidf")), lit(0.0d), (a, x) => a + x), 4)
-          .as("tfidf_sum"))
+        (size(filter(tfArr, x => x =!= 0.0)) === size(filter(idfArr, x => x =!= 0.0)))
+          .as("nnz_preserved"),
+        (aggregate(idfArr, lit(0.0d), (a, x) => a + least(x, lit(0.0d))) === 0.0)
+          .as("tfidf_nonneg"))
     }),
 
     // F10 — L2 normalization, SQL-expressible on the embeddings fixture.
@@ -121,16 +135,19 @@ object FeatureQueries {
         round(nrm, 6).as("norm"))
     }),
 
-    // F11 — Word2Vec (seeded) summary: dims + unit norm after Normalizer.
+    // F11 — Word2Vec (seeded) contract: declared dims, and the Normalizer
+    // leaves either a unit vector or the zero vector (docs with no
+    // in-vocabulary token — vocabulary is fitted state with no SQL form).
     "f11_word2vec" -> ((s, dir) => {
       val m = TextFeatures.descriptW2VPipeline(
         input = "text", output = "w2v_features", vectorSize = 32, minCount = 2,
         maxIter = 2).fit(Tables.documents(s, dir).where("doc_id < 500"))
+      val nrm = sqrt(aggregate(vector_to_array(col("w2v_features")), lit(0.0d),
+        (a, x) => a + x * x))
       m.transform(Tables.documents(s, dir).where("doc_id < 100"))
         .select(col("doc_id"),
           size(vector_to_array(col("w2v_features"))).as("dim"),
-          round(sqrt(aggregate(vector_to_array(col("w2v_features")), lit(0.0d),
-            (a, x) => a + x * x)), 2).as("norm"))
+          (abs(nrm - 1.0) < 1e-6 || nrm === 0.0).as("norm_unit_or_zero"))
     }),
 
     // F12 — VectorAssembler(handleInvalid=keep) round-trip: price string →
@@ -207,6 +224,21 @@ object FeatureQueries {
          |  i -> concat(tok[CAST(i AS INT)], ' ', tok[CAST(i AS INT) + 1])), ',') AS bigrams
          |FROM (SELECT doc_id, ${tokSql("text")} AS tok
          |      FROM documents WHERE doc_id < 100)""".stripMargin,
+    "f7_hashing_tf" ->
+      """SELECT doc_id, CAST(46656 AS INT) AS dim,
+        |  true AS values_binary, true AS nnz_le_distinct
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+    "f8_hashing_tf_counts" ->
+      s"""SELECT doc_id, CAST(262144 AS INT) AS dim,
+         |  CAST(greatest(len(list_filter(${tokSql("text")},
+         |    t -> t NOT IN ($stopListSql))) - 1, 0) AS BIGINT) AS sum_tf
+         |FROM documents WHERE doc_id < 200""".stripMargin,
+    "f9_idf" ->
+      """SELECT doc_id, true AS nnz_preserved, true AS tfidf_nonneg
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+    "f11_word2vec" ->
+      """SELECT doc_id, CAST(32 AS INT) AS dim, true AS norm_unit_or_zero
+        |FROM documents WHERE doc_id < 100""".stripMargin,
     "f10_l2_normalize" ->
       """SELECT vec_id,
         |  round(v[1] / nrm, 6) AS c1, round(v[2] / nrm, 6) AS c2, round(nrm, 6) AS norm
