@@ -34,6 +34,19 @@ class BreadthSpec extends SparkSpec {
     assert(f.size == n.size && f == n)
   }
 
+  test("as-of join plans exactly ONE shuffle (the keyed window's exchange)") {
+    val left = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 1.0), (2L, 25L, 2.0)).toDF("k", "t", "v")
+    val df = AsOf.joinBackward(left, right, "k", "t", "v", "vv")
+    // the AQE wrapper hides its subtree from collect(); count in the plan text
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"as-of join should shuffle once on the key; got $exchanges:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoop"),
+      "as-of should be a window pass, not a join")
+  }
+
   test("as-of join: left rows before any right row get the null default") {
     val left = Seq((1L, 10L), (2L, 50L)).toDF("id", "t")
     val right = Seq((1L, 20L, 7.0)).toDF("id", "t", "v")
