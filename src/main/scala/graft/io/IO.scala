@@ -119,6 +119,12 @@ object IO {
       Files.move(old, tgt, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Delete a path recursively (idempotent). Callers that own a scratch
+    * store call this before first use so a leftover store from a prior
+    * run (same deterministic path, different data) can't be silently
+    * merged into. */
+  def deletePath(path: String): Unit = deleteRecursive(Paths.get(path))
+
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))

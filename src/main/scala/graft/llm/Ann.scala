@@ -112,13 +112,20 @@ object Ann {
         posexplode(transform(col("h"),
           hv => element_at(vector_to_array(hv), 1).cast("long"))))
         .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    val cb = buckets(c).select(col("id").as("nn_id"), col("arr").as("cv"),
-      col("tbl"), col("bucket"))
-    val qb = buckets(q).select(col("id").as("query_id"), col("arr").as("qv"),
-      col("tbl"), col("bucket"))
-    val cands = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+    val cb = buckets(c).select(col("id").as("nn_id"), col("tbl"), col("bucket"))
+    val qb = buckets(q).select(col("id").as("query_id"), col("tbl"), col("bucket"))
+    // the bucket join and the dedup carry ids ONLY (two longs per row);
+    // vectors re-attach after the distinct — with 1k-dim embeddings the
+    // wide form shuffles ~8 KB/row through the dedup exchange for a dedup
+    // that needs 16 bytes (same id-only-shuffle pattern as
+    // Dedup.minhashPairs)
+    val idPairs = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .where(col("nn_id") =!= col("query_id"))
-      .select("query_id", "nn_id", "cv", "qv").distinct()
+      .select("query_id", "nn_id").distinct()
+    val cands = idPairs
+      .join(c.select(col("id").as("nn_id"), col("arr").as("cv")), Seq("nn_id"))
+      .join(broadcast(q.select(col("id").as("query_id"), col("arr").as("qv"))),
+        Seq("query_id"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)
     cands
       .select(col("query_id"), col("nn_id"),

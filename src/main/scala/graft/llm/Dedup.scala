@@ -44,7 +44,10 @@ object Dedup {
     shingleUdf(TextAnalysis.tokens(c), lit(n))
 
   private val shingleUdf = udf { (toks: Seq[String], n: Int) =>
-    if (toks.length >= n) {
+    // null text → tokens() yields null; propagate it like the Column
+    // formulation would instead of NPEing the stage
+    if (toks == null) null
+    else if (toks.length >= n) {
       // LinkedHashSet = array_distinct semantics (keep first occurrence)
       val out = new java.util.LinkedHashSet[String]()
       val sb = new java.lang.StringBuilder

@@ -88,6 +88,9 @@ object LangId {
   // alone). Strict `>` keeps the FIRST max in ascending lang order, i.e.
   // the same min-lang-among-maxes tie-break as the Column formulation.
   private val predictUdf = udf { (toks: Seq[String]) =>
+    // null text → tokens() yields null; a null row must not NPE the stage
+    if (toks == null) null
+    else {
     val n = markerSets.length
     val counts = new Array[Int](n)
     toks.foreach { t =>
@@ -98,6 +101,7 @@ object LangId {
     var i = 1
     while (i < n) { if (counts(i) > counts(best)) best = i; i += 1 }
     (counts(best), markerSets(best)._1)
+    }
   }
 
   /** Column form: struct(_1 = marker_hits, _2 = lang_pred) over a token

@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   *  - right rows must be unique per (key, ts) — pre-aggregate if not, or
   *    the carried value is picked arbitrarily among ties.
   *  - unmatched left rows (no earlier right row) get NULL.
+  *  - NULL join keys never match (standard join semantics): null-key left
+  *    rows pass through unmatched; null-key right rows are ignored.
+  *  - `valueCol` must be non-null on matching right rows: the carry-forward
+  *    uses `last(ignoreNulls = true)`, so a right row whose value is
+  *    legitimately NULL would be skipped in favor of an older value. Encode
+  *    "explicitly no value" as a sentinel (or pre-coalesce) if needed.
   *
   * Scale: one partition per key-hash; a pathologically hot key serializes
   * through one task's sort (same bound as any keyed window). Salt-bucket
@@ -37,12 +43,18 @@ object AsOf {
   def joinBackward(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, valueCol: String, outCol: String): DataFrame = {
     val valueType = right.schema(valueCol).dataType
-    val lu = left.select(
+    // null keys take the unmatched fast path (a real join never matches
+    // NULL = NULL; the window's partitionBy would group them together)
+    val leftKeyed = left.where(col(keyCol).isNotNull)
+    val leftNullKey = left.where(col(keyCol).isNull)
+      .withColumn("__outval", lit(null).cast(valueType))
+    val rightKeyed = right.where(col(keyCol).isNotNull)
+    val lu = leftKeyed.select(
       col(keyCol).as("__key"), col(tsCol).as("__ts"), lit(1).as("__side"),
       lit(null).cast(valueType).as("__v"),
       struct(left.columns.map(col).toIndexedSeq: _*).as("__row"))
     val rowType = lu.schema("__row").dataType
-    val ru = right.select(
+    val ru = rightKeyed.select(
       col(keyCol).as("__key"), col(tsCol).as("__ts"), lit(0).as("__side"),
       col(valueCol).cast(valueType).as("__v"),
       lit(null).cast(rowType).as("__row"))
@@ -53,5 +65,6 @@ object AsOf {
       .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(col("__row.*"), col("__asof").as(outCol))
+      .unionByName(leftNullKey.withColumnRenamed("__outval", outCol))
   }
 }

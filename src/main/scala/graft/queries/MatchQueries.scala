@@ -42,14 +42,20 @@ object MatchQueries {
   private val flagshipCache =
     scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
 
+  // Weak references: a strong map would pin every SparkSession (and its
+  // SessionState) ever passed in until the NEXT invocation evicted it — and
+  // the last-ever session for the JVM lifetime.
   private val liveSessions =
-    scala.collection.concurrent.TrieMap[String, SparkSession]()
+    scala.collection.concurrent.TrieMap[String, java.lang.ref.WeakReference[SparkSession]]()
 
   private def cacheKey(s: SparkSession, dir: String, keyFilter: String) = {
-    liveSessions.put(org.apache.spark.sql.graftshim.Shim.sessionUuid(s), s)
-    // evict entries bound to stopped contexts — their DataFrames can never
-    // execute again and would otherwise be pinned for the JVM lifetime
-    liveSessions.filterInPlace((_, sess) => !sess.sparkContext.isStopped)
+    liveSessions.put(org.apache.spark.sql.graftshim.Shim.sessionUuid(s),
+      new java.lang.ref.WeakReference(s))
+    // evict entries bound to stopped or collected contexts — their
+    // DataFrames can never execute again and would otherwise be pinned
+    liveSessions.filterInPlace { (_, ref) =>
+      val sess = ref.get(); sess != null && !sess.sparkContext.isStopped
+    }
     def live(k: (String, String, String)) = liveSessions.contains(k._1)
     stageCache.filterInPlace((k, _) => live(k))
     matcherCache.filterInPlace((k, _) => live(k))
@@ -169,11 +175,15 @@ object MatchQueries {
       val globalFrac = labeled.where(col("label") === 1).count().toDouble / total
       val splits = Matcher.stratifiedSplit(labeled, Seq(0.7, 0.15, 0.15))
       val counts = splits.map(_.count())
-      val fracs = splits.map(df =>
-        df.where(col("label") === 1).count().toDouble / math.max(df.count(), 1L))
+      val posCounts = splits.map(_.where(col("label") === 1).count())
+      val fracs = posCounts.zip(counts).map { case (p, n) => p.toDouble / math.max(n, 1L) }
       labeled.unpersist(blocking = false)
+      // RELATIVE tolerance (+ non-empty positives per split): an absolute
+      // 0.1 band would let a split that lost every row of a rare positive
+      // class still pass when globalFrac << 0.1
       Seq((total, counts.sum == total,
-           fracs.forall(f => math.abs(f - globalFrac) < 0.1)))
+           posCounts.forall(_ > 0) &&
+             fracs.forall(f => math.abs(f - globalFrac) < 0.5 * globalFrac)))
         .toDF("total_rows", "splits_complete", "ratios_preserved")
     }),
 

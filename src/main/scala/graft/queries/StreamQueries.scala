@@ -63,6 +63,10 @@ object StreamQueries {
     // production sink shape for keyed state (file sinks only append).
     "st_foreach_upsert" -> ((s, dir) => {
       val store = s"/root/repo/target/qtmp/st_upsert_store_${runId.incrementAndGet()}"
+      // the per-JVM counter repeats across separate runs — a leftover store
+      // at this path (e.g. from a different sf dir) would be silently
+      // upserted into, keeping stale keys the new batch never emits
+      graft.io.IO.deletePath(store)
       val agg = EventStreams.readEventStream(s, dir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))

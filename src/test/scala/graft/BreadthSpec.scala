@@ -57,6 +57,17 @@ class BreadthSpec extends SparkSpec {
     assert(out == Map(1L -> None, 2L -> Some(7.0)))
   }
 
+  test("as-of join: null keys never match (pass through unmatched)") {
+    val left = Seq((1L, 30L, Some("a")), (2L, 30L, None))
+      .toDF("id", "t", "k")
+    val right = Seq((10L, Some("a"), 1.0), (20L, None, 9.0))
+      .toDF("t", "k", "v")
+    val out = AsOf.joinBackward(left, right, "k", "t", "v", "vv")
+      .select("id", "vv").as[(Long, Option[Double])].collect().toMap
+    // null-key left row must NOT pick up the null-key right row's 9.0
+    assert(out == Map(1L -> Some(1.0), 2L -> None))
+  }
+
   test("as-of match is inclusive at equal timestamps") {
     val left = Seq((1L, 20L)).toDF("id", "t").withColumn("k", lit("a"))
     val right = Seq((9L, 20L, 3.0)).toDF("rid", "t", "v").withColumn("k", lit("a"))

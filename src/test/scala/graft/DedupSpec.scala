@@ -30,6 +30,17 @@ class DedupSpec extends SparkSpec {
       "content about spark", "about spark engines"))
   }
 
+  test("null text rows survive shingling and language-ID (no NPE)") {
+    val withNull = docs.unionByName(
+      Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val sh = withNull.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .where($"doc_id" === 99L).select("sh").as[Option[Seq[String]]].head()
+    assert(sh.isEmpty) // propagates null like the Column formulation
+    val lang = graft.llm.LangId.predict(withNull)
+      .where($"doc_id" === 99L).select("lang_pred").as[Option[String]].head()
+    assert(lang.isEmpty)
+  }
+
   test("jaccardPairs: identical docs have J=1; near dups above threshold") {
     val pairs = Dedup.jaccardPairs(docs, threshold = 0.3)
       .as[(Long, Long, Double)].collect()
