@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.queries.{LlmQueries, MatchQueries}
+import graft.llm.Ann
+
+/** Diagnostic: print the RAW measured ratios behind every contract-oracle
+  * boolean (`graft.queries.ContractBounds`) at a given scale factor, so the
+  * bounds can be re-validated whenever a seeded stage changes.
+  *
+  *   sbt "runMain graft.ProbeContracts /root/testdata/sf0.01"
+  */
+object ProbeContracts {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def p(s: String): Unit = println(s"[probe] $s")
+
+    val mh = LlmQueries.minhashStats(spark, dir)
+    p(f"dd_minhash: nExact=${mh.nExact} recall=${mh.recall}%.4f gross=${mh.gross} estsOk=${mh.estsOk}")
+
+    val emb = Tables.embeddings(spark, dir)
+    val lshAnn = LlmQueries.annStats(spark,
+      Ann.lshTopK(emb, emb.where("vec_id < 8"), k = 10), emb)
+    p(f"ann_lsh: recall=${lshAnn.recall}%.4f mismatches=${lshAnn.mismatches} rankBad=${lshAnn.rankBad}")
+    val ivfAnn = LlmQueries.annStats(spark,
+      Ann.ivfTopK(emb, emb.where("vec_id < 8"), k = 10), emb)
+    p(f"ann_ivf: recall=${ivfAnn.recall}%.4f mismatches=${ivfAnn.mismatches} rankBad=${ivfAnn.rankBad}")
+
+    val j4 = MatchQueries.lshJoinStats(spark, dir)
+    p(f"j4: nExact=${j4.nExact} recall=${j4.recall}%.4f fp=${j4.falsePos} distMismatch=${j4.distMismatch}")
+
+    val fl = MatchQueries.flagshipStats(spark, dir)
+    p(f"flagship: nGolden=${fl.nGolden} goldenInTop=${fl.goldenInTop}%.4f scoresBad=${fl.scoresBad} labelsBad=${fl.labelsBad} separationOk=${fl.separationOk}")
+
+    val inf = MatchQueries.inferenceStats(spark, dir)
+    p(s"inference: nNew=${inf.nNew} storeRows=${inf.storeRows} foreignIds=${inf.foreignIds} scoresBad=${inf.scoresBad} nScored=${inf.nScored}")
+
+    spark.stop()
+  }
+}

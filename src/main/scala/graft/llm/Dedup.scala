@@ -191,21 +191,48 @@ object Dedup {
     out
   }
 
-  /** 64-bit SimHash signature per document: per-token xxhash64, each bit
-    * votes ±1, sign of the vote sum. */
+  /** 64-bit SimHash signature per document: per-token 64-bit hash, each bit
+    * votes ±1, sign of the vote sum.
+    *
+    * The token hash is the first 8 bytes of md5 (hex chars 1-8 = the high
+    * 32 bits, 9-16 = the low 32), and the signature is emitted as two
+    * unsigned-32-bit halves (`sig_hi` = bits 32..63, `sig_lo` = bits 0..31).
+    * Both choices are for cross-engine reproducibility: any SQL engine can
+    * recompute the exact signature from `md5()` + integer bit ops with no
+    * signed-overflow hazard, which is what lets `dd_simhash` be a fully
+    * value-checked oracle query rather than a rows-only one. One tight JVM
+    * loop per document (HOF lambdas evaluate interpreted — see shingles). */
   def simhash(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val sig = udf { (hashes: Seq[Long]) =>
-      val votes = new Array[Int](64)
-      hashes.foreach { h =>
-        var b = 0
-        while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+    val sig = udf { (toks: Seq[String]) =>
+      if (toks == null) null
+      else {
+        val votes = new Array[Int](64)
+        val mdig = java.security.MessageDigest.getInstance("MD5")
+        toks.foreach { t =>
+          val d = mdig.digest(t.getBytes("UTF-8"))
+          val hi = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          val lo = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+          var b = 0
+          while (b < 32) {
+            if (((lo >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+          while (b < 64) {
+            if (((hi >>> (b - 32)) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+          mdig.reset()
+        }
+        var lo = 0L; var hi = 0L; var b = 0
+        while (b < 32) { if (votes(b) > 0) lo |= (1L << b); b += 1 }
+        while (b < 64) { if (votes(b) > 0) hi |= (1L << (b - 32)); b += 1 }
+        (hi, lo)
       }
-      votes.zipWithIndex.foldLeft(0L) { case (acc, (v, b)) =>
-        if (v > 0) acc | (1L << b) else acc }
     }
-    df.select(col("doc_id"),
-        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), sig(col("th")).as("simhash"))
+    df.select(col("doc_id"), sig(TextAnalysis.tokens(col(textCol))).as("s"))
+      .select(col("doc_id"), col("s._1").as("sig_hi"), col("s._2").as("sig_lo"))
   }
 
   /** SimHash near-dup pairs via banding: split the 64-bit signature into
@@ -218,27 +245,31 @@ object Dedup {
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(maxHamming < bands,
       s"banding recall guarantee needs maxHamming < bands; got maxHamming=$maxHamming, bands=$bands")
-    require(bands <= 64 && 64 % bands == 0,
-      s"bands must divide the 64-bit signature evenly; got $bands")
-    val bits = 64 / bands
+    require(bands >= 2 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide the 64-bit signature evenly (and be >= 2); got $bands")
+    val bits = 64 / bands // bands >= 2 ⇒ bits <= 32 ⇒ no band straddles the halves
     val sigs = simhash(df, textCol).cache()
     // bands is a plan-time constant, so the band array is built statically
     // (shiftrightunsigned requires a literal shift amount).
     val bandVals = (0 until bands).map { i =>
-      shiftrightunsigned(col("simhash"), i * bits).bitwiseAND(lit((1L << bits) - 1))
+      val off = i * bits
+      val src = if (off < 32) shiftrightunsigned(col("sig_lo"), off)
+                else shiftrightunsigned(col("sig_hi"), off - 32)
+      src.bitwiseAND(lit((1L << bits) - 1))
     }
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    val banded = sigs.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
       posexplode(array(bandVals: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
-    val a = banded.select(col("doc_id").as("idA"), col("simhash").as("sigA"),
-      col("band"), col("band_val"))
-    val b = banded.select(col("doc_id").as("idB"), col("simhash").as("sigB"),
-      col("band"), col("band_val"))
+    val a = banded.select(col("doc_id").as("idA"), col("sig_hi").as("hiA"),
+      col("sig_lo").as("loA"), col("band"), col("band_val"))
+    val b = banded.select(col("doc_id").as("idB"), col("sig_hi").as("hiB"),
+      col("sig_lo").as("loB"), col("band"), col("band_val"))
     releasing(sigs) {
       a.join(b, Seq("band", "band_val"))
         .where(col("idA") < col("idB"))
         .select(col("idA"), col("idB"),
-          bit_count(col("sigA").bitwiseXOR(col("sigB"))).as("hamming"))
+          (bit_count(col("hiA").bitwiseXOR(col("hiB"))) +
+            bit_count(col("loA").bitwiseXOR(col("loB")))).as("hamming"))
         .distinct()
         .where(col("hamming") <= maxHamming)
     }

@@ -1,0 +1,45 @@
+package graft.queries
+
+/** Lower bounds used by the contract-oracle queries for seeded/approximate
+  * operators (MinHash banding, LSH/IVF ANN, LSH blocking, flagship match).
+  *
+  * Each bound is an invariant the driver's hash compare enforces every
+  * round: the Spark side computes the true ratio against an exact baseline
+  * computed in-Spark and emits `ratio >= bound` as a boolean column whose
+  * oracle value is the literal `true`. The bounds are deliberately below
+  * the measured fixture values (margin for seeded variation across scale
+  * factors) but far above failure modes — a banding bug or threshold slip
+  * collapses the ratios to near zero, not to just-under-the-bound.
+  *
+  * Re-measure with `sbt "runMain graft.ProbeContracts <sfDir>"` whenever a
+  * seeded stage changes. Measured values below were recorded 2026-08-12 at
+  * sf0.001 / sf0.01 / sf0.1.
+  */
+object ContractBounds {
+
+  /** MinHash (12 bands × 3 rows, est >= 0.35) recall of the exact
+    * shingle-Jaccard >= 0.35 pair set. Measured: 1.00 / 1.00 / 1.00
+    * (gross false positives 0 at every SF). */
+  val minhashRecall = 0.85
+
+  /** LSH ANN (6 hyperplane tables) recall@10 of the brute top-10.
+    * Measured: 0.99 / 0.99 / 1.00. */
+  val annLshRecall = 0.8
+
+  /** IVF ANN (16 cells, 4 probes) recall@10 of the brute top-10.
+    * Measured: 0.65 / 0.71 / 0.59 — genuinely coarse at nProbe=4 (the
+    * AnnSpec property shows recall rising monotonically with nProbe). */
+  val annIvfRecall = 0.45
+
+  /** J4 LSH similarity join (10 tables, bucketLength 1.0, threshold 1.3)
+    * recall of the exact cross-join < 1.3 pair set on the id%20 subsets.
+    * Measured: 1.00 / 1.00 / 1.00 (false positives and distance
+    * mismatches 0 at every SF). */
+  val lshJoinRecall = 0.8
+
+  /** Flagship: golden pairs ranked into the top-500 output, as a fraction
+    * of min(golden, output rows) — when golden outnumber the window
+    * (sf0.1: 1333 golden) the metric is the golden share of the window.
+    * Measured: 1.00 / 1.00 / 0.61. */
+  val flagshipGoldenInTop = 0.4
+}

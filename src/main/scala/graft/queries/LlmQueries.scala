@@ -14,6 +14,73 @@ object LlmQueries {
   type Q = (SparkSession, String) => DataFrame
   import Fixtures.tokSql
 
+  /** Measured contract stats for an ANN operator vs the exact brute-force
+    * baseline: recall over the brute top-k (seed-dependent ⇒ surfaced as an
+    * invariant boolean in the query), exact re-scoring of every returned
+    * pair (the re-rank kernel must reproduce the independently recomputed
+    * cosine at the rounded precision), and rank integrity (contiguous 1..n
+    * per query, ordered by the same (cosine desc, nn_id) key). */
+  private[graft] case class AnnStats(nQueries: Long, recall: Double,
+                                     mismatches: Long, rankBad: Long)
+
+  private[graft] def annStats(s: SparkSession, approx0: DataFrame,
+                              emb: DataFrame): AnnStats = {
+    import org.apache.spark.sql.expressions.Window
+    val approx = approx0.cache()
+    val queries = emb.where("vec_id < 8")
+    val brute = Ann.bruteTopK(emb, queries, k = 10)
+      .select(col("query_id"), col("nn_id")).cache()
+    val nQueries = queries.count()
+    val nBrute = brute.count()
+    val hit = approx.select("query_id", "nn_id")
+      .join(brute, Seq("query_id", "nn_id")).count()
+    val asD = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
+    val cSide = emb.select(col("vec_id").as("nn_id"), col("embedding").as("ev"))
+    val qSide = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val mismatches = approx
+      .join(cSide, "nn_id").join(broadcast(qSide), "query_id")
+      .withColumn("exact_cos", round(Ann.cosine(asD(col("ev")), asD(col("qv"))), 4))
+      .where(col("cosine") =!= col("exact_cos")).count()
+    val rankBad = approx.withColumn("rk2", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)))
+      .where(col("rank") =!= col("rk2")).count()
+    approx.unpersist(blocking = false)
+    brute.unpersist(blocking = false)
+    AnnStats(nQueries, hit.toDouble / math.max(nBrute, 1L), mismatches, rankBad)
+  }
+
+  private def annContract(s: SparkSession, approx: DataFrame, emb: DataFrame,
+                          recallBound: Double): DataFrame = {
+    import s.implicits._
+    val st = annStats(s, approx, emb)
+    Seq((st.nQueries, st.recall >= recallBound,
+         st.mismatches == 0L, st.rankBad == 0L))
+      .toDF("n_queries", "recall_ok", "rescore_exact", "ranks_valid")
+  }
+
+  /** Measured contract stats for banded MinHash vs the exact shingle-Jaccard
+    * baseline (one exact join serves both checks: >= 0.35 is the recall
+    * target, >= 0.15 membership is the gross-false-positive floor). */
+  private[graft] case class MinhashStats(nExact: Long, recall: Double,
+                                         gross: Long, estsOk: Boolean)
+
+  private[graft] def minhashStats(s: SparkSession, dir: String): MinhashStats = {
+    val docs = Tables.documents(s, dir)
+    val found = Dedup.minhashPairs(docs, threshold = 0.35)
+      .select(col("idA"), col("idB"), col("jaccard_dist")).cache()
+    val exactLow = Dedup.jaccardPairs(docs, n = 3, threshold = 0.15)
+      .select(col("idA"), col("idB"), col("jaccard")).cache()
+    val exactAt = exactLow.where(col("jaccard") >= 0.35)
+    val nExact = exactAt.count()
+    val hit = found.join(exactAt, Seq("idA", "idB")).count()
+    val gross = found.join(exactLow, Seq("idA", "idB"), "left_anti").count()
+    val estsOk = found.where(col("jaccard_dist") < 0.0 || col("jaccard_dist") > 1.0)
+      .count() == 0L
+    found.unpersist(blocking = false)
+    exactLow.unpersist(blocking = false)
+    MinhashStats(nExact, hit.toDouble / math.max(nExact, 1L), gross, estsOk)
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     // Exact dedup by content hash (hash-groupBy; 16-byte shuffle key).
     "dd_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -23,17 +90,28 @@ object LlmQueries {
       Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.35)
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))),
 
-    // MinHash+LSH near-dup (banded; recall property-tested vs exact).
-    "dd_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.35)
-        .select(col("idA"), col("idB"), round(col("jaccard_dist"), 3).as("jaccard_dist"))),
+    // MinHash+LSH near-dup (banded), emitted as its verifiable contract
+    // against the EXACT shingle-Jaccard baseline computed in-Spark: the
+    // exact pair count is oracle-computable; recall/precision vs it are
+    // seeded-hash-dependent, so they surface as invariant booleans the
+    // driver hash-gates (bounds re-measured per SF via graft.ProbeContracts;
+    // the raw pair set is deep-verified in DedupSpec).
+    "dd_minhash" -> ((s, dir) => {
+      import s.implicits._
+      val st = minhashStats(s, dir)
+      Seq((st.nExact, st.recall >= ContractBounds.minhashRecall,
+           st.gross == 0L, st.estsOk))
+        .toDF("n_exact", "recall_ok", "no_gross_false_positives", "ests_in_unit_interval")
+    }),
 
     // SimHash near-dup via band join: 4 bands of 16 bits — recall exact for
     // hamming <= 3 (pigeonhole: bands must exceed maxHamming; simhashPairs
     // refuses recall-lossy configs). Wide bands keep the blocking join
     // selective: 16-bit band values rarely collide by chance, where a
     // large-maxHamming config (say 16 bands of 4 bits) would bucket the
-    // whole corpus into 16 values per band and go quadratic.
+    // whole corpus into 16 values per band and go quadratic. The md5-derived
+    // signature is engine-reproducible, so the oracle recomputes the ENTIRE
+    // operator (signatures, banding, hamming) in SQL — a full value check.
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3, bands = 4)),
 
@@ -50,16 +128,22 @@ object LlmQueries {
       Ann.bruteTopK(emb, emb.where("vec_id < 8"), k = 10)
     }),
 
-    // LSH-bucketed ANN (the scale path; recall property-tested vs brute).
+    // LSH-bucketed ANN (the scale path), emitted as its contract vs the
+    // exact brute-force baseline (bucket membership is seed-dependent; the
+    // re-ranked scores are exact and checked pairwise against a full exact
+    // scoring of the returned candidates).
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Ann.lshTopK(emb, emb.where("vec_id < 8"), k = 10)
+      annContract(s, Ann.lshTopK(emb, emb.where("vec_id < 8"), k = 10),
+        emb, ContractBounds.annLshRecall)
     }),
 
-    // IVF ANN: KMeans coarse quantizer + multi-probe exact re-rank.
+    // IVF ANN: KMeans coarse quantizer + multi-probe exact re-rank — same
+    // contract form vs brute.
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Ann.ivfTopK(emb, emb.where("vec_id < 8"), k = 10)
+      annContract(s, Ann.ivfTopK(emb, emb.where("vec_id < 8"), k = 10),
+        emb, ContractBounds.annIvfRecall)
     }),
 
     // Token counting: whitespace + alnum + BPE-ish sub-token counts.
@@ -162,6 +246,34 @@ object LlmQueries {
          |SELECT idA, idB,
          |  round(CAST(shared AS DOUBLE) / (nA + nB - shared), 6) AS jaccard
          |FROM pairs WHERE CAST(shared AS DOUBLE) / (nA + nB - shared) >= 0.35""".stripMargin,
+    // full recomputation of the SimHash operator in SQL: per-token md5-based
+    // 64-bit hash (two unsigned-32-bit halves), ±1 bit votes, sign →
+    // signature, 4×16-bit band equi-join, hamming <= 3 — mirrors
+    // Dedup.simhash/simhashPairs exactly
+    "dd_simhash" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${tokSql("text")}) AS t FROM documents),
+         |h AS (SELECT doc_id, ('0x'||substr(md5(t),1,8))::BIGINT AS hi,
+         |             ('0x'||substr(md5(t),9,8))::BIGINT AS lo FROM tk),
+         |v AS (SELECT doc_id, b.b AS b,
+         |        sum(CASE WHEN b.b < 32 THEN ((lo >> b.b) & 1) * 2 - 1
+         |                 ELSE ((hi >> (b.b - 32)) & 1) * 2 - 1 END) AS vote
+         |      FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b GROUP BY 1, 2),
+         |sig0 AS (SELECT doc_id,
+         |        sum(CASE WHEN vote > 0 AND b >= 32 THEN 1::BIGINT << (CAST(b AS INT) - 32) ELSE 0 END) AS sig_hi,
+         |        sum(CASE WHEN vote > 0 AND b < 32 THEN 1::BIGINT << CAST(b AS INT) ELSE 0 END) AS sig_lo
+         |      FROM v GROUP BY doc_id),
+         |sig AS (SELECT d.doc_id, coalesce(s.sig_hi, 0)::BIGINT AS sig_hi,
+         |               coalesce(s.sig_lo, 0)::BIGINT AS sig_lo
+         |        FROM documents d LEFT JOIN sig0 s USING (doc_id)),
+         |banded AS (SELECT doc_id, sig_hi, sig_lo, bd.i AS band,
+         |        CASE WHEN bd.i * 16 < 32 THEN (sig_lo >> (bd.i * 16)) & 65535
+         |             ELSE (sig_hi >> (bd.i * 16 - 32)) & 65535 END AS band_val
+         |      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS i) bd),
+         |pairs AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB,
+         |        CAST(bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) AS INT) AS hamming
+         |      FROM banded a JOIN banded b
+         |        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         |SELECT idA, idB, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
     "dd_cosine" ->
       """WITH v AS (SELECT vec_id, label, vec_id % 5 AS sub,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -171,6 +283,33 @@ object LlmQueries {
         |  round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm), 6) AS cosine
         |FROM n a JOIN n b ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) >= 0.3""".stripMargin,
+    // contract oracles: SQL-computable exact values + literal trues for the
+    // seeded-state invariants (the driver's hash compare fails if recall
+    // drops below bound, a false positive appears, or re-scoring drifts)
+    "dd_minhash" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(tok) >= 3
+         |    THEN list_transform(range(0, len(tok) - 2),
+         |         i -> concat(tok[CAST(i AS INT)+1], ' ', tok[CAST(i AS INT)+2], ' ', tok[CAST(i AS INT)+3]))
+         |    ELSE [array_to_string(tok, ' ')] END) AS sh
+         |  FROM (SELECT doc_id, ${tokSql("text")} AS tok FROM documents)),
+         |ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS idA, b.doc_id AS idB, a.n_sh AS nA, b.n_sh AS nB,
+         |         count(*) AS shared
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok,
+         |  true AS no_gross_false_positives, true AS ests_in_unit_interval
+         |FROM pairs WHERE CAST(shared AS DOUBLE) / (nA + nB - shared) >= 0.35""".stripMargin,
+    "ann_lsh_topk" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
+        |  true AS rescore_exact, true AS ranks_valid
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "ann_ivf_topk" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
+        |  true AS rescore_exact, true AS ranks_valid
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
     "ann_brute_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),

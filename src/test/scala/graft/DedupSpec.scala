@@ -61,8 +61,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical texts get identical signatures; banding finds them") {
-    val sigs = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val sigs = Dedup.simhash(docs).as[(Long, Long, Long)].collect()
+      .map { case (id, hi, lo) => id -> ((hi, lo)) }.toMap
     assert(sigs(1L) == sigs(2L))
+    // halves are unsigned 32-bit values (no signed-overflow hazard in SQL)
+    sigs.values.foreach { case (hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
+    }
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
       .select("idA", "idB").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
