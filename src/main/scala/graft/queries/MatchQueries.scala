@@ -187,7 +187,7 @@ object MatchQueries {
     val st = featureStage(s, dir)
     val (model, _) = trainedMatcher(s, dir)
     val store = "/root/repo/target/qtmp/er_feature_store"
-    st.feats.write.mode("overwrite").parquet(store)
+    EntityResolution.writeFeatureStore(st.feats, store, flagshipCfg)
     // "new/updated products": a key-subset of side A with changed price
     val newRows = Catalogs.sideA(s, dir).where("id % 50 = 0")
       .withColumn("table", lit("abt"))

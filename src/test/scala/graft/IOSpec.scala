@@ -57,4 +57,51 @@ class IOSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(path + ".__graft_tmp")))
   }
+
+  test("upsertPartitionedStore: merges correctly and never touches unaffected buckets") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = s"$tmp/bucketed_store"
+    val nBuckets = 8
+    val target = (1 to 64).map(i => (i.toLong, s"name$i", i.toDouble))
+      .toDF("id", "name", "v")
+    IO.writePartitionedStore(target, path, Seq("id"), nBuckets)
+
+    // snapshot every data file (path -> mtime) per bucket directory
+    def files(): Map[String, Long] = Files.walk(Paths.get(path)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    val before = files()
+
+    // delta: update two ids, insert one new — touches at most 3 buckets
+    val source = Seq((5L, "ignored", 500.0), (17L, "ignored", 1700.0),
+      (999L, "new", 9.9)).toDF("id", "name", "v")
+    val touched = source.select(IO.bucketExpr(Seq("id"), nBuckets).as("b"))
+      .distinct().as[Int].collect().toSet
+    Thread.sleep(20) // ensure rewritten files get a later mtime
+    IO.upsertPartitionedStore(spark, path, source, Seq("id"), Seq("v"), nBuckets)
+
+    // merge semantics: WHEN MATCHED update v only, NOT MATCHED insert
+    val out = IO.readPartitionedStore(spark, path)
+      .as[(Long, String, Double)].collect()
+      .map { case (i, n, v) => i -> ((n, v)) }.toMap
+    assert(out(5L) == (("name5", 500.0)))   // v updated, name retained
+    assert(out(17L) == (("name17", 1700.0)))
+    assert(out(999L) == (("new", 9.9)))     // inserted
+    assert(out(6L) == (("name6", 6.0)))     // untouched row intact
+    assert(out.size == 65)
+
+    // pruning: files in untouched bucket dirs are byte-identical (same
+    // paths, same mtimes); only touched buckets were rewritten
+    val after = files()
+    def bucketOf(f: String): Int =
+      f.split(s"${IO.BucketCol}=")(1).split("/")(0).toInt
+    val untouchedBefore = before.filter { case (f, _) => !touched.contains(bucketOf(f)) }
+    val untouchedAfter = after.filter { case (f, _) => !touched.contains(bucketOf(f)) }
+    assert(untouchedBefore.nonEmpty)
+    assert(untouchedAfter == untouchedBefore)
+    // and the touched buckets WERE rewritten (new file sets)
+    assert(after.keySet.filter(f => touched.contains(bucketOf(f))) !=
+      before.keySet.filter(f => touched.contains(bucketOf(f))))
+  }
 }
