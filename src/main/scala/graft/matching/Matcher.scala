@@ -7,6 +7,7 @@ import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel, ParamGridBuilder, TrainValidationSplit, TrainValidationSplitModel}
 import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** M2-M6 + X2 — train/tune/evaluate/score the pair classifier (ref
@@ -22,16 +23,43 @@ object Matcher {
 
   val FeatureCols: Array[String] = Array("name_sqdist", "descript_sqdist", "price_sqdist")
 
-  /** M2 — stratified split by label, seeded (`03:130-142`'s 70/15/15). */
+  /** M2 — stratified split by label, seeded (`03:130-142`'s 70/15/15).
+    *
+    * One windowed pass: every row draws a seeded uniform, rows are ranked
+    * within their label stratum by the draw, and split membership is the
+    * rank's position against the cumulative-fraction thresholds of the
+    * stratum size. This is EXACT proportional allocation — each split gets
+    * `round(cum_frac_i · n_label) - round(cum_frac_{i-1} · n_label)` rows
+    * of every stratum, so the class ratio is preserved up to rounding in
+    * every split (a Bernoulli `randomSplit` per stratum only preserves it
+    * in expectation) and the splits partition the input exactly.
+    *
+    * Cost: ONE shuffle (hash-partition by label) shared by the rank and the
+    * stratum-count windows, then a narrow filter per returned frame — where
+    * the previous formulation collected the distinct labels on the driver
+    * and re-scanned the input once per stratum (k+1 passes). A hot stratum
+    * serializes through one task's sort, the same bound as any keyed
+    * window; for the binary-label pair corpus that is a non-issue.
+    *
+    * Like `randomSplit`, the draw is deterministic per (seed, partitioning,
+    * row order) — re-partitioning the input changes the assignment. Use
+    * [[withHashSplit]] when resharding-stable membership is required. */
   def stratifiedSplit(df: DataFrame, fractions: Seq[Double], labelCol: String = "label",
                       seed: Long = 42L): Seq[DataFrame] = {
     require(math.abs(fractions.sum - 1.0) < 1e-9)
-    // randomSplit within each stratum keeps the label ratio in every split.
-    val strata = df.select(labelCol).distinct().collect().map(_.get(0))
-    val splitsPerStratum = strata.map { v =>
-      df.where(col(labelCol) === v).randomSplit(fractions.toArray, seed)
+    val edges = fractions.scanLeft(0.0)(_ + _).tail
+    val byLabel = Window.partitionBy(labelCol)
+    val tagged = df
+      .withColumn("__draw", rand(seed))
+      .withColumn("__rn", row_number().over(byLabel.orderBy(col("__draw"))))
+      .withColumn("__n", count(lit(1)).over(byLabel))
+    fractions.indices.map { i =>
+      val lo = if (i == 0) lit(0L)
+               else round(col("__n") * edges(i - 1)).cast("long")
+      val hi = if (i == fractions.size - 1) col("__n").cast("long")
+               else round(col("__n") * edges(i)).cast("long")
+      tagged.where(col("__rn") > lo && col("__rn") <= hi).drop("__draw", "__rn", "__n")
     }
-    fractions.indices.map(i => splitsPerStratum.map(_(i)).reduce(_.unionByName(_)))
   }
 
   /** M2 variant — deterministic content-hash split: bucket = first 24 md5

@@ -40,6 +40,6 @@ object ContractBounds {
   /** Flagship: golden pairs ranked into the top-500 output, as a fraction
     * of min(golden, output rows) — when golden outnumber the window
     * (sf0.1: 1333 golden) the metric is the golden share of the window.
-    * Measured: 1.00 / 1.00 / 0.61. */
+    * Measured: 1.00 / 1.00 / 0.58. */
   val flagshipGoldenInTop = 0.4
 }
