@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
   */
 object Blocking {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Fit a bucketed random-projection LSH model (Euclidean). */
   def fitLsh(df: DataFrame, inputCol: String, bucketLength: Double = 1.0,
              numHashTables: Int = 10, seed: Long = 42L,
@@ -45,6 +47,44 @@ object Blocking {
     model.approxSimilarityJoin(a, b, threshold, distCol)
       .selectExpr("datasetA.id as idA", "datasetB.id as idB", distCol)
 
+  /** Explode a transformed side to one row per (key, hash-table index,
+    * bucket id) — keys and 8-byte bucket ids ONLY, no vectors. */
+  private def buckets(model: BucketedRandomProjectionLSHModel, df: DataFrame,
+                      keyAs: String): DataFrame =
+    model.transform(df).select(col("key").as(keyAs),
+      posexplode(transform(col(model.getOutputCol),
+        hv => element_at(org.apache.spark.ml.functions.vector_to_array(hv), 1)
+          .cast("long"))))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+
+  /** The candidate-key join behind [[dedupedSimilarityJoin]], exposed for
+    * the skew spec: bucket equi-join of the two exploded sides, SALTED so a
+    * hot bucket's nA×nB pair space spreads over `salts` reducers instead of
+    * serializing through one. Side A takes a deterministic key-hash salt;
+    * side B's (tiny, ids-only) bucket rows replicate `salts` times — output
+    * identical to the unsalted join, each pair matched exactly once. */
+  private[graft] def saltedBucketJoin(model: BucketedRandomProjectionLSHModel,
+                                      ra: DataFrame, rb: DataFrame,
+                                      salts: Int): DataFrame = {
+    val ba = buckets(model, ra, "keyA")
+      .withColumn("__salt", pmod(xxhash64(col("keyA")), lit(salts.toLong)))
+    val bb = buckets(model, rb, "keyB")
+      .withColumn("__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    ba.join(bb, Seq("tbl", "bucket", "__salt"))
+      .select("keyA", "keyB")
+  }
+
+  /** Top-`topN` LSH buckets by occupancy across both sides — the hot-bucket
+    * diagnostic ([[graft.ops.Skew.keySkew]] over the bucket key). A bucket
+    * holding share s of n keys implies ~(s·n)² candidate pairs from that
+    * bucket alone; log this before tuning `bucketLength`/`salts`. */
+  def bucketSkew(model: BucketedRandomProjectionLSHModel, a: DataFrame,
+                 b: DataFrame, topN: Int = 10): DataFrame =
+    graft.ops.Skew.keySkew(
+      buckets(model, a, "k").unionByName(buckets(model, b, "k"))
+        .select(concat_ws(":", col("tbl"), col("bucket")).as("tbl_bucket")),
+      "tbl_bucket", topN)
+
   /** Scale-critical variant: LSH-join *distinct blocking keys* (e.g. the
     * normalized name string — identical key ⇒ identical feature vector),
     * then expand back to id pairs only for key pairs that already passed
@@ -58,21 +98,38 @@ object Blocking {
     * distances), keeps the LSH shuffle linear in *distinct* keys, and the
     * id expansion afterwards is exactly the size of the true candidate
     * set — irreducible output, not intermediate state.
+    *
+    * The bucket join itself carries (key, table-index, bucket) rows only —
+    * vectors re-attach AFTER the candidate distinct — and is salted
+    * (`salts`-way, deterministic key hash) so one hot bucket cannot
+    * serialize the join through a single reducer; `logBucketSkew` logs the
+    * top bucket occupancies ([[bucketSkew]]) for tuning. Semantics match
+    * MLlib's `approxSimilarityJoin` (same fitted hashes, same exact
+    * Euclidean post-filter `< threshold`); the plan is strictly narrower.
     */
   def dedupedSimilarityJoin(a: DataFrame, b: DataFrame, keyCol: String,
                             featureCol: String, threshold: Double,
                             bucketLength: Double = 1.0, numHashTables: Int = 10,
-                            seed: Long = 42L): DataFrame = {
+                            seed: Long = 42L, salts: Int = 8,
+                            logBucketSkew: Boolean = false): DataFrame = {
     def reps(df: DataFrame) =
       df.groupBy(col(keyCol).as("key"))
         .agg(first(col(featureCol)).as(featureCol))
-        .withColumn("id", col("key")) // similarityJoin expects an `id` column
     val ra = reps(a).cache()
     val rb = reps(b).cache()
     val model = fitLsh(ra, featureCol, bucketLength, numHashTables, seed)
-    val keyPairs = similarityJoin(model, ra, rb, threshold)
-      .select(col("idA").as("keyA"), col("idB").as("keyB"), col("distance"))
-    val out = keyPairs
+    if (logBucketSkew)
+      bucketSkew(model, ra, rb).collect().foreach { r =>
+        log.info(s"[blocking] hot bucket ${r.get(0)}: ${r.get(1)} keys (share ${r.get(2)})")
+      }
+    val keyPairs = saltedBucketJoin(model, ra, rb, salts).distinct()
+    val withDist = keyPairs
+      .join(ra.select(col("key").as("keyA"), col(featureCol).as("__fA")), Seq("keyA"))
+      .join(rb.select(col("key").as("keyB"), col(featureCol).as("__fB")), Seq("keyB"))
+      .withColumn("distance", sqrt(sqdistUdf(col("__fA"), col("__fB"))))
+      .where(col("distance") < threshold)
+      .select("keyA", "keyB", "distance")
+    val out = withDist
       .join(a.select(col(keyCol).as("keyA"), col("id").as("idA")), Seq("keyA"))
       .join(b.select(col(keyCol).as("keyB"), col("id").as("idB")), Seq("keyB"))
       .select("idA", "idB", "distance")
