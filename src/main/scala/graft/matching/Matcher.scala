@@ -146,6 +146,41 @@ object Matcher {
     new Pipeline().setStages(Array(asm, gbt)).fit(prepared)
   }
 
+  /** M4 variant — coarse-to-fine two-stage grid search, the grid-world
+    * analogue of the reference's adaptive hyperopt/TPE budget
+    * (`03:164-253`, 9 dims × up to 1000 sequential evals): a coarse pass
+    * over the caller's grid, then a second pass over a bracket around the
+    * winning cell (± half the mean grid spacing, clamped to valid values —
+    * at a grid edge the bracket extends outward, like TPE exploring open
+    * space). Both passes reuse the same TrainValidationSplit machinery and
+    * seed; the better-validated pass wins. Budget: |coarse| + at most 9
+    * refined fits — batch-parallel, unlike TPE's sequential chain. */
+  def trainRefined(train: DataFrame, seed: Long = 42L, parallelism: Int = 4,
+                   maxIterGrid: Seq[Int] = Seq(10, 20),
+                   maxDepthGrid: Seq[Int] = Seq(3, 5),
+                   coalesceTo: Option[Int] = None): TrainValidationSplitModel = {
+    val prepared = coalesceTo.map(n => train.coalesce(n)).getOrElse(train)
+    val coarse = trainTuned(prepared, seed, parallelism, maxIterGrid, maxDepthGrid)
+    val bestGbt = coarse.bestModel.asInstanceOf[PipelineModel]
+      .stages.last.asInstanceOf[GBTClassificationModel]
+    def bracket(grid: Seq[Int], best: Int, floor: Int): Seq[Int] = {
+      val sorted = grid.distinct.sorted
+      val step =
+        if (sorted.size > 1)
+          math.max(1, (sorted.last - sorted.head) / (2 * (sorted.size - 1)))
+        else 0
+      Seq(best - step, best, best + step).filter(_ >= floor).distinct
+    }
+    val fineIter = bracket(maxIterGrid, bestGbt.getMaxIter, floor = 1)
+    val fineDepth = bracket(maxDepthGrid, bestGbt.getMaxDepth, floor = 1)
+    if (fineIter.size <= 1 && fineDepth.size <= 1) coarse
+    else {
+      val fine = trainTuned(prepared, seed, parallelism, fineIter, fineDepth)
+      if (fine.validationMetrics.max >= coarse.validationMetrics.max) fine
+      else coarse
+    }
+  }
+
   /** M4 variant — k-fold CrossValidator over the same grid (the other
     * distributed-search surface SURVEY §7.3 maps hyperopt to). Prefer
     * [[trainTuned]]'s single train/validation split when data is plentiful

@@ -76,6 +76,26 @@ class MatcherSpec extends SparkSpec {
     assert(cv.avgMetrics.forall(m => m >= 0.0 && m <= 1.0))
   }
 
+  test("coarse-to-fine search: refined pass never validates worse than the coarse grid") {
+    val df = Matcher.addClassWeights(syntheticPairs(400)).coalesce(2)
+    val Seq(train, test) = Matcher.stratifiedSplit(df, Seq(0.8, 0.2))
+    val coarse = Matcher.trainTuned(train,
+      maxIterGrid = Seq(3, 9), maxDepthGrid = Seq(2, 4))
+    val refined = Matcher.trainRefined(train,
+      maxIterGrid = Seq(3, 9), maxDepthGrid = Seq(2, 4))
+    assert(refined.validationMetrics.max >= coarse.validationMetrics.max,
+      s"refinement lost quality: ${coarse.validationMetrics.max} -> ${refined.validationMetrics.max}")
+    // the refined bracket actually explored off-grid values around the
+    // winner (± half the mean spacing), not just the original cells
+    val fineGbt = refined.bestModel.asInstanceOf[PipelineModel]
+      .stages.last.asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel]
+    val bracketed = Set(1, 2, 3, 4, 5, 7, 9, 10, 11) // grid ∪ ±step values
+    assert(bracketed(fineGbt.getMaxIter) || Set(3, 9)(fineGbt.getMaxIter))
+    val auprRefined = Matcher.areaUnderPR(
+      refined.bestModel.asInstanceOf[PipelineModel], test)
+    assert(auprRefined > 0.95, s"separable data should stay near-perfect: $auprRefined")
+  }
+
   test("model store: versioning, production pointer, load round-trip") {
     val root = "/root/repo/target/test_tmp/registry"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/m"))
