@@ -20,6 +20,25 @@ object ModelStore {
     next
   }
 
+  /** Register a new version from an existing one's artifact (file-level
+    * copy). The registry op for "promote this exact artifact again" —
+    * re-serializing an unchanged model through MLWriter costs a full
+    * Spark write job per pipeline stage; a directory copy is metadata-rate.
+    * Returns the new version number. */
+  def copyVersion(root: String, name: String, fromVersion: Int): Int = {
+    val dir = Paths.get(root, name)
+    val src = dir.resolve(s"v$fromVersion")
+    require(Files.exists(src), s"no version v$fromVersion under $dir")
+    val next = versions(root, name).maxOption.getOrElse(0) + 1
+    val dst = dir.resolve(s"v$next")
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+    }
+    next
+  }
+
   def versions(root: String, name: String): Seq[Int] = {
     val dir = Paths.get(root, name)
     if (!Files.exists(dir)) Seq.empty

