@@ -28,10 +28,10 @@ object ProbeContracts {
 
     val emb = Tables.embeddings(spark, dir)
     val lshAnn = LlmQueries.annStats(spark,
-      Ann.lshTopK(emb, emb.where("vec_id < 8"), k = 10), emb)
+      Ann.lshTopK(emb, emb.where("vec_id < 8"), k = 10), dir)
     p(f"ann_lsh: recall=${lshAnn.recall}%.4f mismatches=${lshAnn.mismatches} rankBad=${lshAnn.rankBad}")
     val ivfAnn = LlmQueries.annStats(spark,
-      Ann.ivfTopK(emb, emb.where("vec_id < 8"), k = 10), emb)
+      Ann.ivfTopK(emb, emb.where("vec_id < 8"), k = 10), dir)
     p(f"ann_ivf: recall=${ivfAnn.recall}%.4f mismatches=${ivfAnn.mismatches} rankBad=${ivfAnn.rankBad}")
 
     val j4 = MatchQueries.lshJoinStats(spark, dir)

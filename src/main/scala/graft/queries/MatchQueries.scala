@@ -67,7 +67,11 @@ object MatchQueries {
     w2vMaxIter = 4, gbtMaxIterGrid = Seq(10), gbtMaxDepthGrid = Seq(3),
     // the fixture's description column is ~6 distinct strings — blocking
     // on it is a candidate flood, not a signal
-    descriptBlocking = false)
+    descriptBlocking = false,
+    // fixture-sized store: 16 buckets keeps partition files non-trivial at
+    // sf<=0.1 while still exercising the pruned-merge path; production
+    // defaults to 64
+    storeBuckets = 16)
 
   /** Build catalogs (subset by key), fit features; memoized per
     * (session, dir, filter). */

@@ -1,0 +1,20 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-(session, key) memo of materialized frames, for exact baselines that
+  * several registered queries share (the brute-force ANN top-k, the exact
+  * shingle-Jaccard pair set). Same pattern as MatchQueries' stage caches:
+  * keyed on the session UUID, entries of stopped sessions evicted on
+  * access, values materialized via localCheckpoint so reuse replays no
+  * lineage. */
+object SessionMemo {
+  private val frames =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  def frame(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    frames.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
+    val uuid = org.apache.spark.sql.graftshim.Shim.sessionUuid(s)
+    frames.getOrElseUpdate((uuid, key), build.localCheckpoint())
+  }
+}

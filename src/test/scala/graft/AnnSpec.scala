@@ -17,6 +17,22 @@ class AnnSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 1), (1L, 3L, 2))) // 2 closest, then orthogonal; self excluded
   }
 
+  test("lshTopK: candidate dedup aggregates ids only (vectors re-attach after)") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = Ann.lshTopK(emb, emb.where("vec_id < 8"), k = 10)
+      .queryExecution.optimizedPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    // the distinct's grouping is exactly the two id columns — the dedup
+    // exchange carries two longs, not the embedding vectors
+    assert(aggs.exists(_.output.map(_.name).toSet == Set("query_id", "nn_id")),
+      s"no ids-only dedup aggregate found:\n${aggs.map(_.output.map(_.name))}")
+    assert(!aggs.exists(a =>
+      a.output.map(_.name).exists(n => n == "cv" || n == "qv")),
+      "dedup aggregate still carries vector columns")
+  }
+
   test("lshTopK recall vs brute on the embeddings fixture") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where("vec_id < 5")
