@@ -66,6 +66,7 @@ object Blocking {
   private[graft] def saltedBucketJoin(model: BucketedRandomProjectionLSHModel,
                                       ra: DataFrame, rb: DataFrame,
                                       salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1 (1 = unsalted); got $salts")
     val ba = buckets(model, ra, "keyA")
       .withColumn("__salt", pmod(xxhash64(col("keyA")), lit(salts.toLong)))
     val bb = buckets(model, rb, "keyB")

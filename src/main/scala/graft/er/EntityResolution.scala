@@ -210,10 +210,11 @@ object EntityResolution {
                        cfg: Config = Config()): DataFrame = {
     val spark = newRows.sparkSession
     val newFeats = transformCatalog(pipes, newRows)
+    // bucket count comes from the store's own marker, not cfg — a config
+    // that drifted from the writer's would otherwise duplicate keys
     graft.io.IO.upsertPartitionedStore(spark, featureStorePath, newFeats,
       keys = Seq("table", "id"),
-      updateCols = Seq("name_features", "descript_features", "price_features"),
-      nBuckets = cfg.storeBuckets)
+      updateCols = Seq("name_features", "descript_features", "price_features"))
     val store = graft.io.IO.readPartitionedStore(spark, featureStorePath)
     val storedB = store.where("table = 'buy'")
     val cands = Blocking.dedupedSimilarityJoin(

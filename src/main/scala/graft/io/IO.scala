@@ -118,11 +118,24 @@ object IO {
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
 
   /** Lay a store out partitioned by key-hash bucket
-    * (`__graft_bucket=N/…`) so merges can prune to touched buckets. */
+    * (`__graft_bucket=N/…`) so merges can prune to touched buckets. The
+    * bucket count is persisted alongside the data ([[storeBuckets]]) —
+    * merges MUST hash with the writer's count, never the caller's. */
   def writePartitionedStore(df: DataFrame, path: String, keys: Seq[String],
-                            nBuckets: Int = 64): Unit =
+                            nBuckets: Int = 64): Unit = {
     df.withColumn(BucketCol, bucketExpr(keys, nBuckets))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+    Files.writeString(Paths.get(path, "_graft_buckets"), nBuckets.toString)
+  }
+
+  /** The bucket count a partitioned store was written with. */
+  def storeBuckets(path: String): Int = {
+    val p = Paths.get(path, "_graft_buckets")
+    require(Files.exists(p),
+      s"$path is not a bucketed store (no _graft_buckets marker — " +
+        "was it written by writePartitionedStore?)")
+    Files.readString(p).trim.toInt
+  }
 
   /** Read a partitioned store back without the layout column. */
   def readPartitionedStore(spark: SparkSession, path: String): DataFrame =
@@ -145,14 +158,23 @@ object IO {
     *
     * The merged frame is locally checkpointed before the write (it is
     * small — touched buckets only) because a path cannot be overwritten
-    * while the plan still scans it; the checkpoint truncates that lineage
-    * and doubles as the crash guard (source data is fully materialized
-    * before any file of the target is replaced). Per-partition replacement
-    * is atomic at the directory level; an object-store deployment would
-    * swap a manifest instead (same note as [[upsertPath]]). */
+    * while the plan still scans it.
+    *
+    * Durability is WEAKER than [[upsertPath]]'s backup-and-swap: dynamic
+    * overwrite replaces each touched partition through the file committer,
+    * and a crash during the commit phase can lose a touched bucket's files
+    * with no `.__graft_old` to recover from (untouched buckets are never
+    * at risk). That is the price of not rewriting the store; a production
+    * deployment on an object store gets atomicity back by swapping a
+    * manifest/table-catalog pointer per merge instead of directories.
+    *
+    * Hashes with the count the store was WRITTEN with (persisted marker) —
+    * a caller-supplied count that disagreed would read the wrong
+    * partitions and re-insert keys it failed to find. */
   def upsertPartitionedStore(spark: SparkSession, targetPath: String,
                              source: DataFrame, keys: Seq[String],
-                             updateCols: Seq[String], nBuckets: Int = 64): Unit = {
+                             updateCols: Seq[String]): Unit = {
+    val nBuckets = storeBuckets(targetPath)
     val src = source.withColumn(BucketCol, bucketExpr(keys, nBuckets))
       .localCheckpoint()
     val touched = src.select(BucketCol).distinct().collect().map(_.getInt(0))

@@ -41,15 +41,25 @@ object Matcher {
     * serializes through one task's sort, the same bound as any keyed
     * window; for the binary-label pair corpus that is a non-issue.
     *
-    * Like `randomSplit`, the draw is deterministic per (seed, partitioning,
-    * row order) — re-partitioning the input changes the assignment. Use
+    * Like `randomSplit`, the input is sorted within each partition before
+    * the draw, so re-evaluating the (possibly uncached, shuffle-derived)
+    * plan for each returned frame yields the same per-row draw even if
+    * shuffle-read merge order differs between actions — without this, a
+    * row could land in two splits or none. Assignment is deterministic per
+    * (seed, partitioning); re-partitioning the input changes it. Use
     * [[withHashSplit]] when resharding-stable membership is required. */
   def stratifiedSplit(df: DataFrame, fractions: Seq[Double], labelCol: String = "label",
                       seed: Long = 42L): Seq[DataFrame] = {
     require(math.abs(fractions.sum - 1.0) < 1e-9)
     val edges = fractions.scanLeft(0.0)(_ + _).tail
     val byLabel = Window.partitionBy(labelCol)
+    // sort key = every orderable column (vector/map columns can't sort and
+    // contribute nothing to a canonical order)
+    val sortCols = df.schema.fields.filter(f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(f => col(f.name)).toIndexedSeq
     val tagged = df
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("__draw", rand(seed))
       .withColumn("__rn", row_number().over(byLabel.orderBy(col("__draw"))))
       .withColumn("__n", count(lit(1)).over(byLabel))
@@ -163,16 +173,20 @@ object Matcher {
     val coarse = trainTuned(prepared, seed, parallelism, maxIterGrid, maxDepthGrid)
     val bestGbt = coarse.bestModel.asInstanceOf[PipelineModel]
       .stages.last.asInstanceOf[GBTClassificationModel]
-    def bracket(grid: Seq[Int], best: Int, floor: Int): Seq[Int] = {
+    def bracket(grid: Seq[Int], best: Int, floor: Int, ceil: Int): Seq[Int] = {
       val sorted = grid.distinct.sorted
       val step =
         if (sorted.size > 1)
           math.max(1, (sorted.last - sorted.head) / (2 * (sorted.size - 1)))
         else 0
-      Seq(best - step, best, best + step).filter(_ >= floor).distinct
+      Seq(best - step, best, best + step)
+        .filter(v => v >= floor && v <= ceil).distinct
     }
-    val fineIter = bracket(maxIterGrid, bestGbt.getMaxIter, floor = 1)
-    val fineDepth = bracket(maxDepthGrid, bestGbt.getMaxDepth, floor = 1)
+    val fineIter = bracket(maxIterGrid, bestGbt.getMaxIter,
+      floor = 1, ceil = Int.MaxValue)
+    // Spark's DecisionTreeParams validator caps maxDepth at 30
+    val fineDepth = bracket(maxDepthGrid, bestGbt.getMaxDepth,
+      floor = 1, ceil = 30)
     if (fineIter.size <= 1 && fineDepth.size <= 1) coarse
     else {
       val fine = trainTuned(prepared, seed, parallelism, fineIter, fineDepth)

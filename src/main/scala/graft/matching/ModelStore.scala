@@ -31,20 +31,20 @@ object ModelStore {
     require(Files.exists(src), s"no version v$fromVersion under $dir")
     val next = versions(root, name).maxOption.getOrElse(0) + 1
     val dst = dir.resolve(s"v$next")
-    Files.walk(src).iterator().asScala.foreach { p =>
-      val t = dst.resolve(src.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else { Files.createDirectories(t.getParent); Files.copy(p, t) }
-    }
+    org.apache.commons.io.FileUtils.copyDirectory(src.toFile, dst.toFile)
     next
   }
 
   def versions(root: String, name: String): Seq[Int] = {
     val dir = Paths.get(root, name)
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.matches("v\\d+"))
-      .map(_.drop(1).toInt).toSeq
+    else {
+      val stream = Files.list(dir) // must close — holds a directory handle
+      try stream.iterator().asScala
+        .map(_.getFileName.toString).filter(_.matches("v\\d+"))
+        .map(_.drop(1).toInt).toSeq
+      finally stream.close()
+    }
   }
 
   /** Promote a version to Production (archives the previous pointer

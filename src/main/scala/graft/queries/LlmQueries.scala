@@ -130,6 +130,9 @@ object LlmQueries {
     // whole corpus into 16 values per band and go quadratic. The md5-derived
     // signature is engine-reproducible, so the oracle recomputes the ENTIRE
     // operator (signatures, banding, hamming) in SQL — a full value check.
+    // Null-text rows: Spark propagates a null signature (never joins); the
+    // oracle filters them from the sig CTE to mirror that — a zero-token
+    // row ('!!!') by contrast hashes to (0,0) in both engines.
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3, bands = 4)),
 
@@ -281,7 +284,8 @@ object LlmQueries {
          |      FROM v GROUP BY doc_id),
          |sig AS (SELECT d.doc_id, coalesce(s.sig_hi, 0)::BIGINT AS sig_hi,
          |               coalesce(s.sig_lo, 0)::BIGINT AS sig_lo
-         |        FROM documents d LEFT JOIN sig0 s USING (doc_id)),
+         |        FROM documents d LEFT JOIN sig0 s USING (doc_id)
+         |        WHERE d.text IS NOT NULL),
          |banded AS (SELECT doc_id, sig_hi, sig_lo, bd.i AS band,
          |        CASE WHEN bd.i * 16 < 32 THEN (sig_lo >> (bd.i * 16)) & 65535
          |             ELSE (sig_hi >> (bd.i * 16 - 32)) & 65535 END AS band_val

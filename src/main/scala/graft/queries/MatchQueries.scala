@@ -42,9 +42,10 @@ object MatchQueries {
   private val flagshipCache =
     scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
 
-  // Weak references: a strong map would pin every SparkSession (and its
-  // SessionState) ever passed in until the NEXT invocation evicted it — and
-  // the last-ever session for the JVM lifetime.
+  // Weak references so THIS map never extends a session's lifetime. Note
+  // the stage caches above still pin their sessions (their DataFrames hold
+  // strong refs) until the next cacheKey call's isStopped sweep — the weak
+  // ref only guarantees liveSessions itself is never the last holder.
   private val liveSessions =
     scala.collection.concurrent.TrieMap[String, java.lang.ref.WeakReference[SparkSession]]()
 

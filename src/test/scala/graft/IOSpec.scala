@@ -79,7 +79,8 @@ class IOSpec extends SparkSpec {
     val touched = source.select(IO.bucketExpr(Seq("id"), nBuckets).as("b"))
       .distinct().as[Int].collect().toSet
     Thread.sleep(20) // ensure rewritten files get a later mtime
-    IO.upsertPartitionedStore(spark, path, source, Seq("id"), Seq("v"), nBuckets)
+    assert(IO.storeBuckets(path) == nBuckets) // persisted by the writer
+    IO.upsertPartitionedStore(spark, path, source, Seq("id"), Seq("v"))
 
     // merge semantics: WHEN MATCHED update v only, NOT MATCHED insert
     val out = IO.readPartitionedStore(spark, path)

@@ -85,12 +85,12 @@ class MatcherSpec extends SparkSpec {
       maxIterGrid = Seq(3, 9), maxDepthGrid = Seq(2, 4))
     assert(refined.validationMetrics.max >= coarse.validationMetrics.max,
       s"refinement lost quality: ${coarse.validationMetrics.max} -> ${refined.validationMetrics.max}")
-    // the refined bracket actually explored off-grid values around the
-    // winner (± half the mean spacing), not just the original cells
+    // the winner must come from the reachable search space: the grid
+    // {3, 9} or the ± step-3 bracket around either cell
     val fineGbt = refined.bestModel.asInstanceOf[PipelineModel]
       .stages.last.asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel]
-    val bracketed = Set(1, 2, 3, 4, 5, 7, 9, 10, 11) // grid ∪ ±step values
-    assert(bracketed(fineGbt.getMaxIter) || Set(3, 9)(fineGbt.getMaxIter))
+    assert(Set(3, 6, 9, 12)(fineGbt.getMaxIter),
+      s"maxIter ${fineGbt.getMaxIter} outside the reachable refined space")
     val auprRefined = Matcher.areaUnderPR(
       refined.bestModel.asInstanceOf[PipelineModel], test)
     assert(auprRefined > 0.95, s"separable data should stay near-perfect: $auprRefined")
