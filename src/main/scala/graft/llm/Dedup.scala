@@ -275,6 +275,71 @@ object Dedup {
     }
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair graph, labeling every member with the smallest doc_id reachable
+    * from it. Pairwise dedup alone under-deletes: a chain a~b, b~c is one
+    * duplicate cluster even though (a,c) never scored above threshold —
+    * keeping per-pair survivors would retain two of the three.
+    *
+    * Implementation: iterative min-label propagation over the edge list
+    * (label(v) ← min(label(v), min of neighbors' labels) per round) — the
+    * textbook scalable connected components on a DataFrame engine. Each
+    * round is ONE shuffle (groupBy id); rounds needed = graph diameter,
+    * and near-dup graphs are shallow (pairs, triangles, short chains), so
+    * real corpora close in a handful of rounds. Frames are
+    * localCheckpoint'd per round to truncate the growing lineage — without
+    * that, round k re-executes rounds 1..k-1. */
+  def dupClusters(pairs: DataFrame, idA: String = "idA", idB: String = "idB"): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val next = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("nc").as("min_nbr"))
+        .join(labels, Seq("id"))
+        .select(col("id"), least(col("cluster"), col("min_nbr")).as("cluster"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .where(col("cluster") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+  }
+
+  /** Decontamination: drop every corpus document whose shingle-Jaccard
+    * against ANY benchmark document reaches `threshold` (the standard
+    * held-out-eval hygiene step for a training corpus). Returns the
+    * surviving corpus rows.
+    *
+    * Scale shape: the corpus side is exploded once and joined to the
+    * benchmark's exploded shingles — the benchmark is tiny relative to a
+    * 100 TB corpus, so its shingle table BROADCASTS and the whole
+    * contamination check runs map-side at scan speed; only candidate
+    * (corpus, benchmark) pairs with a shared shingle reach the Jaccard
+    * aggregation. A benchmark member present in the corpus matches itself
+    * at J=1 and drops — exactly the desired semantics. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String = "text", n: Int = 3,
+                    threshold: Double = 0.5): DataFrame = {
+    def shingled(df: DataFrame, idAs: String) =
+      df.select(col("doc_id").as(idAs), shingles(col(textCol), n).as("sh"))
+        .withColumn("n_sh", size(col("sh")))
+        .select(col(idAs), col("n_sh"), explode(col("sh")).as("s"))
+        .select(col(idAs), col("n_sh"), xxhash64(col("s")).as("shingle"))
+    val c = shingled(corpus, "cid").withColumnRenamed("n_sh", "nC")
+    val b = shingled(benchmark, "bid").withColumnRenamed("n_sh", "nB")
+    val contaminated = c.join(broadcast(b), Seq("shingle"))
+      .groupBy("cid", "bid", "nC", "nB").agg(count(lit(1)).as("shared"))
+      .where(col("shared").cast("double") / (col("nC") + col("nB") - col("shared"))
+        >= threshold)
+      .select(col("cid").as("doc_id")).distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup over unit-normalized vectors, blocked by a
     * caller-supplied key (e.g. an LSH bucket or coarse quantization) so the
     * pair space is bounded. Vectors are cast to double before arithmetic so

@@ -136,6 +136,22 @@ object LlmQueries {
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3, bands = 4)),
 
+    // Duplicate-cluster resolution: connected components over the exact
+    // >=0.35 near-dup graph (min-label propagation; one shuffle per round,
+    // rounds = graph diameter). Fully value-checked against a recursive-
+    // closure oracle.
+    "dd_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(exactJaccardLow(s, dir).where(col("jaccard") >= 0.35))),
+
+    // Decontamination: drop corpus docs matching the doc_id%97 "benchmark"
+    // subset at J>=0.5. The benchmark shingle side broadcasts — at 100 TB
+    // the contamination check is map-side at scan speed.
+    "dd_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(docs, docs.where("doc_id % 97 = 0"), threshold = 0.5)
+        .select("doc_id")
+    }),
+
     // Embedding-cosine near-dup, blocked by (label, key-mod) coarse cells.
     "dd_cosine" -> ((s, dir) =>
       Dedup.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -245,27 +261,63 @@ object LlmQueries {
        |SELECT doc_id, m AS marker_hits, $caseExpr AS lang_pred FROM m""".stripMargin
   }
 
+  /** Shared DuckDB CTE bodies: word-3-shingle sets per document and the
+    * exact Jaccard self-join pairs — embedded by the dd_ngram_jaccard,
+    * dd_minhash, and dd_clusters oracles. */
+  private lazy val jaccardCte: String =
+    s"""sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(tok) >= 3
+       |    THEN list_transform(range(0, len(tok) - 2),
+       |         i -> concat(tok[CAST(i AS INT)+1], ' ', tok[CAST(i AS INT)+2], ' ', tok[CAST(i AS INT)+3]))
+       |    ELSE [array_to_string(tok, ' ')] END) AS sh
+       |  FROM (SELECT doc_id, ${tokSql("text")} AS tok FROM documents)),
+       |ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS idA, b.doc_id AS idB, a.n_sh AS nA, b.n_sh AS nB,
+       |         count(*) AS shared
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
     "dd_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dd_ngram_jaccard" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, list_distinct(CASE WHEN len(tok) >= 3
-         |    THEN list_transform(range(0, len(tok) - 2),
-         |         i -> concat(tok[CAST(i AS INT)+1], ' ', tok[CAST(i AS INT)+2], ' ', tok[CAST(i AS INT)+3]))
-         |    ELSE [array_to_string(tok, ' ')] END) AS sh
-         |  FROM (SELECT doc_id, ${tokSql("text")} AS tok FROM documents)),
-         |ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
-         |pairs AS (
-         |  SELECT a.doc_id AS idA, b.doc_id AS idB, a.n_sh AS nA, b.n_sh AS nB,
-         |         count(*) AS shared
-         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4)
+      s"""WITH $jaccardCte
          |SELECT idA, idB,
          |  round(CAST(shared AS DOUBLE) / (nA + nB - shared), 6) AS jaccard
          |FROM pairs WHERE CAST(shared AS DOUBLE) / (nA + nB - shared) >= 0.35""".stripMargin,
+    // connected components of the >=0.35 near-dup graph: every member
+    // labeled with the least id reachable from it (recursive closure)
+    "dd_clusters" ->
+      s"""WITH RECURSIVE $jaccardCte,
+         |jp AS (SELECT idA, idB FROM pairs
+         |       WHERE CAST(shared AS DOUBLE) / (nA + nB - shared) >= 0.35),
+         |edges AS (SELECT idA AS s, idB AS d FROM jp
+         |          UNION ALL SELECT idB, idA FROM jp),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+         |FROM reach GROUP BY s""".stripMargin,
+    // decontamination survivors: corpus docs with no >=0.5-Jaccard match
+    // in the doc_id%97 "benchmark" subset (benchmark members match
+    // themselves at J=1 and drop)
+    "dd_decontam" ->
+      s"""WITH $jaccardCte,
+         |bpairs AS (
+         |  SELECT c.doc_id AS cid, b.doc_id AS bid, c.n_sh AS nC, b.n_sh AS nB,
+         |         count(*) AS shared
+         |  FROM ex c JOIN (SELECT * FROM ex WHERE doc_id % 97 = 0) b
+         |    ON c.shingle = b.shingle
+         |  GROUP BY 1, 2, 3, 4),
+         |contaminated AS (
+         |  SELECT DISTINCT cid AS doc_id FROM bpairs
+         |  WHERE CAST(shared AS DOUBLE) / (nC + nB - shared) >= 0.5)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
     // full recomputation of the SimHash operator in SQL: per-token md5-based
     // 64-bit hash (two unsigned-32-bit halves), ±1 bit votes, sign →
     // signature, 4×16-bit band equi-join, hamming <= 3 — mirrors
@@ -308,18 +360,7 @@ object LlmQueries {
     // seeded-state invariants (the driver's hash compare fails if recall
     // drops below bound, a false positive appears, or re-scoring drifts)
     "dd_minhash" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, list_distinct(CASE WHEN len(tok) >= 3
-         |    THEN list_transform(range(0, len(tok) - 2),
-         |         i -> concat(tok[CAST(i AS INT)+1], ' ', tok[CAST(i AS INT)+2], ' ', tok[CAST(i AS INT)+3]))
-         |    ELSE [array_to_string(tok, ' ')] END) AS sh
-         |  FROM (SELECT doc_id, ${tokSql("text")} AS tok FROM documents)),
-         |ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
-         |pairs AS (
-         |  SELECT a.doc_id AS idA, b.doc_id AS idB, a.n_sh AS nA, b.n_sh AS nB,
-         |         count(*) AS shared
-         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4)
+      s"""WITH $jaccardCte
          |SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok,
          |  true AS no_gross_false_positives, true AS ests_in_unit_interval
          |FROM pairs WHERE CAST(shared AS DOUBLE) / (nA + nB - shared) >= 0.35""".stripMargin,

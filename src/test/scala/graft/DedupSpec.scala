@@ -84,6 +84,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dupClusters: chains collapse to one cluster labeled by the min id") {
+    // components: {1,2,3} (chain — (1,3) is NOT an edge), {10,11}, {20,21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("idA", "idB")
+    val out = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("decontaminate: drops benchmark members and their near-dups, keeps the rest") {
+    val bench = docs.where($"doc_id" === 1) // "the quick brown fox jumps..."
+    // hand-computed J vs doc 1: doc2 = 1.0 (exact dup), doc3 = 4/10 = 0.4,
+    // doc5 = 4/11 ≈ 0.364, doc4 shares nothing
+    val survivors = Dedup.decontaminate(docs, bench, threshold = 0.35)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(4L)) // 1 self-matches, 2/3/5 are near-dups
+    val laxSurvivors = Dedup.decontaminate(docs, bench, threshold = 0.95)
+      .select("doc_id").as[Long].collect().toSet
+    assert(laxSurvivors == Set(3L, 4L, 5L)) // only exact-ish dups drop
+  }
+
   test("cosinePairs: hand-computed cosine within blocks only") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.1f), 0),
