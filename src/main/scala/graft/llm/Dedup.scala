@@ -288,7 +288,10 @@ object Dedup {
     * and near-dup graphs are shallow (pairs, triangles, short chains), so
     * real corpora close in a handful of rounds. Frames are
     * localCheckpoint'd per round to truncate the growing lineage — without
-    * that, round k re-executes rounds 1..k-1. */
+    * that, round k re-executes rounds 1..k-1. The convergence check rides
+    * along as a `moved` flag computed inside the propagation projection, so
+    * counting movers is a scan of the already-checkpointed round result —
+    * no extra join or shuffle per round. */
   def dupClusters(pairs: DataFrame, idA: String = "idA", idB: String = "idB"): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
@@ -297,15 +300,15 @@ object Dedup {
       .withColumn("cluster", col("id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val next = edges
+      val step = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("nc").as("min_nbr"))
         .join(labels, Seq("id"))
-        .select(col("id"), least(col("cluster"), col("min_nbr")).as("cluster"))
+        .select(col("id"), least(col("cluster"), col("min_nbr")).as("cluster"),
+          (col("min_nbr") < col("cluster")).as("moved"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .where(col("cluster") =!= col("old")).count()
-      labels = next
+      changed = step.where(col("moved")).count()
+      labels = step.select("id", "cluster")
     }
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
   }

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-mixing operators for assembling a training corpus from curated
+  * sources: deterministic per-stratum downsampling (the "sample src_web at
+  * 10%, src_books at 100%" step of a data recipe) and greedy token-budget
+  * packing (grouping documents into fixed-capacity training sequences).
+  * Both are engine-reproducible — no RNG state, so a re-run over the same
+  * corpus selects the same rows on any cluster size.
+  */
+object Mixing {
+
+  /** Hex cutoff for a keep-rate: a row survives iff the first 8 hex chars
+    * of md5(id) — a uniform 32-bit value in hex — compare lexicographically
+    * below the cutoff. Lowercase-hex string order equals numeric order, so
+    * the comparison needs no 64-bit arithmetic and mirrors 1:1 into any SQL
+    * engine with md5(). */
+  def rateCutoffHex(rate: Double): String = {
+    require(rate >= 0.0 && rate < 1.0, s"cutoff undefined for rate $rate")
+    f"${(rate * 4294967296.0).toLong.min(4294967295L)}%08x"
+  }
+
+  /** Deterministic stratified sampling: keep each row with probability
+    * `rates(stratum)` (else `defaultRate`), decided by hashing the row's id
+    * — not by `rand()`. Sampling is a pure, codegen'd projection + filter:
+    * at 100 TB it runs at parquet-scan speed with zero shuffle, survives
+    * retries/re-runs bit-identically, and composes with pushdown (the
+    * filter reaches the scan). Rate 1.0 short-circuits to `true`. */
+  def hashSample(df: DataFrame, idCol: String, strataCol: String,
+                 rates: Seq[(String, Double)], defaultRate: Double): DataFrame = {
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 8)
+    def keep(rate: Double) =
+      if (rate >= 1.0) lit(true) else bucket < lit(rateCutoffHex(rate))
+    val cond = rates.foldRight(keep(defaultRate)) { case ((stratum, rate), els) =>
+      when(col(strataCol) === stratum, keep(rate)).otherwise(els)
+    }
+    df.where(cond)
+  }
+
+  /** Greedy token-budget packing: within each group (ordered by id), append
+    * documents to the current bin while they fit in `capacity` tokens; a
+    * document that would overflow starts the next bin (an oversized
+    * document occupies a bin alone). Returns (group, id, size, bin).
+    *
+    * The running-total-with-reset recurrence is inherently sequential, so
+    * it cannot be a window function — but it is sequential only WITHIN a
+    * group. The plan is one shuffle (repartition by group), a
+    * sort-within-partitions, and a single imperative pass per partition:
+    * exactly the `mapPartitions`-as-last-resort case, with parallelism =
+    * number of groups (sources), which is what a per-source packing step
+    * means semantically. */
+  def packBins(df: DataFrame, groupCol: String, idCol: String,
+               sizeCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive; got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in = df.select(col(groupCol).cast("string").as("group"),
+        col(idCol).cast("long").as("id"), col(sizeCol).cast("long").as("size"))
+      .as[(String, Long, Long)]
+      .repartition(col("group"))
+      .sortWithinPartitions(col("group"), col("id"))
+    in.mapPartitions { rows =>
+      var started = false
+      var group: String = null
+      var fill = 0L
+      var bin = 0L
+      rows.map { case (g, id, size) =>
+        if (!started || g != group) { started = true; group = g; fill = 0L; bin = 0L }
+        if (fill > 0L && fill + size > capacity) { bin += 1L; fill = size }
+        else fill += size
+        (g, id, size, bin)
+      }
+    }.toDF("group", "id", "size", "bin")
+  }
+}

@@ -63,6 +63,42 @@ object TextAnalysis {
       filter(split(c, ""), ch => ch =!= ""),
       lit(0L),
       (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(1000000007L)))
+
+  /** Repetition signals — the gopher-style quality filters that catch
+    * degenerate generated/boilerplate text: token count, distinct-token
+    * ratio, most-frequent-token fraction, most-frequent-bigram fraction.
+    *
+    * The mode counts need a per-(doc, gram) frequency table; that is an
+    * explode + two-level aggregation (map-side partial combine keeps the
+    * shuffle at one row per DISTINCT gram per doc), deliberately NOT a
+    * per-row O(tokens × distinct) array scan — the relational shape is the
+    * one that survives 100 TB. distinct_ratio stays an array expression in
+    * the scan projection (no shuffle needed for it). */
+  def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val base = df.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val bigrams = when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val grams = base.select(col("doc_id"), col("toks"), bigrams.as("bgs"))
+    def modeStats(c: String, topAs: String) =
+      grams.select(col("doc_id"), explode(col(c)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as(topAs))
+    val nTok = greatest(col("n_tokens"), lit(1)).cast("double")
+    base.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"))
+      .join(modeStats("toks", "top_tok"), Seq("doc_id"), "left")
+      .join(modeStats("bgs", "top_bg"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_distinct").cast("double") / nTok, 6).as("distinct_ratio"),
+        round(coalesce(col("top_tok"), lit(0L)).cast("double") / nTok, 6)
+          .as("top_token_frac"),
+        round(coalesce(col("top_bg"), lit(0L)).cast("double")
+          / greatest(col("n_tokens") - 1, lit(1)).cast("double"), 6)
+          .as("top_bigram_frac"))
+  }
 }
 
 /** Language identification via marker-word overlap — an n-gram/stopword

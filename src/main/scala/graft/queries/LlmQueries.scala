@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Ann, Dedup, LangId, Multimodal, TextAnalysis}
+import graft.llm.{Ann, Dedup, LangId, Mixing, Multimodal, TextAnalysis}
 
 /** The beyond-reference LLM-training-data-pipeline operators: dedup,
   * similarity search, text analysis, multimodal columns — each a
@@ -73,6 +73,23 @@ object LlmQueries {
         .select(col("idA"), col("idB"), col("jaccard"))
     }
 
+  /** Connected components of the exact >=0.35 near-dup graph, memoized per
+    * (session, dir): dd_clusters emits it directly and dd_survivors derives
+    * the canonical-doc set from it, so the label-propagation loop runs once
+    * per session. */
+  private[graft] def clustersMemo(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.frame(s, s"ddclusters:$dir") {
+      Dedup.dupClusters(exactJaccardLow(s, dir).where(col("jaccard") >= 0.35))
+    }
+
+  /** The data-mixing recipe behind tx_mixture — shared with its oracle so
+    * the Spark filter and the SQL CASE can never drift apart. */
+  private[graft] val mixtureRates = Seq("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25)
+  private[graft] val mixtureDefaultRate = 0.1
+
+  /** Token capacity of a packed training sequence (tx_pack). */
+  private[graft] val packCapacity = 256L
+
   private[graft] def minhashStats(s: SparkSession, dir: String): MinhashStats = {
     val docs = Tables.documents(s, dir)
     val found = Dedup.minhashPairs(docs, threshold = 0.35)
@@ -140,8 +157,17 @@ object LlmQueries {
     // >=0.35 near-dup graph (min-label propagation; one shuffle per round,
     // rounds = graph diameter). Fully value-checked against a recursive-
     // closure oracle.
-    "dd_clusters" -> ((s, dir) =>
-      Dedup.dupClusters(exactJaccardLow(s, dir).where(col("jaccard") >= 0.35))),
+    "dd_clusters" -> ((s, dir) => clustersMemo(s, dir)),
+
+    // Canonical-document selection: keep exactly one doc (the smallest id)
+    // per near-dup cluster — the materialized outcome the cluster labels
+    // exist for. Anti-join against the non-canonical members.
+    "dd_survivors" -> ((s, dir) =>
+      Tables.documents(s, dir).join(
+          clustersMemo(s, dir).where(col("doc_id") =!= col("cluster_id"))
+            .select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id")),
 
     // Decontamination: drop corpus docs matching the doc_id%97 "benchmark"
     // subset at J>=0.5. The benchmark shingle side broadcasts — at 100 TB
@@ -195,6 +221,29 @@ object LlmQueries {
     "tx_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    // Data mixing: deterministic hash-sampled per-language keep rates (the
+    // "recipe" step of corpus assembly). Pure projection + filter — no
+    // shuffle, no RNG state, bit-identical on any cluster size.
+    "tx_mixture" -> ((s, dir) =>
+      Mixing.hashSample(Tables.documents(s, dir), "doc_id", "lang",
+          mixtureRates, mixtureDefaultRate)
+        .select("doc_id", "lang")),
+
+    // Repetition / degenerate-text signals (gopher-style quality filters).
+    "tx_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, dir))),
+
+    // Greedy token-budget packing of each source's documents into
+    // fixed-capacity training sequences.
+    "tx_pack" -> ((s, dir) =>
+      Mixing.packBins(
+          Tables.documents(s, dir)
+            .select(col("source"), col("doc_id"),
+              size(TextAnalysis.tokens(col("text"))).as("n_tok")),
+          "source", "doc_id", "n_tok", packCapacity)
+        .select(col("group").as("source"), col("id").as("doc_id"),
+          col("size").as("n_tok"), col("bin"))),
 
     // Multimodal: metadata-only description (binary column never decoded).
     "mm_binary_meta" -> ((s, dir) =>
@@ -318,6 +367,73 @@ object LlmQueries {
          |  WHERE CAST(shared AS DOUBLE) / (nC + nB - shared) >= 0.5)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
+    // canonical docs: everything except non-minimal members of a cluster
+    "dd_survivors" ->
+      s"""WITH RECURSIVE $jaccardCte,
+         |jp AS (SELECT idA, idB FROM pairs
+         |       WHERE CAST(shared AS DOUBLE) / (nA + nB - shared) >= 0.35),
+         |edges AS (SELECT idA AS s, idB AS d FROM jp
+         |          UNION ALL SELECT idB, idA FROM jp),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |dropped AS (SELECT s AS doc_id FROM reach GROUP BY s HAVING min(d) < s)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    // hash-deterministic per-language sampling: the CASE arms are generated
+    // from the SAME rate table the Spark filter uses (Mixing.rateCutoffHex)
+    "tx_mixture" -> {
+      val arm = (l: String, r: Double) =>
+        if (r >= 1.0) s"WHEN lang = '$l' THEN TRUE"
+        else s"WHEN lang = '$l' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Mixing.rateCutoffHex(r)}'"
+      val arms = mixtureRates.map { case (l, r) => arm(l, r) }.mkString("\n  ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CASE
+         |  $arms
+         |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Mixing.rateCutoffHex(mixtureDefaultRate)}'
+         |END""".stripMargin
+    },
+    "tx_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${tokSql("text")} AS tok FROM documents),
+         |base AS (SELECT doc_id, tok, len(tok) AS n_tokens,
+         |  len(list_distinct(tok)) AS n_distinct,
+         |  CASE WHEN len(tok) >= 2 THEN list_transform(range(0, len(tok) - 1),
+         |       i -> concat(tok[CAST(i AS INT)+1], ' ', tok[CAST(i AS INT)+2]))
+         |  ELSE [] END AS bgs FROM t),
+         |tt AS (SELECT doc_id, max(c) AS top_tok FROM (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(tok) AS g FROM base) GROUP BY doc_id, g)
+         |  GROUP BY doc_id),
+         |bt AS (SELECT doc_id, max(c) AS top_bg FROM (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(bgs) AS g FROM base) GROUP BY doc_id, g)
+         |  GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+         |  round(b.n_distinct / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6) AS distinct_ratio,
+         |  round(coalesce(tt.top_tok, 0) / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6) AS top_token_frac,
+         |  round(coalesce(bt.top_bg, 0) / CAST(greatest(b.n_tokens - 1, 1) AS DOUBLE), 6) AS top_bigram_frac
+         |FROM base b
+         |LEFT JOIN tt ON b.doc_id = tt.doc_id
+         |LEFT JOIN bt ON b.doc_id = bt.doc_id""".stripMargin,
+    // greedy packing is a running-total-with-reset recurrence — expressed
+    // here as a per-source recursive CTE walking row_number order
+    "tx_pack" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT source, doc_id, CAST(len(${tokSql("text")}) AS BIGINT) AS n_tok,
+         |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |p AS (
+         |  SELECT source, doc_id, n_tok, rn, CAST(0 AS BIGINT) AS bin, n_tok AS fill
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.source, t.doc_id, t.n_tok, t.rn,
+         |    CASE WHEN p.fill > 0 AND p.fill + t.n_tok > $packCapacity
+         |         THEN p.bin + 1 ELSE p.bin END,
+         |    CASE WHEN p.fill > 0 AND p.fill + t.n_tok > $packCapacity
+         |         THEN t.n_tok ELSE p.fill + t.n_tok END
+         |  FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1)
+         |SELECT source, doc_id, n_tok, bin FROM p""".stripMargin,
     // full recomputation of the SimHash operator in SQL: per-token md5-based
     // 64-bit hash (two unsigned-32-bit halves), ±1 bit votes, sign →
     // signature, 4×16-bit band equi-join, hamming <= 3 — mirrors

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Mixing
+
+/** Data-mixing operators: deterministic hash sampling and greedy packing. */
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rateCutoffHex: hex cutoffs match the rate's 32-bit fraction") {
+    assert(Mixing.rateCutoffHex(0.5) == "80000000")
+    assert(Mixing.rateCutoffHex(0.25) == "40000000")
+    assert(Mixing.rateCutoffHex(0.1) == "19999999")
+    assert(Mixing.rateCutoffHex(0.0) == "00000000")
+    assertThrows[IllegalArgumentException](Mixing.rateCutoffHex(1.0))
+  }
+
+  test("hashSample: rate-1 strata keep everything, rate-0 nothing, deterministic") {
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "keep" else "half"))
+      .toDF("id", "stratum")
+    val out = Mixing.hashSample(df, "id", "stratum",
+      Seq("keep" -> 1.0), defaultRate = 0.5)
+    val kept = out.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(kept("keep") == 200L)                      // rate 1.0 is exact
+    assert(kept("half") > 60L && kept("half") < 140L) // ~100 expected
+    // bit-identical on re-run (pure hash, no RNG state)
+    assert(out.select("id").as[Long].collect().toSet ==
+      Mixing.hashSample(df, "id", "stratum", Seq("keep" -> 1.0), 0.5)
+        .select("id").as[Long].collect().toSet)
+    val none = Mixing.hashSample(df, "id", "stratum",
+      Seq("keep" -> 0.0, "half" -> 0.0), defaultRate = 0.9)
+    assert(none.count() == 0L)
+  }
+
+  test("packBins: greedy fill with reset per group; oversized doc gets own bin") {
+    val df = Seq(
+      // group g1, capacity 10: [4, 5] -> bin 0; [7] overflows -> bin 1;
+      // [12] oversized alone -> bin 2; [2] after oversized -> bin 3
+      ("g1", 1L, 4L), ("g1", 2L, 5L), ("g1", 3L, 7L), ("g1", 4L, 12L), ("g1", 5L, 2L),
+      // group g2 restarts at bin 0
+      ("g2", 1L, 10L), ("g2", 2L, 1L))
+      .toDF("src", "doc", "sz")
+    val out = Mixing.packBins(df, "src", "doc", "sz", capacity = 10L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(out == Map(
+      ("g1", 1L) -> 0L, ("g1", 2L) -> 0L, ("g1", 3L) -> 1L,
+      ("g1", 4L) -> 2L, ("g1", 5L) -> 3L,
+      ("g2", 1L) -> 0L, ("g2", 2L) -> 1L))
+  }
+
+  test("packBins: bins never exceed capacity unless a single doc does") {
+    val df = (0L until 100L).map(i => ("s" + (i % 3), i, 1L + i % 40))
+      .toDF("src", "doc", "sz")
+    val bins = Mixing.packBins(df, "src", "doc", "sz", capacity = 64L)
+      .groupBy("group", "bin")
+      .agg(sum("size").as("tot"), count(lit(1)).as("n"))
+      .where(col("tot") > 64L && col("n") > 1L)
+    assert(bins.count() == 0L)
+  }
+}

@@ -53,4 +53,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(punct > 0.0 && punct < 0.2)
     assert(stopr >= 0.0 && stopr <= 1.0 && mwl > 0)
   }
+
+  test("repetitionStats: hand-computed token/bigram mode fractions") {
+    val df = Seq(
+      (1L, "a a a b"),   // toks: a,a,a,b  bigrams: "a a","a a","a b"
+      (2L, "x y z"),     // all distinct; bigrams "x y","y z" each once
+      (3L, "solo"))      // 1 token, 0 bigrams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df)
+      .as[(Long, Int, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((4, 0.5, 0.75, round6(2.0 / 3))))
+    assert(out(2L) == ((3, 1.0, round6(1.0 / 3), 0.5)))
+    assert(out(3L) == ((1, 1.0, 1.0, 0.0)))
+  }
+
+  private def round6(d: Double): Double = BigDecimal(d)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
