@@ -64,38 +64,47 @@ object TextAnalysis {
       lit(0L),
       (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(1000000007L)))
 
+  /** Per-doc frequency stats behind [[repetitionStats]], computed in ONE
+    * pass over the token array with local hash maps. Mode counting has no
+    * cross-document state, so pushing it into a narrow map beats the
+    * relational explode + two-level-aggregate shape outright: zero
+    * shuffles, and no interpreted array HOFs (an HOF-based bigram
+    * formulation measured 22 s at sf0.1 vs sub-second here — same 100×
+    * interpreted-lambda penalty LangId.predictUdf and Dedup.shingleUdf
+    * already document). */
+  private val repUdf = udf { (toks: Seq[String]) =>
+    if (toks == null) null
+    else {
+      val tc = scala.collection.mutable.HashMap.empty[String, Int]
+      toks.foreach(t => tc.update(t, tc.getOrElse(t, 0) + 1))
+      val bc = scala.collection.mutable.HashMap.empty[String, Int]
+      var i = 0
+      while (i < toks.length - 1) {
+        val k = toks(i) + " " + toks(i + 1)
+        bc.update(k, bc.getOrElse(k, 0) + 1)
+        i += 1
+      }
+      def top(m: scala.collection.mutable.HashMap[String, Int]) =
+        if (m.isEmpty) 0 else m.valuesIterator.max
+      (toks.length, tc.size, top(tc), top(bc))
+    }
+  }
+
   /** Repetition signals — the gopher-style quality filters that catch
     * degenerate generated/boilerplate text: token count, distinct-token
     * ratio, most-frequent-token fraction, most-frequent-bigram fraction.
-    *
-    * The mode counts need a per-(doc, gram) frequency table; that is an
-    * explode + two-level aggregation (map-side partial combine keeps the
-    * shuffle at one row per DISTINCT gram per doc), deliberately NOT a
-    * per-row O(tokens × distinct) array scan — the relational shape is the
-    * one that survives 100 TB. distinct_ratio stays an array expression in
-    * the scan projection (no shuffle needed for it). */
+    * A pure projection (scan-speed at 100 TB); see [[repUdf]] for why the
+    * mode counts live in a one-pass UDF rather than an explode+aggregate. */
   def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val base = df.select(col("doc_id"), tokens(col(textCol)).as("toks"))
-    val bigrams = when(size(col("toks")) >= 2,
-        transform(sequence(lit(0), size(col("toks")) - 2),
-          i => concat_ws(" ", element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2))))
-      .otherwise(array().cast("array<string>"))
-    val grams = base.select(col("doc_id"), col("toks"), bigrams.as("bgs"))
-    def modeStats(c: String, topAs: String) =
-      grams.select(col("doc_id"), explode(col(c)).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as(topAs))
     val nTok = greatest(col("n_tokens"), lit(1)).cast("double")
-    base.select(col("doc_id"), size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_distinct"))
-      .join(modeStats("toks", "top_tok"), Seq("doc_id"), "left")
-      .join(modeStats("bgs", "top_bg"), Seq("doc_id"), "left")
+    df.select(col("doc_id"), repUdf(tokens(col(textCol))).as("st"))
+      .select(col("doc_id"), col("st._1").as("n_tokens"),
+        col("st._2").as("n_distinct"), col("st._3").as("top_tok"),
+        col("st._4").as("top_bg"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("n_distinct").cast("double") / nTok, 6).as("distinct_ratio"),
-        round(coalesce(col("top_tok"), lit(0L)).cast("double") / nTok, 6)
-          .as("top_token_frac"),
-        round(coalesce(col("top_bg"), lit(0L)).cast("double")
+        round(col("top_tok").cast("double") / nTok, 6).as("top_token_frac"),
+        round(col("top_bg").cast("double")
           / greatest(col("n_tokens") - 1, lit(1)).cast("double"), 6)
           .as("top_bigram_frac"))
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{MatchQueries, RelationalQueries}
+import graft.queries.{LlmQueries, MatchQueries, RelationalQueries}
 
 /** Plan-shape audits (the 100 TB checklist): filters and projections reach
   * the parquet scan, dimension joins broadcast, hot paths stay in
@@ -9,7 +9,8 @@ import graft.queries.{MatchQueries, RelationalQueries}
 class PlanAuditSpec extends SparkSpec {
 
   private def planOf(name: String): String = {
-    val q = (RelationalQueries.defs ++ MatchQueries.defs).toMap.apply(name)
+    val q = (RelationalQueries.defs ++ MatchQueries.defs ++ LlmQueries.defs)
+      .toMap.apply(name)
     q(spark, sf).queryExecution.executedPlan.toString
   }
 
@@ -48,5 +49,16 @@ class PlanAuditSpec extends SparkSpec {
   test("limit with order collapses to TakeOrderedAndProject (top-k)") {
     val plan = planOf("p9_limit")
     assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("tx_mixture: hash sampling is a pure scan-side filter — no shuffle, no UDF") {
+    val plan = planOf("tx_mixture")
+    assert(!plan.contains("Exchange"), s"sampling shuffled:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+  }
+
+  test("dd_decontam: benchmark shingle side broadcasts (contamination check map-side)") {
+    val plan = planOf("dd_decontam")
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$plan")
   }
 }
