@@ -132,4 +132,48 @@ object Ann {
         round(cosine(col("cv"), col("qv")), 4).as("cosine"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** One-pass int8 scalar quantization of a vector: symmetric per-vector
+    * scale = max|x|, code_i = round-half-away(x_i / scale × 127) ∈
+    * [-127, 127], plus the QA signals a storage migration wants — max
+    * absolute reconstruction error and cosine drift of the dequantized
+    * vector against the original. Rounding is explicitly half-away-from-zero
+    * (SQL ROUND semantics, NOT `math.round`, whose floor(x+0.5) disagrees at
+    * negative .5 boundaries — reachable here whenever x is exactly
+    * -scale/2^k). A per-row loop, so a UDF (see repUdf/shingleUdf): zero
+    * shuffles, scan-speed, 4× smaller at rest than float32. */
+  private val quantUdf = udf { (v: Seq[Double]) =>
+    if (v == null) null
+    else {
+      var scale = 0.0
+      v.foreach { x => val a = math.abs(x); if (a > scale) scale = a }
+      val s = if (scale == 0.0) 1.0 else scale
+      def rnd(y: Double): Double =
+        if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+      val q = v.map(x => rnd(x / s * 127.0).toInt)
+      var dotVD = 0.0; var nv = 0.0; var nd = 0.0; var maxErr = 0.0
+      var i = 0
+      while (i < v.length) {
+        val d = q(i) * s / 127.0
+        val e = math.abs(v(i) - d); if (e > maxErr) maxErr = e
+        dotVD += v(i) * d; nv += v(i) * v(i); nd += d * d
+        i += 1
+      }
+      val cos = if (nv == 0.0 || nd == 0.0) 1.0
+        else dotVD / (math.sqrt(nv) * math.sqrt(nd))
+      (scale, q.mkString(","), maxErr, cos)
+    }
+  }
+
+  /** Quantize an embedding column; returns (id, scale, qvec-as-csv,
+    * max_abs_err, cos_drift). The codes are emitted as a CSV string so the
+    * result is directly hashable/sortable by the oracle compare. */
+  def quantize(df: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), quantUdf(asDouble(col(vecCol))).as("st"))
+      .select(col(idCol),
+        round(col("st._1"), 6).as("scale"),
+        col("st._2").as("qvec"),
+        round(col("st._3"), 6).as("max_abs_err"),
+        round(col("st._4"), 6).as("cos_drift"))
 }

@@ -208,6 +208,11 @@ object LlmQueries {
         dir, ContractBounds.annIvfRecall)
     }),
 
+    // Int8 scalar quantization of the embedding store (4× smaller at rest)
+    // with reconstruction-quality QA columns — full value oracle including
+    // the quantized codes themselves.
+    "ann_quantize" -> ((s, dir) => Ann.quantize(Tables.embeddings(s, dir))),
+
     // Token counting: whitespace + alnum + BPE-ish sub-token counts.
     "tx_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
 
@@ -501,6 +506,29 @@ object LlmQueries {
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id ASC) AS INT) AS rank
         |  FROM scored)
         |SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin,
+    // full SQL mirror of the int8 quantizer: DuckDB round() is
+    // half-away-from-zero, matching the operator's explicit rounding rule
+    "ann_quantize" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS scale,
+        |  CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |       ELSE list_max(list_transform(v, x -> abs(x))) END AS s FROM v),
+        |qd AS (SELECT vec_id, v, scale, s,
+        |  list_transform(v, x -> CAST(round(x / s * 127) AS INT)) AS q FROM s),
+        |d AS (SELECT vec_id, v, scale, q,
+        |  list_transform(q, i -> i * s / 127) AS dq FROM qd),
+        |m AS (SELECT vec_id, scale, array_to_string(q, ',') AS qvec,
+        |  list_max(list_transform(list_zip(v, dq), p -> abs(p[1] - p[2]))) AS max_abs_err,
+        |  list_sum(list_transform(list_zip(v, dq), p -> p[1] * p[2])) AS dotvd,
+        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nv,
+        |  sqrt(list_sum(list_transform(dq, x -> x * x))) AS nd
+        |FROM d)
+        |SELECT vec_id, round(scale, 6) AS scale, qvec,
+        |  round(max_abs_err, 6) AS max_abs_err,
+        |  round(CASE WHEN nv = 0 OR nd = 0 THEN 1.0 ELSE dotvd / (nv * nd) END, 6) AS cos_drift
+        |FROM m""".stripMargin,
     "tx_token_counts" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INT) AS ws_tokens,

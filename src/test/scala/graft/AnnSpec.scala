@@ -66,4 +66,29 @@ class AnnSpec extends SparkSpec {
     val counts = out.groupBy("query_id").count().as[(Long, Long)].collect().toMap
     assert(counts.values.forall(_ == 7))
   }
+
+  test("quantize: hand-computed codes, half-away rounding, near-1 cosine drift") {
+    val df = Seq((1L, Array(0.5f, -0.25f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.quantize(df)
+      .as[(Long, Double, String, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, scale, qvec, maxErr, drift) = out(1L)
+    assert(scale == 0.5)
+    // -0.25/0.5*127 = -63.5 → half-AWAY-from-zero → -64 (math.round gives -63)
+    assert(qvec == "127,-64")
+    assert(math.abs(maxErr - 0.001969) < 1e-6) // |-0.25 - (-64*0.5/127)|
+    assert(drift > 0.9999 && drift <= 1.0)
+    val (_, s0, q0, e0, d0) = out(2L)
+    assert(s0 == 0.0 && q0 == "0,0" && e0 == 0.0 && d0 == 1.0) // zero vector guarded
+  }
+
+  test("quantize: codes bounded by ±127, drift near 1 on the fixture") {
+    val out = Ann.quantize(Tables.embeddings(spark, sf))
+    import org.apache.spark.sql.functions._
+    val bad = out.where(
+      exists(transform(split(col("qvec"), ","), x => x.cast("int")),
+        q => abs(q) > 127) || col("cos_drift") < 0.98)
+    assert(bad.count() == 0L)
+  }
 }
