@@ -142,26 +142,39 @@ object Ann {
     * negative .5 boundaries — reachable here whenever x is exactly
     * -scale/2^k). A per-row loop, so a UDF (see repUdf/shingleUdf): zero
     * shuffles, scan-speed, 4× smaller at rest than float32. */
+  private def quantCore(v: Seq[Double]): (Double, Seq[Int], Double, Double) = {
+    var scale = 0.0
+    v.foreach { x => val a = math.abs(x); if (a > scale) scale = a }
+    val s = if (scale == 0.0) 1.0 else scale
+    def rnd(y: Double): Double =
+      if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+    val q = v.map(x => rnd(x / s * 127.0).toInt)
+    var dotVD = 0.0; var nv = 0.0; var nd = 0.0; var maxErr = 0.0
+    var i = 0
+    while (i < v.length) {
+      val d = q(i) * s / 127.0
+      val e = math.abs(v(i) - d); if (e > maxErr) maxErr = e
+      dotVD += v(i) * d; nv += v(i) * v(i); nd += d * d
+      i += 1
+    }
+    val cos = if (nv == 0.0 || nd == 0.0) 1.0
+      else dotVD / (math.sqrt(nv) * math.sqrt(nd))
+    (scale, q, maxErr, cos)
+  }
+
   private val quantUdf = udf { (v: Seq[Double]) =>
     if (v == null) null
+    else { val (s, q, e, c) = quantCore(v); (s, q.mkString(","), e, c) }
+  }
+
+  /** Quantize-then-dequantize (the value an int8 store actually serves at
+    * query time): code_i × scale / 127, in one pass from the original. */
+  private val dequantUdf = udf { (v: Seq[Double]) =>
+    if (v == null) null
     else {
-      var scale = 0.0
-      v.foreach { x => val a = math.abs(x); if (a > scale) scale = a }
+      val (scale, q, _, _) = quantCore(v)
       val s = if (scale == 0.0) 1.0 else scale
-      def rnd(y: Double): Double =
-        if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
-      val q = v.map(x => rnd(x / s * 127.0).toInt)
-      var dotVD = 0.0; var nv = 0.0; var nd = 0.0; var maxErr = 0.0
-      var i = 0
-      while (i < v.length) {
-        val d = q(i) * s / 127.0
-        val e = math.abs(v(i) - d); if (e > maxErr) maxErr = e
-        dotVD += v(i) * d; nv += v(i) * v(i); nd += d * d
-        i += 1
-      }
-      val cos = if (nv == 0.0 || nd == 0.0) 1.0
-        else dotVD / (math.sqrt(nv) * math.sqrt(nd))
-      (scale, q.mkString(","), maxErr, cos)
+      q.map(_ * s / 127.0)
     }
   }
 
@@ -176,4 +189,16 @@ object Ann {
         col("st._2").as("qvec"),
         round(col("st._3"), 6).as("max_abs_err"),
         round(col("st._4"), 6).as("cos_drift"))
+
+  /** Exact top-k served from the QUANTIZED store: the corpus side is
+    * dequantized int8 codes (what a 4×-compressed embedding store returns),
+    * queries stay full precision. Same plan as [[bruteTopK]] — broadcast
+    * queries, codegen cosine, per-query partial top-k — and fully
+    * deterministic (quantization has no seed), so the whole search is
+    * value-oracle-checkable end to end. */
+  def quantTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    bruteTopK(
+      corpus.select(col(idCol), dequantUdf(asDouble(col(vecCol))).as(vecCol)),
+      queries, k, idCol, vecCol)
 }

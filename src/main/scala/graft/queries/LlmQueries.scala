@@ -213,6 +213,14 @@ object LlmQueries {
     // the quantized codes themselves.
     "ann_quantize" -> ((s, dir) => Ann.quantize(Tables.embeddings(s, dir))),
 
+    // Exact top-k served from the quantized store (full-precision queries
+    // against dequantized int8 corpus) — deterministic, so the entire
+    // search result is value-checked, not just a recall contract.
+    "ann_quant_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.quantTopK(emb, emb.where("vec_id < 8"), k = 10)
+    }),
+
     // Token counting: whitespace + alnum + BPE-ish sub-token counts.
     "tx_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
 
@@ -529,6 +537,29 @@ object LlmQueries {
         |  round(max_abs_err, 6) AS max_abs_err,
         |  round(CASE WHEN nv = 0 OR nd = 0 THEN 1.0 ELSE dotvd / (nv * nd) END, 6) AS cos_drift
         |FROM m""".stripMargin,
+    // quantized-store search, fully recomputed in SQL: quantize → dequant →
+    // cosine vs full-precision queries → rank (self excluded)
+    "ann_quant_topk" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |       ELSE list_max(list_transform(v, x -> abs(x))) END AS s FROM v),
+        |dqc AS (SELECT vec_id,
+        |  list_transform(v, x -> CAST(round(x / s * 127) AS INT) * s / 127) AS v
+        |FROM s),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM dqc),
+        |q AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |      FROM v WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        |    round(list_sum(list_transform(list_zip(c.v, q.v), p -> p[1] * p[2])) / (c.nrm * q.nrm), 4) AS cosine
+        |  FROM n c, q WHERE c.vec_id != q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nn_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin,
     "tx_token_counts" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INT) AS ws_tokens,

@@ -83,6 +83,17 @@ class AnnSpec extends SparkSpec {
     assert(s0 == 0.0 && q0 == "0,0" && e0 == 0.0 && d0 == 1.0) // zero vector guarded
   }
 
+  test("quantTopK: quantized-store search nearly reproduces the exact top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where("vec_id < 8")
+    val brute = Ann.bruteTopK(emb, queries, k = 10)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val quant = Ann.quantTopK(emb, queries, k = 10)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val overlap = (brute intersect quant).size.toDouble / brute.size
+    assert(overlap >= 0.9, s"int8 quantization degraded top-k overlap to $overlap")
+  }
+
   test("quantize: codes bounded by ±127, drift near 1 on the fixture") {
     val out = Ann.quantize(Tables.embeddings(spark, sf))
     import org.apache.spark.sql.functions._
