@@ -64,6 +64,29 @@ object TextAnalysis {
       lit(0L),
       (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(1000000007L)))
 
+  /** Overlapping-window character chunking — the split step an embedding /
+    * RAG pipeline runs before vectorizing long documents. Chunk i covers
+    * [i·stride, i·stride + chunkLen); windows start while text remains
+    * (last start ≤ len−1), so consecutive chunks overlap by
+    * chunkLen − stride chars. Pure codegen'd builtins (sequence →
+    * posexplode → substring): the explode multiplies rows, never bytes
+    * re-shuffled — chunking stays a scan-side generator at 100 TB.
+    * Zero-length texts yield no chunks (mirrors `range()` semantics in the
+    * oracle). */
+  def chunk(df: DataFrame, textCol: String = "text",
+            chunkLen: Int = 200, stride: Int = 150): DataFrame = {
+    require(stride > 0 && chunkLen >= stride,
+      s"need 0 < stride <= chunkLen; got stride=$stride chunkLen=$chunkLen")
+    val n = length(col(textCol))
+    df.where(n > 0)
+      .select(col("doc_id"), col(textCol),
+        posexplode(sequence(lit(0L),
+          floor((n - 1).cast("double") / stride).cast("long"))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
+        col(textCol).substr((col("col") * stride + 1).cast("int"), lit(chunkLen))
+          .as("chunk"))
+  }
+
   /** Per-doc frequency stats behind [[repetitionStats]], computed in ONE
     * pass over the token array with local hash maps. Mode counting has no
     * cross-document state, so pushing it into a narrow map beats the

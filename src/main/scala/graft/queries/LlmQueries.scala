@@ -258,6 +258,31 @@ object LlmQueries {
         .select(col("group").as("source"), col("id").as("doc_id"),
           col("size").as("n_tok"), col("bin"))),
 
+    // Overlapping-window chunking (200-char windows, 150 stride) — the
+    // pre-embedding split step; a scan-side generator, no shuffle.
+    "tx_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(Tables.documents(s, dir).where("doc_id < 200"))),
+
+    // Corpus accounting: per-(lang, source) doc/token totals, exact-dup
+    // rate, mean quality signal — the summary report a curation run ends
+    // with. One partial-combine aggregation over a single scan pass. The
+    // mean sums exact 1e-6-unit integers, NOT doubles: avg() over doubles
+    // is partition-order-dependent in the last ulp, which flipped a
+    // 6-decimal rounding boundary vs the oracle at sf0.01.
+    "tx_corpus_report" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).as("n_tok"),
+          round(TextAnalysis.alphaRatio(col("text")) * 1000000)
+            .cast("long").as("alpha_micro"),
+          md5(col("text")).as("h"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("total_tokens"),
+          countDistinct(col("h")).as("n_distinct_texts"),
+          round(sum(col("alpha_micro")).cast("double") / count(lit(1)) / 1000000.0, 6)
+            .as("mean_alpha_ratio"))),
+
     // Multimodal: metadata-only description (binary column never decoded).
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.describe(Multimodal.fromDocuments(Tables.documents(s, dir)))
@@ -575,6 +600,23 @@ object LlmQueries {
          |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(greatest(len(${tokSql("text")}), 1) AS DOUBLE), 6) AS mean_word_len
          |FROM documents""".stripMargin,
     "tx_langid" -> langidSql,
+    "tx_chunk" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(floor((length(text) - 1) / 150.0) AS BIGINT) AS mx
+        |  FROM documents WHERE doc_id < 200 AND length(text) > 0),
+        |e AS (SELECT doc_id, text, unnest(range(0, mx + 1)) AS i FROM b)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_no,
+        |  substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk FROM e""".stripMargin,
+    "tx_corpus_report" ->
+      s"""SELECT lang, source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(${tokSql("text")})) AS BIGINT) AS total_tokens,
+         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+         |  round(CAST(sum(CAST(round(round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |    / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 1000000.0, 6) AS mean_alpha_ratio
+         |FROM documents GROUP BY lang, source""".stripMargin,
     "tx_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -70,4 +70,13 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def round6(d: Double): Double = BigDecimal(d)
     .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("chunk: overlapping windows cover the text; short docs get one chunk") {
+    // len 10, chunkLen 6, stride 4 → starts 0,4,8 → "abcdef","efghij","ij"
+    val df = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, chunkLen = 6, stride = 4)
+      .as[(Long, Int, String)].collect().toSet
+    assert(out == Set((1L, 0, "abcdef"), (1L, 1, "efghij"), (1L, 2, "ij"),
+      (2L, 0, "xy"))) // empty text yields no chunks
+  }
 }
