@@ -282,16 +282,19 @@ object Dedup {
     * keeping per-pair survivors would retain two of the three.
     *
     * Implementation: iterative min-label propagation over the edge list
-    * (label(v) ← min(label(v), min of neighbors' labels) per round) — the
-    * textbook scalable connected components on a DataFrame engine. Each
-    * round is ONE shuffle (groupBy id); rounds needed = graph diameter,
-    * and near-dup graphs are shallow (pairs, triangles, short chains), so
-    * real corpora close in a handful of rounds. Frames are
-    * localCheckpoint'd per round to truncate the growing lineage — without
-    * that, round k re-executes rounds 1..k-1. The convergence check rides
-    * along as a `moved` flag computed inside the propagation projection, so
-    * counting movers is a scan of the already-checkpointed round result —
-    * no extra join or shuffle per round. */
+    * (label(v) ← min(label(v), min of neighbors' labels)) with a
+    * POINTER-DOUBLING shortcut each round (label(v) ← label(label(v)) —
+    * valid because labels are always node ids, so every label has its own
+    * label row). Neighbor-min alone needs diameter rounds — O(n) on an
+    * adversarial chain; the shortcut doubles the propagation distance per
+    * round, giving O(log n) rounds worst case, the textbook distributed-CC
+    * bound. Real near-dup graphs (pairs, triangles, short chains) still
+    * close in 1-2 rounds. Each round is two small shuffles over
+    * (id, label) longs; frames are localCheckpoint'd per round to truncate
+    * the growing lineage — without that, round k re-executes rounds
+    * 1..k-1. The convergence check rides along as a `moved` flag inside
+    * the round's projection, so counting movers is a scan of the
+    * already-checkpointed result — no extra join. */
   def dupClusters(pairs: DataFrame, idA: String = "idA", idB: String = "idB"): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
@@ -300,14 +303,22 @@ object Dedup {
       .withColumn("cluster", col("id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val step = edges
+      val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("nc").as("min_nbr"))
         .join(labels, Seq("id"))
         .select(col("id"), least(col("cluster"), col("min_nbr")).as("cluster"),
-          (col("min_nbr") < col("cluster")).as("moved"))
+          col("cluster").as("old"))
         .localCheckpoint()
-      changed = step.where(col("moved")).count()
+      val ptr = nbrMin.select(col("id").as("__pid"), col("cluster").as("__pcluster"))
+      val step = nbrMin
+        .join(ptr, col("cluster") === col("__pid"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("__pcluster"), col("cluster")))
+            .as("cluster"),
+          col("old"))
+        .localCheckpoint()
+      changed = step.where(col("cluster") < col("old")).count()
       labels = step.select("id", "cluster")
     }
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))

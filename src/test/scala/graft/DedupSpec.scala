@@ -93,6 +93,14 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("dupClusters: a 64-node chain converges (pointer doubling, not diameter rounds)") {
+    // path graph 0-1-2-...-63: diameter 63; neighbor-min alone would need
+    // ~63 rounds, pointer doubling closes in O(log n)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val out = Dedup.dupClusters(chain).as[(Long, Long)].collect()
+    assert(out.length == 64 && out.forall(_._2 == 0L))
+  }
+
   test("decontaminate: drops benchmark members and their near-dups, keeps the rest") {
     val bench = docs.where($"doc_id" === 1) // "the quick brown fox jumps..."
     // hand-computed J vs doc 1: doc2 = 1.0 (exact dup), doc3 = 4/10 = 0.4,
