@@ -32,6 +32,18 @@ class MixingSpec extends SparkSpec {
     assert(none.count() == 0L)
   }
 
+  test("hashSample: samples are nested — raising a rate only ADDS rows") {
+    // hex cutoffs grow with the rate, so the kept set at rate r is a subset
+    // of the kept set at r' > r: changing a recipe's mix never churns
+    // already-selected documents
+    val df = (0L until 500L).map(i => (i, "s")).toDF("id", "stratum")
+    def kept(r: Double) = Mixing.hashSample(df, "id", "stratum", Seq("s" -> r), 0.0)
+      .select("id").as[Long].collect().toSet
+    val (a, b, c) = (kept(0.1), kept(0.3), kept(0.8))
+    assert(a.subsetOf(b) && b.subsetOf(c))
+    assert(a.size < b.size && b.size < c.size)
+  }
+
   test("packBins: greedy fill with reset per group; oversized doc gets own bin") {
     val df = Seq(
       // group g1, capacity 10: [4, 5] -> bin 0; [7] overflows -> bin 1;
