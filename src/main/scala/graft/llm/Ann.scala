@@ -142,29 +142,34 @@ object Ann {
     * negative .5 boundaries — reachable here whenever x is exactly
     * -scale/2^k). A per-row loop, so a UDF (see repUdf/shingleUdf): zero
     * shuffles, scan-speed, 4× smaller at rest than float32. */
-  private def quantCore(v: Seq[Double]): (Double, Seq[Int], Double, Double) = {
+  /** (raw scale, zero-guarded scale, int8 codes) — the shared quantizer
+    * core; QA stats live in [[quantUdf]] only so the dequant path does not
+    * pay for discarded norms/error passes. */
+  private def quantCodes(v: Seq[Double]): (Double, Double, Seq[Int]) = {
     var scale = 0.0
     v.foreach { x => val a = math.abs(x); if (a > scale) scale = a }
     val s = if (scale == 0.0) 1.0 else scale
     def rnd(y: Double): Double =
       if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
-    val q = v.map(x => rnd(x / s * 127.0).toInt)
-    var dotVD = 0.0; var nv = 0.0; var nd = 0.0; var maxErr = 0.0
-    var i = 0
-    while (i < v.length) {
-      val d = q(i) * s / 127.0
-      val e = math.abs(v(i) - d); if (e > maxErr) maxErr = e
-      dotVD += v(i) * d; nv += v(i) * v(i); nd += d * d
-      i += 1
-    }
-    val cos = if (nv == 0.0 || nd == 0.0) 1.0
-      else dotVD / (math.sqrt(nv) * math.sqrt(nd))
-    (scale, q, maxErr, cos)
+    (scale, s, v.map(x => rnd(x / s * 127.0).toInt))
   }
 
   private val quantUdf = udf { (v: Seq[Double]) =>
     if (v == null) null
-    else { val (s, q, e, c) = quantCore(v); (s, q.mkString(","), e, c) }
+    else {
+      val (scale, s, q) = quantCodes(v)
+      var dotVD = 0.0; var nv = 0.0; var nd = 0.0; var maxErr = 0.0
+      var i = 0
+      while (i < v.length) {
+        val d = q(i) * s / 127.0
+        val e = math.abs(v(i) - d); if (e > maxErr) maxErr = e
+        dotVD += v(i) * d; nv += v(i) * v(i); nd += d * d
+        i += 1
+      }
+      val cos = if (nv == 0.0 || nd == 0.0) 1.0
+        else dotVD / (math.sqrt(nv) * math.sqrt(nd))
+      (scale, q.mkString(","), maxErr, cos)
+    }
   }
 
   /** Quantize-then-dequantize (the value an int8 store actually serves at
@@ -172,8 +177,7 @@ object Ann {
   private val dequantUdf = udf { (v: Seq[Double]) =>
     if (v == null) null
     else {
-      val (scale, q, _, _) = quantCore(v)
-      val s = if (scale == 0.0) 1.0 else scale
+      val (_, s, q) = quantCodes(v)
       q.map(_ * s / 127.0)
     }
   }

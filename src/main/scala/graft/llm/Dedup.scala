@@ -292,15 +292,18 @@ object Dedup {
     * close in 1-2 rounds. Each round is two small shuffles over
     * (id, label) longs; frames are localCheckpoint'd per round to truncate
     * the growing lineage — without that, round k re-executes rounds
-    * 1..k-1. The convergence check rides along as a `moved` flag inside
-    * the round's projection, so counting movers is a scan of the
-    * already-checkpointed result — no extra join. */
+    * 1..k-1 — and each round's checkpoint blocks are released once the
+    * next round is materialized, so storage stays at two label frames
+    * regardless of round count. Convergence = no label sank below its
+    * round-start `old` value, counted with a scan of the already-
+    * checkpointed round result — no extra join. */
   def dupClusters(pairs: DataFrame, idA: String = "idA", idB: String = "idB"): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint()
+    var toRelease: Seq[DataFrame] = Seq.empty
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
@@ -319,8 +322,15 @@ object Dedup {
           col("old"))
         .localCheckpoint()
       changed = step.where(col("cluster") < col("old")).count()
+      // step is materialized (the count above) — the previous round's
+      // labels and this round's nbrMin are dead weight now
+      toRelease.foreach(_.unpersist(blocking = false))
+      toRelease = Seq(labels, nbrMin)
       labels = step.select("id", "cluster")
     }
+    // the final round's checkpoint stays live behind the returned frame
+    // (callers memoize/checkpoint it); everything else releases now
+    (toRelease :+ edges).foreach(_.unpersist(blocking = false))
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
   }
 

@@ -41,8 +41,9 @@ object Mixing {
 
   /** Greedy token-budget packing: within each group (ordered by id), append
     * documents to the current bin while they fit in `capacity` tokens; a
-    * document that would overflow starts the next bin (an oversized
-    * document occupies a bin alone). Returns (group, id, size, bin).
+    * document that would overflow starts the next bin (so an oversized
+    * document never shares a bin with a predecessor, even a zero-size
+    * one). Null sizes count as 0. Returns (group, id, size, bin).
     *
     * The running-total-with-reset recurrence is inherently sequential, so
     * it cannot be a window function — but it is sequential only WITHIN a
@@ -57,7 +58,8 @@ object Mixing {
     val spark = df.sparkSession
     import spark.implicits._
     val in = df.select(col(groupCol).cast("string").as("group"),
-        col(idCol).cast("long").as("id"), col(sizeCol).cast("long").as("size"))
+        col(idCol).cast("long").as("id"),
+        coalesce(col(sizeCol).cast("long"), lit(0L)).as("size"))
       .as[(String, Long, Long)]
       .repartition(col("group"))
       .sortWithinPartitions(col("group"), col("id"))
@@ -67,8 +69,8 @@ object Mixing {
       var fill = 0L
       var bin = 0L
       rows.map { case (g, id, size) =>
-        if (!started || g != group) { started = true; group = g; fill = 0L; bin = 0L }
-        if (fill > 0L && fill + size > capacity) { bin += 1L; fill = size }
+        if (!started || g != group) { started = true; group = g; bin = 0L; fill = size }
+        else if (fill + size > capacity) { bin += 1L; fill = size }
         else fill += size
         (g, id, size, bin)
       }

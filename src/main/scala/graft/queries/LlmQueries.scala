@@ -449,8 +449,12 @@ object LlmQueries {
          |  GROUP BY doc_id)
          |SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
          |  round(b.n_distinct / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6) AS distinct_ratio,
-         |  round(coalesce(tt.top_tok, 0) / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6) AS top_token_frac,
-         |  round(coalesce(bt.top_bg, 0) / CAST(greatest(b.n_tokens - 1, 1) AS DOUBLE), 6) AS top_bigram_frac
+         |  CASE WHEN b.n_tokens IS NULL THEN NULL
+         |       ELSE round(coalesce(tt.top_tok, 0) / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6)
+         |  END AS top_token_frac,
+         |  CASE WHEN b.n_tokens IS NULL THEN NULL
+         |       ELSE round(coalesce(bt.top_bg, 0) / CAST(greatest(b.n_tokens - 1, 1) AS DOUBLE), 6)
+         |  END AS top_bigram_frac
          |FROM base b
          |LEFT JOIN tt ON b.doc_id = tt.doc_id
          |LEFT JOIN bt ON b.doc_id = bt.doc_id""".stripMargin,
@@ -458,7 +462,8 @@ object LlmQueries {
     // here as a per-source recursive CTE walking row_number order
     "tx_pack" ->
       s"""WITH RECURSIVE t AS (
-         |  SELECT source, doc_id, CAST(len(${tokSql("text")}) AS BIGINT) AS n_tok,
+         |  SELECT source, doc_id,
+         |         coalesce(CAST(len(${tokSql("text")}) AS BIGINT), 0) AS n_tok,
          |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
          |  FROM documents),
          |p AS (
@@ -466,9 +471,9 @@ object LlmQueries {
          |  FROM t WHERE rn = 1
          |  UNION ALL
          |  SELECT t.source, t.doc_id, t.n_tok, t.rn,
-         |    CASE WHEN p.fill > 0 AND p.fill + t.n_tok > $packCapacity
+         |    CASE WHEN p.fill + t.n_tok > $packCapacity
          |         THEN p.bin + 1 ELSE p.bin END,
-         |    CASE WHEN p.fill > 0 AND p.fill + t.n_tok > $packCapacity
+         |    CASE WHEN p.fill + t.n_tok > $packCapacity
          |         THEN t.n_tok ELSE p.fill + t.n_tok END
          |  FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1)
          |SELECT source, doc_id, n_tok, bin FROM p""".stripMargin,

@@ -61,6 +61,21 @@ class MixingSpec extends SparkSpec {
       ("g2", 1L) -> 0L, ("g2", 2L) -> 1L))
   }
 
+  test("packBins: zero-size docs never let an oversized doc share their bin") {
+    val df = Seq(("g", 1L, 0L), ("g", 2L, 12L), ("g", 3L, 0L)).toDF("src", "doc", "sz")
+    val out = Mixing.packBins(df, "src", "doc", "sz", capacity = 10L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._2 -> r._4).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("packBins: null sizes pack as zero instead of crashing") {
+    val df = Seq(("g", 1L, Some(4L)), ("g", 2L, None), ("g", 3L, Some(5L)))
+      .toDF("src", "doc", "sz")
+    val out = Mixing.packBins(df, "src", "doc", "sz", capacity = 10L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._2 -> r._4).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L)) // 4 + 0 + 5 fits one bin
+  }
+
   test("packBins: bins never exceed capacity unless a single doc does") {
     val df = (0L until 100L).map(i => ("s" + (i % 3), i, 1L + i % 40))
       .toDF("src", "doc", "sz")
