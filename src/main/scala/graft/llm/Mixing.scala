@@ -39,41 +39,48 @@ object Mixing {
     df.where(cond)
   }
 
-  /** Greedy token-budget packing: within each group (ordered by id), append
-    * documents to the current bin while they fit in `capacity` tokens; a
-    * document that would overflow starts the next bin (so an oversized
-    * document never shares a bin with a predecessor, even a zero-size
-    * one). Null sizes count as 0. Returns (group, id, size, bin).
+  /** Greedy token-budget packing: within each (group, shard), ordered by
+    * id, append documents to the current bin while they fit in `capacity`
+    * tokens; a document that would overflow starts the next bin (so an
+    * oversized document never shares a bin with a predecessor, even a
+    * zero-size one). Null sizes count as 0. Returns
+    * (group, shard, id, size, bin); bin identity is (group, shard, bin).
     *
     * The running-total-with-reset recurrence is inherently sequential, so
-    * it cannot be a window function — but it is sequential only WITHIN a
-    * group. The plan is one shuffle (repartition by group), a
-    * sort-within-partitions, and a single imperative pass per partition:
-    * exactly the `mapPartitions`-as-last-resort case, with parallelism =
-    * number of groups (sources), which is what a per-source packing step
-    * means semantically. */
+    * it cannot be a window function — but it only needs to be sequential
+    * within one packing unit, and bins carry no cross-bin ordering
+    * semantics. `shards` is the parallelism lever at scale: shard 1 packs
+    * one sequence per group (parallelism = number of sources — fine when
+    * sources are many); at 100 TB with few huge sources, shard by a
+    * deterministic id hash so each group splits into `shards` independent
+    * packing units. The plan is one shuffle (repartition by group+shard), a
+    * sort-within-partitions, and a single imperative pass per partition. */
   def packBins(df: DataFrame, groupCol: String, idCol: String,
-               sizeCol: String, capacity: Long): DataFrame = {
+               sizeCol: String, capacity: Long, shards: Int = 1): DataFrame = {
     require(capacity > 0, s"capacity must be positive; got $capacity")
+    require(shards >= 1, s"shards must be >= 1; got $shards")
     val spark = df.sparkSession
     import spark.implicits._
     val in = df.select(col(groupCol).cast("string").as("group"),
+        pmod(xxhash64(col(idCol)), lit(shards.toLong)).as("shard"),
         col(idCol).cast("long").as("id"),
         coalesce(col(sizeCol).cast("long"), lit(0L)).as("size"))
-      .as[(String, Long, Long)]
-      .repartition(col("group"))
-      .sortWithinPartitions(col("group"), col("id"))
+      .as[(String, Long, Long, Long)]
+      .repartition(col("group"), col("shard"))
+      .sortWithinPartitions(col("group"), col("shard"), col("id"))
     in.mapPartitions { rows =>
       var started = false
       var group: String = null
+      var shard = -1L
       var fill = 0L
       var bin = 0L
-      rows.map { case (g, id, size) =>
-        if (!started || g != group) { started = true; group = g; bin = 0L; fill = size }
-        else if (fill + size > capacity) { bin += 1L; fill = size }
+      rows.map { case (g, sh, id, size) =>
+        if (!started || g != group || sh != shard) {
+          started = true; group = g; shard = sh; bin = 0L; fill = size
+        } else if (fill + size > capacity) { bin += 1L; fill = size }
         else fill += size
-        (g, id, size, bin)
+        (g, sh, id, size, bin)
       }
-    }.toDF("group", "id", "size", "bin")
+    }.toDF("group", "shard", "id", "size", "bin")
   }
 }

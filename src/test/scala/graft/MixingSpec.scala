@@ -53,8 +53,8 @@ class MixingSpec extends SparkSpec {
       ("g2", 1L, 10L), ("g2", 2L, 1L))
       .toDF("src", "doc", "sz")
     val out = Mixing.packBins(df, "src", "doc", "sz", capacity = 10L)
-      .as[(String, Long, Long, Long)].collect()
-      .map(r => (r._1, r._2) -> r._4).toMap
+      .select("group", "id", "bin").as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
     assert(out == Map(
       ("g1", 1L) -> 0L, ("g1", 2L) -> 0L, ("g1", 3L) -> 1L,
       ("g1", 4L) -> 2L, ("g1", 5L) -> 3L,
@@ -64,7 +64,7 @@ class MixingSpec extends SparkSpec {
   test("packBins: zero-size docs never let an oversized doc share their bin") {
     val df = Seq(("g", 1L, 0L), ("g", 2L, 12L), ("g", 3L, 0L)).toDF("src", "doc", "sz")
     val out = Mixing.packBins(df, "src", "doc", "sz", capacity = 10L)
-      .as[(String, Long, Long, Long)].collect().map(r => r._2 -> r._4).toMap
+      .select("id", "bin").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
@@ -72,7 +72,7 @@ class MixingSpec extends SparkSpec {
     val df = Seq(("g", 1L, Some(4L)), ("g", 2L, None), ("g", 3L, Some(5L)))
       .toDF("src", "doc", "sz")
     val out = Mixing.packBins(df, "src", "doc", "sz", capacity = 10L)
-      .as[(String, Long, Long, Long)].collect().map(r => r._2 -> r._4).toMap
+      .select("id", "bin").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L)) // 4 + 0 + 5 fits one bin
   }
 
@@ -80,9 +80,20 @@ class MixingSpec extends SparkSpec {
     val df = (0L until 100L).map(i => ("s" + (i % 3), i, 1L + i % 40))
       .toDF("src", "doc", "sz")
     val bins = Mixing.packBins(df, "src", "doc", "sz", capacity = 64L)
-      .groupBy("group", "bin")
+      .groupBy("group", "shard", "bin")
       .agg(sum("size").as("tot"), count(lit(1)).as("n"))
       .where(col("tot") > 64L && col("n") > 1L)
     assert(bins.count() == 0L)
+  }
+
+  test("packBins: sharding preserves the doc set and per-shard capacity") {
+    val df = (0L until 200L).map(i => ("src", i, 1L + i % 30)).toDF("src", "doc", "sz")
+    val out = Mixing.packBins(df, "src", "doc", "sz", capacity = 64L, shards = 4)
+    assert(out.select("id").as[Long].collect().toSet == (0L until 200L).toSet)
+    assert(out.select("shard").distinct().count() == 4L)
+    val over = out.groupBy("group", "shard", "bin")
+      .agg(sum("size").as("tot"), count(lit(1)).as("n"))
+      .where(col("tot") > 64L && col("n") > 1L)
+    assert(over.count() == 0L)
   }
 }
