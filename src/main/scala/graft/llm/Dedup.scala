@@ -340,23 +340,29 @@ object Dedup {
     * surviving corpus rows.
     *
     * Scale shape: the corpus side is exploded once and joined to the
-    * benchmark's exploded shingles — the benchmark is tiny relative to a
-    * 100 TB corpus, so its shingle table BROADCASTS and the whole
-    * contamination check runs map-side at scan speed; only candidate
+    * benchmark's exploded shingles — an eval benchmark is tiny relative to
+    * a 100 TB corpus, so by default its shingle table BROADCASTS and the
+    * whole contamination check runs map-side at scan speed; only candidate
     * (corpus, benchmark) pairs with a shared shingle reach the Jaccard
     * aggregation. A benchmark member present in the corpus matches itself
-    * at J=1 and drops — exactly the desired semantics. */
+    * at J=1 and drops — exactly the desired semantics. Pass
+    * `broadcastBenchmark = false` when the "benchmark" is another large
+    * corpus (cross-corpus decontamination): the same equi-join then runs
+    * as a shuffled hash join on the 8-byte shingle key, the jaccardPairs
+    * shape. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     textCol: String = "text", n: Int = 3,
-                    threshold: Double = 0.5): DataFrame = {
+                    threshold: Double = 0.5,
+                    broadcastBenchmark: Boolean = true): DataFrame = {
     def shingled(df: DataFrame, idAs: String) =
       df.select(col("doc_id").as(idAs), shingles(col(textCol), n).as("sh"))
         .withColumn("n_sh", size(col("sh")))
         .select(col(idAs), col("n_sh"), explode(col("sh")).as("s"))
         .select(col(idAs), col("n_sh"), xxhash64(col("s")).as("shingle"))
     val c = shingled(corpus, "cid").withColumnRenamed("n_sh", "nC")
-    val b = shingled(benchmark, "bid").withColumnRenamed("n_sh", "nB")
-    val contaminated = c.join(broadcast(b), Seq("shingle"))
+    val b0 = shingled(benchmark, "bid").withColumnRenamed("n_sh", "nB")
+    val b = if (broadcastBenchmark) broadcast(b0) else b0
+    val contaminated = c.join(b, Seq("shingle"))
       .groupBy("cid", "bid", "nC", "nB").agg(count(lit(1)).as("shared"))
       .where(col("shared").cast("double") / (col("nC") + col("nB") - col("shared"))
         >= threshold)

@@ -350,7 +350,7 @@ object LlmQueries {
 
   /** Shared DuckDB CTE bodies: word-3-shingle sets per document and the
     * exact Jaccard self-join pairs — embedded by the dd_ngram_jaccard,
-    * dd_minhash, and dd_clusters oracles. */
+    * dd_minhash, dd_clusters, dd_survivors, and dd_decontam oracles. */
   private lazy val jaccardCte: String =
     s"""sh AS (
        |  SELECT doc_id, list_distinct(CASE WHEN len(tok) >= 3

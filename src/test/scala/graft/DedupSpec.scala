@@ -111,6 +111,11 @@ class DedupSpec extends SparkSpec {
     val laxSurvivors = Dedup.decontaminate(docs, bench, threshold = 0.95)
       .select("doc_id").as[Long].collect().toSet
     assert(laxSurvivors == Set(3L, 4L, 5L)) // only exact-ish dups drop
+    // the cross-corpus (non-broadcast) path gives identical results
+    val shuffled = Dedup.decontaminate(docs, bench, threshold = 0.35,
+        broadcastBenchmark = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(shuffled == Set(4L))
   }
 
   test("cosinePairs: hand-computed cosine within blocks only") {
