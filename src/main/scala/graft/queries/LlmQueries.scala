@@ -303,13 +303,32 @@ object LlmQueries {
     // near-dup removal (shingle Jaccard, greedy keep-smaller-id) → token
     // accounting. Every stage is a narrow map or a key-blocked join; the
     // whole chain is one DuckDB-checkable query.
-    "dd_curate" -> ((s, dir) => {
+    "dd_curate" -> ((s, dir) => curatedDocs(s, dir).select("doc_id", "alnum_tokens")),
+
+    // The FULL corpus-assembly chain as one plan: curation survivors →
+    // deterministic 50% hash sample → greedy token-budget packing per
+    // source. Each stage's operator is oracle-checked alone above; this
+    // query proves they compose — the oracle recomputes the entire chain
+    // (curation CTEs + hash cutoff + recursive pack).
+    "dd_pipeline" -> ((s, dir) => {
+      val sampled = Mixing.hashSample(curatedDocs(s, dir), "doc_id", "source",
+        Seq.empty, pipelineSampleRate)
+      Mixing.packBins(sampled, "source", "doc_id", "alnum_tokens", packCapacity)
+        .select(col("group").as("source"), col("id").as("doc_id"),
+          col("size").as("n_tok"), col("bin"))
+    })
+  )
+
+  /** Curation survivors with their source and token count, memoized per
+    * (session, dir) — dd_curate projects it; dd_pipeline samples and packs
+    * it. All gate signals are computed in ONE projection (no joins, one
+    * pass over text) — the shape a 100 TB curation run wants: signals at
+    * scan speed, then only survivors reach the dedup shuffles. */
+  private[graft] def curatedDocs(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.frame(s, s"curated:$dir") {
       val docs = Tables.documents(s, dir)
-      // all gate signals in ONE projection (no joins, one pass over text) —
-      // the shape a 100 TB curation run wants: signals at scan speed, then
-      // only survivors reach the dedup shuffles
       val t = col("text")
-      val kept = docs.select(col("doc_id"), t,
+      val kept = docs.select(col("doc_id"), col("source"), t,
           length(t).cast("double").as("n_chars"),
           TextAnalysis.alphaRatio(t).as("alpha_ratio"),
           size(TextAnalysis.tokens(t)).as("alnum_tokens"),
@@ -324,9 +343,12 @@ object LlmQueries {
       val losers = Dedup.jaccardPairs(kept2.select("doc_id", "text"), n = 3, threshold = 0.5)
         .select(col("idB").as("doc_id")).distinct()
       kept2.join(losers, Seq("doc_id"), "left_anti")
-        .select("doc_id", "alnum_tokens")
-    })
-  )
+        .select("doc_id", "source", "alnum_tokens")
+    }
+
+  /** Flat keep-rate of dd_pipeline's sampling stage (shared with its
+    * oracle's hex cutoff). */
+  private[graft] val pipelineSampleRate = 0.5
 
   private def markerList(lang: String): String =
     LangId.markers(lang).map(w => s"'$w'").mkString(", ")
@@ -649,32 +671,60 @@ object LlmQueries {
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS f)
         |WHERE doc_id < 100""".stripMargin,
     "dd_curate" ->
-      s"""WITH lang AS ($langidSql),
-         |q AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars,
-         |        round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio
-         |      FROM documents),
-         |tc AS (SELECT doc_id, CAST(len(${tokSql("text")}) AS INT) AS alnum_tokens FROM documents),
-         |kept AS (SELECT d.doc_id, d.text, tc.alnum_tokens FROM documents d
-         |         JOIN q ON d.doc_id = q.doc_id
-         |         JOIN lang ON d.doc_id = lang.doc_id
-         |         JOIN tc ON d.doc_id = tc.doc_id
-         |         WHERE lang.lang_pred = 'en' AND q.alpha_ratio >= 0.6 AND q.n_chars >= 100),
-         |ex AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
-         |kept2 AS (SELECT k.doc_id, k.text, k.alnum_tokens FROM kept k
-         |          JOIN ex ON k.doc_id = ex.doc_id),
-         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tok) >= 3
-         |         THEN list_transform(range(0, len(tok) - 2),
-         |              i -> concat(tok[CAST(i AS INT)+1], ' ', tok[CAST(i AS INT)+2], ' ', tok[CAST(i AS INT)+3]))
-         |         ELSE [array_to_string(tok, ' ')] END) AS sh
-         |       FROM (SELECT doc_id, ${tokSql("text")} AS tok FROM kept2)),
-         |exx AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
-         |pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB, a.n_sh AS nA, b.n_sh AS nB,
-         |                 count(*) AS shared
-         |          FROM exx a JOIN exx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2, 3, 4),
-         |losers AS (SELECT DISTINCT idB AS doc_id FROM pairs
-         |           WHERE CAST(shared AS DOUBLE) / (nA + nB - shared) >= 0.5)
-         |SELECT doc_id, alnum_tokens FROM kept2
-         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+      s"""WITH $curateCte
+         |SELECT doc_id, alnum_tokens FROM survivors""".stripMargin,
+    // the whole chain: curation CTEs → md5-hex sample cutoff → recursive
+    // greedy pack per source — every constant shared with the Spark side
+    "dd_pipeline" ->
+      s"""WITH RECURSIVE $curateCte,
+         |sampled AS (SELECT doc_id, source, alnum_tokens FROM survivors
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Mixing.rateCutoffHex(pipelineSampleRate)}'),
+         |pt AS (SELECT source, doc_id, CAST(alnum_tokens AS BIGINT) AS n_tok,
+         |       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |       FROM sampled),
+         |pp AS (
+         |  SELECT source, doc_id, n_tok, rn, CAST(0 AS BIGINT) AS bin, n_tok AS fill
+         |  FROM pt WHERE rn = 1
+         |  UNION ALL
+         |  SELECT pt.source, pt.doc_id, pt.n_tok, pt.rn,
+         |    CASE WHEN pp.fill + pt.n_tok > $packCapacity
+         |         THEN pp.bin + 1 ELSE pp.bin END,
+         |    CASE WHEN pp.fill + pt.n_tok > $packCapacity
+         |         THEN pt.n_tok ELSE pp.fill + pt.n_tok END
+         |  FROM pp JOIN pt ON pt.source = pp.source AND pt.rn = pp.rn + 1)
+         |SELECT source, doc_id, n_tok, bin FROM pp""".stripMargin
   )
+
+  /** DuckDB CTE chain of the curation pipeline (language gate → quality
+    * gate → exact dedup → near-dup removal), ending in `survivors`
+    * (doc_id, source, alnum_tokens) — embedded by the dd_curate and
+    * dd_pipeline oracles. */
+  private lazy val curateCte: String =
+    s"""lang AS ($langidSql),
+       |q AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars,
+       |        round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio
+       |      FROM documents),
+       |tc AS (SELECT doc_id, CAST(len(${tokSql("text")}) AS INT) AS alnum_tokens FROM documents),
+       |kept AS (SELECT d.doc_id, d.source, d.text, tc.alnum_tokens FROM documents d
+       |         JOIN q ON d.doc_id = q.doc_id
+       |         JOIN lang ON d.doc_id = lang.doc_id
+       |         JOIN tc ON d.doc_id = tc.doc_id
+       |         WHERE lang.lang_pred = 'en' AND q.alpha_ratio >= 0.6 AND q.n_chars >= 100),
+       |ex AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+       |kept2 AS (SELECT k.doc_id, k.source, k.text, k.alnum_tokens FROM kept k
+       |          JOIN ex ON k.doc_id = ex.doc_id),
+       |csh AS (SELECT doc_id, list_distinct(CASE WHEN len(tok) >= 3
+       |         THEN list_transform(range(0, len(tok) - 2),
+       |              i -> concat(tok[CAST(i AS INT)+1], ' ', tok[CAST(i AS INT)+2], ' ', tok[CAST(i AS INT)+3]))
+       |         ELSE [array_to_string(tok, ' ')] END) AS sh
+       |       FROM (SELECT doc_id, ${tokSql("text")} AS tok FROM kept2)),
+       |cexx AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM csh),
+       |cpairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB, a.n_sh AS nA, b.n_sh AS nB,
+       |                 count(*) AS shared
+       |          FROM cexx a JOIN cexx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2, 3, 4),
+       |losers AS (SELECT DISTINCT idB AS doc_id FROM cpairs
+       |           WHERE CAST(shared AS DOUBLE) / (nA + nB - shared) >= 0.5),
+       |survivors AS (SELECT doc_id, source, alnum_tokens FROM kept2
+       |              WHERE doc_id NOT IN (SELECT doc_id FROM losers))""".stripMargin
 }
