@@ -26,6 +26,9 @@ object ProbeContracts {
     val mh = LlmQueries.minhashStats(spark, dir)
     p(f"dd_minhash: nExact=${mh.nExact} recall=${mh.recall}%.4f gross=${mh.gross} estsOk=${mh.estsOk}")
 
+    val sem = LlmQueries.semanticStats(spark, dir)
+    p(f"dd_semantic: nExact=${sem.nExact} recall=${sem.recall}%.4f falsePos=${sem.falsePos}")
+
     val emb = Tables.embeddings(spark, dir)
     val lshAnn = LlmQueries.annStats(spark,
       Ann.lshTopK(emb, emb.where("vec_id < 8"), k = 10), dir)

@@ -370,6 +370,67 @@ object Dedup {
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Cross-document boilerplate statistics: word n-grams shared by at
+    * least `minDf` distinct documents (headers, footers, license blurbs,
+    * templated spans — the spans line-level dedup removes from a crawl).
+    * Per document: distinct n-gram count, how many are corpus-boilerplate,
+    * and the boilerplate fraction — the gating signal a curation pipeline
+    * thresholds on.
+    *
+    * Scale shape: explode each doc's DISTINCT n-grams (so a gram's row
+    * count IS its document frequency), aggregate document frequency on the
+    * gram's 8-byte xxhash64 (fixed-width shuffle key, same rationale as
+    * [[jaccardPairs]]), and equi-join the hot set back. The hot-gram set is
+    * small by construction (high-df grams only), so AQE broadcasts the
+    * join-back at scale; nothing here is ever all-pairs. */
+  def boilerplateStats(df: DataFrame, textCol: String = "text", n: Int = 3,
+                       minDf: Int = 3): DataFrame = {
+    // shingles() always yields >= 1 element (short docs collapse to one
+    // whole-doc gram), so every input doc appears in the exploded frame
+    // and the per-doc gram count is a plain row count
+    val ex = df.select(col("doc_id"), explode(shingles(col(textCol), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .cache() // read three times: doc totals, gram df, hot join-back
+    val perDoc = ex.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hot = ex.groupBy("gh").agg(count(lit(1)).as("gdf"))
+      .where(col("gdf") >= minDf)
+    val bp = ex.join(hot.select("gh"), Seq("gh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("bp_grams"))
+    releasing(ex) {
+      perDoc.join(bp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("bp_grams"), lit(0L)).as("bp_grams"),
+          round(coalesce(col("bp_grams"), lit(0L)).cast("double")
+            / greatest(col("n_grams"), lit(1L)).cast("double"), 6).as("bp_frac"))
+    }
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: cluster the embeddings with
+    * seeded KMeans (the learned "semantic bucket"), then run the exact
+    * cosine comparison only within a cluster — [[cosinePairs]] with a
+    * learned block key instead of a caller-supplied one. On clustered
+    * corpora (the regime semantic dedup targets) near-identical documents
+    * land in the same cell and recall approaches 1 while the pair space
+    * shrinks by ~nCells; on unclustered noise recall degrades toward
+    * 1/nCells — the documented SemDeDup trade, property-tested both ways
+    * in DedupSpec and bounded against the exact baseline by the
+    * dd_semantic contract. Centroid fit is one pass over a sample; the
+    * per-pair work is the codegen cosine kernel. Emitted cosines are
+    * exact (recomputed, not estimated), so emitted pairs are always a
+    * subset of the exact-threshold pair set. */
+  def semanticPairs(df: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding", nCells: Int = 8,
+                    threshold: Double = 0.3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = df.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("arr"))
+      .withColumn("mlv", array_to_vector(col("arr")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("mlv")
+      .setPredictionCol("cell").fit(v)
+    cosinePairs(km.transform(v), idCol, "arr", col("cell"), threshold)
+  }
+
   /** Embedding-cosine near-dup over unit-normalized vectors, blocked by a
     * caller-supplied key (e.g. an LSH bucket or coarse quantization) so the
     * pair space is bounded. Vectors are cast to double before arithmetic so

@@ -37,6 +37,15 @@ object ContractBounds {
     * mismatches 0 at every SF). */
   val lshJoinRecall = 0.8
 
+  /** SemDeDup (8 KMeans cells, cosine >= 0.3) recall of the exact
+    * all-pairs >= 0.3 set. The fixture embeddings are near-orthogonal —
+    * the regime where single-assignment semantic blocking is weakest
+    * (recall trends toward 1/nCells); on genuinely clustered data
+    * DedupSpec shows recall = 1.0. Measured: 0.44 / 0.38 / 0.30 (false
+    * positives 0 at every SF — structural: the kernel recomputes exact
+    * cosines). */
+  val semanticRecall = 0.15
+
   /** Flagship: golden pairs ranked into the top-500 output, as a fraction
     * of min(golden, output rows) — when golden outnumber the window
     * (sf0.1: 1333 golden) the metric is the golden share of the window.

@@ -114,6 +114,37 @@ object LlmQueries {
       Ann.bruteTopK(emb, emb.where("vec_id < 8"), k = 10)
     }
 
+  /** Measured contract stats for SemDeDup vs the exact all-pairs cosine
+    * baseline at the same threshold. `falsePos` must be 0 structurally
+    * (semanticPairs recomputes exact cosines, so its pairs are a subset of
+    * the exact set) — a nonzero value means the kernel or the block join
+    * broke; recall is cluster-assignment-dependent (seeded KMeans) and
+    * surfaces as a probed-bound boolean. */
+  private[graft] case class SemStats(nExact: Long, recall: Double, falsePos: Long)
+
+  private[graft] def semanticStats(s: SparkSession, dir: String): SemStats = {
+    val emb = Tables.embeddings(s, dir)
+    // exact all-pairs baseline: one side broadcast (the embeddings table is
+    // MBs even at sf0.1), so the cross product parallelizes over the left
+    // side's partitions with no shuffle
+    val v = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val exact = v.select(col("vec_id").as("idA"), col("v").as("vA"))
+      .crossJoin(broadcast(v.select(col("vec_id").as("idB"), col("v").as("vB"))))
+      .where(col("idA") < col("idB"))
+      .withColumn("cosine", graft.functions.CosineSim.cosine_sim(col("vA"), col("vB")))
+      .where(col("cosine") >= 0.3)
+      .select("idA", "idB").cache()
+    val sem = Dedup.semanticPairs(emb, nCells = 8, threshold = 0.3)
+      .select("idA", "idB").cache()
+    val nExact = exact.count()
+    val hit = sem.join(exact, Seq("idA", "idB")).count()
+    val fp = sem.count() - hit
+    exact.unpersist(blocking = false)
+    sem.unpersist(blocking = false)
+    SemStats(nExact, hit.toDouble / math.max(nExact, 1L), fp)
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     // Exact dedup by content hash (hash-groupBy; 16-byte shuffle key).
     "dd_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -176,6 +207,27 @@ object LlmQueries {
       val docs = Tables.documents(s, dir)
       Dedup.decontaminate(docs, docs.where("doc_id % 97 = 0"), threshold = 0.5)
         .select("doc_id")
+    }),
+
+    // Cross-document boilerplate detection: 3-grams shared by >= 3 docs,
+    // per-doc boilerplate fraction. Gram document frequency aggregates on
+    // an 8-byte hash; the hot-gram set is small by construction and
+    // broadcast back. Fully value-checked.
+    "dd_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateStats(Tables.documents(s, dir), n = 3, minDf = 3)),
+
+    // SemDeDup: seeded-KMeans semantic cells, exact cosine within a cell.
+    // Cell assignment is model state, so the query emits its contract vs
+    // the exact all-pairs baseline: the exact pair count (SQL-computable),
+    // recall >= probed bound, and zero false positives (structural — the
+    // kernel recomputes exact cosines; see ProbeContracts for the raw
+    // measured recall per SF).
+    "dd_semantic" -> ((s, dir) => {
+      import s.implicits._
+      val st = semanticStats(s, dir)
+      Seq((st.nExact, st.recall >= ContractBounds.semanticRecall,
+           st.falsePos == 0L))
+        .toDF("n_exact", "recall_ok", "no_false_positives")
     }),
 
     // Embedding-cosine near-dup, blocked by (label, key-mod) coarse cells.
@@ -528,6 +580,38 @@ object LlmQueries {
          |      FROM banded a JOIN banded b
          |        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
          |SELECT idA, idB, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+    // full value check: the n-gram construction mirrors the Spark
+    // shingles() semantics (distinct grams; short docs collapse to one
+    // whole-doc gram), document frequency = rows per gram
+    "dd_boilerplate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(tok) >= 3
+         |    THEN list_transform(range(0, len(tok) - 2),
+         |         i -> concat(tok[CAST(i AS INT)+1], ' ', tok[CAST(i AS INT)+2], ' ', tok[CAST(i AS INT)+3]))
+         |    ELSE [array_to_string(tok, ' ')] END) AS sh
+         |  FROM (SELECT doc_id, ${tokSql("text")} AS tok FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) >= 3),
+         |bp AS (SELECT doc_id, count(*) AS bp_grams FROM ex JOIN hot USING (g)
+         |       GROUP BY doc_id),
+         |pd AS (SELECT doc_id, count(*) AS n_grams FROM ex GROUP BY doc_id)
+         |SELECT pd.doc_id, CAST(pd.n_grams AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(bp.bp_grams, 0) AS BIGINT) AS bp_grams,
+         |  round(CAST(COALESCE(bp.bp_grams, 0) AS DOUBLE)
+         |    / greatest(pd.n_grams, 1), 6) AS bp_frac
+         |FROM pd LEFT JOIN bp USING (doc_id)""".stripMargin,
+    // contract: exact >=0.3 all-pairs count is SQL-computable; recall vs it
+    // and the structural no-false-positives check are cluster-state
+    // invariants the driver hash-gates
+    "dd_semantic" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok,
+        |  true AS no_false_positives
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+        |  / (a.nrm * b.nrm) >= 0.3""".stripMargin,
     "dd_cosine" ->
       """WITH v AS (SELECT vec_id, label, vec_id % 5 AS sub,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

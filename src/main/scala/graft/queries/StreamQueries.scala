@@ -32,6 +32,24 @@ object StreamQueries {
         s"st_dedup_${runId.incrementAndGet()}", complete = false)
     }),
 
+    // Streaming key-dedup with watermark-bounded state
+    // (dropDuplicatesWithinWatermark): per-key state expires once the
+    // watermark passes, so state is bounded by keys-within-horizon rather
+    // than all keys ever seen. The 35-day horizon covers the fixture's
+    // 30-day span, so the bounded-state result equals a global distinct —
+    // which is what makes it oracle-checkable; the emitted projection is
+    // the key columns only, so WHICH duplicate survived cannot perturb the
+    // result. Aggregated per event_type after the sink (the count is the
+    // deterministic surface).
+    "st_dedup_wm" -> ((s, dir) => {
+      val dd = EventStreams.dedupKeysWithinWatermark(
+        EventStreams.readEventStream(s, dir),
+        cols = Seq("user_id", "event_type"), watermark = "35 days")
+      EventStreams.runToBatch(dd.select("user_id", "event_type"),
+          s"st_dedup_wm_${runId.incrementAndGet()}", complete = false)
+        .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    }),
+
     // Custom sessionization state (flatMapGroupsWithState), batch execution
     // of the same code path the stream runs.
     "st_sessionize" -> ((s, dir) => {
@@ -73,7 +91,7 @@ object StreamQueries {
       val q = EventStreams.maintainAggregateStore(agg, store,
         keys = Seq("event_type"), updateCols = Seq("n", "total_value"))
       q.awaitTermination()
-      s.read.parquet(store)
+      graft.io.IO.readPartitionedStore(s, store)
     }),
 
     // Sessionization through the STREAMING engine proper: watermark +
@@ -99,6 +117,9 @@ object StreamQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "st_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
+    "st_dedup_wm" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
     "st_foreach_upsert" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(value), 2) AS total_value

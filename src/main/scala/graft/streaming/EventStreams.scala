@@ -73,6 +73,19 @@ object EventStreams {
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** Streaming key dedup with BOUNDED state: unlike `dropDuplicates`
+    * (whose key state only expires when the dedup columns include the
+    * event-time column), `dropDuplicatesWithinWatermark` drops a key's
+    * state once the watermark passes its expiry — state is (keys seen
+    * within the horizon), independent of stream length, for arbitrary key
+    * columns. The trade: a duplicate arriving more than `watermark` after
+    * its first occurrence is re-emitted, which is the standard at-scale
+    * dedup contract (exact within the horizon, best-effort beyond). */
+  def dedupKeysWithinWatermark(events: DataFrame, cols: Seq[String],
+                               watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(cols)
+
   case class Ev(event_id: Long, ts: java.time.LocalDateTime, user_id: Long,
                 event_type: String, value: Double)
   case class Session(user_id: Long, session_start: String, session_end: String,
@@ -196,16 +209,25 @@ object EventStreams {
     * into a store go through foreachBatch + MERGE. First batch creates the
     * store; every batch (including the first) then runs the merge path so
     * the upsert machinery is exercised even on single-batch inputs.
+    *
+    * The store uses the key-hash-bucketed layout, so each micro-batch's
+    * merge rewrites only the buckets its keys touch (partition-pruned
+    * read + dynamic partition overwrite) — per-batch cost is O(delta +
+    * touched buckets), not O(store), which is what keeps an always-on
+    * stream viable once the store outgrows a batch. Read it back with
+    * [[graft.io.IO.readPartitionedStore]].
     * Returns the started query; caller awaits/termination. */
   def maintainAggregateStore(aggStream: DataFrame, storePath: String,
                              keys: Seq[String], updateCols: Seq[String],
-                             availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+                             availableNow: Boolean = true,
+                             nBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
     import java.nio.file.{Files, Paths}
     val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = { (batch, _) =>
       val df = batch.toDF()
       if (!Files.exists(Paths.get(storePath)))
-        df.write.mode("overwrite").parquet(storePath)
-      graft.io.IO.upsertPath(df.sparkSession, storePath, df, keys, updateCols)
+        graft.io.IO.writePartitionedStore(df, storePath, keys, nBuckets)
+      graft.io.IO.upsertPartitionedStore(df.sparkSession, storePath, df,
+        keys, updateCols)
     }
     val w = aggStream.writeStream.outputMode(OutputMode.Complete()).foreachBatch(fn)
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()

@@ -129,4 +129,65 @@ class DedupSpec extends SparkSpec {
     assert(ids == Set((1L, 2L)))             // 3 is opposite; 4 in another block
     assert(out.head._3 > 0.99 && out.head._3 <= 1.0)
   }
+
+  test("boilerplateStats: hand-computed cross-doc gram frequencies") {
+    val d = Seq(
+      (1L, "a b c d"),    // grams: "a b c", "b c d"
+      (2L, "a b c e"),    // grams: "a b c", "b c e"
+      (3L, "x a b c"),    // grams: "x a b", "a b c"
+      (4L, "q r s t")     // grams: "q r s", "r s t" — none shared
+    ).toDF("doc_id", "text")
+    // only "a b c" appears in >= 3 docs
+    val out = Dedup.boilerplateStats(d, n = 3, minDf = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 1L, 0.5)))
+    assert(out(4L) == ((2L, 0L, 0.0)))
+  }
+
+  test("boilerplateStats: short docs collapse to a whole-doc gram") {
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "c")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateStats(d, n = 3, minDf = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((1L, 1L, 1.0)))  // "a b" shared by 3 docs
+    assert(out(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("semanticPairs: full recall and no false positives on clustered vectors") {
+    // two tight clusters around orthogonal centers — the SemDeDup regime:
+    // every near-dup pair is within-cluster, so KMeans blocking loses nothing
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val vecs = (0 until 8).map { i =>
+      val ctr = if (i < 4) c1 else c2
+      (i.toLong, mk(ctr, 0.01f * (i % 4)), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val sem = Dedup.semanticPairs(vecs, nCells = 2, threshold = 0.95)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    // exact pairs at the same threshold: all within-cluster pairs
+    val expected = (for {
+      a <- 0 until 8; b <- (a + 1) until 8
+      if (a < 4) == (b < 4)
+    } yield (a.toLong, b.toLong)).toSet
+    assert(sem == expected, s"got $sem")
+  }
+
+  test("semanticPairs: emitted cosines are exact (subset of exact pair set)") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val sem = Dedup.semanticPairs(emb, nCells = 8, threshold = 0.3)
+    val v = emb.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("v"))
+    val exact = v.select($"vec_id".as("idA"), $"v".as("vA"))
+      .crossJoin(broadcast(v.select($"vec_id".as("idB"), $"v".as("vB"))))
+      .where($"idA" < $"idB")
+      .where(graft.functions.CosineSim.cosine_sim($"vA", $"vB") >= 0.3)
+      .select("idA", "idB")
+    assert(sem.select("idA", "idB").join(exact, Seq("idA", "idB"), "left_anti")
+      .count() == 0L)
+  }
 }

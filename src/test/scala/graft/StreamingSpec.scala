@@ -48,6 +48,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupKeysWithinWatermark: duplicate keys within the horizon emit once") {
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](spark)
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.dedupKeysWithinWatermark(df,
+        Seq("user_id", "event_type"), "1 hour")
+      .select("user_id", "event_type")
+      .writeStream.format("memory").queryName("dedup_wm_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 clicks twice in batch 1, again in batch 2; user 2 buys once
+      mem.addData(ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "click", 2.0),
+        ev(3, 3, 2, "buy", 4.0))
+      q.processAllAvailable()
+      mem.addData(ev(4, 4, 1, "click", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_wm_test")
+        .as[(Long, String)].collect().toSeq
+      assert(out.sorted == Seq((1L, "click"), (2L, "buy")))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions, aggregates per session") {
     def mk(id: Long, t: String, u: Long, v: Double) =
       EventStreams.Ev(id, LocalDateTime.parse(t), u, "e", v)
@@ -104,7 +125,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(ev(3, 3, 2, "click", 2.5)) // click count 1 -> 2 via MERGE
       q.processAllAvailable()
-      val out = spark.read.parquet(store)
+      val out = graft.io.IO.readPartitionedStore(spark, store)
         .as[(String, Long, Double)].collect().toSet
       assert(out == Set(("click", 2L, 3.5), ("buy", 1L, 4.0)))
     } finally q.stop()
