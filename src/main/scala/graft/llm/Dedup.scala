@@ -18,11 +18,16 @@ object Dedup {
     * long-lived session accumulate storage memory until eviction pressure
     * degrades the whole engine; checkpoint blocks, by contrast, are freed
     * by the ContextCleaner once the returned frame is garbage collected. */
-  private def releasing(intermediates: DataFrame*)(result: DataFrame): DataFrame = {
-    val out = result.localCheckpoint()
-    intermediates.foreach(_.unpersist(blocking = false))
-    out
-  }
+  private def releasing(intermediates: DataFrame*)(result: DataFrame): DataFrame =
+    // plan-audit mode (graft.Plans): return the raw frame so the explain
+    // shows the operator chain, not a checkpoint read; the audit session
+    // is short-lived, so skipping the cache release is harmless there
+    if (sys.props.contains("graft.audit.rawPlans")) result
+    else {
+      val out = result.localCheckpoint()
+      intermediates.foreach(_.unpersist(blocking = false))
+      out
+    }
 
   /** Exact dedup by content hash: one row per distinct text, keeping the
     * smallest doc_id as the canonical survivor plus the duplicate count.
@@ -420,13 +425,19 @@ object Dedup {
     * subset of the exact-threshold pair set. */
   def semanticPairs(df: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding", nCells: Int = 8,
-                    threshold: Double = 0.3, seed: Long = 42L): DataFrame = {
+                    threshold: Double = 0.3, seed: Long = 42L,
+                    maxIter: Int = 5): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val v = df.select(col(idCol),
         transform(col(vecCol), x => x.cast("double")).as("arr"))
       .withColumn("mlv", array_to_vector(col("arr")))
-    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("mlv")
+    // random init + few Lloyd iterations: the cells are a BLOCKING key, so
+    // partition quality (not convergence) is what matters — k-means|| init
+    // plus the default 20 iterations costs 4× more fit time (measured via
+    // graft.ProfileSem) for no recall gain on either fixture regime
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random").setFeaturesCol("mlv")
       .setPredictionCol("cell").fit(v)
     cosinePairs(km.transform(v), idCol, "arr", col("cell"), threshold)
   }

@@ -41,7 +41,7 @@ object ContractBounds {
     * all-pairs >= 0.3 set. The fixture embeddings are near-orthogonal —
     * the regime where single-assignment semantic blocking is weakest
     * (recall trends toward 1/nCells); on genuinely clustered data
-    * DedupSpec shows recall = 1.0. Measured: 0.44 / 0.38 / 0.30 (false
+    * DedupSpec shows recall = 1.0. Measured: 0.34 / 0.32 / 0.29 (false
     * positives 0 at every SF — structural: the kernel recomputes exact
     * cosines). */
   val semanticRecall = 0.15

@@ -377,7 +377,12 @@ object LlmQueries {
     * pass over text) — the shape a 100 TB curation run wants: signals at
     * scan speed, then only survivors reach the dedup shuffles. */
   private[graft] def curatedDocs(s: SparkSession, dir: String): DataFrame =
-    SessionMemo.frame(s, s"curated:$dir") {
+    SessionMemo.frame(s, s"curated:$dir")(buildCurated(s, dir))
+
+  /** The un-memoized curation plan — what [[curatedDocs]] materializes.
+    * Exposed separately so the plan audit (graft.Plans) can explain the
+    * real operator chain rather than the memo's checkpoint read. */
+  private[graft] def buildCurated(s: SparkSession, dir: String): DataFrame = {
       val docs = Tables.documents(s, dir)
       val t = col("text")
       val kept = docs.select(col("doc_id"), col("source"), t,
