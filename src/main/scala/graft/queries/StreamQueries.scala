@@ -50,6 +50,25 @@ object StreamQueries {
         .groupBy("event_type").agg(count(lit(1)).as("n_users"))
     }),
 
+    // Incremental corpus dedup: the documents fixture streamed as 3
+    // micro-batches, each exact-deduped against the PERSISTED accepted-hash
+    // store (bucketed layout: existence check reads touched buckets only,
+    // append rewrites touched buckets only — O(delta), not O(corpus), per
+    // batch). Emits the final store's hash set, which is arrival-order
+    // independent and hence fully oracle-checkable.
+    "st_incremental_dedup" -> ((s, dir) => {
+      val id = runId.incrementAndGet()
+      val store = s"/root/repo/target/qtmp/st_incdedup_store_$id"
+      val out = s"/root/repo/target/qtmp/st_incdedup_out_$id"
+      graft.io.IO.deletePath(store)
+      graft.io.IO.deletePath(out)
+      val q = graft.streaming.DocStreams.incrementalExactDedup(
+        graft.streaming.DocStreams.readDocumentStream(s, dir, nSplits = 3),
+        store, out)
+      q.awaitTermination()
+      graft.io.IO.readPartitionedStore(s, store).select("content_hash")
+    }),
+
     // Custom sessionization state (flatMapGroupsWithState), batch execution
     // of the same code path the stream runs.
     "st_sessionize" -> ((s, dir) => {
@@ -120,6 +139,10 @@ object StreamQueries {
     "st_dedup_wm" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    // the accepted-hash store's final state is the distinct content-hash
+    // set — identical however the arrivals were batched
+    "st_incremental_dedup" ->
+      "SELECT DISTINCT md5(text) AS content_hash FROM documents",
     "st_foreach_upsert" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(value), 2) AS total_value

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Streaming document ingestion: the incremental-curation shape a corpus
+  * pipeline runs on every crawl delta, against the `documents` fixture.
+  *
+  * The flagship composition is [[incrementalExactDedup]]: each arriving
+  * micro-batch of documents is exact-deduped against everything the
+  * pipeline has EVER accepted, by anti-joining the batch's content hashes
+  * against a persisted key-hash-bucketed store and appending only the
+  * novel hashes. Per-batch cost is O(delta + touched buckets), not
+  * O(corpus): the store read prunes to the buckets the batch's hashes land
+  * in, and the store write rewrites only those buckets (dynamic partition
+  * overwrite) — the property that keeps an always-on ingest viable once
+  * the accepted-corpus store dwarfs a delta. At 100 TB the same plan holds:
+  * a day's delta touches at most min(|delta|, nBuckets) partitions of a
+  * store that can itself be arbitrarily large.
+  */
+object DocStreams {
+
+  /** File-source stream over the documents fixture, staged into `nSplits`
+    * files and throttled to one file per micro-batch — so a bounded
+    * fixture still exercises REAL multi-batch incremental behavior
+    * (cross-batch duplicates must be caught by the store, not by
+    * within-batch dedup). */
+  def readDocumentStream(spark: SparkSession, dir: String,
+                         nSplits: Int = 3): DataFrame = {
+    val staged = stageSplits(spark, dir, nSplits)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+  }
+
+  /** Stage the single-file fixture as `nSplits` parquet files, split
+    * deterministically by pmod(doc_id, nSplits) so every run (and every
+    * engine) sees the same batch contents. */
+  private def stageSplits(spark: SparkSession, dir: String, nSplits: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val out = Paths.get("/root/repo/target/qtmp",
+      s"stream_docs_${Integer.toHexString(dir.hashCode)}_$nSplits")
+    val marker = out.resolve("_graft_staged")
+    if (!Files.exists(marker)) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      (0 until nSplits).foreach { i =>
+        docs.where(pmod(col("doc_id"), lit(nSplits)) === i)
+          .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(out.toString)
+      }
+      Files.createFile(marker)
+    }
+    out.toString
+  }
+
+  /** One micro-batch of the incremental dedup: hash the batch, dedup
+    * within it (min doc_id per hash), anti-join against the persisted
+    * store's TOUCHED BUCKETS only, append the novel hashes back. Returns
+    * the batch's surviving (content_hash, doc_id) rows. Exposed for the
+    * registered query's oracle surface and direct batch use. */
+  def dedupBatchAgainstStore(batch: DataFrame, storePath: String): DataFrame = {
+    import graft.io.IO
+    val spark = batch.sparkSession
+    val keys = Seq("content_hash")
+    val hashed = batch
+      .select(md5(col("text")).as("content_hash"), col("doc_id"))
+      .groupBy("content_hash").agg(min("doc_id").as("doc_id"))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(storePath))) {
+      // first batch seeds the store; everything in it is novel
+      IO.writePartitionedStore(hashed, storePath, keys)
+      hashed.localCheckpoint()
+    } else {
+      // existence check reads only the buckets this batch's hashes land in
+      val nB = IO.storeBuckets(storePath)
+      val src = hashed.withColumn(IO.BucketCol, IO.bucketExpr(keys, nB))
+        .localCheckpoint()
+      val touched = src.select(IO.BucketCol).distinct().collect().map(_.getInt(0))
+      val stored = spark.read.parquet(storePath)
+        .where(col(IO.BucketCol).isin(touched.toIndexedSeq: _*))
+        .select("content_hash")
+      val survivors = src.join(stored, keys, "left_anti")
+        .drop(IO.BucketCol).localCheckpoint()
+      // all survivors are novel keys, so the MERGE is pure insert — it
+      // still goes through the partition-pruned upsert so only touched
+      // buckets rewrite
+      IO.upsertPartitionedStore(spark, storePath, survivors, keys,
+        updateCols = Seq("doc_id"))
+      survivors
+    }
+  }
+
+  /** Streaming incremental exact dedup: every micro-batch of `docs` is
+    * deduped against the persisted store via [[dedupBatchAgainstStore]];
+    * survivors append to `outPath`. Caller awaits termination and reads
+    * the store / output. */
+  def incrementalExactDedup(docs: DataFrame, storePath: String,
+                            outPath: String,
+                            availableNow: Boolean = true): StreamingQuery = {
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit = {
+      (batch, _) =>
+        dedupBatchAgainstStore(batch.toDF(), storePath)
+          .write.mode("append").parquet(outPath)
+    }
+    val w = docs.writeStream.outputMode(OutputMode.Append()).foreachBatch(fn)
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+}

@@ -131,6 +131,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dedup: cross-batch duplicates are dropped via the persisted store") {
+    import graft.streaming.DocStreams
+    val store = "/root/repo/target/test_tmp/incdedup_store"
+    val out = "/root/repo/target/test_tmp/incdedup_out"
+    Seq(store, out).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val mem = MemoryStream[(Long, String)](spark)
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = DocStreams.incrementalExactDedup(docs, store, out,
+      availableNow = false)
+    try {
+      mem.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha")) // 3 dups 1 in-batch
+      q.processAllAvailable()
+      mem.addData((4L, "beta"), (5L, "gamma"))                // 4 dups 2 cross-batch
+      q.processAllAvailable()
+      val survivors = spark.read.parquet(out)
+        .as[(String, Long)].collect().map(_._2).toSet
+      assert(survivors == Set(1L, 2L, 5L))
+      val stored = graft.io.IO.readPartitionedStore(spark, store)
+        .as[(String, Long)].collect().toMap
+      assert(stored.values.toSet == Set(1L, 2L, 5L))
+      assert(stored.size == 3) // alpha, beta, gamma — each hashed once
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: watermark evicts state to the horizon") {
     val c = EventStreams.readEventStream(spark, sf).where("event_type = 'click'")
       .selectExpr("user_id AS c_user", "ts AS c_ts", "event_id AS c_id")
