@@ -133,6 +133,112 @@ object Ann {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Seeded KMeans centroids as a plain (cell, centroid) frame — the
+    * persistable coarse quantizer behind the incremental IVF store.
+    * Random init + few iterations, same rationale as
+    * [[Dedup.semanticPairs]]: cells are a routing key, convergence
+    * quality is secondary. */
+  def fitCentroids(corpus: DataFrame, nCells: Int = 16,
+                   vecCol: String = "embedding", seed: Long = 42L,
+                   maxIter: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val v = corpus.select(asDouble(col(vecCol)).as("arr"))
+      .withColumn("mlv", array_to_vector(col("arr")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random").setFeaturesCol("mlv").fit(v)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+  }
+
+  /** Assign each vector to its nearest centroid (broadcast argmin over the
+    * tiny centroid table — map-side, no shuffle of the corpus). */
+  def assignCells(df: DataFrame, centroids: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", aggregate(
+        zip_with(col("cv"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (s, x) => s + x))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("nn_id").orderBy(col("cdist").asc, col("cell").asc)))
+      .where(col("rk") === 1)
+      .select("nn_id", "cv", "cell")
+  }
+
+  private def centroidsPath(path: String) = s"$path/_graft_centroids"
+
+  /** The centroid table a persisted IVF store was built with. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(centroidsPath(path))
+
+  /** Top-k over an already-assigned (nn_id, cv, cell) frame: nProbe cells
+    * per query via the given centroids, exact cosine re-rank. Shared by
+    * [[ivfStoreTopK]] (assigned = the persisted store) and any in-memory
+    * assignment (which is how AnnSpec and the ann_ivf_store contract prove
+    * append-maintained and batch-built indexes serve identical results). */
+  def ivfTopKFromAssigned(assigned: DataFrame, centroids: DataFrame,
+                          queries: DataFrame, k: Int, nProbe: Int = 4,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", aggregate(
+        zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (s, x) => s + x))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").asc, col("cell").asc)))
+      .where(col("rk") <= nProbe)
+      .select("query_id", "qv", "cell")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosine(col("cv"), col("qv")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Build a persisted IVF index: fit centroids on the initial corpus,
+    * assign, write partitioned by cell (centroids ride along in an
+    * underscore-prefixed subdir the store scan ignores). */
+  def writeIvfStore(corpus: DataFrame, path: String, nCells: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    seed: Long = 42L): Unit = {
+    val cents = fitCentroids(corpus, nCells, vecCol, seed)
+    assignCells(corpus, cents, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents.coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+  }
+
+  /** Incremental index maintenance: route a delta of new vectors through
+    * the STORED centroids and append into the cell partitions — pure
+    * insert, no existing file is read or rewritten, so indexing a delta
+    * costs O(delta) however large the store has grown. (The trade, as for
+    * every IVF deployment: centroids age as the distribution drifts;
+    * refresh = writeIvfStore again.) */
+  def appendIvfStore(delta: DataFrame, path: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    val cents = spark.read.parquet(centroidsPath(path))
+    assignCells(delta, cents, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** Serve top-k from the persisted IVF index: nProbe cells per query via
+    * the stored centroids, store scan PRUNED to the union of probed cells
+    * (partition pruning on the cell directories), exact cosine re-rank of
+    * candidates. Same query plan as [[ivfTopK]], but against an index that
+    * was built once and maintained by appends. */
+  def ivfStoreTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, k: Int, nProbe: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKFromAssigned(spark.read.parquet(path),
+      readCentroids(spark, path), queries, k, nProbe, idCol, vecCol)
+
   /** One-pass int8 scalar quantization of a vector: symmetric per-vector
     * scale = max|x|, code_i = round-half-away(x_i / scale × 127) ∈
     * [-127, 127], plus the QA signals a storage migration wants — max

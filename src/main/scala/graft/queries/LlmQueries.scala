@@ -14,6 +14,8 @@ object LlmQueries {
   type Q = (SparkSession, String) => DataFrame
   import Fixtures.tokSql
 
+  private val storeRunId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Measured contract stats for an ANN operator vs the exact brute-force
     * baseline: recall over the brute top-k (seed-dependent ⇒ surfaced as an
     * invariant boolean in the query), exact re-scoring of every returned
@@ -241,6 +243,34 @@ object LlmQueries {
     // memoized — the two ANN contracts below reuse it as their recall
     // baseline instead of recomputing the cross product).
     "ann_brute_topk" -> ((s, dir) => bruteBaseline(s, dir)),
+
+    // Incremental IVF index maintenance: build the cell-partitioned store
+    // on 2/3 of the corpus, append the remaining third through the STORED
+    // centroids (pure insert — no existing file read or rewritten), then
+    // serve top-k from the store. Contract: the append-maintained index
+    // returns EXACTLY what a batch assignment of the full corpus with the
+    // same centroids returns (the maintenance claim), every score is an
+    // exact re-ranked cosine, ranks are valid. n_corpus pins the fixture.
+    "ann_ivf_store" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val path = s"/root/repo/target/qtmp/ivf_store_${storeRunId.incrementAndGet()}"
+      graft.io.IO.deletePath(path)
+      Ann.writeIvfStore(emb.where("vec_id % 3 != 2"), path)
+      Ann.appendIvfStore(emb.where("vec_id % 3 = 2"), path)
+      val queries = emb.where("vec_id < 8")
+      val fromStore = Ann.ivfStoreTopK(s, path, queries, k = 10).cache()
+      val cents = Ann.readCentroids(s, path)
+      val batch = Ann.ivfTopKFromAssigned(
+        Ann.assignCells(emb, cents), cents, queries, k = 10)
+      val delta = fromStore.unionByName(batch)
+        .groupBy("query_id", "nn_id", "cosine", "rank")
+        .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+      val st = annStats(s, fromStore, dir)
+      fromStore.unpersist(blocking = false)
+      Seq((emb.count(), delta == 0L, st.mismatches == 0L, st.rankBad == 0L))
+        .toDF("n_corpus", "incremental_equals_batch", "rescore_exact", "ranks_valid")
+    }),
 
     // LSH-bucketed ANN (the scale path), emitted as its contract vs the
     // exact brute-force baseline (bucket membership is seed-dependent; the
@@ -605,6 +635,14 @@ object LlmQueries {
          |  round(CAST(COALESCE(bp.bp_grams, 0) AS DOUBLE)
          |    / greatest(pd.n_grams, 1), 6) AS bp_frac
          |FROM pd LEFT JOIN bp USING (doc_id)""".stripMargin,
+    // contract: corpus size is SQL-computable; the maintenance-equivalence,
+    // rescore, and rank invariants are centroid-state booleans the driver
+    // hash-gates
+    "ann_ivf_store" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+        |  true AS incremental_equals_batch, true AS rescore_exact,
+        |  true AS ranks_valid
+        |FROM embeddings""".stripMargin,
     // contract: exact >=0.3 all-pairs count is SQL-computable; recall vs it
     // and the structural no-false-positives check are cluster-state
     // invariants the driver hash-gates

@@ -102,4 +102,44 @@ class AnnSpec extends SparkSpec {
         q => abs(q) > 127) || col("cos_drift") < 0.98)
     assert(bad.count() == 0L)
   }
+
+  test("ivf store: append maintains the index without touching existing files") {
+    val path = "/root/repo/target/test_tmp/ivf_store"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val emb = Tables.embeddings(spark, sf)
+    Ann.writeIvfStore(emb.where("vec_id % 3 != 2"), path)
+    def files() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.toString.contains("_graft_centroids"))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val before = files()
+    Ann.appendIvfStore(emb.where("vec_id % 3 = 2"), path)
+    val after = files()
+    // pure insert: every pre-append file survives byte-identical in place
+    assert(before.forall { case (f, m) => after.get(f).contains(m) })
+    assert(after.size > before.size)
+    // the store now holds the whole corpus exactly once
+    assert(spark.read.parquet(path).count() == emb.count())
+  }
+
+  test("ivf store: append-maintained index serves exactly the batch-built results") {
+    val path = "/root/repo/target/test_tmp/ivf_store2"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val emb = Tables.embeddings(spark, sf)
+    Ann.writeIvfStore(emb.where("vec_id % 3 != 2"), path)
+    Ann.appendIvfStore(emb.where("vec_id % 3 = 2"), path)
+    val queries = emb.where("vec_id < 8")
+    val fromStore = Ann.ivfStoreTopK(spark, path, queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val cents = Ann.readCentroids(spark, path)
+    val batch = Ann.ivfTopKFromAssigned(Ann.assignCells(emb, cents), cents,
+        queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(fromStore == batch)
+    assert(fromStore.nonEmpty)
+  }
 }
