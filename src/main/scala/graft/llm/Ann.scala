@@ -62,34 +62,9 @@ object Ann {
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    val c = corpus.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("v", array_to_vector(col("cv")))
-    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("v")
-      .setPredictionCol("cell").fit(c)
-    val assigned = km.transform(c).select("nn_id", "cv", "cell")
-    // nProbe nearest cells per query, via broadcast centroid table
-    val centroids = km.clusterCenters.zipWithIndex.map { case (ctr, i) =>
-      (i, ctr.toArray.toSeq)
-    }.toSeq
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centDf = centroids.toDF("cell", "centroid")
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val probes = q.crossJoin(broadcast(centDf))
-      .withColumn("cdist", aggregate(
-        zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (s, x) => s + x))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cdist").asc, col("cell").asc)))
-      .where(col("rk") <= nProbe)
-      .select("query_id", "qv", "cell")
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)
-    assigned.join(broadcast(probes), Seq("cell"))
-      .where(col("nn_id") =!= col("query_id"))
-      .select(col("query_id"), col("nn_id"),
-        round(cosine(col("cv"), col("qv")), 4).as("cosine"))
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    val cents = fitCentroids(corpus, nCells, vecCol, seed)
+    ivfTopKFromAssigned(assignCells(corpus, cents, idCol, vecCol), cents,
+      queries, k, nProbe, idCol, vecCol)
   }
 
   /** LSH-bucketed ANN: hash corpus + queries with random hyperplane
@@ -153,20 +128,37 @@ object Ann {
       .toDF("cell", "centroid")
   }
 
-  /** Assign each vector to its nearest centroid (broadcast argmin over the
-    * tiny centroid table — map-side, no shuffle of the corpus). */
+  /** Assign each vector to its nearest centroid. GENUINELY map-side: the
+    * centroid table is tiny by definition (nCells rows), so it collects
+    * into the closure and the argmin is one tight JVM loop per row — zero
+    * shuffles, no per-row join machinery. (A crossJoin + row_number window
+    * would hash-Exchange the whole corpus WITH its vectors just to pick a
+    * min — the wide-shuffle anti-pattern lshTopK's dedup already avoids.)
+    * Tie-break: strict < keeps the lowest cell id, matching the probe
+    * windows' (dist asc, cell asc) ordering; sums accumulate left-to-right
+    * like the zip_with/aggregate formulation, so assignments are
+    * bit-reproducible across both paths. */
   def assignCells(df: DataFrame, centroids: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val cents: Array[(Int, Array[Double])] = centroids
+      .select(col("cell"), col("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val argminUdf = udf { (v: Seq[Double]) =>
+      if (v == null) null.asInstanceOf[java.lang.Integer]
+      else {
+        var best = -1; var bestD = Double.MaxValue
+        cents.foreach { case (cell, c) =>
+          var d = 0.0; var i = 0
+          while (i < c.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = cell }
+        }
+        java.lang.Integer.valueOf(best)
+      }
+    }
     df.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdist", aggregate(
-        zip_with(col("cv"), col("centroid"), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (s, x) => s + x))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("nn_id").orderBy(col("cdist").asc, col("cell").asc)))
-      .where(col("rk") === 1)
-      .select("nn_id", "cv", "cell")
+      .withColumn("cell", argminUdf(col("cv")))
   }
 
   private def centroidsPath(path: String) = s"$path/_graft_centroids"

@@ -27,8 +27,9 @@ object ContractBounds {
   val annLshRecall = 0.8
 
   /** IVF ANN (16 cells, 4 probes) recall@10 of the brute top-10.
-    * Measured: 0.65 / 0.71 / 0.59 — genuinely coarse at nProbe=4 (the
-    * AnnSpec property shows recall rising monotonically with nProbe). */
+    * Measured: 0.54 / 0.53 / 0.65 (random-init centroids; see
+    * Ann.fitCentroids) — genuinely coarse at nProbe=4 (the AnnSpec
+    * property shows recall rising monotonically with nProbe). */
   val annIvfRecall = 0.45
 
   /** J4 LSH similarity join (10 tables, bucketLength 1.0, threshold 1.3)

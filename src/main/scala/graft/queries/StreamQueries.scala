@@ -53,7 +53,7 @@ object StreamQueries {
     // Incremental corpus dedup: the documents fixture streamed as 3
     // micro-batches, each exact-deduped against the PERSISTED accepted-hash
     // store (bucketed layout: existence check reads touched buckets only,
-    // append rewrites touched buckets only — O(delta), not O(corpus), per
+    // novel keys append with no rewrite — O(delta), not O(corpus), per
     // batch). Emits the final store's hash set, which is arrival-order
     // independent and hence fully oracle-checkable.
     "st_incremental_dedup" -> ((s, dir) => {
@@ -140,9 +140,10 @@ object StreamQueries {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
     // the accepted-hash store's final state is the distinct content-hash
-    // set — identical however the arrivals were batched
+    // set — identical however the arrivals were batched (null text hashes
+    // as the empty string on both sides, so the key is never NULL)
     "st_incremental_dedup" ->
-      "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+      "SELECT DISTINCT md5(coalesce(text, '')) AS content_hash FROM documents",
     "st_foreach_upsert" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(value), 2) AS total_value

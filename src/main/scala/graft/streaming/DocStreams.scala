@@ -11,13 +11,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * micro-batch of documents is exact-deduped against everything the
   * pipeline has EVER accepted, by anti-joining the batch's content hashes
   * against a persisted key-hash-bucketed store and appending only the
-  * novel hashes. Per-batch cost is O(delta + touched buckets), not
+  * novel hashes. Per-batch cost is O(delta + touched buckets read), not
   * O(corpus): the store read prunes to the buckets the batch's hashes land
-  * in, and the store write rewrites only those buckets (dynamic partition
-  * overwrite) — the property that keeps an always-on ingest viable once
-  * the accepted-corpus store dwarfs a delta. At 100 TB the same plan holds:
-  * a day's delta touches at most min(|delta|, nBuckets) partitions of a
-  * store that can itself be arbitrarily large.
+  * in, and the store write is a pure partitioned APPEND of the novel keys
+  * (no existing file read or rewritten) — the property that keeps an
+  * always-on ingest viable once the accepted-corpus store dwarfs a delta.
+  * At 100 TB the same plan holds: a day's delta reads at most
+  * min(|delta|, nBuckets) partitions of a store that can itself be
+  * arbitrarily large, and writes only its own novel rows.
   */
 object DocStreams {
 
@@ -37,20 +38,24 @@ object DocStreams {
 
   /** Stage the single-file fixture as `nSplits` parquet files, split
     * deterministically by pmod(doc_id, nSplits) so every run (and every
-    * engine) sees the same batch contents. */
+    * engine) sees the same batch contents. The marker records the source
+    * file's size, so a regenerated fixture at the same path re-stages
+    * (same staleness guard as EventStreams.stageDir). */
   private def stageSplits(spark: SparkSession, dir: String, nSplits: Int): String = {
     import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "documents.parquet")
     val out = Paths.get("/root/repo/target/qtmp",
       s"stream_docs_${Integer.toHexString(dir.hashCode)}_$nSplits")
     val marker = out.resolve("_graft_staged")
-    if (!Files.exists(marker)) {
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val srcSize = Files.size(src).toString
+    if (!Files.exists(marker) || Files.readString(marker).trim != srcSize) {
+      val docs = spark.read.parquet(src.toString)
       (0 until nSplits).foreach { i =>
         docs.where(pmod(col("doc_id"), lit(nSplits)) === i)
           .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
           .parquet(out.toString)
       }
-      Files.createFile(marker)
+      Files.writeString(marker, srcSize)
     }
     out.toString
   }
@@ -59,13 +64,21 @@ object DocStreams {
     * within it (min doc_id per hash), anti-join against the persisted
     * store's TOUCHED BUCKETS only, append the novel hashes back. Returns
     * the batch's surviving (content_hash, doc_id) rows. Exposed for the
-    * registered query's oracle surface and direct batch use. */
+    * registered query's oracle surface and direct batch use.
+    *
+    * Null text hashes as md5('') (coalesce) so the content key is never
+    * NULL — a NULL key would slip through both the anti-join and any
+    * merge's key equality (NULL never equals NULL) and re-insert on every
+    * batch. Survivors are novel keys by construction, so persisting them
+    * is a plain partitioned APPEND into the bucket directories — no
+    * existing file is read or rewritten, keeping the per-batch write
+    * O(delta) even when a batch touches every bucket. */
   def dedupBatchAgainstStore(batch: DataFrame, storePath: String): DataFrame = {
     import graft.io.IO
     val spark = batch.sparkSession
     val keys = Seq("content_hash")
     val hashed = batch
-      .select(md5(col("text")).as("content_hash"), col("doc_id"))
+      .select(md5(coalesce(col("text"), lit(""))).as("content_hash"), col("doc_id"))
       .groupBy("content_hash").agg(min("doc_id").as("doc_id"))
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(storePath))) {
       // first batch seeds the store; everything in it is novel
@@ -80,14 +93,9 @@ object DocStreams {
       val stored = spark.read.parquet(storePath)
         .where(col(IO.BucketCol).isin(touched.toIndexedSeq: _*))
         .select("content_hash")
-      val survivors = src.join(stored, keys, "left_anti")
-        .drop(IO.BucketCol).localCheckpoint()
-      // all survivors are novel keys, so the MERGE is pure insert — it
-      // still goes through the partition-pruned upsert so only touched
-      // buckets rewrite
-      IO.upsertPartitionedStore(spark, storePath, survivors, keys,
-        updateCols = Seq("doc_id"))
-      survivors
+      val survivors = src.join(stored, keys, "left_anti").localCheckpoint()
+      survivors.write.mode("append").partitionBy(IO.BucketCol).parquet(storePath)
+      survivors.drop(IO.BucketCol)
     }
   }
 
