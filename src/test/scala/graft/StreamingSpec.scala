@@ -156,6 +156,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dedup: replaying a batch is a no-op (idempotent ingest)") {
+    import graft.streaming.DocStreams
+    val store = "/root/repo/target/test_tmp/incdedup_replay"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val batch = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    assert(DocStreams.dedupBatchAgainstStore(batch, store).count() == 2L)
+    // replay (at-least-once delivery, a retried micro-batch): nothing new
+    assert(DocStreams.dedupBatchAgainstStore(batch, store).count() == 0L)
+    assert(graft.io.IO.readPartitionedStore(spark, store).count() == 2L)
+  }
+
   test("stream-stream interval join: watermark evicts state to the horizon") {
     val c = EventStreams.readEventStream(spark, sf).where("event_type = 'click'")
       .selectExpr("user_id AS c_user", "ts AS c_ts", "event_id AS c_id")
