@@ -55,6 +55,38 @@ object TextAnalysis {
       round(alpha / greatest(size(toks), lit(1)).cast("double"), 6).as("mean_word_len"))
   }
 
+  /** Character-level Shannon entropy in bits/char — the gibberish /
+    * low-information signal (compressed blobs and key-mash spike high;
+    * repeated boilerplate runs low; natural text sits ~4 bits/char).
+    * One tight loop per row (see repUdf for why mode/frequency counting
+    * lives in a UDF, not an explode + two-level aggregate): zero shuffles,
+    * scan speed at 100 TB. Null text propagates null; empty text is 0. */
+  private val entropyUdf = udf { (s: String) =>
+    if (s == null) null
+    else if (s.isEmpty) java.lang.Double.valueOf(0.0)
+    else {
+      val counts = scala.collection.mutable.HashMap.empty[Char, Int]
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        counts.update(c, counts.getOrElse(c, 0) + 1)
+        i += 1
+      }
+      val n = s.length.toDouble
+      var h = 0.0
+      counts.valuesIterator.foreach { v =>
+        val p = v / n
+        h -= p * (math.log(p) / math.log(2.0))
+      }
+      java.lang.Double.valueOf(h)
+    }
+  }
+
+  /** Per-doc character entropy, rounded for engine-reproducible compare. */
+  def charEntropy(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"),
+      round(entropyUdf(col(textCol)), 4).as("char_entropy"))
+
   /** Document fingerprint: polynomial rolling hash of the character stream
     * (base 31 mod 1e9+7), engine-independent — usable as a cheap exact-dup
     * key that survives reformatting of the container file. */

@@ -309,6 +309,10 @@ object LlmQueries {
     // Quality scoring signals.
     "tx_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
 
+    // Character-entropy signal (gibberish high, boilerplate low) — one
+    // UDF loop per row, scan-speed, fully value-checked.
+    "tx_entropy" -> ((s, dir) => TextAnalysis.charEntropy(Tables.documents(s, dir))),
+
     // Language-ID heuristic (marker-word overlap).
     "tx_langid" -> ((s, dir) => LangId.predict(Tables.documents(s, dir))),
 
@@ -745,6 +749,21 @@ object LlmQueries {
          |  CAST(len(${tokSql("text")}) AS INT) AS alnum_tokens,
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INT) AS bpeish_tokens
          |FROM documents""".stripMargin,
+    // entropy recomputed exactly from per-char frequencies; round(4) masks
+    // summation-order float noise (same approach as the cosine oracles)
+    "tx_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ''), c -> c <> '')) AS c
+        |  FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+        |f AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+        |t AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS tot FROM f GROUP BY 1),
+        |e AS (SELECT f.doc_id, round(-sum((n / t.tot) * log2(n / t.tot)), 4) AS ent
+        |      FROM f JOIN t USING (doc_id) GROUP BY f.doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       WHEN len(d.text) = 0 THEN 0.0
+        |       ELSE e.ent END AS char_entropy
+        |FROM documents d LEFT JOIN e USING (doc_id)""".stripMargin,
     "tx_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS DOUBLE) AS n_chars,

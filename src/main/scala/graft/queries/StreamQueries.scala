@@ -69,6 +69,14 @@ object StreamQueries {
       graft.io.IO.readPartitionedStore(s, store).select("content_hash")
     }),
 
+    // Sessionization via the BUILT-IN session_window aggregate — the
+    // operator to prefer when per-session aggregates suffice (one shuffle
+    // on the grouping key, no custom state machine). Boundary semantics
+    // match the custom sessionizer: exactly-at-gap merges, only a strictly
+    // longer gap breaks (verified in StreamingSpec).
+    "st_session_window" -> ((s, dir) =>
+      EventStreams.sessionWindows(EventStreams.readEvents(s, dir))),
+
     // Custom sessionization state (flatMapGroupsWithState), batch execution
     // of the same code path the stream runs.
     "st_sessionize" -> ((s, dir) => {
@@ -181,6 +189,23 @@ object StreamQueries {
         |  n_events, total_value
         |FROM sess JOIN lastg ON sess.user_id = lastg.user_id, mx
         |WHERE grp < lgrp OR e_ts + INTERVAL 30 MINUTE < maxts""".stripMargin,
+    // same gaps-and-islands shape and boundary rule as st_sessionize
+    // (exactly-at-gap merges; break only on a strictly longer gap)
+    "st_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM o)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, grp""".stripMargin,
     "st_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,

@@ -86,6 +86,25 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(cols)
 
+  /** Sessionization via the BUILT-IN `session_window` aggregate — the
+    * native operator for gap-based sessions (dynamic-gap session windows
+    * in one groupBy; works on batch and, watermarked, on streams). Kept
+    * alongside the custom [[sessionize]]/[[sessionizeStream]] because the
+    * two serve different needs: the built-in when per-session aggregates
+    * suffice (this is the plan to prefer — one shuffle on the grouping
+    * key, no user state machine), the flatMapGroupsWithState pair when
+    * session logic needs arbitrary state. Boundary semantics match the
+    * custom path: an event at exactly `gap` after the previous one still
+    * merges (inclusive — verified in StreamingSpec; only a gap strictly
+    * greater than `gap` starts a new session). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("total_value"))
+
   case class Ev(event_id: Long, ts: java.time.LocalDateTime, user_id: Long,
                 event_type: String, value: Double)
   case class Session(user_id: Long, session_start: String, session_end: String,

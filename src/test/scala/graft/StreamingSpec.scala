@@ -69,6 +69,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindows (built-in): gap splits sessions; exact-gap event still merges") {
+    val df = Seq(
+      ev(1, 0, 1, "e", 1.0),   // 10:00
+      ev(2, 29, 1, "e", 2.0),  // 10:29 — merges (gap < 30)
+      ev(3, 59, 1, "e", 3.0),  // 10:59 — exactly +30 from 10:29: MERGES (inclusive)
+      ev(4, 5, 2, "e", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val merged = EventStreams.sessionWindows(df)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(merged == Set(
+      (1L, "2024-01-01 10:00:00", 3L, 6.0),
+      (2L, "2024-01-01 10:05:00", 1L, 5.0)))
+    // one microsecond past the gap starts a new session
+    val past = df.withColumn("ts",
+      when(col("event_id") === 3, expr("ts + INTERVAL 1 MICROSECOND"))
+        .otherwise(col("ts")))
+    assert(EventStreams.sessionWindows(past)
+      .where($"user_id" === 1).count() == 2)
+  }
+
   test("sessionize: gap splits sessions, aggregates per session") {
     def mk(id: Long, t: String, u: Long, v: Double) =
       EventStreams.Ev(id, LocalDateTime.parse(t), u, "e", v)

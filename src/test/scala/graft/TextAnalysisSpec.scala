@@ -79,4 +79,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Set((1L, 0, "abcdef"), (1L, 1, "efghij"), (1L, 2, "ij"),
       (2L, 0, "xy"))) // empty text yields no chunks
   }
+
+  test("charEntropy: hand-computed bits/char, null and empty edges") {
+    val df = Seq((1L, "aaaa"), (2L, "ab"), (3L, "abcd"), (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(df)
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(0.0))   // one symbol, no information
+    assert(out(2L).contains(1.0))   // two equiprobable symbols = 1 bit
+    assert(out(3L).contains(2.0))   // four equiprobable symbols = 2 bits
+    assert(out(4L).contains(0.0))   // empty text
+    assert(out(5L).isEmpty)         // null propagates
+  }
 }
