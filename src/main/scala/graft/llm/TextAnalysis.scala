@@ -61,22 +61,28 @@ object TextAnalysis {
     * One tight loop per row (see repUdf for why mode/frequency counting
     * lives in a UDF, not an explode + two-level aggregate): zero shuffles,
     * scan speed at 100 TB. Null text propagates null; empty text is 0. */
+  private val Ln2 = math.log(2.0)
+
   private val entropyUdf = udf { (s: String) =>
     if (s == null) null
     else if (s.isEmpty) java.lang.Double.valueOf(0.0)
     else {
-      val counts = scala.collection.mutable.HashMap.empty[Char, Int]
+      // count Unicode CODEPOINTS, not UTF-16 code units — the oracle's
+      // string_split sees codepoints, and a surrogate pair is one symbol
+      val counts = scala.collection.mutable.HashMap.empty[Int, Int]
       var i = 0
+      var n = 0
       while (i < s.length) {
-        val c = s.charAt(i)
-        counts.update(c, counts.getOrElse(c, 0) + 1)
-        i += 1
+        val cp = s.codePointAt(i)
+        counts.update(cp, counts.getOrElse(cp, 0) + 1)
+        i += Character.charCount(cp)
+        n += 1
       }
-      val n = s.length.toDouble
+      val nd = n.toDouble
       var h = 0.0
       counts.valuesIterator.foreach { v =>
-        val p = v / n
-        h -= p * (math.log(p) / math.log(2.0))
+        val p = v / nd
+        h -= p * (math.log(p) / Ln2)
       }
       java.lang.Double.valueOf(h)
     }

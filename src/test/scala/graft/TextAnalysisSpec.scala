@@ -82,7 +82,8 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("charEntropy: hand-computed bits/char, null and empty edges") {
     val df = Seq((1L, "aaaa"), (2L, "ab"), (3L, "abcd"), (4L, ""),
-      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      (5L, null.asInstanceOf[String]), (6L, "😀😀"))
+      .toDF("doc_id", "text")
     val out = TextAnalysis.charEntropy(df)
       .as[(Long, Option[Double])].collect().toMap
     assert(out(1L).contains(0.0))   // one symbol, no information
@@ -90,5 +91,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).contains(2.0))   // four equiprobable symbols = 2 bits
     assert(out(4L).contains(0.0))   // empty text
     assert(out(5L).isEmpty)         // null propagates
+    assert(out(6L).contains(0.0))   // two identical emoji = ONE codepoint
+                                    // symbol repeated, not 4 UTF-16 units
   }
 }
