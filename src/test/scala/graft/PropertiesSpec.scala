@@ -73,4 +73,25 @@ class PropertiesSpec extends SparkSpec {
       if (s != s.reverse) assert(fp(1L) != fp(3L))
     }
   }
+
+  test("charEntropy bounded: 0 <= H <= log2(len) on fixture documents") {
+    val docs = Tables.documents(spark, sf)
+    val bad = TextAnalysis.charEntropy(docs)
+      .join(docs.select($"doc_id", length($"text").as("len")), "doc_id")
+      .where($"char_entropy" < 0.0 ||
+        $"char_entropy" > log2(greatest($"len", lit(2)).cast("double")) + 1e-9)
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("boilerplateStats invariants: 0 <= bp_grams <= n_grams, frac consistent") {
+    val out = graft.llm.Dedup.boilerplateStats(Tables.documents(spark, sf))
+    val bad = out.where($"bp_grams" < 0 || $"bp_grams" > $"n_grams" ||
+      $"bp_frac" < 0.0 || $"bp_frac" > 1.0 ||
+      abs($"bp_frac" - round($"bp_grams".cast("double") /
+        greatest($"n_grams", lit(1L)).cast("double"), 6)) > 1e-9).count()
+    assert(bad == 0L)
+    // every fixture doc gets a row
+    assert(out.count() == Tables.documents(spark, sf).count())
+  }
 }
