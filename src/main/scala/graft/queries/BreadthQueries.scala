@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.WeightedMean
-import graft.ops.AsOf
+import graft.ops.{AsOf, Resample}
 import graft.streaming.EventStreams
 
 /** Relational breadth beyond the reference's own surface: pivot, cube /
@@ -78,6 +78,19 @@ object BreadthQueries {
       AsOf.joinBackward(clicks, purchases, "user_id", "ts", "pval", "lp")
         .select(col("event_id"), col("user_id"),
           round(coalesce(col("lp"), lit(-1.0)), 2).as("last_purchase_value"))
+    }),
+
+    // W3 — regular-grid resampling with backward fill (gap filling): one
+    // hourly row per user spanning their activity, carrying the most
+    // recent value. Grid = scan-side generator; fill = the as-of join's
+    // single-shuffle union+window plan. Leading gaps stay NULL.
+    "w3_resample" -> ((s, dir) => {
+      val ev = EventStreams.readEvents(s, dir).where("user_id < 100")
+        .select(col("user_id"), col("ts"), col("value"))
+      Resample.resampleFfill(ev, "user_id", "ts", "value", "hour")
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("grid_ts"),
+          round(col("ffill_value"), 2).as("ffill_value"))
     }),
 
     // J8 — range (theta) join against a broadcast interval table: price
@@ -203,6 +216,19 @@ object BreadthQueries {
         |SELECT a.event_id, a.user_id,
         |       round(coalesce(b.pval, -1.0), 2) AS last_purchase_value
         |FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.tsu >= b.tsu""".stripMargin,
+    // same grid + backward-carry semantics: per-user hourly series from
+    // trunc(min ts) to trunc(max ts), ASOF fill, leading gaps NULL
+    "w3_resample" ->
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, value
+        |           FROM events WHERE user_id < 100),
+        |u AS (SELECT user_id, ts, max(value) AS value FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+        |             date_trunc('hour', max(ts)) AS t1 FROM e GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+        |      FROM s)
+        |SELECT g.user_id, strftime(g.grid_ts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+        |  round(u.value, 2) AS ffill_value
+        |FROM g ASOF LEFT JOIN u ON g.user_id = u.user_id AND g.grid_ts >= u.ts""".stripMargin,
     "j8_range_band" ->
       """SELECT b.band_id, CAST(count(*) AS BIGINT) AS n,
         |  round(avg(p_retailprice), 4) AS avg_price

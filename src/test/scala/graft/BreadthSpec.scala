@@ -34,6 +34,23 @@ class BreadthSpec extends SparkSpec {
     assert(f.size == n.size && f == n)
   }
 
+  test("resampleFfill: hourly grid spans activity, carries last value, leading gap NULL") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:05:00", 1.0),  // first obs mid-hour
+      (1L, "2024-01-01 12:30:00", 2.0),  // grid ends at trunc(max) = 12:00
+      (2L, "2024-01-01 09:00:00", 5.0)
+    ).map { case (u, t, v) => (u, java.sql.Timestamp.valueOf(t), v) }
+      .toDF("user_id", "ts", "value")
+    val out = graft.ops.Resample.resampleFfill(ev, "user_id", "ts", "value")
+      .select($"user_id", date_format($"ts", "HH:mm").as("t"), $"ffill_value")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, "10:00", None),        // grid instant precedes the 10:05 obs
+      (1L, "11:00", Some(1.0)),
+      (1L, "12:00", Some(1.0)),   // 12:30 obs is after the 12:00 instant
+      (2L, "09:00", Some(5.0))))
+  }
+
   test("as-of join plans exactly ONE shuffle (the keyed window's exchange)") {
     val left = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("k", "t")
     val right = Seq((1L, 5L, 1.0), (2L, 25L, 2.0)).toDF("k", "t", "v")
