@@ -38,6 +38,30 @@ object RelationalQueries {
       s.read.parquet(out)
     }),
 
+    // S8 — ORC sink + scan: the columnar alternative Spark supports
+    // natively (predicate pushdown, column pruning, and vectorized read
+    // all apply as with parquet). Roundtrip equivalence against the
+    // parquet-derived oracle proves lossless format conversion.
+    "s8_orc_roundtrip" -> ((s, dir) => {
+      val out = s"$Tmp/s8_orc"
+      Tables.nation(s, dir).selectExpr("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    }),
+
+    // S9 — JSON-lines sink + schema-declared scan: the interchange format
+    // every event/export pipeline meets. Scanning with a DECLARED schema
+    // (never inferSchema at scale — inference is a full extra pass over
+    // 100 TB) keeps the read a single streaming parse.
+    "s9_json_roundtrip" -> ((s, dir) => {
+      val out = s"$Tmp/s9_json"
+      Tables.region(s, dir).selectExpr("r_regionkey", "r_name")
+        .write.mode("overwrite").json(out)
+      s.read.schema(StructType(Seq(
+          StructField("r_regionkey", LongType), StructField("r_name", StringType))))
+        .json(out)
+    }),
+
     // S4 — table scan by path with projection + filter (pushdown verified in
     // RelationalSpec via the explain output).
     "s4_table_scan" -> ((s, dir) =>
@@ -257,6 +281,8 @@ object RelationalQueries {
   val oracles: Seq[(String, String)] = Seq(
     "s2_csv_scan" -> "SELECT p_partkey, p_name, p_brand, p_size FROM part",
     "s3_parquet_sink" -> "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+    "s8_orc_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s9_json_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
     "s4_table_scan" -> "SELECT p_partkey, p_name FROM part WHERE p_size >= 40",
     "s5_upsert" ->
       s"""WITH target AS (SELECT p_partkey AS id, p_name AS name, round(p_retailprice, 2) AS price FROM part),
