@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   * Grid instants before a key's first observation fill with NULL
   * (standard leading-gap semantics — there is nothing to carry). Ties at
   * one (key, ts) are pre-aggregated with max so the as-of carry is
-  * deterministic.
+  * deterministic. NULL-valued events are NOT observations: they are
+  * dropped before the carry (they still anchor the key's grid span), so
+  * the fill always carries the last real value — this also satisfies
+  * [[AsOf.joinBackward]]'s non-null valueCol contract, whose
+  * ignoreNulls carry would otherwise silently skip a NULL observation in
+  * favor of an older value.
   */
 object Resample {
 
@@ -34,7 +39,8 @@ object Resample {
     val grid = spans.select(col(keyCol),
       explode(sequence(col("__t0"), col("__t1"),
         expr(s"INTERVAL 1 $truncUnit"))).as(tsCol))
-    val uniq = events.groupBy(col(keyCol), col(tsCol))
+    val uniq = events.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(tsCol))
       .agg(max(col(valueCol)).as(valueCol))
     AsOf.joinBackward(grid, uniq, keyCol, tsCol, valueCol, s"ffill_$valueCol")
   }

@@ -221,7 +221,8 @@ object BreadthQueries {
     "w3_resample" ->
       """WITH e AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, value
         |           FROM events WHERE user_id < 100),
-        |u AS (SELECT user_id, ts, max(value) AS value FROM e GROUP BY 1, 2),
+        |u AS (SELECT user_id, ts, max(value) AS value FROM e
+        |      WHERE value IS NOT NULL GROUP BY 1, 2),
         |s AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0,
         |             date_trunc('hour', max(ts)) AS t1 FROM e GROUP BY 1),
         |g AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts

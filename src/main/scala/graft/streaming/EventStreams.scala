@@ -20,9 +20,15 @@ object EventStreams {
   /** The fixture's `ts` is parquet TIMESTAMP(NANOS), which Spark's reader
     * rejects outright; read it as raw nanos (legacy conf) and convert to a
     * microsecond timestamp explicitly. Applied to both batch and stream
-    * reads so the two paths agree. */
+    * reads so the two paths agree.
+    *
+    * Integer DIV, not `/`: Spark's `/` on longs is DOUBLE division, and at
+    * ~1.7e18 ns the double's 256 ns ulp rounds ~1.6% of timestamps 1 us
+    * off the exact truncation DuckDB's epoch_us performs — invisible to
+    * second-granularity oracles, wrong for anything that truncates or
+    * compares raw microseconds. */
   private def nanosToTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
   /** The scan consults this conf at *execution* time, so it must stay set
     * for the session (harmless: `events.ts` is the corpus's only ns

@@ -36,9 +36,10 @@ class BreadthSpec extends SparkSpec {
 
   test("resampleFfill: hourly grid spans activity, carries last value, leading gap NULL") {
     val ev = Seq(
-      (1L, "2024-01-01 10:05:00", 1.0),  // first obs mid-hour
-      (1L, "2024-01-01 12:30:00", 2.0),  // grid ends at trunc(max) = 12:00
-      (2L, "2024-01-01 09:00:00", 5.0)
+      (1L, "2024-01-01 10:05:00", Some(1.0)), // first obs mid-hour
+      (1L, "2024-01-01 11:10:00", None),      // NULL value: not an observation
+      (1L, "2024-01-01 12:30:00", Some(2.0)), // grid ends at trunc(max) = 12:00
+      (2L, "2024-01-01 09:00:00", Some(5.0))
     ).map { case (u, t, v) => (u, java.sql.Timestamp.valueOf(t), v) }
       .toDF("user_id", "ts", "value")
     val out = graft.ops.Resample.resampleFfill(ev, "user_id", "ts", "value")
@@ -47,7 +48,7 @@ class BreadthSpec extends SparkSpec {
     assert(out == Set(
       (1L, "10:00", None),        // grid instant precedes the 10:05 obs
       (1L, "11:00", Some(1.0)),
-      (1L, "12:00", Some(1.0)),   // 12:30 obs is after the 12:00 instant
+      (1L, "12:00", Some(1.0)),   // null 11:10 "obs" dropped; 12:30 is later
       (2L, "09:00", Some(5.0))))
   }
 
