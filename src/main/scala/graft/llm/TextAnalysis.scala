@@ -93,14 +93,30 @@ object TextAnalysis {
     df.select(col("doc_id"),
       round(entropyUdf(col(textCol)), 4).as("char_entropy"))
 
-  /** Document fingerprint: polynomial rolling hash of the character stream
+  /** Document fingerprint: polynomial rolling hash of the codepoint stream
     * (base 31 mod 1e9+7), engine-independent — usable as a cheap exact-dup
-    * key that survives reformatting of the container file. */
-  def fingerprint(c: Column): Column =
-    aggregate(
-      filter(split(c, ""), ch => ch =!= ""),
-      lit(0L),
-      (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(1000000007L)))
+    * key that survives reformatting of the container file. One JVM loop
+    * per row rather than the equivalent `aggregate(split(...))` Column
+    * fold: HOF lambdas evaluate interpreted, ~2 closure calls PER
+    * CHARACTER — the per-byte cost that dominates a 100 TB scan (same
+    * rationale as repUdf/shingleUdf). Iterates codepoints, matching both
+    * the regex-split semantics of the Column form and the oracle's
+    * ascii() (codepoint) arithmetic. */
+  private val fingerprintUdf = udf { (s: String) =>
+    if (s == null) null
+    else {
+      var acc = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31L + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      java.lang.Long.valueOf(acc)
+    }
+  }
+
+  def fingerprint(c: Column): Column = fingerprintUdf(c)
 
   /** Overlapping-window character chunking — the split step an embedding /
     * RAG pipeline runs before vectorizing long documents. Chunk i covers
