@@ -196,12 +196,20 @@ object Ann {
 
   /** Build a persisted IVF index: fit centroids on the initial corpus,
     * assign, write partitioned by cell (centroids ride along in an
-    * underscore-prefixed subdir the store scan ignores). */
+    * underscore-prefixed subdir the store scan ignores).
+    *
+    * Null embeddings are dropped at write time: a null vector assigns to a
+    * null cell, which Hive-partitioning would file under the default
+    * partition where the cell equi-join in [[ivfTopKFromAssigned]] can
+    * never serve it — an unservable row that would still inflate plain
+    * store-scan counts. Filtering here keeps the store's row count and its
+    * servable contents identical. */
   def writeIvfStore(corpus: DataFrame, path: String, nCells: Int = 16,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     seed: Long = 42L): Unit = {
-    val cents = fitCentroids(corpus, nCells, vecCol, seed)
-    assignCells(corpus, cents, idCol, vecCol)
+    val dense = corpus.where(col(vecCol).isNotNull)
+    val cents = fitCentroids(dense, nCells, vecCol, seed)
+    assignCells(dense, cents, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     cents.coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
   }
@@ -216,7 +224,8 @@ object Ann {
                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = delta.sparkSession
     val cents = spark.read.parquet(centroidsPath(path))
-    assignCells(delta, cents, idCol, vecCol)
+    // same null-vector policy as writeIvfStore: never persist unservable rows
+    assignCells(delta.where(col(vecCol).isNotNull), cents, idCol, vecCol)
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 

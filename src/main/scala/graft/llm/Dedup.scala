@@ -390,10 +390,13 @@ object Dedup {
     * join-back at scale; nothing here is ever all-pairs. */
   def boilerplateStats(df: DataFrame, textCol: String = "text", n: Int = 3,
                        minDf: Int = 3): DataFrame = {
-    // shingles() always yields >= 1 element (short docs collapse to one
-    // whole-doc gram), so every input doc appears in the exploded frame
-    // and the per-doc gram count is a plain row count
-    val ex = df.select(col("doc_id"), explode(shingles(col(textCol), n)).as("g"))
+    // shingles() always yields >= 1 element for non-null text (short docs
+    // collapse to one whole-doc gram); null text is coalesced to '' — the
+    // same convention as DocStreams.dedupBatchAgainstStore — so EVERY input
+    // doc appears in the exploded frame (null would make shingles() null and
+    // explode() drop the doc) and the per-doc gram count is a plain row count
+    val ex = df.select(col("doc_id"),
+        explode(shingles(coalesce(col(textCol), lit("")), n)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
       .cache() // read three times: doc totals, gram df, hot join-back
     val perDoc = ex.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))

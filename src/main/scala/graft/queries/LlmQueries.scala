@@ -628,7 +628,7 @@ object LlmQueries {
          |    THEN list_transform(range(0, len(tok) - 2),
          |         i -> concat(tok[CAST(i AS INT)+1], ' ', tok[CAST(i AS INT)+2], ' ', tok[CAST(i AS INT)+3]))
          |    ELSE [array_to_string(tok, ' ')] END) AS sh
-         |  FROM (SELECT doc_id, ${tokSql("text")} AS tok FROM documents)),
+         |  FROM (SELECT doc_id, ${tokSql("coalesce(text, '')")} AS tok FROM documents)),
          |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
          |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) >= 3),
          |bp AS (SELECT doc_id, count(*) AS bp_grams FROM ex JOIN hot USING (g)

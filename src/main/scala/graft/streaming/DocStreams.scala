@@ -39,15 +39,16 @@ object DocStreams {
   /** Stage the single-file fixture as `nSplits` parquet files, split
     * deterministically by pmod(doc_id, nSplits) so every run (and every
     * engine) sees the same batch contents. The marker records the source
-    * file's size, so a regenerated fixture at the same path re-stages
-    * (same staleness guard as EventStreams.stageDir). */
+    * file's size AND mtime, so a regenerated fixture at the same path
+    * re-stages even when the new file happens to land on the same byte
+    * count (size alone is a weak regeneration signal). */
   private def stageSplits(spark: SparkSession, dir: String, nSplits: Int): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(dir, "documents.parquet")
     val out = Paths.get("/root/repo/target/qtmp",
       s"stream_docs_${Integer.toHexString(dir.hashCode)}_$nSplits")
     val marker = out.resolve("_graft_staged")
-    val srcSize = Files.size(src).toString
+    val srcSize = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
     if (!Files.exists(marker) || Files.readString(marker).trim != srcSize) {
       val docs = spark.read.parquet(src.toString)
       (0 until nSplits).foreach { i =>

@@ -60,7 +60,10 @@ object EventStreams {
       s"stream_events_${Integer.toHexString(dir.hashCode)}")
     Files.createDirectories(out)
     val dst = out.resolve("events.parquet")
-    if (!Files.exists(dst) || Files.size(dst) != Files.size(src))
+    // size + mtime: a regenerated fixture landing on the same byte count
+    // must still re-stage (same guard as DocStreams.stageSplits)
+    if (!Files.exists(dst) || Files.size(dst) != Files.size(src)
+        || Files.getLastModifiedTime(dst).toMillis < Files.getLastModifiedTime(src).toMillis)
       Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
     out.toString
   }

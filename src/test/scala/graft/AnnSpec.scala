@@ -126,6 +126,22 @@ class AnnSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == emb.count())
   }
 
+  test("ivf store: null embeddings are never persisted (count == servable)") {
+    val path = "/root/repo/target/test_tmp/ivf_store_nulls"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val emb = Tables.embeddings(spark, sf).limit(60)
+    val withNulls = emb.withColumn("embedding",
+      when(col("vec_id") % 10 === 0, lit(null)).otherwise(col("embedding")))
+    Ann.writeIvfStore(withNulls.where("vec_id % 3 != 2"), path)
+    Ann.appendIvfStore(withNulls.where("vec_id % 3 = 2"), path)
+    val store = spark.read.parquet(path)
+    val expected = withNulls.where("embedding IS NOT NULL").count()
+    // store count equals its servable contents: no default-Hive-partition
+    // rows a cell equi-join can never reach
+    assert(store.count() == expected)
+    assert(store.where("cell IS NULL OR cv IS NULL").count() == 0L)
+  }
+
   test("ivf store: append-maintained index serves exactly the batch-built results") {
     val path = "/root/repo/target/test_tmp/ivf_store2"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))

@@ -156,6 +156,18 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((1L, 0L, 0.0)))
   }
 
+  test("boilerplateStats: null-text docs still appear (coalesced to '')") {
+    val d = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]),
+                (3L, "a b c d"), (4L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateStats(d, n = 3, minDf = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // every input doc has an output row; the null doc carries one
+    // (empty-string) gram shared with nothing
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(2L) == ((1L, 0L, 0.0)))
+  }
+
   test("semanticPairs: full recall and no false positives on clustered vectors") {
     // two tight clusters around orthogonal centers — the SemDeDup regime:
     // every near-dup pair is within-cluster, so KMeans blocking loses nothing
