@@ -83,4 +83,36 @@ object Mixing {
       }
     }.toDF("group", "shard", "id", "size", "bin")
   }
+
+  /** Deterministic seeded global shuffle + sharding — the training-export
+    * ordering step: every epoch's data order must be reproducible (resume
+    * after preemption, compare runs), so the "shuffle" is a pure function
+    * of (seed, id), not RNG state. Each row gets an order key
+    * md5(seed:id); the first two hex chars (a uniform byte) pick the
+    * shard, and the row's position is its rank within the shard by key.
+    *
+    * Scale shape: NO global sort — the only wide operation is the
+    * per-shard window (one hash Exchange on shard + per-partition sort),
+    * so the plan parallelizes across shards however large the corpus; a
+    * writer then streams each shard in key order. Shard counts that don't
+    * divide 256 get a ≤1/256 occupancy tilt — negligible, documented.
+    * The hex→int arithmetic uses ascii() only, so the same formula (and
+    * therefore the same assignment) is expressible in any SQL engine. */
+  def shuffleShards(df: DataFrame, idCol: String, seed: String,
+                    nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 256,
+      s"nShards must be in [1, 256] (one uniform byte picks the shard); got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    def hexVal(c: org.apache.spark.sql.Column) = {
+      val a = ascii(c) // '0'..'9' → 48..57, 'a'..'f' → 97..102
+      a - lit(48) - when(a >= 97, lit(39)).otherwise(lit(0))
+    }
+    val keyed = df.select(col(idCol),
+      md5(concat(lit(seed + ":"), col(idCol).cast("string"))).as("ord_key"))
+    val sharded = keyed.withColumn("shard",
+      pmod(hexVal(substring(col("ord_key"), 1, 1)) * lit(16)
+        + hexVal(substring(col("ord_key"), 2, 1)), lit(nShards)))
+    sharded.withColumn("pos", row_number().over(
+      Window.partitionBy("shard").orderBy(col("ord_key"), col(idCol))))
+  }
 }

@@ -185,6 +185,64 @@ object TextAnalysis {
           / greatest(col("n_tokens") - 1, lit(1)).cast("double"), 6)
           .as("top_bigram_frac"))
   }
+
+  /** PII patterns kept RE2-compatible (no backrefs, no lookaround) so the
+    * same literal strings run under Java regex (this engine) and RE2-family
+    * engines (oracles, sibling tooling) with identical match sets. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[graft] val PhoneRe = "\\+[0-9]{7,15}\\b"
+
+  /** PII scrubbing — the standard pre-training redaction pass (emails,
+    * IPv4 addresses, international phone numbers → typed placeholders).
+    * Counts are measured on the ORIGINAL text, then the three patterns
+    * rewrite in a fixed order (email → ip → phone) so a digit run freed by
+    * an earlier replacement can never be re-matched ambiguously. A pure
+    * codegen'd projection: at 100 TB this runs at parquet-scan speed with
+    * zero shuffle, and the regex work is the same per-byte cost class as
+    * the quality/langid signals it pipelines with. */
+  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.select(col("doc_id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ips"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("scrubbed"))
+  }
+
+  /** Corpus-fitted unigram language-model score — the CCNet-style quality
+    * filter: fit token probabilities on the corpus itself (tf / total
+    * tokens), then score each document by its mean token log-probability.
+    * Out-of-distribution documents (gibberish, wrong language, spam) score
+    * low; every token is in-vocabulary by construction since the model is
+    * fitted on the same corpus it scores.
+    *
+    * Scale shape: ONE aggregation over the exploded tokens builds the
+    * vocabulary (partial map-side combine; shuffle keyed on the token),
+    * the grand total rides in via a broadcast single-row cross join, and
+    * scoring re-joins tokens to the vocabulary on the token key — the
+    * vocabulary is tiny relative to the corpus (heap's law), so AQE
+    * broadcasts it and the scoring pass is scan + broadcast-hash-join.
+    * round(4) masks summation-order float noise (same convention as
+    * [[charEntropy]] and the cosine oracles). */
+  def unigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val ex = df.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val vocab = ex.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = vocab.agg(sum(col("tf")).cast("double").as("total"))
+    val scored = ex.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(log(col("tf") / col("total"))) / count(lit(1)), 4).as("avg_logp"))
+    df.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        col("avg_logp"))
+  }
 }
 
 /** Language identification via marker-word overlap — an n-gram/stopword

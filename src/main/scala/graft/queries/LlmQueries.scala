@@ -16,6 +16,20 @@ object LlmQueries {
 
   private val storeRunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Deterministic synthetic PII for tx_pii_scrub: one email, one IPv4,
+    * one phone number per document, derived from doc_id. Spark and SQL
+    * forms are kept adjacent so they can never drift apart. */
+  private[graft] def withSyntheticPii(t: org.apache.spark.sql.Column,
+                                      id: org.apache.spark.sql.Column) =
+    concat(coalesce(t, lit("")), lit(" contact user"), id.cast("string"),
+      lit("@example.com from 10."), pmod(id, lit(256)).cast("string"),
+      lit(".0.1 tel +1555"), lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))
+
+  private[graft] val piiAugSql: String =
+    "concat(coalesce(text, ''), ' contact user', CAST(doc_id AS VARCHAR), " +
+      "'@example.com from 10.', CAST(doc_id % 256 AS VARCHAR), " +
+      "'.0.1 tel +1555', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+
   /** Measured contract stats for an ANN operator vs the exact brute-force
     * baseline: recall over the brute top-k (seed-dependent ⇒ surfaced as an
     * invariant boolean in the query), exact re-scoring of every returned
@@ -308,6 +322,28 @@ object LlmQueries {
 
     // Quality scoring signals.
     "tx_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+
+    // PII redaction (emails / IPv4 / intl phone → typed placeholders). The
+    // fixture corpus carries no natural PII, so deterministic synthetic PII
+    // is woven into each document — by the SAME expression on the oracle
+    // side — making the regex replacement path itself hash-verified
+    // cross-engine rather than trivially matching untouched text.
+    "tx_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(
+        Tables.documents(s, dir).select(col("doc_id"),
+          withSyntheticPii(col("text"), col("doc_id")).as("text")))),
+
+    // Corpus-fitted unigram LM score — the CCNet-style quality filter
+    // (mean token log-probability under the corpus's own unigram model).
+    "tx_unigram_lp" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir))),
+
+    // Seeded deterministic shuffle + sharding — the training-export
+    // ordering step; reproducible by construction (pure function of
+    // (seed, doc_id)), no global sort in the plan.
+    "tx_shuffle_shard" -> ((s, dir) =>
+      Mixing.shuffleShards(Tables.documents(s, dir), "doc_id", "train42", 8)
+        .select(col("doc_id"), col("shard"), col("pos"))),
 
     // Character-entropy signal (gibberish high, boilerplate low) — one
     // UDF loop per row, scan-speed, fully value-checked.
@@ -749,6 +785,49 @@ object LlmQueries {
          |  CAST(len(${tokSql("text")}) AS INT) AS alnum_tokens,
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INT) AS bpeish_tokens
          |FROM documents""".stripMargin,
+    // same augmented text, same three regexes in the same order; RE2 and
+    // Java regex agree on these patterns by construction (no backrefs /
+    // lookaround), so counts and the rewritten text hash-match exactly
+    "tx_pii_scrub" -> {
+      import graft.llm.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH aug AS (SELECT doc_id, $piiAugSql AS text FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+         |FROM aug""".stripMargin
+    },
+    // unigram probabilities recomputed from scratch; round(4) masks
+    // ln()/summation-order float noise (same convention as tx_entropy)
+    "tx_unigram_lp" ->
+      s"""WITH ex AS (SELECT doc_id, unnest(${tokSql("text")}) AS tok FROM documents),
+         |v AS (SELECT tok, count(*) AS tf FROM ex GROUP BY tok),
+         |t AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM v),
+         |sc AS (SELECT ex.doc_id, count(*) AS n_tok,
+         |         round(sum(ln(v.tf / t.total)) / count(*), 4) AS avg_logp
+         |       FROM ex JOIN v USING (tok) CROSS JOIN t GROUP BY ex.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
+         |  sc.avg_logp
+         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // md5 order key and ascii()-only hex arithmetic reproduce the exact
+    // shard assignment and within-shard rank
+    "tx_shuffle_shard" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5(concat('train42:', CAST(doc_id AS VARCHAR))) AS ord_key
+        |  FROM documents),
+        |h AS (SELECT doc_id, ord_key,
+        |    ((ascii(substr(ord_key, 1, 1)) - 48
+        |        - CASE WHEN ascii(substr(ord_key, 1, 1)) >= 97 THEN 39 ELSE 0 END) * 16
+        |      + (ascii(substr(ord_key, 2, 1)) - 48
+        |        - CASE WHEN ascii(substr(ord_key, 2, 1)) >= 97 THEN 39 ELSE 0 END)) % 8 AS shard
+        |  FROM k)
+        |SELECT doc_id, CAST(shard AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord_key, doc_id) AS INT) AS pos
+        |FROM h""".stripMargin,
     // entropy recomputed exactly from per-char frequencies; round(4) masks
     // summation-order float noise (same approach as the cosine oracles)
     "tx_entropy" ->

@@ -96,4 +96,34 @@ class MixingSpec extends SparkSpec {
       .where(col("tot") > 64L && col("n") > 1L)
     assert(over.count() == 0L)
   }
+
+  test("shuffleShards: permutation, contiguous per-shard ranks, seeded determinism") {
+    val df = (0L until 400L).toDF("doc_id")
+    val a = Mixing.shuffleShards(df, "doc_id", "s1", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    // every id exactly once; shards in range
+    assert(a.map(_._1).toSet == (0L until 400L).toSet)
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    // per-shard positions are contiguous 1..n
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length)) }
+    // same seed reproduces bit-identically; a different seed reorders
+    val a2 = Mixing.shuffleShards(df, "doc_id", "s1", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(a.toSet == a2.toSet)
+    val b = Mixing.shuffleShards(df, "doc_id", "s2", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(a.toSet != b.toSet)
+  }
+
+  test("shuffleShards: no global single-partition sort in the plan") {
+    val df = (0L until 100L).toDF("doc_id")
+    val plan = Mixing.shuffleShards(df, "doc_id", "s1", 8)
+      .queryExecution.executedPlan.toString
+    // the only Exchange is hash partitioning on shard — a range/global
+    // Exchange (SinglePartition sort) would serialize the export at scale
+    assert(plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }

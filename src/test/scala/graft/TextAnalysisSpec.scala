@@ -94,4 +94,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(6L).contains(0.0))   // two identical emoji = ONE codepoint
                                     // symbol repeated, not 4 UTF-16 units
   }
+
+  test("piiScrub: hand-built PII is counted and redacted; clean text untouched") {
+    val df = Seq(
+      (1L, "mail a.b+c@ex-1.org and d@e.co here"),
+      (2L, "server 192.168.0.1 and 10.0.0.255"),
+      (3L, "call +4915112345678 now"),
+      (4L, "nothing sensitive 1.2 here"),      // 1.2 is not an IPv4
+      (5L, "mixed x@y.zz at 8.8.8.8 tel +1234567"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(df)
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((2, 0, 0, "mail <EMAIL> and <EMAIL> here")))
+    assert(out(2L) == ((0, 2, 0, "server <IP> and <IP>")))
+    assert(out(3L) == ((0, 0, 1, "call <PHONE> now")))
+    assert(out(4L) == ((0, 0, 0, "nothing sensitive 1.2 here")))
+    assert(out(5L) == ((1, 1, 1, "mixed <EMAIL> at <IP> tel <PHONE>")))
+  }
+
+  test("unigramLogProb: hand-computed probabilities on a 3-doc corpus") {
+    // corpus tokens: a a a b  → p(a)=3/4, p(b)=1/4
+    val df = Seq((1L, "a a"), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val lpA = math.log(0.75); val lpB = math.log(0.25)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((2L, Some(r4(lpA)))))            // (lpA+lpA)/2
+    assert(out(2L) == ((2L, Some(r4((lpA + lpB) / 2)))))
+    assert(out(3L) == ((0L, None)))                     // token-less doc kept, null score
+  }
 }
