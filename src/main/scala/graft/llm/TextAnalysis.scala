@@ -232,7 +232,10 @@ object TextAnalysis {
   def unigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {
     val ex = df.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
     val vocab = ex.groupBy("tok").agg(count(lit(1)).as("tf"))
-    val total = vocab.agg(sum(col("tf")).cast("double").as("total"))
+    // sum(vocab.tf) == count(ex) exactly — the plain count partial-combines
+    // to one row per partition with NO token-key Exchange, where summing the
+    // vocab would rebuild the whole grouped aggregation a second time
+    val total = ex.agg(count(lit(1)).cast("double").as("total"))
     val scored = ex.join(vocab, Seq("tok"))
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
