@@ -115,4 +115,47 @@ object Mixing {
     sharded.withColumn("pos", row_number().over(
       Window.partitionBy("shard").orderBy(col("ord_key"), col(idCol))))
   }
+
+  /** Per-stratum cap sampling — "keep at most `k` documents per source",
+    * the source-balancing step that stops one over-crawled domain from
+    * dominating a data recipe. Selection is deterministic: the `k` rows
+    * with the smallest md5(seed:id) per stratum, so re-runs (and sibling
+    * engines) pick the identical set.
+    *
+    * Scale shape — the naive formulation (row_number per stratum over
+    * everything) serializes each stratum through one reducer: a 50 TB
+    * source becomes a single-task sort. Instead, two phases:
+    * 1. one aggregation counts each stratum (tiny result, broadcast), and
+    *    a hash PREFILTER keeps each row iff its 32-bit key fraction <
+    *    margin·k/n — a scan-side filter that cuts a stratum of any size
+    *    down to ~margin·k expected survivors with no shuffle of the
+    *    corpus;
+    * 2. the exact top-k window then runs on the ~margin·k survivors per
+    *    stratum — bounded work per reducer regardless of stratum size.
+    * The prefilter keeps the SMALLEST-hash rows, i.e. a superset of the
+    * true top-k unless fewer than k of margin·k expected survivors land
+    * under the cutoff — a Chernoff-tail event (p < 1e-9 at margin 4,
+    * k ≥ 10); the correctness gate exact-compares against the full-window
+    * oracle, so any such miss is caught, not silent. Strata smaller than
+    * margin·k skip the prefilter entirely (rate clamps to 1). */
+  def capPerStratum(df: DataFrame, stratumCol: String, idCol: String, k: Int,
+                    seed: String, margin: Double = 4.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    require(margin >= 2.0, s"margin < 2 makes the prefilter lossy; got $margin")
+    import org.apache.spark.sql.expressions.Window
+    val rates = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__rate", least(lit(1.0), lit(margin * k) / col("__n")))
+      .withColumn("__cutoff", lower(lpad(hex(
+        floor(col("__rate") * lit(4294967296.0)).cast("long")), 8, "0")))
+      .select(col(stratumCol), col("__rate"), col("__cutoff"))
+    val keyed = df.withColumn("__ord",
+      md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+    val survivors = keyed.join(broadcast(rates), Seq(stratumCol))
+      .where(col("__rate") >= 1.0 ||
+        substring(col("__ord"), 1, 8) < col("__cutoff"))
+    survivors.withColumn("__rk", row_number().over(
+        Window.partitionBy(stratumCol).orderBy(col("__ord"), col(idCol))))
+      .where(col("__rk") <= k)
+      .drop("__ord", "__rate", "__cutoff", "__rk")
+  }
 }

@@ -345,6 +345,13 @@ object LlmQueries {
       Mixing.shuffleShards(Tables.documents(s, dir), "doc_id", "train42", 8)
         .select(col("doc_id"), col("shard"), col("pos"))),
 
+    // Source balancing: at most k docs per source, chosen deterministically
+    // by hash rank (prefilter + bounded window — no per-stratum full sort).
+    "tx_cap_sample" -> ((s, dir) =>
+      Mixing.capPerStratum(Tables.documents(s, dir), "source", "doc_id",
+          k = 10, seed = "cap42")
+        .select(col("doc_id"), col("source"))),
+
     // Character-entropy signal (gibberish high, boilerplate low) — one
     // UDF loop per row, scan-speed, fully value-checked.
     "tx_entropy" -> ((s, dir) => TextAnalysis.charEntropy(Tables.documents(s, dir))),
@@ -813,6 +820,14 @@ object LlmQueries {
          |SELECT d.doc_id, CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
          |  sc.avg_logp
          |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // the oracle is the NAIVE full-window formulation; the engine's
+    // prefilter+window must select the identical set
+    "tx_cap_sample" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(concat('cap42:', CAST(doc_id AS VARCHAR))), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rk <= 10""".stripMargin,
     // md5 order key and ascii()-only hex arithmetic reproduce the exact
     // shard assignment and within-shard rank
     "tx_shuffle_shard" ->

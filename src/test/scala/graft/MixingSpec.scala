@@ -116,6 +116,28 @@ class MixingSpec extends SparkSpec {
     assert(a.toSet != b.toSet)
   }
 
+  test("capPerStratum: exact per-stratum top-k-by-hash, small strata kept whole") {
+    // strata: "big" 300 rows (prefilter engages), "tiny" 5 rows (rate clamps to 1)
+    val df = ((0L until 300L).map(i => (i, "big")) ++
+      (1000L until 1005L).map(i => (i, "tiny"))).toDF("doc_id", "src")
+    val out = Mixing.capPerStratum(df, "src", "doc_id", k = 10, seed = "s")
+      .select("doc_id", "src").as[(Long, String)].collect().toSet
+    // naive oracle: global window top-k by the same md5 key
+    import org.apache.spark.sql.expressions.Window
+    val naive = df.withColumn("ord", md5(concat(lit("s:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("ord"), col("doc_id"))))
+      .where(col("rk") <= 10).select("doc_id", "src")
+      .as[(Long, String)].collect().toSet
+    assert(out == naive)
+    assert(out.count(_._2 == "big") == 10)
+    assert(out.count(_._2 == "tiny") == 5)  // below the cap: kept whole
+    // determinism
+    val out2 = Mixing.capPerStratum(df, "src", "doc_id", k = 10, seed = "s")
+      .select("doc_id", "src").as[(Long, String)].collect().toSet
+    assert(out == out2)
+  }
+
   test("shuffleShards: no global single-partition sort in the plan") {
     val df = (0L until 100L).toDF("doc_id")
     val plan = Mixing.shuffleShards(df, "doc_id", "s1", 8)
