@@ -229,6 +229,37 @@ object TextAnalysis {
     * broadcasts it and the scoring pass is scan + broadcast-hash-join.
     * round(4) masks summation-order float noise (same convention as
     * [[charEntropy]] and the cosine oracles). */
+  /** Per-source KL divergence from the corpus unigram distribution — the
+    * mixture-drift report: which sources look lexically unlike the corpus
+    * they're mixed into (high KL = distributional outlier; candidates for
+    * re-weighting or review). KL(source ∥ corpus) over the shared token
+    * space; every source token is in the corpus vocabulary by construction,
+    * so the divergence is always finite.
+    *
+    * Scale shape: two partial-combining aggregations over one exploded-token
+    * pass (per-(source, token) and per-token), a broadcast-sized global
+    * vocabulary joined back on the token key, and a final per-source
+    * aggregation whose output is one row per source. round(4) masks
+    * ln()/summation-order float noise (same convention as [[charEntropy]]). */
+  def sourceDivergence(df: DataFrame, textCol: String = "text",
+                       groupCol: String = "source"): DataFrame = {
+    val ex = df.select(col(groupCol).as("grp"),
+      explode(tokens(col(textCol))).as("tok"))
+    val global = ex.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = ex.agg(count(lit(1)).cast("double").as("total"))
+    val perSrc = ex.groupBy("grp", "tok").agg(count(lit(1)).as("stf"))
+    val srcTotal = ex.groupBy("grp").agg(count(lit(1)).as("s_total"))
+    perSrc
+      .join(srcTotal, Seq("grp"))
+      .join(global, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("grp").as(groupCol))
+      .agg(max(col("s_total")).as("n_tok"),
+        round(sum((col("stf") / col("s_total"))
+          * log((col("stf") / col("s_total")) / (col("tf") / col("total")))), 4)
+          .as("kl"))
+  }
+
   def unigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {
     val ex = df.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
     val vocab = ex.groupBy("tok").agg(count(lit(1)).as("tf"))

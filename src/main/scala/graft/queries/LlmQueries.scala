@@ -345,6 +345,11 @@ object LlmQueries {
       Mixing.shuffleShards(Tables.documents(s, dir), "doc_id", "train42", 8)
         .select(col("doc_id"), col("shard"), col("pos"))),
 
+    // Mixture-drift report: KL(source ∥ corpus) over unigram distributions
+    // — one row per source, flags lexically-outlying sources in a recipe.
+    "tx_source_kl" -> ((s, dir) =>
+      TextAnalysis.sourceDivergence(Tables.documents(s, dir))),
+
     // Source balancing: at most k docs per source, chosen deterministically
     // by hash rank (prefilter + bounded window — no per-stratum full sort).
     "tx_cap_sample" -> ((s, dir) =>
@@ -820,6 +825,19 @@ object LlmQueries {
          |SELECT d.doc_id, CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
          |  sc.avg_logp
          |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // KL recomputed from scratch over the same token space; round(4) masks
+    // ln()/summation-order float noise (same convention as tx_entropy)
+    "tx_source_kl" ->
+      s"""WITH ex AS (SELECT source AS grp, unnest(${tokSql("text")}) AS tok FROM documents),
+         |g AS (SELECT tok, count(*) AS tf FROM ex GROUP BY tok),
+         |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM ex),
+         |ps AS (SELECT grp, tok, count(*) AS stf FROM ex GROUP BY grp, tok),
+         |st AS (SELECT grp, count(*) AS s_total FROM ex GROUP BY grp)
+         |SELECT ps.grp AS source, CAST(max(st.s_total) AS BIGINT) AS n_tok,
+         |  round(sum((ps.stf / st.s_total)
+         |    * ln((ps.stf / st.s_total) / (g.tf / t.total))), 4) AS kl
+         |FROM ps JOIN st USING (grp) JOIN g USING (tok) CROSS JOIN t
+         |GROUP BY ps.grp""".stripMargin,
     // the oracle is the NAIVE full-window formulation; the engine's
     // prefilter+window must select the identical set
     "tx_cap_sample" ->

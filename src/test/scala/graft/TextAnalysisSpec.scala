@@ -113,6 +113,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) == ((1, 1, 1, "mixed <EMAIL> at <IP> tel <PHONE>")))
   }
 
+  test("sourceDivergence: hand-computed KL(source || corpus)") {
+    // source A tokens: a a b ; source B tokens: a b b b
+    // corpus: p(a)=3/7, p(b)=4/7
+    val df = Seq((1L, "a a b", "A"), (2L, "a b b b", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceDivergence(df)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val klA = 2.0/3 * math.log((2.0/3) / (3.0/7)) + 1.0/3 * math.log((1.0/3) / (4.0/7))
+    val klB = 1.0/4 * math.log((1.0/4) / (3.0/7)) + 3.0/4 * math.log((3.0/4) / (4.0/7))
+    assert(out("A") == ((3L, r4(klA))))
+    assert(out("B") == ((4L, r4(klB))))
+    assert(klA > 0 && klB > 0) // KL is positive for differing distributions
+  }
+
   test("unigramLogProb: hand-computed probabilities on a 3-doc corpus") {
     // corpus tokens: a a a b  → p(a)=3/4, p(b)=1/4
     val df = Seq((1L, "a a"), (2L, "a b"), (3L, ""))
