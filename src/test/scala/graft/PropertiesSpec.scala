@@ -94,4 +94,56 @@ class PropertiesSpec extends SparkSpec {
     // every fixture doc gets a row
     assert(out.count() == Tables.documents(spark, sf).count())
   }
+
+  test("piiScrub invariants: doc count preserved; scrubbed text carries no matches") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.piiScrub(docs)
+    assert(out.count() == docs.count())
+    // re-scanning the scrubbed text finds nothing left to redact
+    val residual = out.where(
+      col("scrubbed").rlike(TextAnalysis.EmailRe) ||
+      col("scrubbed").rlike(TextAnalysis.Ipv4Re) ||
+      col("scrubbed").rlike(TextAnalysis.PhoneRe)).count()
+    assert(residual == 0L)
+  }
+
+  test("unigramLogProb invariants: score <= 0, n_tok consistent, count preserved") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.unigramLogProb(docs)
+    assert(out.count() == docs.count())
+    // probabilities are <= 1 so mean log-prob is <= 0; token-less docs null
+    val bad = out.where(
+      (col("n_tok") > 0 && (col("avg_logp").isNull || col("avg_logp") > 0.0)) ||
+      (col("n_tok") === 0 && col("avg_logp").isNotNull)).count()
+    assert(bad == 0L)
+  }
+
+  test("sourceDivergence invariants: KL >= 0 per source (Gibbs)") {
+    val out = TextAnalysis.sourceDivergence(Tables.documents(spark, sf))
+    // round(4) can leave a -0.0; anything below -1e-9 would break Gibbs
+    assert(out.where(col("kl") < -1e-9).count() == 0L)
+    assert(out.count() == Tables.documents(spark, sf)
+      .select("source").distinct().count())
+  }
+
+  test("capPerStratum invariants on the fixture: cap respected, subset, deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val out = graft.llm.Mixing.capPerStratum(docs, "source", "doc_id", k = 10, seed = "p")
+    val over = out.groupBy("source").count().where(col("count") > 10)
+    assert(over.count() == 0L)
+    // output rows are original rows (subset semantics, no mutation)
+    assert(out.join(docs, Seq("doc_id"), "left_anti").count() == 0L)
+  }
+
+  test("shuffleShards invariants on the fixture: permutation across shards") {
+    val docs = Tables.documents(spark, sf)
+    val out = graft.llm.Mixing.shuffleShards(docs, "doc_id", "p", 8)
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    // per-shard max pos equals per-shard count (contiguous ranks)
+    val bad = out.groupBy("shard")
+      .agg(max("pos").as("mx"), count(lit(1)).as("n"))
+      .where(col("mx") =!= col("n"))
+    assert(bad.count() == 0L)
+  }
 }
