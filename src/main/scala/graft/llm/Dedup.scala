@@ -413,6 +413,66 @@ object Dedup {
     }
   }
 
+  /** All k-token windows of a token array, position order, one entry per
+    * position (NOT distinct — position identity is the point). Same tight
+    * JVM loop rationale as [[shingles]]; fewer than k tokens → empty. */
+  private val windowsUdf = udf { (toks: Seq[String], k: Int) =>
+    if (toks == null) null
+    else if (toks.length < k) Seq.empty[String]
+    else {
+      val out = new Array[String](toks.length - k + 1)
+      var i = 0
+      while (i + k <= toks.length) {
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < i + k) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
+        out(i) = sb.toString
+        i += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /** Exact duplicated-substring spans ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022 — the suffix-array substring
+    * dedup, re-expressed relationally): a position is duplicated iff its
+    * k-token window occurs `minDf`+ times corpus-wide (any document, any
+    * position — a doc repeating itself counts); runs of consecutive
+    * duplicated positions merge into maximal spans. Returns one row per
+    * span: (doc_id, span_start, span_len, n_windows), token units — the
+    * ranges a substring-level cut pass would remove.
+    *
+    * Scale shape vs the suffix-array original: a suffix array is a global
+    * sorted structure (hostile to a shared-nothing engine); window hashing
+    * gives the same ≥k-token-repeat detection as two shuffles keyed on an
+    * 8-byte xxhash64 — (1) window frequency aggregate with map-side
+    * partial counts, (2) hot-set equi-join back (AQE broadcasts it when
+    * the duplicated fraction is small, the normal regime). Window TEXT
+    * never shuffles — only (doc_id, pos, hash). The island merge windows
+    * only over duplicated positions per doc, a small fraction of the
+    * corpus by construction. */
+  def dupSpans(df: DataFrame, textCol: String = "text", k: Int = 8,
+               minDf: Int = 2): DataFrame = {
+    require(k >= 2, s"window must span >= 2 tokens; got $k")
+    require(minDf >= 2, s"minDf < 2 would mark every position; got $minDf")
+    import org.apache.spark.sql.expressions.Window
+    val wins = df
+      .select(col("doc_id"), posexplode(
+        windowsUdf(TextAnalysis.tokens(col(textCol)), lit(k))))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("wh"))
+    val hot = wins.groupBy("wh").agg(count(lit(1)).as("wdf"))
+      .where(col("wdf") >= minDf).select("wh")
+    val dup = wins.join(hot, Seq("wh")).select("doc_id", "pos")
+    dup
+      .withColumn("isl", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + lit(k)).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_len", "n_windows")
+  }
+
   /** SemDeDup-style semantic near-dup pairs: cluster the embeddings with
     * seeded KMeans (the learned "semantic bucket"), then run the exact
     * cosine comparison only within a cluster — [[cosinePairs]] with a

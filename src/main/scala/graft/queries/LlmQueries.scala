@@ -225,6 +225,14 @@ object LlmQueries {
         .select("doc_id")
     }),
 
+    // Exact duplicated-substring spans (Lee et al. 2022 substring dedup,
+    // relational form): maximal runs of corpus-duplicated 8-token windows
+    // per document — the ranges a substring-cut pass would remove. Window
+    // frequency + hot-set join both keyed on 8-byte hashes; fully
+    // value-checked against the naive window-string formulation.
+    "dd_substring" -> ((s, dir) =>
+      Dedup.dupSpans(Tables.documents(s, dir), k = 8, minDf = 2)),
+
     // Cross-document boilerplate detection: 3-grams shared by >= 3 docs,
     // per-doc boilerplate fraction. Gram document frequency aggregates on
     // an 8-byte hash; the hot-gram set is small by construction and
@@ -580,6 +588,24 @@ object LlmQueries {
          |dropped AS (SELECT s AS doc_id FROM reach GROUP BY s HAVING min(d) < s)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    // duplicated-substring spans: naive formulation — every 8-token window
+    // string, windows occurring twice+ corpus-wide, consecutive duplicated
+    // positions merged via the pos - row_number() island trick
+    "dd_substring" ->
+      s"""WITH t AS (SELECT doc_id, ${tokSql("text")} AS tok FROM documents),
+         |w AS (SELECT doc_id, CAST(i AS INT) AS pos,
+         |        array_to_string(list_slice(tok, CAST(i AS INT)+1, CAST(i AS INT)+8), ' ') AS win
+         |      FROM (SELECT doc_id, tok,
+         |              unnest(range(0, greatest(len(tok) - 7, 0))) AS i FROM t)),
+         |hot AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+         |d AS (SELECT w.doc_id, w.pos FROM w JOIN hot USING (win)),
+         |r AS (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |      FROM d)
+         |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+         |  CAST(max(pos) - min(pos) + 8 AS INT) AS span_len,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM r GROUP BY doc_id, isl""".stripMargin,
     // hash-deterministic per-language sampling: the CASE arms are generated
     // from the SAME rate table the Spark filter uses (Mixing.rateCutoffHex)
     "tx_mixture" -> {

@@ -130,6 +130,22 @@ class DedupSpec extends SparkSpec {
     assert(out.head._3 > 0.99 && out.head._3 <= 1.0)
   }
 
+  test("dupSpans: hand-computed duplicated-substring spans (incl. self-repeat)") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x x a b c d e f z z"),  // shares "a b c d e f" with doc 1
+      (3L, "p q r s p q r s"),      // repeats itself — positions 0-1 and 4-5
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(d, k = 3, minDf = 2)
+      .as[(Long, Int, Int, Long)].collect()
+      .map { case (id, st, ln, nw) => (id, st) -> ((ln, nw)) }.toMap
+    assert(out((1L, 0)) == ((6, 4)))  // windows abc..def merge to one span
+    assert(out((2L, 2)) == ((6, 4)))  // same span, shifted by the xx prefix
+    assert(out((3L, 0)) == ((4, 2)) && out((3L, 4)) == ((4, 2)))
+    assert(out.size == 4)             // null-text doc contributes nothing
+  }
+
   test("boilerplateStats: hand-computed cross-doc gram frequencies") {
     val d = Seq(
       (1L, "a b c d"),    // grams: "a b c", "b c d"
