@@ -141,13 +141,56 @@ object Mixing {
   def capPerStratum(df: DataFrame, stratumCol: String, idCol: String, k: Int,
                     seed: String, margin: Double = 4.0): DataFrame = {
     require(k >= 1, s"k must be >= 1; got $k")
+    val quotas = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__k", lit(k.toLong))
+    capWithQuotas(df, stratumCol, idCol, quotas, seed, margin)
+  }
+
+  /** Temperature-scaled mixture sampling — the "flatten the source
+    * distribution" step of a data recipe (sample source s with probability
+    * ∝ n_s^α, α<1 upweighting small sources relative to their corpus
+    * share; α=0.5 is the common temperature-2 recipe). Each source gets an
+    * integer quota ⌊budget·w_s/Σw⌋ with w_s=⌊√n_s⌋, capped at n_s (no
+    * replacement), filled with the quota smallest md5(seed:id) hashes.
+    *
+    * Engine-reproducibility is designed in: weights and quotas are BIGINT
+    * arithmetic end to end (⌊√n⌋ via IEEE-correctly-rounded sqrt, integer
+    * sum, integer floor-division), so quota values are bit-identical in
+    * any engine and independent of aggregation order — no
+    * floating-normalizer ulp hazard at the floor() boundary. A source
+    * whose share ⌊budget·w_s/Σw⌋ rounds to 0 is dropped (documented; give
+    * it a floor by raising `budget`). Selection then runs through the same
+    * two-phase prefilter+window machinery as [[capPerStratum]] — bounded
+    * work per reducer however large a source is. */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+                        budget: Long, seed: String,
+                        margin: Double = 4.0): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1; got $budget")
+    val w = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    val sumw = w.agg(sum("__w").as("__sw"))
+    val quotas = w.crossJoin(broadcast(sumw))
+      .withColumn("__k", least(expr(s"($budget * __w) div __sw"), col("__n")))
+      .select(col(stratumCol), col("__n"), col("__k"))
+    capWithQuotas(df, stratumCol, idCol, quotas, seed, margin)
+  }
+
+  /** Shared two-phase per-stratum top-k selection: `quotas` carries one
+    * row per stratum with its size `__n` and quota `__k`. Phase 1 is the
+    * scan-side hash prefilter at rate min(1, margin·k/n) (see
+    * [[capPerStratum]] for the recall argument); phase 2 the exact
+    * top-k window over the bounded survivors. */
+  private def capWithQuotas(df: DataFrame, stratumCol: String, idCol: String,
+                            quotas: DataFrame, seed: String,
+                            margin: Double): DataFrame = {
     require(margin >= 2.0, s"margin < 2 makes the prefilter lossy; got $margin")
     import org.apache.spark.sql.expressions.Window
-    val rates = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
-      .withColumn("__rate", least(lit(1.0), lit(margin * k) / col("__n")))
+    val rates = quotas
+      .withColumn("__rate", least(lit(1.0),
+        lit(margin) * col("__k").cast("double") / col("__n")))
       .withColumn("__cutoff", lower(lpad(hex(
         floor(col("__rate") * lit(4294967296.0)).cast("long")), 8, "0")))
-      .select(col(stratumCol), col("__rate"), col("__cutoff"))
+      .select(col(stratumCol), col("__k"), col("__rate"), col("__cutoff"))
     val keyed = df.withColumn("__ord",
       md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
     val survivors = keyed.join(broadcast(rates), Seq(stratumCol))
@@ -155,7 +198,7 @@ object Mixing {
         substring(col("__ord"), 1, 8) < col("__cutoff"))
     survivors.withColumn("__rk", row_number().over(
         Window.partitionBy(stratumCol).orderBy(col("__ord"), col(idCol))))
-      .where(col("__rk") <= k)
-      .drop("__ord", "__rate", "__cutoff", "__rk")
+      .where(col("__rk") <= col("__k"))
+      .drop("__ord", "__rate", "__cutoff", "__rk", "__k", "__n")
   }
 }

@@ -365,6 +365,15 @@ object LlmQueries {
           k = 10, seed = "cap42")
         .select(col("doc_id"), col("source"))),
 
+    // Temperature-scaled source mixture (alpha = 0.5): integer sqrt-weight
+    // quotas over a 150-doc budget, each source filled with its quota
+    // smallest seeded hashes. Quota arithmetic is BIGINT end to end, so
+    // the oracle recomputes identical quotas from the data.
+    "tx_temperature_mix" -> ((s, dir) =>
+      Mixing.temperatureSample(Tables.documents(s, dir), "source", "doc_id",
+          budget = 150L, seed = "temp42")
+        .select(col("doc_id"), col("source"))),
+
     // Character-entropy signal (gibberish high, boilerplate low) — one
     // UDF loop per row, scan-speed, fully value-checked.
     "tx_entropy" -> ((s, dir) => TextAnalysis.charEntropy(Tables.documents(s, dir))),
@@ -872,6 +881,22 @@ object LlmQueries {
         |      ORDER BY md5(concat('cap42:', CAST(doc_id AS VARCHAR))), doc_id) AS rk
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rk <= 10""".stripMargin,
+    // temperature quotas recomputed in BIGINT (floor-sqrt weights, integer
+    // sum, integer floor-division) — bit-identical to the engine's, then
+    // the naive full-window selection
+    "tx_temperature_mix" ->
+      """WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM n),
+        |q AS (SELECT source,
+        |    least(CAST(150 * w AS BIGINT) // CAST((SELECT sum(w) FROM w) AS BIGINT),
+        |          n) AS k FROM w),
+        |sel AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(concat('temp42:', CAST(doc_id AS VARCHAR))), doc_id) AS rk
+        |  FROM documents)
+        |SELECT sel.doc_id, sel.source FROM sel JOIN q USING (source)
+        |WHERE sel.rk <= q.k""".stripMargin,
     // md5 order key and ascii()-only hex arithmetic reproduce the exact
     // shard assignment and within-shard rank
     "tx_shuffle_shard" ->

@@ -138,6 +138,38 @@ class MixingSpec extends SparkSpec {
     assert(out == out2)
   }
 
+  test("temperatureSample: integer quotas flatten the mix; equals naive selection") {
+    // skewed corpus: big=400, mid=100, tiny=25 → sqrt weights 20/10/5 (Σ35)
+    // budget 70 → quotas 40/20/10: big:mid corpus ratio 4:1 flattens to 2:1
+    val df = ((0L until 400L).map(i => (i, "big")) ++
+      (1000L until 1100L).map(i => (i, "mid")) ++
+      (2000L until 2025L).map(i => (i, "tiny"))).toDF("doc_id", "src")
+    val out = Mixing.temperatureSample(df, "src", "doc_id", budget = 70L, seed = "t")
+      .select("doc_id", "src").as[(Long, String)].collect().toSet
+    val bySrc = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc == Map("big" -> 40, "mid" -> 20, "tiny" -> 10))
+    // selection within each quota = the naive full-window top-k by hash
+    import org.apache.spark.sql.expressions.Window
+    val naive = df.withColumn("ord", md5(concat(lit("t:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("ord"), col("doc_id"))))
+      .withColumn("k", when(col("src") === "big", 40)
+        .when(col("src") === "mid", 20).otherwise(10))
+      .where(col("rk") <= col("k")).select("doc_id", "src")
+      .as[(Long, String)].collect().toSet
+    assert(out == naive)
+  }
+
+  test("temperatureSample: quotas cap at the stratum size (no replacement)") {
+    // tiny stratum whose quota exceeds its size is kept whole, not inflated
+    val df = ((0L until 900L).map(i => (i, "big")) ++
+      (1000L until 1004L).map(i => (i, "tiny"))).toDF("doc_id", "src")
+    // weights 30/2 (Σ32); budget 320 → raw quotas 300/20; tiny capped at 4
+    val bySrc = Mixing.temperatureSample(df, "src", "doc_id", budget = 320L, seed = "t")
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc == Map("big" -> 300L, "tiny" -> 4L))
+  }
+
   test("shuffleShards: no global single-partition sort in the plan") {
     val df = (0L until 100L).toDF("doc_id")
     val plan = Mixing.shuffleShards(df, "doc_id", "s1", 8)
