@@ -358,7 +358,17 @@ object Dedup {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     textCol: String = "text", n: Int = 3,
                     threshold: Double = 0.5,
-                    broadcastBenchmark: Boolean = true): DataFrame = {
+                    broadcastBenchmark: Boolean = true): DataFrame =
+    corpus.join(
+      contaminatedIds(corpus, benchmark, textCol, n, threshold, broadcastBenchmark),
+      Seq("doc_id"), "left_anti")
+
+  /** Exact contamination check shared by [[decontaminate]] and
+    * [[decontaminateBloom]]: doc_ids of `corpus` rows with a >= threshold
+    * shingle-Jaccard match in `benchmark`. */
+  private def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+                              textCol: String, n: Int, threshold: Double,
+                              broadcastBenchmark: Boolean): DataFrame = {
     def shingled(df: DataFrame, idAs: String) =
       df.select(col("doc_id").as(idAs), shingles(col(textCol), n).as("sh"))
         .withColumn("n_sh", size(col("sh")))
@@ -367,12 +377,48 @@ object Dedup {
     val c = shingled(corpus, "cid").withColumnRenamed("n_sh", "nC")
     val b0 = shingled(benchmark, "bid").withColumnRenamed("n_sh", "nB")
     val b = if (broadcastBenchmark) broadcast(b0) else b0
-    val contaminated = c.join(b, Seq("shingle"))
+    c.join(b, Seq("shingle"))
       .groupBy("cid", "bid", "nC", "nB").agg(count(lit(1)).as("shared"))
       .where(col("shared").cast("double") / (col("nC") + col("nB") - col("shared"))
         >= threshold)
       .select(col("cid").as("doc_id")).distinct()
-    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Decontamination for a LARGE benchmark — when the benchmark's shingle
+    * rows are too big to broadcast as a join side, a Bloom filter over
+    * them (a few MB however many shingles) still travels to every task.
+    * Two phases:
+    * 1. map-side Bloom screen: a corpus doc is *suspect* iff any of its
+    *    shingles might be in the benchmark. Bloom filters have NO false
+    *    negatives, so an unsuspected doc provably shares zero shingles
+    *    (Jaccard 0) and never reaches a shuffle — at a realistic
+    *    contamination rate that's almost the whole corpus;
+    * 2. the exact shingle join of [[decontaminate]] runs over the suspects
+    *    only, discarding the Bloom's false positives.
+    * The result is therefore IDENTICAL to [[decontaminate]] — the Bloom
+    * changes the plan, never the answer — letting the full-value oracle
+    * apply. `expectedShingles`/`fpp` size the filter (1% fpp ≈ 9.6
+    * bits/shingle); an undersized filter degrades to more suspects, not
+    * to wrong output. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String = "text", n: Int = 3,
+                         threshold: Double = 0.5,
+                         expectedShingles: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val bf = benchmark.select(explode(shingles(col(textCol), n)).as("s"))
+      .stat.bloomFilter("s", expectedShingles, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val anyHit = udf { (sh: Seq[String]) =>
+      sh != null && sh.exists(bfB.value.mightContainString)
+    }
+    // plain scan-side filter — no join; the suspect set re-shingles inside
+    // the exact check, trading one narrow recompute for zero exchanges here
+    val suspects = corpus.where(anyHit(shingles(col(textCol), n)))
+    corpus.join(
+      contaminatedIds(suspects, benchmark, textCol, n, threshold,
+        broadcastBenchmark = false),
+      Seq("doc_id"), "left_anti")
   }
 
   /** Cross-document boilerplate statistics: word n-grams shared by at

@@ -225,6 +225,18 @@ object LlmQueries {
         .select("doc_id")
     }),
 
+    // Decontamination with a Bloom prefilter (the large-benchmark path): a
+    // few-MB Bloom over benchmark shingles screens the corpus map-side —
+    // no false negatives, so unsuspected docs provably share zero shingles
+    // and never shuffle; the exact join confirms only suspects. Identical
+    // output to the exact path, so the full-value oracle applies.
+    "dd_bloom_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminateBloom(docs, docs.where("doc_id % 89 = 0"),
+          threshold = 0.5, expectedShingles = 50000L, fpp = 0.01)
+        .select("doc_id")
+    }),
+
     // Exact duplicated-substring spans (Lee et al. 2022 substring dedup,
     // relational form): maximal runs of corpus-duplicated 8-token windows
     // per document — the ranges a substring-cut pass would remove. Window
@@ -597,6 +609,21 @@ object LlmQueries {
          |dropped AS (SELECT s AS doc_id FROM reach GROUP BY s HAVING min(d) < s)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    // the Bloom prefilter never changes the answer, so the oracle is the
+    // exact formulation over the %89 benchmark subset
+    "dd_bloom_decontam" ->
+      s"""WITH $jaccardCte,
+         |bpairs AS (
+         |  SELECT c.doc_id AS cid, b.doc_id AS bid, c.n_sh AS nC, b.n_sh AS nB,
+         |         count(*) AS shared
+         |  FROM ex c JOIN (SELECT * FROM ex WHERE doc_id % 89 = 0) b
+         |    ON c.shingle = b.shingle
+         |  GROUP BY 1, 2, 3, 4),
+         |contaminated AS (
+         |  SELECT DISTINCT cid AS doc_id FROM bpairs
+         |  WHERE CAST(shared AS DOUBLE) / (nC + nB - shared) >= 0.5)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
     // duplicated-substring spans: naive formulation — every 8-token window
     // string, windows occurring twice+ corpus-wide, consecutive duplicated
     // positions merged via the pos - row_number() island trick

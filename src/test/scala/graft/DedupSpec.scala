@@ -130,6 +130,27 @@ class DedupSpec extends SparkSpec {
     assert(out.head._3 > 0.99 && out.head._3 <= 1.0)
   }
 
+  test("decontaminateBloom: identical survivors to the exact path, even undersized") {
+    val bench = docs.where($"doc_id" === 1L)
+    val exact = Dedup.decontaminate(docs, bench, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.decontaminateBloom(docs, bench, threshold = 0.5,
+        expectedShingles = 1000L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom == exact)
+    // an undersized, high-fpp filter yields more suspects, never wrong output
+    val tiny = Dedup.decontaminateBloom(docs, bench, threshold = 0.5,
+        expectedShingles = 2L, fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiny == exact)
+    // null-text docs can't match any benchmark and always survive
+    val withNull = docs.unionByName(
+      Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(Dedup.decontaminateBloom(withNull, bench, threshold = 0.5,
+        expectedShingles = 1000L, fpp = 0.01)
+      .where($"doc_id" === 99L).count() == 1L)
+  }
+
   test("dupSpans: hand-computed duplicated-substring spans (incl. self-repeat)") {
     val d = Seq(
       (1L, "a b c d e f g h i j"),
