@@ -61,4 +61,28 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf("dd_decontam")
     assert(plan.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$plan")
   }
+
+  test("dd_substring: window-hash shuffles only — no cartesian, no global sort") {
+    val plan = planOf("dd_substring")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs substring check:\n$plan")
+    assert(plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("rangepartitioning") && !plan.contains("SinglePartition"),
+      s"single-reducer bottleneck:\n$plan")
+  }
+
+  test("tx_temperature_mix: quota side broadcasts; window partitions by source") {
+    val plan = planOf("tx_temperature_mix")
+    // quotas (one row per source) reach the corpus via broadcast, and the
+    // top-k window hashes on the stratum — corpus rows shuffle at most once
+    assert(plan.contains("BroadcastExchange"), s"quotas not broadcast:\n$plan")
+    assert(plan.contains("hashpartitioning(source"), s"window not per-stratum:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"global sort:\n$plan")
+  }
+
+  test("dd_bloom_decontam: no cartesian; exact confirm join is shingle-keyed") {
+    val plan = planOf("dd_bloom_decontam")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs confirm:\n$plan")
+    assert(plan.contains("hashpartitioning(shingle") ||
+      plan.contains("BroadcastHashJoin"), s"confirm join not shingle-keyed:\n$plan")
+  }
 }
