@@ -46,6 +46,9 @@ object ProbeContracts {
     val inf = MatchQueries.inferenceStats(spark, dir)
     p(s"inference: nNew=${inf.nNew} storeRows=${inf.storeRows} foreignIds=${inf.foreignIds} scoresBad=${inf.scoresBad} nScored=${inf.nScored}")
 
+    val qm = graft.llm.QualityModel.fitScore(Tables.documents(spark, dir))
+    p(f"tx_quality_model: auc=${qm.auc}%.4f nPos=${qm.nPos}")
+
     spark.stop()
   }
 }

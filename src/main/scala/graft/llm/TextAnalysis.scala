@@ -63,7 +63,7 @@ object TextAnalysis {
     * scan speed at 100 TB. Null text propagates null; empty text is 0. */
   private val Ln2 = math.log(2.0)
 
-  private val entropyUdf = udf { (s: String) =>
+  private[llm] val entropyUdf = udf { (s: String) =>
     if (s == null) null
     else if (s.isEmpty) java.lang.Double.valueOf(0.0)
     else {
@@ -149,7 +149,7 @@ object TextAnalysis {
     * formulation measured 22 s at sf0.1 vs sub-second here — same 100×
     * interpreted-lambda penalty LangId.predictUdf and Dedup.shingleUdf
     * already document). */
-  private val repUdf = udf { (toks: Seq[String]) =>
+  private[llm] val repUdf = udf { (toks: Seq[String]) =>
     if (toks == null) null
     else {
       val tc = scala.collection.mutable.HashMap.empty[String, Int]

@@ -47,6 +47,13 @@ object ContractBounds {
     * cosines). */
   val semanticRecall = 0.15
 
+  /** Weak-label quality model: holdout ROC-AUC separating corpus docs
+    * from their deterministic degradations (repeat/strip/truncate).
+    * The degradations shift every repetition/length signal by design,
+    * so the classes are strongly separable. Measured: 1.00 / 1.00 /
+    * 1.00 (sf0.001 / 0.01 / 0.1). */
+  val qualityModelAuc = 0.9
+
   /** Flagship: golden pairs ranked into the top-500 output, as a fraction
     * of min(golden, output rows) — when golden outnumber the window
     * (sf0.1: 1333 golden) the metric is the golden share of the window.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Ann, Dedup, LangId, Mixing, Multimodal, TextAnalysis}
+import graft.llm.{Ann, Dedup, LangId, Mixing, Multimodal, QualityModel, TextAnalysis}
 
 /** The beyond-reference LLM-training-data-pipeline operators: dedup,
   * similarity search, text analysis, multimodal columns — each a
@@ -357,6 +357,22 @@ object LlmQueries {
     // (mean token log-probability under the corpus's own unigram model).
     "tx_unigram_lp" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, dir))),
+
+    // Model-based quality gate (CCNet/GPT-3 style): logistic model fit on
+    // weak labels (corpus docs vs their deterministic degradations) over
+    // the engine's own quality signals, scoring every document. Model
+    // coefficients are fit state, so the query emits the contract: class
+    // sizes (SQL-computable), holdout AUC >= bound, probabilities valid.
+    "tx_quality_model" -> ((s, dir) => {
+      import s.implicits._
+      val r = QualityModel.fitScore(Tables.documents(s, dir))
+      val nScored = r.scores.count()
+      val inRange = r.scores.where(col("quality_prob") < 0.0
+        || col("quality_prob") > 1.0 || col("quality_prob").isNull).count() == 0L
+      Seq((r.nPos, r.nNeg, nScored, r.auc >= ContractBounds.qualityModelAuc,
+          inRange))
+        .toDF("n_pos", "n_neg", "n_scored", "auc_ok", "probs_in_range")
+    }),
 
     // Seeded deterministic shuffle + sharding — the training-export
     // ordering step; reproducible by construction (pure function of
@@ -924,6 +940,14 @@ object LlmQueries {
         |  FROM documents)
         |SELECT sel.doc_id, sel.source FROM sel JOIN q USING (source)
         |WHERE sel.rk <= q.k""".stripMargin,
+    // quality-model contract: class sizes from the data; AUC and
+    // probability-range invariants asserted Spark-side
+    "tx_quality_model" ->
+      """SELECT CAST(count(CASE WHEN text IS NOT NULL THEN 1 END) AS BIGINT) AS n_pos,
+        |  CAST(count(CASE WHEN text IS NOT NULL THEN 1 END) AS BIGINT) AS n_neg,
+        |  CAST(count(*) AS BIGINT) AS n_scored,
+        |  TRUE AS auc_ok, TRUE AS probs_in_range
+        |FROM documents""".stripMargin,
     // md5 order key and ascii()-only hex arithmetic reproduce the exact
     // shard assignment and within-shard rank
     "tx_shuffle_shard" ->
