@@ -13,7 +13,11 @@ object Bench {
     // deterministic name order (Map iteration order varies per hash seed);
     // also lets queries that share memoized fitted stages amortize warmup
     // the same way on every run
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated filter for profiling a subset in isolation
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes every column of the result (a plain
       // count() would let Catalyst prune the projection away and undercount

@@ -167,6 +167,30 @@ object Ann {
   def readCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(centroidsPath(path))
 
+  /** Corpus clustering report — the "what's in this embedding corpus"
+    * structural summary (topic-ish cells): per KMeans cell, its size and
+    * the mean cosine of members to their centroid (cell coherence).
+    * Null-vector rows are excluded (they belong to no cell).
+    *
+    * Scale shape: centroids broadcast (`assignCells` evaluates the argmin
+    * map-side); the per-cell aggregate partial-combines, so the only
+    * exchange carries nCells rows. The coherence cosine reuses the codegen
+    * [[graft.functions.CosineSim]] kernel. */
+  def clusterReport(df: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    nCells: Int = 16): DataFrame = {
+    val centroids = fitCentroids(df.where(col(vecCol).isNotNull), nCells, vecCol)
+    val assigned = assignCells(df.where(col(vecCol).isNotNull), centroids,
+      idCol, vecCol)
+    assigned
+      .join(broadcast(centroids), Seq("cell"))
+      .withColumn("coh", graft.functions.CosineSim.cosine_sim(
+        col("cv"), col("centroid")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("coh")), 4).as("mean_cosine"))
+  }
+
   /** Top-k over an already-assigned (nn_id, cv, cell) frame: nProbe cells
     * per query via the given centroids, exact cosine re-rank. Shared by
     * [[ivfStoreTopK]] (assigned = the persisted store) and any in-memory

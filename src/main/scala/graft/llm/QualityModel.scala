@@ -50,7 +50,7 @@ object QualityModel {
     * [[TextAnalysis.charEntropy]] without their round() (rounding exists
     * for oracle compare; features don't want it). `keep` columns pass
     * through untouched. */
-  private[llm] def features(df: DataFrame, textCol: String,
+  private[graft] def features(df: DataFrame, textCol: String,
                             keep: Seq[String]): DataFrame = {
     val t = col(textCol)
     val toks = TextAnalysis.tokens(t)

@@ -260,6 +260,34 @@ object TextAnalysis {
           .as("kl"))
   }
 
+  /** Vocabulary-coverage report — the "how much of the corpus does a
+    * top-k vocabulary cover" question a tokenizer design starts from.
+    * One row per top-k token: its count, frequency rank (ties broken by
+    * token, so ranks are engine-deterministic), and the CUMULATIVE
+    * fraction of all corpus tokens covered through that rank.
+    *
+    * Scale shape: the token-frequency aggregate partial-combines map-side
+    * (the only corpus-sized exchange carries one row per distinct token);
+    * the top-k is a TakeOrderedAndProject (bounded, no global sort of the
+    * vocab); the rank/cumulative window runs over the k retained rows
+    * only — a single partition of k rows, by construction not a
+    * bottleneck. */
+  def vocabulary(df: DataFrame, textCol: String = "text",
+                 topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1; got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").cast("double").as("total"))
+    val ord = Window.orderBy(col("cnt").desc, col("token"))
+    counts.orderBy(col("cnt").desc, col("token")).limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("coverage",
+        round(sum("cnt").over(ord).cast("double") / col("total"), 6))
+      .select("token", "cnt", "rank", "coverage")
+  }
+
   def unigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {
     val ex = df.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
     val vocab = ex.groupBy("tok").agg(count(lit(1)).as("tf"))

@@ -139,13 +139,21 @@ object BreadthQueries {
     // that they stay honest.
     "a12_approx_sketch" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      li.agg(
-          countDistinct(col("l_partkey")).as("exact_nd"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd"),
-          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
-          // accuracy 1000 = 0.1% rank error — 10× tighter than the 1%
-          // bound asserted below, at a tenth of the sketch size
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+      // two single-purpose aggregates joined 1×1 instead of one mixed agg:
+      // countDistinct next to other aggregates forces an Expand that pushes
+      // the row stream through the aggregate twice, and the exact
+      // percentile's object-hash buffer then sees 2× rows (half null) —
+      // measured 4.7 → 3.2 s at sf0.1 (the remainder is the exact-percentile
+      // baseline buffering 583k distinct values — inherent to the contract)
+      val nd = li.agg(
+        countDistinct(col("l_partkey")).as("exact_nd"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd"))
+      val pct = li.agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        // accuracy 1000 = 0.1% rank error — 10× tighter than the 1%
+        // bound asserted below, at a tenth of the sketch size
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+      nd.crossJoin(pct)
         .select(
           col("exact_nd"),
           (abs(col("approx_nd") - col("exact_nd")).cast("double") / col("exact_nd") <= 0.05)

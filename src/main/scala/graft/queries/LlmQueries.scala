@@ -324,6 +324,25 @@ object LlmQueries {
         dir, ContractBounds.annIvfRecall)
     }),
 
+    // Corpus clustering report (topic-ish structure of the embedding
+    // corpus): per-cell sizes + mean member-to-centroid cosine. Cell
+    // identity is model state, so the contract: every non-null vector is
+    // assigned exactly once (SQL-computable total), cell count bounded,
+    // coherence values valid cosines. Clustering GAIN is property-tested
+    // on planted clusters in AnnSpec.
+    "ann_cluster_report" -> ((s, dir) => {
+      import s.implicits._
+      val rep = Ann.clusterReport(Tables.embeddings(s, dir)).cache()
+      val nAssigned = rep.agg(coalesce(sum("n_members"), lit(0L)))
+        .as[Long].head()
+      val nCells = rep.count()
+      val cohValid = rep.where(col("mean_cosine") < -1.0
+        || col("mean_cosine") > 1.0 || col("mean_cosine").isNull).count() == 0L
+      rep.unpersist(blocking = false)
+      Seq((nAssigned, nCells >= 1L && nCells <= 16L, cohValid))
+        .toDF("n_assigned", "cells_bounded", "coherence_valid")
+    }),
+
     // Int8 scalar quantization of the embedding store (4× smaller at rest)
     // with reconstruction-quality QA columns — full value oracle including
     // the quantized codes themselves.
@@ -380,6 +399,11 @@ object LlmQueries {
     "tx_shuffle_shard" -> ((s, dir) =>
       Mixing.shuffleShards(Tables.documents(s, dir), "doc_id", "train42", 8)
         .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // Vocabulary-coverage report: top-100 tokens with frequency rank and
+    // cumulative corpus coverage — the tokenizer-design starting point.
+    "tx_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables.documents(s, dir), topK = 100)),
 
     // Mixture-drift report: KL(source ∥ corpus) over unigram distributions
     // — one row per source, flags lexically-outlying sources in a recipe.
@@ -773,6 +797,13 @@ object LlmQueries {
         |  true AS incremental_equals_batch, true AS rescore_exact,
         |  true AS ranks_valid
         |FROM embeddings""".stripMargin,
+    // contract: assignment totality is SQL-computable; cell-count bound and
+    // cosine validity are centroid-state booleans the driver hash-gates
+    "ann_cluster_report" ->
+      """SELECT CAST(count(CASE WHEN embedding IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS n_assigned,
+        |  true AS cells_bounded, true AS coherence_valid
+        |FROM embeddings""".stripMargin,
     // contract: exact >=0.3 all-pairs count is SQL-computable; recall vs it
     // and the structural no-false-positives check are cluster-state
     // invariants the driver hash-gates
@@ -940,6 +971,20 @@ object LlmQueries {
         |  FROM documents)
         |SELECT sel.doc_id, sel.source FROM sel JOIN q USING (source)
         |WHERE sel.rk <= q.k""".stripMargin,
+    // vocabulary report: identical rank tiebreak (cnt desc, token asc) and
+    // long→double exact division make coverage bit-comparable at round(6)
+    "tx_vocab" ->
+      s"""WITH tk AS (SELECT unnest(${tokSql("text")}) AS token FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY token),
+         |r AS (SELECT token, cnt,
+         |        row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+         |        sum(cnt) OVER (ORDER BY cnt DESC, token
+         |                       ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM c)
+         |SELECT token, cnt, CAST(rank AS INT) AS rank,
+         |  round(CAST(cum AS DOUBLE)
+         |    / (SELECT CAST(sum(cnt) AS DOUBLE) FROM c), 6) AS coverage
+         |FROM r WHERE rank <= 100""".stripMargin,
     // quality-model contract: class sizes from the data; AUC and
     // probability-range invariants asserted Spark-side
     "tx_quality_model" ->

@@ -158,4 +158,25 @@ class AnnSpec extends SparkSpec {
     assert(fromStore == batch)
     assert(fromStore.nonEmpty)
   }
+
+  test("clusterReport: planted clusters are recovered with high coherence") {
+    // two tight orthogonal clusters; nulls excluded from assignment
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val vecs = (0 until 12).map { i =>
+      val ctr = if (i < 6) c1 else c2
+      (i.toLong, mk(ctr, 0.01f * (i % 4)), 0)
+    } :+ ((99L, null.asInstanceOf[Array[Float]], 0))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val rep = Ann.clusterReport(df, nCells = 2)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(rep.map(_._2).sum == 12L)           // every non-null vector assigned
+    assert(rep.map(_._2).toSet == Set(6L))     // the two planted clusters
+    // members hug their centroid — far above the 1/√2 ≈ 0.707 cosine a
+    // degenerate single global-mean cell would report for orthogonal
+    // clusters (the clustering-gain property)
+    assert(rep.forall(_._3 >= 0.99), s"low coherence: ${rep.toSeq}")
+  }
 }

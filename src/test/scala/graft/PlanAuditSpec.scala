@@ -85,4 +85,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(shingle") ||
       plan.contains("BroadcastHashJoin"), s"confirm join not shingle-keyed:\n$plan")
   }
+
+  test("tx_vocab: top-k via TakeOrdered, never a global sort of the corpus") {
+    val plan = LlmQueries.defs.toMap.apply("tx_vocab")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-k:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"global sort:\n$plan")
+  }
+
+  test("quality-model features: one fused projection — no joins, no Exchange") {
+    val plan = graft.llm.QualityModel.features(
+        graft.Tables.documents(spark, sf), "text", keep = Seq.empty)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signal frames joined/shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"signal frames joined:\n$plan")
+  }
+
+  test("ann_cluster_report: centroids broadcast; no cartesian") {
+    val plan = graft.llm.Ann.clusterReport(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

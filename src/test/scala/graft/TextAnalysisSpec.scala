@@ -142,4 +142,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((2L, Some(r4((lpA + lpB) / 2)))))
     assert(out(3L) == ((0L, None)))                     // token-less doc kept, null score
   }
+
+  test("vocabulary: hand-computed counts, ranks, cumulative coverage") {
+    val d = Seq((1L, "a a a b b c"), (2L, "a b d"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // counts: a=4 b=3 c=1 d=1 (total 9); tie between c and d breaks by token
+    val out = TextAnalysis.vocabulary(d, topK = 3)
+      .as[(String, Long, Int, Double)].collect().toList
+    assert(out == List(
+      ("a", 4L, 1, 0.444444),
+      ("b", 3L, 2, 0.777778),
+      ("c", 1L, 3, 0.888889)))
+  }
 }
