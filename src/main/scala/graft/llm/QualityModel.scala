@@ -79,12 +79,17 @@ object QualityModel {
         .as("top_bigram_frac")): _*)
   }
 
-  /** Fit + score result: `scores` = (doc_id, quality_prob) for EVERY input
-    * row; `auc` measured on a deterministic 20% content-hash holdout of
-    * the weak-label set. */
-  final case class Result(scores: DataFrame, auc: Double, nPos: Long, nNeg: Long)
+  private def assembler =
+    new VectorAssembler().setInputCols(featCols).setOutputCol("fv")
 
-  def fitScore(df: DataFrame, textCol: String = "text"): Result = {
+  /** A fitted quality model: the logistic coefficients plus the holdout
+    * AUC (measured on a deterministic 20% content-hash holdout of the
+    * weak-label set) and the positive-class size. */
+  final case class Fitted(
+      model: org.apache.spark.ml.classification.LogisticRegressionModel,
+      auc: Double, nPos: Long)
+
+  def fit(df: DataFrame, textCol: String = "text"): Fitted = {
     val base = df.where(col(textCol).isNotNull)
     val pos = base.select(col("doc_id"), col(textCol).as("__qm_text"),
       lit(1.0).as("label"))
@@ -98,19 +103,33 @@ object QualityModel {
     // across runs/cluster sizes, same convention as Matcher.withHashSplit
     val holdout = conv(substring(md5(concat(lit("qm:"),
       col("doc_id").cast("string"))), 1, 2), 16, 10).cast("int") >= 204
-    val asm = new VectorAssembler().setInputCols(featCols).setOutputCol("fv")
-    val fitDf = asm.transform(train.where(!holdout)).cache()
+    val fitDf = assembler.transform(train.where(!holdout)).cache()
     val model = new LogisticRegression().setFeaturesCol("fv")
       .setLabelCol("label").setMaxIter(50).setRegParam(0.01).fit(fitDf)
     val auc = new BinaryClassificationEvaluator().setLabelCol("label")
       .setRawPredictionCol("rawPrediction").setMetricName("areaUnderROC")
-      .evaluate(model.transform(asm.transform(train.where(holdout))))
+      .evaluate(model.transform(assembler.transform(train.where(holdout))))
     fitDf.unpersist(blocking = false)
-    val scores = model.transform(asm.transform(
+    Fitted(model, auc, base.count())
+  }
+
+  /** Score a frame with a fitted model → (doc_id, quality_prob). The whole
+    * chain — features, assemble, coefficient dot-product — is a STATELESS
+    * per-row projection, so it runs unmodified on a batch OR a streaming
+    * frame (the train-offline / score-online shape). */
+  def score(fitted: org.apache.spark.ml.classification.LogisticRegressionModel,
+            df: DataFrame, textCol: String = "text"): DataFrame =
+    fitted.transform(assembler.transform(
         features(df, textCol, keep = Seq.empty).na.fill(0.0, featCols)))
       .select(col("doc_id"),
         element_at(vector_to_array(col("probability")), 2).as("quality_prob"))
-    val nPos = base.count()
-    Result(scores, auc, nPos, nPos)
+
+  /** Fit + score result: `scores` = (doc_id, quality_prob) for EVERY input
+    * row. */
+  final case class Result(scores: DataFrame, auc: Double, nPos: Long, nNeg: Long)
+
+  def fitScore(df: DataFrame, textCol: String = "text"): Result = {
+    val f = fit(df, textCol)
+    Result(score(f.model, df, textCol), f.auc, f.nPos, f.nPos)
   }
 }

@@ -121,6 +121,34 @@ object StreamQueries {
       graft.io.IO.readPartitionedStore(s, store)
     }),
 
+    // Streaming model scoring — train-offline / score-online: the quality
+    // model fits ONCE on the static corpus, then scores the documents
+    // fixture streamed as 3 micro-batches. The scoring chain (features →
+    // assemble → coefficient dot-product) is a stateless per-row
+    // projection, so it runs unmodified on the streaming frame with no
+    // state store at all. Contract: streamed scores equal batch scoring
+    // doc-for-doc (same deterministic arithmetic), probabilities valid,
+    // row count SQL-computable.
+    "st_quality_stream" -> ((s, dir) => {
+      import s.implicits._
+      val docs = graft.Tables.documents(s, dir)
+      val fitted = graft.llm.QualityModel.fit(docs)
+      val streamed = EventStreams.runToBatch(
+        graft.llm.QualityModel.score(fitted.model,
+          graft.streaming.DocStreams.readDocumentStream(s, dir, nSplits = 3)),
+        s"st_quality_stream_${runId.incrementAndGet()}", complete = false)
+        .withColumnRenamed("quality_prob", "sp")
+      val batch = graft.llm.QualityModel.score(fitted.model, docs)
+        .withColumnRenamed("quality_prob", "bp")
+      val mismatch = streamed.join(batch, Seq("doc_id"), "full_outer")
+        .where(col("sp").isNull || col("bp").isNull || col("sp") =!= col("bp"))
+        .count()
+      val bad = streamed
+        .where(col("sp") < 0.0 || col("sp") > 1.0 || col("sp").isNull).count()
+      Seq((streamed.count(), mismatch == 0L, bad == 0L))
+        .toDF("n_scored", "stream_equals_batch", "probs_valid")
+    }),
+
     // Sessionization through the STREAMING engine proper: watermark +
     // EventTimeTimeout emission. Emits every session except, per user, a
     // final open one whose timeout the last watermark never passed — the
@@ -156,6 +184,13 @@ object StreamQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    // contract: the streamed row count is SQL-computable; the
+    // stream-equals-batch and probability-validity checks are model-state
+    // booleans the driver hash-gates
+    "st_quality_stream" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_scored,
+        |  true AS stream_equals_batch, true AS probs_valid
+        |FROM documents""".stripMargin,
     "st_stream_join" ->
       """SELECT c.event_id AS c_id, p.event_id AS p_id
         |FROM events c JOIN events p
