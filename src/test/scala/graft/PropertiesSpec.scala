@@ -135,6 +135,55 @@ class PropertiesSpec extends SparkSpec {
     assert(out.join(docs, Seq("doc_id"), "left_anti").count() == 0L)
   }
 
+  test("dupSpans invariants on the fixture: disjoint maximal spans, window math") {
+    val out = graft.llm.Dedup.dupSpans(Tables.documents(spark, sf), k = 8)
+      .select("doc_id", "span_start", "span_len", "n_windows")
+      .as[(Long, Int, Int, Long)].collect()
+    assert(out.nonEmpty) // the fixture plants near-dup docs with shared runs
+    // a span of consecutive duplicated windows has exactly len-k+1 windows
+    assert(out.forall { case (_, _, len, nw) => nw == len - 8 + 1 && len >= 8 })
+    // spans within a doc are maximal, hence separated by > 0 clean positions
+    out.groupBy(_._1).foreach { case (_, spans) =>
+      val sorted = spans.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, s1, l1, _), (_, s2, _, _)) => assert(s1 + l1 - 8 + 1 < s2)
+        case _ =>
+      }
+    }
+  }
+
+  test("temperatureSample invariants on the fixture: subset, quota math, determinism") {
+    val docs = Tables.documents(spark, sf)
+    val out = graft.llm.Mixing.temperatureSample(docs, "source", "doc_id",
+      budget = 150L, seed = "p")
+    // subset of the corpus, selected at most once
+    assert(out.join(docs, Seq("doc_id"), "left_anti").count() == 0L)
+    assert(out.select("doc_id").distinct().count() == out.count())
+    // integer quotas never overshoot the budget in total
+    assert(out.count() <= 150L)
+    val again = graft.llm.Mixing.temperatureSample(docs, "source", "doc_id",
+      budget = 150L, seed = "p")
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("vocabulary invariants on the fixture: coverage monotone in rank, <= 1") {
+    val v = graft.llm.TextAnalysis.vocabulary(Tables.documents(spark, sf), topK = 50)
+      .select("rank", "coverage").as[(Int, Double)].collect().sortBy(_._1)
+    assert(v.nonEmpty && v.forall(_._2 <= 1.0 + 1e-9))
+    v.sliding(2).foreach {
+      case Array((_, c1), (_, c2)) => assert(c2 >= c1 - 1e-9)
+      case _ =>
+    }
+    // counts are monotone non-increasing in rank by construction
+    val cnts = graft.llm.TextAnalysis.vocabulary(Tables.documents(spark, sf), topK = 50)
+      .select("rank", "cnt").as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    cnts.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a)
+      case _ =>
+    }
+  }
+
   test("shuffleShards invariants on the fixture: permutation across shards") {
     val docs = Tables.documents(spark, sf)
     val out = graft.llm.Mixing.shuffleShards(docs, "doc_id", "p", 8)
