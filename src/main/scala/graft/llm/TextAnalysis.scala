@@ -305,6 +305,50 @@ object TextAnalysis {
       .select(col("doc_id"), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
         col("avg_logp"))
   }
+
+  /** Interpolated bigram LM score — the higher-fidelity CCNet-style filter:
+    * mean log of p(wᵢ) where p interpolates the corpus-fitted bigram with
+    * the unigram (λ·c(wᵢ₋₁wᵢ)/c(wᵢ₋₁) + (1−λ)·c(wᵢ)/N; a document's
+    * first token scores unigram-only). The corpus scores itself, so every
+    * token has a nonzero unigram probability and log never sees 0.
+    *
+    * Scale shape: the previous token comes from indexing the document's
+    * OWN token array (element_at at pos), not a lag window — no shuffle to
+    * form bigrams. Unigram/bigram count tables aggregate with map-side
+    * partial combine, and the three count joins are vocab-sized (AQE
+    * broadcasts them in the common regime). round(4) masks per-doc
+    * summation-order float noise, same convention as [[unigramLogProb]]. */
+  def bigramLogProb(df: DataFrame, textCol: String = "text",
+                    lambda: Double = 0.75): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]; got $lambda")
+    val ex = df.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")),
+        col("toks"))
+      .select(col("doc_id"), col("tok"),
+        // element_at is 1-indexed: element pos IS the previous token
+        when(col("pos") === 0, lit(null)).otherwise(element_at(col("toks"), col("pos")))
+          .as("prev"))
+    val uni = ex.groupBy("tok").agg(count(lit(1)).as("uc"))
+    val bi = ex.where(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("bc"))
+    val total = ex.agg(count(lit(1)).cast("double").as("total"))
+    val pu = col("uc").cast("double") / col("total")
+    val pb = col("bc").cast("double") / col("pc").cast("double")
+    val scored = ex
+      .join(uni, Seq("tok"))
+      .join(uni.select(col("tok").as("prev"), col("uc").as("pc")), Seq("prev"), "left")
+      .join(bi, Seq("prev", "tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("p", when(col("prev").isNull, pu)
+        .otherwise(lit(lambda) * coalesce(pb, lit(0.0)) + lit(1.0 - lambda) * pu))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(log(col("p"))) / count(lit(1)), 4).as("avg_logp2"))
+    df.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        col("avg_logp2"))
+  }
 }
 
 /** Language identification via marker-word overlap — an n-gram/stopword

@@ -400,6 +400,11 @@ object LlmQueries {
       Mixing.shuffleShards(Tables.documents(s, dir), "doc_id", "train42", 8)
         .select(col("doc_id"), col("shard"), col("pos"))),
 
+    // Interpolated bigram LM score — the higher-fidelity CCNet filter
+    // (lambda * bigram + (1-lambda) * unigram, first token unigram-only).
+    "tx_bigram_lp" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, dir))),
+
     // Vocabulary-coverage report: top-100 tokens with frequency rank and
     // cumulative corpus coverage — the tokenizer-design starting point.
     "tx_vocab" -> ((s, dir) =>
@@ -933,6 +938,34 @@ object LlmQueries {
          |       FROM ex JOIN v USING (tok) CROSS JOIN t GROUP BY ex.doc_id)
          |SELECT d.doc_id, CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
          |  sc.avg_logp
+         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // bigram LM recomputed from scratch: prev token by list indexing, the
+    // same interpolation arithmetic in the same operation order; round(4)
+    // masks summation-order float noise (convention of tx_unigram_lp)
+    "tx_bigram_lp" ->
+      s"""WITH t AS (SELECT doc_id, ${tokSql("text")} AS tok FROM documents),
+         |ex AS (SELECT doc_id, tok[CAST(i AS INT)+1] AS tok_i,
+         |         CASE WHEN i = 0 THEN NULL ELSE tok[CAST(i AS INT)] END AS prev
+         |       FROM (SELECT doc_id, tok,
+         |               unnest(range(0, len(tok))) AS i FROM t)),
+         |uni AS (SELECT tok_i AS tok, count(*) AS uc FROM ex GROUP BY 1),
+         |bi AS (SELECT prev, tok_i AS tok, count(*) AS bc FROM ex
+         |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM ex),
+         |p AS (SELECT ex.doc_id,
+         |        CASE WHEN ex.prev IS NULL THEN u.uc / tot.total
+         |             ELSE 0.75 * (coalesce(b.bc, 0) / CAST(pu.uc AS DOUBLE))
+         |                  + 0.25 * (u.uc / tot.total) END AS p
+         |      FROM ex
+         |      JOIN uni u ON ex.tok_i = u.tok
+         |      LEFT JOIN uni pu ON ex.prev = pu.tok
+         |      LEFT JOIN bi b ON ex.prev = b.prev AND ex.tok_i = b.tok
+         |      CROSS JOIN tot),
+         |sc AS (SELECT doc_id, count(*) AS n_tok,
+         |         round(sum(ln(p)) / count(*), 4) AS avg_logp2
+         |       FROM p GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
+         |  sc.avg_logp2
          |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
     // KL recomputed from scratch over the same token space; round(4) masks
     // ln()/summation-order float noise (same convention as tx_entropy)

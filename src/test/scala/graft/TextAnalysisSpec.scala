@@ -143,6 +143,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((0L, None)))                     // token-less doc kept, null score
   }
 
+  test("bigramLogProb: hand-computed interpolated probabilities") {
+    // corpus: uni a=3 b=2 (N=5); bi (a,b)=2 (b,a)=1
+    val d = Seq((1L, "a b a b"), (2L, "a"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(d)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val l6 = math.log(0.6) // p(a|start)=pu(a)=.6 and p(b|a)=.75*(2/3)+.25*.4=.6
+    val l525 = math.log(0.525) // p(a|b)=.75*(1/2)+.25*.6
+    assert(out(1L) == ((4L, Some(r4((l6 + l6 + l525 + l6) / 4)))))
+    assert(out(2L) == ((1L, Some(r4(l6)))))
+    assert(out(3L) == ((0L, None)))
+  }
+
   test("vocabulary: hand-computed counts, ranks, cumulative coverage") {
     val d = Seq((1L, "a a a b b c"), (2L, "a b d"),
       (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
