@@ -134,21 +134,10 @@ object Dedup {
                    threshold: Double = 0.5, bands: Int = 12,
                    rowsPerBand: Int = 3, seed: Long = 42L): DataFrame = {
     val k = bands * rowsPerBand
-    val sh = df.select(col("doc_id").as("id"), shingles(col(textCol), n).as("sh"))
-      .where(size(col("sh")) > 0)
-    // k min-hashes in one tight JVM loop per document. Spark higher-order
-    // lambdas evaluate *interpreted* (~µs per element-op), which makes a
-    // nested k×|shingles| Column-level formulation ~100× slower than this
-    // UDF (measured: 144s vs <2s for the signature stage at sf0.1). The
-    // stage is a narrow map, so losing codegen here costs nothing.
-    val sigUdf = udf { (shingles: Seq[String]) => Dedup.signature(shingles, k, seed) }
-    val sig = sh.select(col("id"), sigUdf(col("sh")).as("sig")).cache()
+    val sig = signatures(df, textCol, n, k, seed).cache()
     // the band join carries ids only — signatures re-attach after the
     // distinct so the dedup shuffle rows stay 16 bytes wide
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => xxhash64(slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val banded = bandKeys(sig, bands, rowsPerBand)
     val a = banded.select(col("id").as("idA"), col("band"), col("band_key"))
     val b = banded.select(col("id").as("idB"), col("band"), col("band_key"))
     val pairs = a.join(b, Seq("band", "band_key"))
@@ -166,6 +155,34 @@ object Dedup {
           (lit(1.0) - col("jaccard_est")).as("jaccard_dist"))
     }
   }
+
+  /** (id, sig) MinHash signature frame; docs with zero shingles (null or
+    * empty text) are dropped — they have no similarity surface.
+    *
+    * The k min-hashes run in one tight JVM loop per document. Spark
+    * higher-order lambdas evaluate *interpreted* (~µs per element-op),
+    * which makes a nested k×|shingles| Column-level formulation ~100×
+    * slower than this UDF (measured: 144s vs <2s for the signature stage
+    * at sf0.1). The stage is a narrow map, so losing codegen costs
+    * nothing. */
+  private[graft] def signatures(df: DataFrame, textCol: String, n: Int,
+                                k: Int, seed: Long): DataFrame = {
+    val sh = df.select(col("doc_id").as("id"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sigUdf = udf { (shingles: Seq[String]) => Dedup.signature(shingles, k, seed) }
+    sh.select(col("id"), sigUdf(col("sh")).as("sig"))
+  }
+
+  /** Banded LSH keys from a signature frame: (id, band, band_key) — one
+    * 8-byte xxhash64 per band over its rowsPerBand signature slice. Two
+    * docs collide on a band iff that slice matches exactly (the AND over
+    * rows); any shared band makes a candidate (the OR over bands). */
+  private[graft] def bandKeys(sig: DataFrame, bands: Int,
+                              rowsPerBand: Int): DataFrame =
+    sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => xxhash64(slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
 
   /** k MinHash values for a shingle set: FNV-1a 64 base hash per shingle,
     * k derived values via splitmix64-style mixing, minimum per function.

@@ -121,6 +121,51 @@ object StreamQueries {
       graft.io.IO.readPartitionedStore(s, store)
     }),
 
+    // Incremental NEAR-dup: each streamed delta is MinHash-banded and
+    // checked against the persisted band-key store of everything ever
+    // ingested (novel iff no shared band), then its keys append — the
+    // "near-dup a crawl delta against the corpus" shape, O(delta + touched
+    // buckets) per batch. Band membership is signature state, so the
+    // contract hash-gates equivalence against a BATCH recomputation of the
+    // same rule (novel iff no band shared with an earlier split, split =
+    // pmod(doc_id, 3) — the staging rule); arrival order is pinned by the
+    // staged splits' mtimes.
+    "st_incremental_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val id = runId.incrementAndGet()
+      val store = s"/root/repo/target/qtmp/st_incnd_store_$id"
+      val out = s"/root/repo/target/qtmp/st_incnd_out_$id"
+      graft.io.IO.deletePath(store)
+      graft.io.IO.deletePath(out)
+      val q = graft.streaming.DocStreams.incrementalNearDup(
+        graft.streaming.DocStreams.readDocumentStream(s, dir, nSplits = 3),
+        store, out)
+      q.awaitTermination()
+      val streamed = s.read.parquet(out)
+      val docs = graft.Tables.documents(s, dir)
+      val bk = graft.llm.Dedup.bandKeys(
+          graft.llm.Dedup.signatures(docs, "text", 3, 36, 42L), 12, 3)
+        .withColumn("split", pmod(col("id"), lit(3)))
+      val earlier = bk.select(col("band"), col("band_key"),
+        col("split").as("splitB"))
+      val dupIds = bk.join(earlier, Seq("band", "band_key"))
+        .where(col("splitB") < col("split"))
+        .select(col("id").as("doc_id")).distinct()
+      val batchFlags = docs.select("doc_id").distinct()
+        .join(dupIds.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          not(coalesce(col("__dup"), lit(false))).as("bn"))
+      val mismatch = streamed.withColumnRenamed("is_novel", "sn")
+        .join(batchFlags, Seq("doc_id"), "full_outer")
+        .where(col("sn").isNull || col("bn").isNull || col("sn") =!= col("bn"))
+        .count()
+      val nDocs = docs.count()
+      val complete = streamed.count() == nDocs &&
+        streamed.select("doc_id").distinct().count() == nDocs
+      Seq((nDocs, mismatch == 0L, complete))
+        .toDF("n_docs", "incremental_equals_batch", "flags_complete")
+    }),
+
     // Streaming model scoring — train-offline / score-online: the quality
     // model fits ONCE on the static corpus, then scores the documents
     // fixture streamed as 3 micro-batches. The scoring chain (features →
@@ -184,6 +229,13 @@ object StreamQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    // contract: doc count is SQL-computable; the incremental-equals-batch
+    // and completeness checks are signature-state booleans the driver
+    // hash-gates
+    "st_incremental_neardup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS incremental_equals_batch, true AS flags_complete
+        |FROM documents""".stripMargin,
     // contract: the streamed row count is SQL-computable; the
     // stream-equals-batch and probability-validity checks are model-state
     // booleans the driver hash-gates

@@ -44,21 +44,33 @@ object DocStreams {
     * count (size alone is a weak regeneration signal). */
   private def stageSplits(spark: SparkSession, dir: String, nSplits: Int): String = {
     import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
     val src = Paths.get(dir, "documents.parquet")
     val out = Paths.get("/root/repo/target/qtmp",
-      s"stream_docs_${Integer.toHexString(dir.hashCode)}_$nSplits")
+      s"stream_docs_v2_${Integer.toHexString(dir.hashCode)}_$nSplits")
     val marker = out.resolve("_graft_staged")
     val srcSize = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
     if (!Files.exists(marker) || Files.readString(marker).trim != srcSize) {
       val docs = spark.read.parquet(src.toString)
       (0 until nSplits).foreach { i =>
         docs.where(pmod(col("doc_id"), lit(nSplits)) === i)
-          .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
-          .parquet(out.toString)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(out.resolve(f"split_$i%02d").toString)
+      }
+      // FileStreamSource serves files in modification-time order; pin each
+      // split's files to a strictly increasing timestamp so batch order is
+      // split order BY CONSTRUCTION (sequential-write mtimes are already
+      // increasing in practice; this removes the tie hazard entirely —
+      // order-dependent consumers like the incremental near-dup need it)
+      val base = System.currentTimeMillis() - 3600000L
+      (0 until nSplits).foreach { i =>
+        Files.list(out.resolve(f"split_$i%02d")).forEach { p =>
+          Files.setLastModifiedTime(p, FileTime.fromMillis(base + i * 60000L))
+        }
       }
       Files.writeString(marker, srcSize)
     }
-    out.toString
+    s"$out/split_*"
   }
 
   /** One micro-batch of the incremental dedup: hash the batch, dedup
@@ -110,6 +122,70 @@ object DocStreams {
     val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit = {
       (batch, _) =>
         dedupBatchAgainstStore(batch.toDF(), storePath)
+          .write.mode("append").parquet(outPath)
+    }
+    val w = docs.writeStream.outputMode(OutputMode.Append()).foreachBatch(fn)
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** NEAR-dup check of one batch against the persisted MinHash band-key
+    * store — the similarity analogue of [[dedupBatchAgainstStore]] (a new
+    * crawl delta near-duped against everything ever ingested). A batch doc
+    * is novel iff it shares no (band, band_key) with any previously
+    * ingested doc; ALL batch docs' band keys then append to the store
+    * (novel or not), so later deltas also collide with the flagged docs'
+    * content. Docs with no shingles (null/empty text) have no similarity
+    * surface and are always novel. Returns (doc_id, is_novel).
+    *
+    * Per-batch cost is O(delta bands + touched buckets read): the store
+    * read prunes to the key-hash buckets the batch's band keys land in,
+    * and the store write is a pure partitioned append — no existing file
+    * read or rewritten, the same property that keeps the exact path
+    * O(delta) per batch. */
+  def nearDupBatchAgainstStore(batch: DataFrame, storePath: String,
+                               n: Int = 3, bands: Int = 12,
+                               rowsPerBand: Int = 3,
+                               seed: Long = 42L): DataFrame = {
+    import graft.io.IO
+    import java.nio.file.{Files, Paths}
+    val spark = batch.sparkSession
+    val keys = Seq("band", "band_key")
+    val bk = graft.llm.Dedup.bandKeys(
+        graft.llm.Dedup.signatures(batch, "text", n, bands * rowsPerBand, seed),
+        bands, rowsPerBand)
+      .select(col("id").as("doc_id"), col("band"), col("band_key"))
+      .localCheckpoint()
+    val dupIds =
+      if (!Files.exists(Paths.get(storePath))) {
+        // first batch seeds the store; nothing earlier to collide with
+        IO.writePartitionedStore(bk, storePath, keys)
+        bk.select("doc_id").where(lit(false))
+      } else {
+        val nB = IO.storeBuckets(storePath)
+        val src = bk.withColumn(IO.BucketCol, IO.bucketExpr(keys, nB))
+          .localCheckpoint()
+        val touched = src.select(IO.BucketCol).distinct().collect().map(_.getInt(0))
+        val stored = spark.read.parquet(storePath)
+          .where(col(IO.BucketCol).isin(touched.toIndexedSeq: _*))
+          .select("band", "band_key")
+        val dups = src.join(stored, keys, "left_semi")
+          .select("doc_id").distinct().localCheckpoint()
+        src.write.mode("append").partitionBy(IO.BucketCol).parquet(storePath)
+        dups
+      }
+    batch.select("doc_id").distinct()
+      .join(dupIds.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        not(coalesce(col("__dup"), lit(false))).as("is_novel"))
+  }
+
+  /** Streaming incremental near-dup: every micro-batch flags its docs via
+    * [[nearDupBatchAgainstStore]] and appends the flags to `outPath`. */
+  def incrementalNearDup(docs: DataFrame, storePath: String, outPath: String,
+                         availableNow: Boolean = true): StreamingQuery = {
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit = {
+      (batch, _) =>
+        nearDupBatchAgainstStore(batch.toDF(), storePath)
           .write.mode("append").parquet(outPath)
     }
     val w = docs.writeStream.outputMode(OutputMode.Append()).foreachBatch(fn)

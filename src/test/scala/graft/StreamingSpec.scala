@@ -187,6 +187,38 @@ class StreamingSpec extends SparkSpec {
     assert(graft.io.IO.readPartitionedStore(spark, store).count() == 2L)
   }
 
+  test("incremental near-dup: cross-batch near-duplicates are flagged via the band store") {
+    import graft.streaming.DocStreams
+    val store = "/root/repo/target/test_tmp/incnd_store"
+    val out = "/root/repo/target/test_tmp/incnd_out"
+    Seq(store, out).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val mem = MemoryStream[(Long, String)](spark)
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = DocStreams.incrementalNearDup(docs, store, out, availableNow = false)
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "completely unrelated text about spark physical planning"))
+      q.processAllAvailable()
+      mem.addData(
+        (3L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+        (4L, "a third subject entirely unrelated to either document"),
+        (5L, null.asInstanceOf[String]))                           // no surface
+      q.processAllAvailable()
+      val flags = spark.read.parquet(out)
+        .as[(Long, Boolean)].collect().toMap
+      assert(flags == Map(1L -> true, 2L -> true,   // first batch all novel
+        3L -> false,                                 // caught by the store
+        4L -> true, 5L -> true))
+      // flagged docs' keys are in the store too: a THIRD copy still collides
+      val again = DocStreams.nearDupBatchAgainstStore(
+        Seq((6L, "the quick brown fox jumps over the lazy dog today"))
+          .toDF("doc_id", "text"), store)
+      assert(again.as[(Long, Boolean)].collect().toMap == Map(6L -> false))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: watermark evicts state to the horizon") {
     val c = EventStreams.readEventStream(spark, sf).where("event_type = 'click'")
       .selectExpr("user_id AS c_user", "ts AS c_ts", "event_id AS c_id")
