@@ -121,6 +121,14 @@ object LlmQueries {
     MinhashStats(nExact, hit.toDouble / math.max(nExact, 1L), gross, estsOk)
   }
 
+  /** Fitted weak-label quality model, memoized per (session, dir): the
+    * fit is shared by tx_quality_model and st_quality_stream (same corpus
+    * → same model; training twice would just burn two L-BFGS runs). */
+  private[graft] def qualityFit(s: SparkSession, dir: String): QualityModel.Fitted =
+    SessionMemo.value(s, s"qualityfit:$dir") {
+      QualityModel.fit(Tables.documents(s, dir))
+    }
+
   /** Brute-force cosine top-10 for the vec_id<8 query set, memoized per
     * (session, dir): the exact result for ann_brute_topk and the recall
     * baseline for both ANN contracts. */
@@ -384,11 +392,12 @@ object LlmQueries {
     // sizes (SQL-computable), holdout AUC >= bound, probabilities valid.
     "tx_quality_model" -> ((s, dir) => {
       import s.implicits._
-      val r = QualityModel.fitScore(Tables.documents(s, dir))
-      val nScored = r.scores.count()
-      val inRange = r.scores.where(col("quality_prob") < 0.0
+      val f = qualityFit(s, dir)
+      val scores = QualityModel.score(f.model, Tables.documents(s, dir))
+      val nScored = scores.count()
+      val inRange = scores.where(col("quality_prob") < 0.0
         || col("quality_prob") > 1.0 || col("quality_prob").isNull).count() == 0L
-      Seq((r.nPos, r.nNeg, nScored, r.auc >= ContractBounds.qualityModelAuc,
+      Seq((f.nPos, f.nPos, nScored, f.auc >= ContractBounds.qualityModelAuc,
           inRange))
         .toDF("n_pos", "n_neg", "n_scored", "auc_ok", "probs_in_range")
     }),

@@ -17,4 +17,16 @@ object SessionMemo {
     val uuid = org.apache.spark.sql.graftshim.Shim.sessionUuid(s)
     frames.getOrElseUpdate((uuid, key), build.localCheckpoint())
   }
+
+  private val values =
+    scala.collection.concurrent.TrieMap[(String, String), (SparkSession, Any)]()
+
+  /** Arbitrary fitted-state memo (models, stats) with the same
+    * per-(session, key) lifecycle as [[frame]]; entries die with their
+    * SparkSession. */
+  def value[A](s: SparkSession, key: String)(build: => A): A = {
+    values.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+    val uuid = org.apache.spark.sql.graftshim.Shim.sessionUuid(s)
+    values.getOrElseUpdate((uuid, key), (s, build))._2.asInstanceOf[A]
+  }
 }

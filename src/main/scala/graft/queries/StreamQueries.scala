@@ -177,7 +177,7 @@ object StreamQueries {
     "st_quality_stream" -> ((s, dir) => {
       import s.implicits._
       val docs = graft.Tables.documents(s, dir)
-      val fitted = graft.llm.QualityModel.fit(docs)
+      val fitted = LlmQueries.qualityFit(s, dir)
       val streamed = EventStreams.runToBatch(
         graft.llm.QualityModel.score(fitted.model,
           graft.streaming.DocStreams.readDocumentStream(s, dir, nSplits = 3)),
