@@ -116,6 +116,24 @@ object Mixing {
       Window.partitionBy("shard").orderBy(col("ord_key"), col(idCol))))
   }
 
+  /** Materialize the training export: the [[shuffleShards]] order written
+    * as shard-partitioned parquet, each shard's file(s) physically sorted
+    * by position — what a training loader streams sequentially per worker.
+    *
+    * Plan shape: ONE hash repartition on shard + sort-within-partitions;
+    * a shard's rows hash to exactly one partition, so each shard directory
+    * is written by a single task in position order (the writer splits a
+    * partition's row stream across shard dirs without reordering it). No
+    * global sort anywhere; shards are the parallelism unit for both the
+    * write and the eventual read. */
+  def writeTrainingShards(df: DataFrame, idCol: String, seed: String,
+                          nShards: Int, path: String): Unit =
+    shuffleShards(df, idCol, seed, nShards)
+      .join(df, Seq(idCol))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Per-stratum cap sampling — "keep at most `k` documents per source",
     * the source-balancing step that stops one over-crawled domain from
     * dominating a data recipe. Selection is deterministic: the `k` rows

@@ -419,6 +419,20 @@ object LlmQueries {
     "tx_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir), topK = 100)),
 
+    // Training-export writer roundtrip: the shuffle-shard order
+    // materialized as shard-partitioned parquet (each shard's file
+    // physically sorted by position), read back and fully value-checked
+    // against the same assignment SQL as tx_shuffle_shard. Per-file
+    // ordering is asserted in MixingSpec.
+    "tx_export_shards" -> ((s, dir) => {
+      val path = s"/root/repo/target/qtmp/export_shards_${storeRunId.incrementAndGet()}"
+      graft.io.IO.deletePath(path)
+      Mixing.writeTrainingShards(Tables.documents(s, dir), "doc_id",
+        "train42", 8, path)
+      s.read.parquet(path)
+        .select(col("doc_id"), col("shard").cast("int").as("shard"), col("pos"))
+    }),
+
     // Mixture-drift report: KL(source ∥ corpus) over unigram distributions
     // — one row per source, flags lexically-outlying sources in a recipe.
     "tx_source_kl" -> ((s, dir) =>
@@ -1035,6 +1049,21 @@ object LlmQueries {
         |  CAST(count(*) AS BIGINT) AS n_scored,
         |  TRUE AS auc_ok, TRUE AS probs_in_range
         |FROM documents""".stripMargin,
+    // the export writer preserves the shuffle-shard assignment exactly, so
+    // its read-back oracle is the same SQL as tx_shuffle_shard
+    "tx_export_shards" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5(concat('train42:', CAST(doc_id AS VARCHAR))) AS ord_key
+        |  FROM documents),
+        |h AS (SELECT doc_id, ord_key,
+        |    ((ascii(substr(ord_key, 1, 1)) - 48
+        |        - CASE WHEN ascii(substr(ord_key, 1, 1)) >= 97 THEN 39 ELSE 0 END) * 16
+        |      + (ascii(substr(ord_key, 2, 1)) - 48
+        |        - CASE WHEN ascii(substr(ord_key, 2, 1)) >= 97 THEN 39 ELSE 0 END)) % 8 AS shard
+        |  FROM k)
+        |SELECT doc_id, CAST(shard AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord_key, doc_id) AS INT) AS pos
+        |FROM h""".stripMargin,
     // md5 order key and ascii()-only hex arithmetic reproduce the exact
     // shard assignment and within-shard rank
     "tx_shuffle_shard" ->

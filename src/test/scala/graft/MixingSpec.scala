@@ -170,6 +170,30 @@ class MixingSpec extends SparkSpec {
     assert(bySrc == Map("big" -> 300L, "tiny" -> 4L))
   }
 
+  test("writeTrainingShards: files are physically sorted by position per shard") {
+    val docs = (0L until 300L).map(i => (i, s"doc $i payload")).toDF("doc_id", "text")
+    val path = "/root/repo/target/test_tmp/export_shards"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    Mixing.writeTrainingShards(docs, "doc_id", "s1", 4, path)
+    val back = spark.read.parquet(path)
+    // the export is a permutation of the input, assignments intact
+    assert(back.count() == 300L)
+    assert(back.select("doc_id").distinct().count() == 300L)
+    val expected = Mixing.shuffleShards(docs, "doc_id", "s1", 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect().toSet
+    assert(back.select(col("doc_id"), col("shard").cast("int"), col("pos"))
+      .as[(Long, Int, Int)].collect().toSet == expected)
+    // each shard file streams in position order (what a loader relies on)
+    new java.io.File(path).listFiles.filter(_.getName.startsWith("shard=")).foreach { d =>
+      d.listFiles.filter(f => f.getName.endsWith(".parquet")).foreach { f =>
+        val pos = spark.read.parquet(f.getPath).select("pos")
+          .as[Int].collect()
+        assert(pos.nonEmpty && pos.sameElements(pos.sorted),
+          s"${f.getPath} not in position order")
+      }
+    }
+  }
+
   test("shuffleShards: no global single-partition sort in the plan") {
     val df = (0L until 100L).toDF("doc_id")
     val plan = Mixing.shuffleShards(df, "doc_id", "s1", 8)
