@@ -101,6 +101,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"signal frames joined:\n$plan")
   }
 
+  test("tx_bigram_lp: no cartesian, no lag-window shuffle for bigram formation") {
+    val plan = LlmQueries.defs.toMap.apply("tx_bigram_lp")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the previous token comes from array indexing, not a window function
+    assert(!plan.contains("Window"), s"lag window crept in:\n$plan")
+  }
+
   test("ann_cluster_report: centroids broadcast; no cartesian") {
     val plan = graft.llm.Ann.clusterReport(Tables.embeddings(spark, sf))
       .queryExecution.executedPlan.toString
