@@ -93,10 +93,16 @@ object DocStreams {
     val hashed = batch
       .select(md5(coalesce(col("text"), lit(""))).as("content_hash"), col("doc_id"))
       .groupBy("content_hash").agg(min("doc_id").as("doc_id"))
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(storePath))) {
+      .localCheckpoint()
+    if (hashed.isEmpty) {
+      // an empty micro-batch (triggers can emit them) must not seed an
+      // empty store — a later read of a data-less parquet dir fails schema
+      // inference — nor append anything
+      hashed
+    } else if (!java.nio.file.Files.exists(java.nio.file.Paths.get(storePath))) {
       // first batch seeds the store; everything in it is novel
       IO.writePartitionedStore(hashed, storePath, keys)
-      hashed.localCheckpoint()
+      hashed
     } else {
       // existence check reads only the buckets this batch's hashes land in
       val nB = IO.storeBuckets(storePath)
@@ -156,7 +162,12 @@ object DocStreams {
       .select(col("id").as("doc_id"), col("band"), col("band_key"))
       .localCheckpoint()
     val dupIds =
-      if (!Files.exists(Paths.get(storePath))) {
+      if (bk.isEmpty) {
+        // no similarity surface in this batch (empty, or all-null texts):
+        // never seed/append an empty store — a later read of a data-less
+        // parquet dir fails schema inference — and nothing can collide
+        bk.select("doc_id")
+      } else if (!Files.exists(Paths.get(storePath))) {
         // first batch seeds the store; nothing earlier to collide with
         IO.writePartitionedStore(bk, storePath, keys)
         bk.select("doc_id").where(lit(false))

@@ -219,6 +219,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental stores: empty or surface-less batches never seed an empty store") {
+    import graft.streaming.DocStreams
+    val s1 = "/root/repo/target/test_tmp/incdedup_empty"
+    val s2 = "/root/repo/target/test_tmp/incnd_empty"
+    Seq(s1, s2).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DocStreams.dedupBatchAgainstStore(empty, s1).count() == 0L)
+    assert(!new java.io.File(s1).exists()) // no data-less store on disk
+    // all-null texts have no shingles: flagged novel, store untouched
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(DocStreams.nearDupBatchAgainstStore(nulls, s2)
+      .as[(Long, Boolean)].collect().toMap == Map(1L -> true))
+    assert(!new java.io.File(s2).exists())
+    // and a real batch afterwards seeds + dedups normally
+    val real = Seq((2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    assert(DocStreams.nearDupBatchAgainstStore(real, s2)
+      .as[(Long, Boolean)].collect().toMap == Map(2L -> true))
+    assert(DocStreams.nearDupBatchAgainstStore(real.withColumn("doc_id", lit(3L)), s2)
+      .as[(Long, Boolean)].collect().toMap == Map(3L -> false))
+  }
+
   test("stream-stream interval join: watermark evicts state to the horizon") {
     val c = EventStreams.readEventStream(spark, sf).where("event_type = 'click'")
       .selectExpr("user_id AS c_user", "ts AS c_ts", "event_id AS c_id")
