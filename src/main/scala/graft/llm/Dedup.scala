@@ -536,6 +536,58 @@ object Dedup {
       .select("doc_id", "span_start", "span_len", "n_windows")
   }
 
+  /** One pass over a token array removing positions covered by any span;
+    * spans are (start, len) structs. Covered ranges are disjoint
+    * (dupSpans emits maximal islands), so no double-count hazard. */
+  private val cutUdf = udf { (toks: Seq[String], spans: Seq[org.apache.spark.sql.Row]) =>
+    if (toks == null) null
+    else if (spans == null || spans.isEmpty) toks.mkString(" ")
+    else {
+      val covered = new Array[Boolean](toks.length)
+      spans.foreach { r =>
+        val s = r.getInt(0)
+        val e = math.min(s + r.getInt(1), toks.length)
+        var i = s
+        while (i < e) { covered(i) = true; i += 1 }
+      }
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < toks.length) {
+        if (!covered(i)) {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(toks(i))
+        }
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** Apply the substring cut (the action [[dupSpans]] reports): every
+    * token position covered by a duplicated span is removed and the
+    * surviving tokens reassemble in order. Output is the cleaned TOKEN
+    * stream (lowercased, single-spaced — the training-relevant view, not
+    * a byte-faithful rewrite of the original text); a fully-duplicated
+    * document cleans to the empty string, a null text stays null.
+    * Returns (doc_id, clean_text, n_removed).
+    *
+    * Scale shape: [[dupSpans]]'s two hash-keyed shuffles, plus one
+    * spans-per-doc aggregate (tiny — only docs WITH spans) joined back to
+    * a single projection pass over the corpus. The cut itself is one JVM
+    * loop per row. */
+  def stripDupSpans(df: DataFrame, textCol: String = "text", k: Int = 8,
+                    minDf: Int = 2): DataFrame = {
+    val perDoc = dupSpans(df, textCol, k, minDf)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("spans"),
+        sum(col("span_len").cast("long")).as("n_removed"))
+    df.select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        cutUdf(col("toks"), col("spans")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs: cluster the embeddings with
     * seeded KMeans (the learned "semantic bucket"), then run the exact
     * cosine comparison only within a cluster — [[cosinePairs]] with a

@@ -253,6 +253,11 @@ object LlmQueries {
     "dd_substring" -> ((s, dir) =>
       Dedup.dupSpans(Tables.documents(s, dir), k = 8, minDf = 2)),
 
+    // The cut pass dd_substring reports: duplicated spans removed, the
+    // surviving token stream reassembled in order. Fully value-checked.
+    "dd_substring_strip" -> ((s, dir) =>
+      Dedup.stripDupSpans(Tables.documents(s, dir), k = 8, minDf = 2)),
+
     // Cross-document boilerplate detection: 3-grams shared by >= 3 docs,
     // per-doc boilerplate fraction. Gram document frequency aggregates on
     // an 8-byte hash; the hot-gram set is small by construction and
@@ -623,6 +628,26 @@ object LlmQueries {
        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4)""".stripMargin
 
+  /** Shared DuckDB CTE: the duplicated-substring spans (8-token windows,
+    * min corpus frequency 2, consecutive duplicated positions merged) —
+    * embedded by the dd_substring and dd_substring_strip oracles. Exposes
+    * `t` (doc_id, tok) and `sp` (doc_id, span_start, span_len, n_windows). */
+  private lazy val substringSpanCte: String =
+    s"""t AS (SELECT doc_id, ${tokSql("text")} AS tok FROM documents),
+       |w AS (SELECT doc_id, CAST(i AS INT) AS pos,
+       |        array_to_string(list_slice(tok, CAST(i AS INT)+1, CAST(i AS INT)+8), ' ') AS win
+       |      FROM (SELECT doc_id, tok,
+       |              unnest(range(0, greatest(len(tok) - 7, 0))) AS i FROM t)),
+       |hot AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+       |d AS (SELECT w.doc_id, w.pos FROM w JOIN hot USING (win)),
+       |r AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |      FROM d),
+       |sp AS (SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       |         CAST(max(pos) - min(pos) + 8 AS INT) AS span_len,
+       |         CAST(count(*) AS BIGINT) AS n_windows
+       |       FROM r GROUP BY doc_id, isl)""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
     "dd_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
@@ -696,20 +721,30 @@ object LlmQueries {
     // string, windows occurring twice+ corpus-wide, consecutive duplicated
     // positions merged via the pos - row_number() island trick
     "dd_substring" ->
-      s"""WITH t AS (SELECT doc_id, ${tokSql("text")} AS tok FROM documents),
-         |w AS (SELECT doc_id, CAST(i AS INT) AS pos,
-         |        array_to_string(list_slice(tok, CAST(i AS INT)+1, CAST(i AS INT)+8), ' ') AS win
-         |      FROM (SELECT doc_id, tok,
-         |              unnest(range(0, greatest(len(tok) - 7, 0))) AS i FROM t)),
-         |hot AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
-         |d AS (SELECT w.doc_id, w.pos FROM w JOIN hot USING (win)),
-         |r AS (SELECT doc_id, pos,
-         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-         |      FROM d)
-         |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
-         |  CAST(max(pos) - min(pos) + 8 AS INT) AS span_len,
-         |  CAST(count(*) AS BIGINT) AS n_windows
-         |FROM r GROUP BY doc_id, isl""".stripMargin,
+      s"""WITH $substringSpanCte
+         |SELECT doc_id, span_start, span_len, n_windows FROM sp""".stripMargin,
+    // the cut pass: token positions covered by no span, reassembled in
+    // order; a fully-duplicated doc cleans to '' (string_agg over zero
+    // rows is NULL — coalesced for docs that HAD tokens), null text stays
+    // NULL
+    "dd_substring_strip" ->
+      s"""WITH $substringSpanCte,
+         |tk AS (SELECT doc_id, CAST(i AS INT) AS pos, tok[CAST(i AS INT)+1] AS tk
+         |       FROM (SELECT doc_id, tok, unnest(range(0, len(tok))) AS i FROM t)),
+         |kept AS (SELECT tk.doc_id, tk.pos, tk.tk FROM tk
+         |         WHERE NOT EXISTS (SELECT 1 FROM sp
+         |            WHERE sp.doc_id = tk.doc_id
+         |              AND tk.pos >= sp.span_start
+         |              AND tk.pos < sp.span_start + sp.span_len)),
+         |agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean
+         |        FROM kept GROUP BY doc_id),
+         |rem AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS n_removed
+         |        FROM sp GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CASE WHEN t.tok IS NULL THEN NULL
+         |       ELSE coalesce(agg.clean, '') END AS clean_text,
+         |  coalesce(rem.n_removed, 0) AS n_removed
+         |FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN rem USING (doc_id)""".stripMargin,
     // hash-deterministic per-language sampling: the CASE arms are generated
     // from the SAME rate table the Spark filter uses (Mixing.rateCutoffHex)
     "tx_mixture" -> {

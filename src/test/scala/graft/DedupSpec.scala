@@ -167,6 +167,22 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 4)             // null-text doc contributes nothing
   }
 
+  test("stripDupSpans: covered tokens removed; full dups clean to empty") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x x a b c d e f z z"),  // shares "a b c d e f" with doc 1
+      (3L, "a b c d e f g h i j"),  // exact dup of 1 — fully covered
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(d, k = 3, minDf = 2)
+      .as[(Long, Option[String], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(""), 10L)))            // whole doc duplicated by 3
+    assert(out(2L) == ((Some("x x z z"), 6L)))      // middle span cut
+    assert(out(3L) == ((Some(""), 10L)))
+    assert(out(4L) == ((None, 0L)))                 // null text stays null
+  }
+
   test("boilerplateStats: hand-computed cross-doc gram frequencies") {
     val d = Seq(
       (1L, "a b c d"),    // grams: "a b c", "b c d"
