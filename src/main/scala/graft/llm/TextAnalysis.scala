@@ -260,6 +260,27 @@ object TextAnalysis {
           .as("kl"))
   }
 
+  /** Sequence-length histogram — the report a context-length / packing
+    * decision starts from: per source, log2-bucketed token counts with
+    * document counts and token mass per bucket. Token-less docs (null or
+    * empty text) land in bucket −1. The bucket is computed as
+    * `length(bin(n)) − 1` — an INTEGER formula for floor(log2 n) that is
+    * bit-identical in any engine, where float log2 differs by an ulp at
+    * exact powers of two and flips the floor. One exploded-free projection
+    * + one partial-combining aggregate; the exchange carries one row per
+    * (source, bucket). */
+  def lengthHistogram(df: DataFrame, textCol: String = "text",
+                      groupCol: String = "source"): DataFrame = {
+    val n = size(tokens(col(textCol)))
+    val bucket = when(n.isNull || n <= 0, lit(-1))
+      .otherwise((length(bin(n.cast("long"))) - lit(1)).cast("int"))
+    df.select(col(groupCol), bucket.as("len_bucket"),
+        coalesce(n, lit(0)).as("n"))
+      .groupBy(groupCol, "len_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(greatest(col("n"), lit(0)).cast("long")).as("total_tokens"))
+  }
+
   /** Vocabulary-coverage report — the "how much of the corpus does a
     * top-k vocabulary cover" question a tokenizer design starts from.
     * One row per top-k token: its count, frequency rank (ties broken by

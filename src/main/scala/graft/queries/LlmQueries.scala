@@ -419,6 +419,11 @@ object LlmQueries {
     "tx_bigram_lp" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(Tables.documents(s, dir))),
 
+    // Sequence-length histogram: per-source log2 buckets of token counts —
+    // the context-length/packing design report. Integer-exact buckets.
+    "tx_length_hist" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(Tables.documents(s, dir))),
+
     // Vocabulary-coverage report: top-100 tokens with frequency rank and
     // cumulative corpus coverage — the tokenizer-design starting point.
     "tx_vocab" -> ((s, dir) =>
@@ -1062,6 +1067,17 @@ object LlmQueries {
         |  FROM documents)
         |SELECT sel.doc_id, sel.source FROM sel JOIN q USING (source)
         |WHERE sel.rk <= q.k""".stripMargin,
+    // length histogram: the same integer floor-log2 (binary-string length)
+    // — no float log2 at bucket boundaries
+    "tx_length_hist" ->
+      s"""WITH t AS (SELECT source, len(${tokSql("text")}) AS n FROM documents)
+         |SELECT source,
+         |  CAST(CASE WHEN n IS NULL OR n <= 0 THEN -1
+         |       ELSE length(bin(n)) - 1 END AS INT) AS len_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n IS NULL OR n < 0 THEN 0 ELSE n END) AS BIGINT)
+         |    AS total_tokens
+         |FROM t GROUP BY 1, 2""".stripMargin,
     // vocabulary report: identical rank tiebreak (cnt desc, token asc) and
     // long→double exact division make coverage bit-comparable at round(6)
     "tx_vocab" ->

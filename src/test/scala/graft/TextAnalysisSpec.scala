@@ -143,6 +143,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((0L, None)))                     // token-less doc kept, null score
   }
 
+  test("lengthHistogram: integer log2 buckets; token-less docs in bucket -1") {
+    val d = Seq(
+      (1L, "a", "s1"),                // 1 token  → bucket 0
+      (2L, "a b c", "s1"),            // 3 tokens → bucket 1
+      (3L, "a b c d e f g h", "s1"),  // 8 tokens → bucket 3 (power boundary)
+      (4L, null.asInstanceOf[String], "s2"),
+      (5L, "", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.lengthHistogram(d)
+      .as[(String, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("s1", 0)) == ((1L, 1L)))
+    assert(out(("s1", 1)) == ((1L, 3L)))
+    assert(out(("s1", 3)) == ((1L, 8L)))   // floor(log2 8) = 3 exactly
+    assert(out(("s2", -1)) == ((2L, 0L)))  // null + empty, zero token mass
+    assert(out.size == 4)
+  }
+
   test("bigramLogProb: hand-computed interpolated probabilities") {
     // corpus: uni a=3 b=2 (N=5); bi (a,b)=2 (b,a)=1
     val d = Seq((1L, "a b a b"), (2L, "a"), (3L, null.asInstanceOf[String]))
