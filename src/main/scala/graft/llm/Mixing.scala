@@ -129,6 +129,8 @@ object Mixing {
   def writeTrainingShards(df: DataFrame, idCol: String, seed: String,
                           nShards: Int, path: String): Unit =
     shuffleShards(df, idCol, seed, nShards)
+      // the md5 order key is encoded in pos; don't persist 32 bytes/row
+      .drop("ord_key")
       .join(df, Seq(idCol))
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
