@@ -163,6 +163,20 @@ object BreadthQueries {
             .as("quantile_within_1pct"))
     }),
 
+    // X7 — correlated LATERAL subquery with per-row ORDER BY + LIMIT
+    // (top-2 orders per customer): the SQL surface for "top-k per group".
+    // Catalyst rewrites the correlated limit into a ranked window join —
+    // no per-row re-execution (plan checked in PLANS.md).
+    "x7_lateral_topk" -> ((s, dir) => {
+      views(s, dir)
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer_v c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
+    }),
+
     // X6 — schema'd JSON extraction from a string column (the semi-
     // structured payload every event pipeline carries). from_json with a
     // declared schema beats get_json_object at scale: one parse per row
@@ -262,6 +276,12 @@ object BreadthQueries {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
         |  true AS quantile_within_1pct
         |FROM lineitem""".stripMargin,
+    "x7_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin,
     "x6_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,

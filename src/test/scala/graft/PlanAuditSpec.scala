@@ -109,6 +109,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"lag window crept in:\n$plan")
   }
 
+  test("x7_lateral_topk: correlated LIMIT decorrelates — no per-row re-execution") {
+    val plan = graft.queries.BreadthQueries.defs.toMap
+      .apply("x7_lateral_topk")(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"lateral degenerated:\n$plan")
+    // the rewrite is a ranked window (or group-limit) + equi-join, executed once
+    assert(plan.contains("Window") || plan.contains("GroupLimit"), plan)
+  }
+
   test("ann_cluster_report: centroids broadcast; no cartesian") {
     val plan = graft.llm.Ann.clusterReport(Tables.embeddings(spark, sf))
       .queryExecution.executedPlan.toString
