@@ -15,6 +15,11 @@ object Bench {
     // the same way on every run
     // optional comma-separated filter for profiling a subset in isolation
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // reproducibility: the round-5 builder/driver totals diverged ~2× on
+    // identical code — record the knobs that differ between harnesses
+    val rt = Runtime.getRuntime
+    System.err.println(s"[bench] config: heapMax=${rt.maxMemory() / (1 << 20)}MiB " +
+      s"cores=$cpus sf=$sfDir javaVersion=${System.getProperty("java.version")}")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -25,7 +30,14 @@ object Bench {
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // between-query hygiene (OUTSIDE the timed region — the sweep is
+      // harness bookkeeping, not query work): drop per-query checkpoint
+      // blocks / stray caches and delete consumed per-run qtmp stores, so
+      // query N+80 isn't paying GC for query N's leftovers. Memoized
+      // stages survive (Sweep.retainNew).
+      Sweep.drop(spark)
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

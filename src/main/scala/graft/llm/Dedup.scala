@@ -537,11 +537,17 @@ object Dedup {
   }
 
   /** One pass over a token array removing positions covered by any span;
-    * spans are (start, len) structs. Covered ranges are disjoint
-    * (dupSpans emits maximal islands), so no double-count hazard. */
+    * spans are (start, len) structs. Spans can OVERLAP in token space —
+    * dupSpans merges islands of duplicated WINDOW positions, and two
+    * islands separated by 1..k-2 window positions still cover overlapping
+    * token ranges (e.g. duplicated windows at pos 0 and 2 with k=8 give
+    * spans [0,8) and [2,10)) — so both the cut and the removed count work
+    * off the boolean covered array: n_removed is the size of the UNION of
+    * covered positions, never the sum of span lengths (which would
+    * double-count the overlap). Returns (clean_text, n_removed). */
   private val cutUdf = udf { (toks: Seq[String], spans: Seq[org.apache.spark.sql.Row]) =>
-    if (toks == null) null
-    else if (spans == null || spans.isEmpty) toks.mkString(" ")
+    if (toks == null) (null: String, 0L)
+    else if (spans == null || spans.isEmpty) (toks.mkString(" "), 0L)
     else {
       val covered = new Array[Boolean](toks.length)
       spans.foreach { r =>
@@ -551,15 +557,16 @@ object Dedup {
         while (i < e) { covered(i) = true; i += 1 }
       }
       val sb = new java.lang.StringBuilder
+      var removed = 0L
       var i = 0
       while (i < toks.length) {
         if (!covered(i)) {
           if (sb.length > 0) sb.append(' ')
           sb.append(toks(i))
-        }
+        } else removed += 1L
         i += 1
       }
-      sb.toString
+      (sb.toString, removed)
     }
   }
 
@@ -569,7 +576,9 @@ object Dedup {
     * stream (lowercased, single-spaced — the training-relevant view, not
     * a byte-faithful rewrite of the original text); a fully-duplicated
     * document cleans to the empty string, a null text stays null.
-    * Returns (doc_id, clean_text, n_removed).
+    * Returns (doc_id, clean_text, n_removed) with n_removed the count of
+    * TOKENS actually removed (union of covered positions — token-
+    * overlapping spans don't double-count; see cutUdf).
     *
     * Scale shape: [[dupSpans]]'s two hash-keyed shuffles, plus one
     * spans-per-doc aggregate (tiny — only docs WITH spans) joined back to
@@ -579,13 +588,13 @@ object Dedup {
                     minDf: Int = 2): DataFrame = {
     val perDoc = dupSpans(df, textCol, k, minDf)
       .groupBy("doc_id")
-      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("spans"),
-        sum(col("span_len").cast("long")).as("n_removed"))
+      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("spans"))
     df.select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("__cut", cutUdf(col("toks"), col("spans")))
       .select(col("doc_id"),
-        cutUdf(col("toks"), col("spans")).as("clean_text"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        col("__cut._1").as("clean_text"),
+        col("__cut._2").as("n_removed"))
   }
 
   /** SemDeDup-style semantic near-dup pairs: cluster the embeddings with

@@ -153,11 +153,13 @@ object Mixing {
     * 2. the exact top-k window then runs on the ~margin·k survivors per
     *    stratum — bounded work per reducer regardless of stratum size.
     * The prefilter keeps the SMALLEST-hash rows, i.e. a superset of the
-    * true top-k unless fewer than k of margin·k expected survivors land
-    * under the cutoff — a Chernoff-tail event (p < 1e-9 at margin 4,
-    * k ≥ 10); the correctness gate exact-compares against the full-window
-    * oracle, so any such miss is caught, not silent. Strata smaller than
-    * margin·k skip the prefilter entirely (rate clamps to 1). */
+    * true top-k unless fewer than k of the margin·k+16 expected survivors
+    * land under the cutoff — a Chernoff-tail event (p ≤ e^-16 for every
+    * k ≥ 1; the +16 cushion is what keeps quota-1 strata safe, see
+    * capWithQuotas); the correctness gate exact-compares against the
+    * full-window oracle, so any such miss is caught, not silent. Strata
+    * smaller than margin·k+16 skip the prefilter entirely (rate clamps
+    * to 1). */
   def capPerStratum(df: DataFrame, stratumCol: String, idCol: String, k: Int,
                     seed: String, margin: Double = 4.0): DataFrame = {
     require(k >= 1, s"k must be >= 1; got $k")
@@ -205,9 +207,16 @@ object Mixing {
                             margin: Double): DataFrame = {
     require(margin >= 2.0, s"margin < 2 makes the prefilter lossy; got $margin")
     import org.apache.spark.sql.expressions.Window
+    // rate = min(1, (margin·k + 16)/n): the additive +16 cushion keeps the
+    // expected survivor count ≥ margin·k + 16 even when k is tiny — a bare
+    // margin·k/n rate at k=1 leaves ~e^-margin (≈2% at margin 4) odds that
+    // NO row of the stratum lands under the cutoff and a quota-1 stratum
+    // silently contributes nothing; with the cushion the tail is
+    // P(X < k) ≤ e^-16 for every k ≥ 1 (Chernoff), at the cost of ≤16
+    // extra survivors per stratum through the window
     val rates = quotas
       .withColumn("__rate", least(lit(1.0),
-        lit(margin) * col("__k").cast("double") / col("__n")))
+        (lit(margin) * col("__k").cast("double") + lit(16.0)) / col("__n")))
       .withColumn("__cutoff", lower(lpad(hex(
         floor(col("__rate") * lit(4294967296.0)).cast("long")), 8, "0")))
       .select(col(stratumCol), col("__k"), col("__rate"), col("__cutoff"))

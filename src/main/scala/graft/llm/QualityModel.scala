@@ -84,25 +84,32 @@ object QualityModel {
 
   /** A fitted quality model: the logistic coefficients plus the holdout
     * AUC (measured on a deterministic 20% content-hash holdout of the
-    * weak-label set) and the positive-class size. */
+    * weak-label set) and the class sizes (always equal here — negatives
+    * are manufactured 1:1 from the positives — but carried separately so
+    * a future asymmetric negative source can't silently misreport). */
   final case class Fitted(
       model: org.apache.spark.ml.classification.LogisticRegressionModel,
-      auc: Double, nPos: Long)
+      auc: Double, nPos: Long, nNeg: Long)
 
   def fit(df: DataFrame, textCol: String = "text"): Fitted = {
     val base = df.where(col(textCol).isNotNull)
-    val pos = base.select(col("doc_id"), col(textCol).as("__qm_text"),
-      lit(1.0).as("label"))
-    // negatives get disjoint synthetic ids so the hash split can't pair a
-    // doc with its own degraded copy across the train/holdout boundary
-    val neg = base.select((-col("doc_id") - 1).as("doc_id"),
+    // a label-source tag (not an id remap) keeps a doc and its degraded
+    // copy on independent sides of the hash split: the split hashes
+    // (source, doc_id), so the two rows draw independent split fates, and
+    // genuine ids of ANY sign can never collide with a synthetic id (the
+    // old -doc_id - 1 remap collided with real negative doc_ids)
+    val pos = base.select(col("doc_id"), lit("p").as("__qm_src"),
+      col(textCol).as("__qm_text"), lit(1.0).as("label"))
+    val neg = base.select(col("doc_id"), lit("n").as("__qm_src"),
       garble(col(textCol), col("doc_id")).as("__qm_text"), lit(0.0).as("label"))
-    val train = features(pos.unionByName(neg), "__qm_text", keep = Seq("label"))
+    val train = features(pos.unionByName(neg), "__qm_text",
+        keep = Seq("label", "__qm_src"))
       .na.fill(0.0, featCols)
-    // deterministic 80/20 split: first md5 byte of the id — reproducible
-    // across runs/cluster sizes, same convention as Matcher.withHashSplit
-    val holdout = conv(substring(md5(concat(lit("qm:"),
-      col("doc_id").cast("string"))), 1, 2), 16, 10).cast("int") >= 204
+    // deterministic 80/20 split: first md5 byte of (source, id) —
+    // reproducible across runs/cluster sizes, same convention as
+    // Matcher.withHashSplit
+    val holdout = conv(substring(md5(concat(lit("qm:"), col("__qm_src"),
+      lit(":"), col("doc_id").cast("string"))), 1, 2), 16, 10).cast("int") >= 204
     val fitDf = assembler.transform(train.where(!holdout)).cache()
     val model = new LogisticRegression().setFeaturesCol("fv")
       .setLabelCol("label").setMaxIter(50).setRegParam(0.01).fit(fitDf)
@@ -110,7 +117,10 @@ object QualityModel {
       .setRawPredictionCol("rawPrediction").setMetricName("areaUnderROC")
       .evaluate(model.transform(assembler.transform(train.where(holdout))))
     fitDf.unpersist(blocking = false)
-    Fitted(model, auc, base.count())
+    // one count serves both classes: negatives are one garbled copy per
+    // positive by construction (the 1:1 invariant the case class documents)
+    val n = base.count()
+    Fitted(model, auc, n, n)
   }
 
   /** Score a frame with a fitted model → (doc_id, quality_prob). The whole
@@ -130,6 +140,6 @@ object QualityModel {
 
   def fitScore(df: DataFrame, textCol: String = "text"): Result = {
     val f = fit(df, textCol)
-    Result(score(f.model, df, textCol), f.auc, f.nPos, f.nPos)
+    Result(score(f.model, df, textCol), f.auc, f.nPos, f.nNeg)
   }
 }

@@ -301,7 +301,8 @@ object LlmQueries {
     "ann_ivf_store" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val path = s"/root/repo/target/qtmp/ivf_store_${storeRunId.incrementAndGet()}"
+      val path = graft.Sweep.ephemeral(
+        s"/root/repo/target/qtmp/ivf_store_${storeRunId.incrementAndGet()}")
       graft.io.IO.deletePath(path)
       Ann.writeIvfStore(emb.where("vec_id % 3 != 2"), path)
       Ann.appendIvfStore(emb.where("vec_id % 3 = 2"), path)
@@ -402,7 +403,7 @@ object LlmQueries {
       val nScored = scores.count()
       val inRange = scores.where(col("quality_prob") < 0.0
         || col("quality_prob") > 1.0 || col("quality_prob").isNull).count() == 0L
-      Seq((f.nPos, f.nPos, nScored, f.auc >= ContractBounds.qualityModelAuc,
+      Seq((f.nPos, f.nNeg, nScored, f.auc >= ContractBounds.qualityModelAuc,
           inRange))
         .toDF("n_pos", "n_neg", "n_scored", "auc_ok", "probs_in_range")
     }),
@@ -435,7 +436,8 @@ object LlmQueries {
     // against the same assignment SQL as tx_shuffle_shard. Per-file
     // ordering is asserted in MixingSpec.
     "tx_export_shards" -> ((s, dir) => {
-      val path = s"/root/repo/target/qtmp/export_shards_${storeRunId.incrementAndGet()}"
+      val path = graft.Sweep.ephemeral(
+        s"/root/repo/target/qtmp/export_shards_${storeRunId.incrementAndGet()}")
       graft.io.IO.deletePath(path)
       Mixing.writeTrainingShards(Tables.documents(s, dir), "doc_id",
         "train42", 8, path)
@@ -743,8 +745,13 @@ object LlmQueries {
          |              AND tk.pos < sp.span_start + sp.span_len)),
          |agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean
          |        FROM kept GROUP BY doc_id),
-         |rem AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS n_removed
-         |        FROM sp GROUP BY doc_id)
+         |rem AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_removed
+         |        FROM tk
+         |        WHERE EXISTS (SELECT 1 FROM sp
+         |           WHERE sp.doc_id = tk.doc_id
+         |             AND tk.pos >= sp.span_start
+         |             AND tk.pos < sp.span_start + sp.span_len)
+         |        GROUP BY tk.doc_id)
          |SELECT t.doc_id,
          |  CASE WHEN t.tok IS NULL THEN NULL
          |       ELSE coalesce(agg.clean, '') END AS clean_text,

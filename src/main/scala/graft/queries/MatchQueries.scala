@@ -78,35 +78,42 @@ object MatchQueries {
     * (session, dir, filter). */
   private def featureStage(s: SparkSession, dir: String,
                            keyFilter: String = "id % 10 = 0"): Stage =
-    stageCache.getOrElseUpdate(cacheKey(s, dir, keyFilter), {
-      val a = Catalogs.sideA(s, dir).where(keyFilter).withColumn("table", lit("abt"))
-      val b = Catalogs.sideB(s, dir).where(keyFilter).withColumn("table", lit("buy"))
-      val all = a.unionByName(b).select("table", "id", "name", "description", "price")
-      val (pipes, feats) = EntityResolution.fitFeatureModels(all, flagshipCfg)
-      // golden pairs restricted to the sampled subset (semi-join on A ids)
-      Stage(feats.cache(), Catalogs.golden(s, dir)
-        .join(a.select(col("id").as("idA")), Seq("idA"), "left_semi"), pipes)
-    })
+    stageCache.getOrElseUpdate(cacheKey(s, dir, keyFilter),
+      graft.Sweep.retainNew(s) {
+        val a = Catalogs.sideA(s, dir).where(keyFilter).withColumn("table", lit("abt"))
+        val b = Catalogs.sideB(s, dir).where(keyFilter).withColumn("table", lit("buy"))
+        val all = a.unionByName(b).select("table", "id", "name", "description", "price")
+        val (pipes, feats) = EntityResolution.fitFeatureModels(all, flagshipCfg)
+        val cached = feats.cache()
+        cached.count() // materialize INSIDE retainNew — a lazy cache
+                       // registers no RDD and the sweep would evict it
+        // golden pairs restricted to the sampled subset (semi-join on A ids)
+        Stage(cached, Catalogs.golden(s, dir)
+          .join(a.select(col("id").as("idA")), Seq("idA"), "left_semi"), pipes)
+      })
 
   /** Labeled candidates + trained matcher for a stage; memoized. */
   private def trainedMatcher(s: SparkSession, dir: String,
                              keyFilter: String = "id % 10 = 0"): (PipelineModel, DataFrame) =
-    matcherCache.getOrElseUpdate(cacheKey(s, dir, keyFilter), {
-      val st = featureStage(s, dir, keyFilter)
-      val labeled = EntityResolution.labeledCandidates(st.feats, st.golden, flagshipCfg)
-        .cache()
-      val trained = EntityResolution.train(st.feats, labeled, flagshipCfg)
-      (trained.model, labeled)
-    })
+    matcherCache.getOrElseUpdate(cacheKey(s, dir, keyFilter),
+      graft.Sweep.retainNew(s) {
+        val st = featureStage(s, dir, keyFilter)
+        val labeled = EntityResolution.labeledCandidates(st.feats, st.golden, flagshipCfg)
+          .cache()
+        labeled.count() // materialize inside retainNew (see featureStage)
+        val trained = EntityResolution.train(st.feats, labeled, flagshipCfg)
+        (trained.model, labeled)
+      })
 
   /** Full match flow on a key subset; returns the scored, ranked pairs
     * (materialized via cache so sibling queries reuse results, not plans). */
   def flagship(s: SparkSession, dir: String, keyFilter: String = "id % 10 = 0"): DataFrame =
-    flagshipCache.getOrElseUpdate(cacheKey(s, dir, keyFilter), {
-      val df = flagshipUncached(s, dir, keyFilter).cache()
-      df.count() // materialize once; later executions are cache reads
-      df
-    })
+    flagshipCache.getOrElseUpdate(cacheKey(s, dir, keyFilter),
+      graft.Sweep.retainNew(s) {
+        val df = flagshipUncached(s, dir, keyFilter).cache()
+        df.count() // materialize once; later executions are cache reads
+        df
+      })
 
   private def flagshipUncached(s: SparkSession, dir: String, keyFilter: String): DataFrame = {
     val st = featureStage(s, dir, keyFilter)

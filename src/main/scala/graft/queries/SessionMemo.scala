@@ -15,7 +15,11 @@ object SessionMemo {
   def frame(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     frames.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
     val uuid = org.apache.spark.sql.graftshim.Shim.sessionUuid(s)
-    frames.getOrElseUpdate((uuid, key), build.localCheckpoint())
+    // retainNew: the checkpoint blocks must survive the between-query
+    // sweep (graft.Sweep.drop) — they back every later query sharing the
+    // memo, and a swept localCheckpoint cannot recompute
+    frames.getOrElseUpdate((uuid, key),
+      graft.Sweep.retainNew(s)(build.localCheckpoint()))
   }
 
   private val values =
@@ -27,6 +31,7 @@ object SessionMemo {
   def value[A](s: SparkSession, key: String)(build: => A): A = {
     values.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
     val uuid = org.apache.spark.sql.graftshim.Shim.sessionUuid(s)
-    values.getOrElseUpdate((uuid, key), (s, build))._2.asInstanceOf[A]
+    values.getOrElseUpdate((uuid, key),
+      (s, graft.Sweep.retainNew(s)(build)))._2.asInstanceOf[A]
   }
 }

@@ -57,9 +57,13 @@ object StreamQueries {
     // batch). Emits the final store's hash set, which is arrival-order
     // independent and hence fully oracle-checkable.
     "st_incremental_dedup" -> ((s, dir) => {
+      // Sweep.ephemeral: per-run stores are keyed by a JVM-lifetime counter,
+      // so "delete at next run's start" never fires for the SAME path — the
+      // harness sweep deletes them once the query's result is consumed,
+      // keeping qtmp size flat across bench runs.
       val id = runId.incrementAndGet()
-      val store = s"/root/repo/target/qtmp/st_incdedup_store_$id"
-      val out = s"/root/repo/target/qtmp/st_incdedup_out_$id"
+      val store = graft.Sweep.ephemeral(s"/root/repo/target/qtmp/st_incdedup_store_$id")
+      val out = graft.Sweep.ephemeral(s"/root/repo/target/qtmp/st_incdedup_out_$id")
       graft.io.IO.deletePath(store)
       graft.io.IO.deletePath(out)
       val q = graft.streaming.DocStreams.incrementalExactDedup(
@@ -107,7 +111,8 @@ object StreamQueries {
     // maintained in a parquet store through the engine's upsert — the
     // production sink shape for keyed state (file sinks only append).
     "st_foreach_upsert" -> ((s, dir) => {
-      val store = s"/root/repo/target/qtmp/st_upsert_store_${runId.incrementAndGet()}"
+      val store = graft.Sweep.ephemeral(
+        s"/root/repo/target/qtmp/st_upsert_store_${runId.incrementAndGet()}")
       // the per-JVM counter repeats across separate runs — a leftover store
       // at this path (e.g. from a different sf dir) would be silently
       // upserted into, keeping stale keys the new batch never emits
@@ -125,73 +130,63 @@ object StreamQueries {
     // checked against the persisted band-key store of everything ever
     // ingested (novel iff no shared band), then its keys append — the
     // "near-dup a crawl delta against the corpus" shape, O(delta + touched
-    // buckets) per batch. Band membership is signature state, so the
-    // contract hash-gates equivalence against a BATCH recomputation of the
-    // same rule (novel iff no band shared with an earlier split, split =
-    // pmod(doc_id, 3) — the staging rule); arrival order is pinned by the
-    // staged splits' mtimes.
+    // buckets) per batch. The query emits the STREAM-side contract only:
+    // every doc flagged exactly once (SQL-computable count), and the
+    // first-arriving split all-novel (nothing earlier to collide with —
+    // split 0 seeds the store). The deep stream≡batch flag equivalence is
+    // an O(corpus) recomputation and lives in StreamingSpec, not on the
+    // bench path — embedding it here doubled the operator's measured cost
+    // for a check that only needs to run once, at test time.
     "st_incremental_neardup" -> ((s, dir) => {
       import s.implicits._
       val id = runId.incrementAndGet()
-      val store = s"/root/repo/target/qtmp/st_incnd_store_$id"
-      val out = s"/root/repo/target/qtmp/st_incnd_out_$id"
+      val store = graft.Sweep.ephemeral(s"/root/repo/target/qtmp/st_incnd_store_$id")
+      val out = graft.Sweep.ephemeral(s"/root/repo/target/qtmp/st_incnd_out_$id")
       graft.io.IO.deletePath(store)
       graft.io.IO.deletePath(out)
       val q = graft.streaming.DocStreams.incrementalNearDup(
         graft.streaming.DocStreams.readDocumentStream(s, dir, nSplits = 3),
         store, out)
       q.awaitTermination()
-      val streamed = s.read.parquet(out)
-      val docs = graft.Tables.documents(s, dir)
-      val bk = graft.llm.Dedup.bandKeys(
-          graft.llm.Dedup.signatures(docs, "text", 3, 36, 42L), 12, 3)
-        .withColumn("split", pmod(col("id"), lit(3)))
-      val earlier = bk.select(col("band"), col("band_key"),
-        col("split").as("splitB"))
-      val dupIds = bk.join(earlier, Seq("band", "band_key"))
-        .where(col("splitB") < col("split"))
-        .select(col("id").as("doc_id")).distinct()
-      val batchFlags = docs.select("doc_id").distinct()
-        .join(dupIds.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          not(coalesce(col("__dup"), lit(false))).as("bn"))
-      val mismatch = streamed.withColumnRenamed("is_novel", "sn")
-        .join(batchFlags, Seq("doc_id"), "full_outer")
-        .where(col("sn").isNull || col("bn").isNull || col("sn") =!= col("bn"))
-        .count()
-      val nDocs = docs.count()
-      val complete = streamed.count() == nDocs &&
-        streamed.select("doc_id").distinct().count() == nDocs
-      Seq((nDocs, mismatch == 0L, complete))
-        .toDF("n_docs", "incremental_equals_batch", "flags_complete")
+      val flags = s.read.parquet(out)
+      val nDocs = graft.Tables.documents(s, dir).count()
+      val counts = flags.agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("nd"),
+          sum(when(pmod(col("doc_id"), lit(3)) === 0 && !col("is_novel"), 1L)
+            .otherwise(0L)).as("firstDup"))
+        .head()
+      val complete = counts.getLong(0) == nDocs && counts.getLong(1) == nDocs
+      Seq((nDocs, complete, counts.getLong(2) == 0L))
+        .toDF("n_docs", "flags_complete", "first_split_all_novel")
     }),
 
     // Streaming model scoring — train-offline / score-online: the quality
-    // model fits ONCE on the static corpus, then scores the documents
-    // fixture streamed as 3 micro-batches. The scoring chain (features →
-    // assemble → coefficient dot-product) is a stateless per-row
-    // projection, so it runs unmodified on the streaming frame with no
-    // state store at all. Contract: streamed scores equal batch scoring
-    // doc-for-doc (same deterministic arithmetic), probabilities valid,
-    // row count SQL-computable.
+    // model fits ONCE on the static corpus (memoized with
+    // tx_quality_model's fit), then scores the documents fixture streamed
+    // as 3 micro-batches. The scoring chain (features → assemble →
+    // coefficient dot-product) is a stateless per-row projection, so it
+    // runs unmodified on the streaming frame with no state store at all.
+    // The query emits the STREAM-side contract only: row count
+    // (SQL-computable), every doc scored exactly once, probabilities
+    // valid. The doc-for-doc stream≡batch score equality is an O(corpus)
+    // second scoring pass and lives in StreamingSpec, not on the bench
+    // path.
     "st_quality_stream" -> ((s, dir) => {
       import s.implicits._
-      val docs = graft.Tables.documents(s, dir)
       val fitted = LlmQueries.qualityFit(s, dir)
       val streamed = EventStreams.runToBatch(
         graft.llm.QualityModel.score(fitted.model,
           graft.streaming.DocStreams.readDocumentStream(s, dir, nSplits = 3)),
         s"st_quality_stream_${runId.incrementAndGet()}", complete = false)
-        .withColumnRenamed("quality_prob", "sp")
-      val batch = graft.llm.QualityModel.score(fitted.model, docs)
-        .withColumnRenamed("quality_prob", "bp")
-      val mismatch = streamed.join(batch, Seq("doc_id"), "full_outer")
-        .where(col("sp").isNull || col("bp").isNull || col("sp") =!= col("bp"))
-        .count()
-      val bad = streamed
-        .where(col("sp") < 0.0 || col("sp") > 1.0 || col("sp").isNull).count()
-      Seq((streamed.count(), mismatch == 0L, bad == 0L))
-        .toDF("n_scored", "stream_equals_batch", "probs_valid")
+      val nDocs = graft.Tables.documents(s, dir).count()
+      val counts = streamed.agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("nd"),
+          sum(when(col("quality_prob") < 0.0 || col("quality_prob") > 1.0
+            || col("quality_prob").isNull, 1L).otherwise(0L)).as("bad"))
+        .head()
+      val complete = counts.getLong(0) == nDocs && counts.getLong(1) == nDocs
+      Seq((counts.getLong(0), complete, counts.getLong(2) == 0L))
+        .toDF("n_scored", "scores_complete", "probs_valid")
     }),
 
     // Sessionization through the STREAMING engine proper: watermark +
@@ -229,19 +224,20 @@ object StreamQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
-    // contract: doc count is SQL-computable; the incremental-equals-batch
-    // and completeness checks are signature-state booleans the driver
-    // hash-gates
+    // contract: doc count is SQL-computable; completeness and the
+    // first-split-all-novel invariant are signature-state booleans the
+    // driver hash-gates (stream≡batch equivalence deep-checked in
+    // StreamingSpec)
     "st_incremental_neardup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |  true AS incremental_equals_batch, true AS flags_complete
+        |  true AS flags_complete, true AS first_split_all_novel
         |FROM documents""".stripMargin,
-    // contract: the streamed row count is SQL-computable; the
-    // stream-equals-batch and probability-validity checks are model-state
-    // booleans the driver hash-gates
+    // contract: the streamed row count is SQL-computable; completeness and
+    // probability validity are model-state booleans the driver hash-gates
+    // (doc-for-doc stream≡batch equality deep-checked in StreamingSpec)
     "st_quality_stream" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_scored,
-        |  true AS stream_equals_batch, true AS probs_valid
+        |  true AS scores_complete, true AS probs_valid
         |FROM documents""".stripMargin,
     "st_stream_join" ->
       """SELECT c.event_id AS c_id, p.event_id AS p_id

@@ -64,8 +64,12 @@ object DocStreams {
       // order-dependent consumers like the incremental near-dup need it)
       val base = System.currentTimeMillis() - 3600000L
       (0 until nSplits).foreach { i =>
-        Files.list(out.resolve(f"split_$i%02d")).forEach { p =>
-          Files.setLastModifiedTime(p, FileTime.fromMillis(base + i * 60000L))
+        // Files.list returns a Stream backed by an open directory handle —
+        // close it (Using) or every restage leaks a file descriptor
+        scala.util.Using.resource(Files.list(out.resolve(f"split_$i%02d"))) {
+          _.forEach { p =>
+            Files.setLastModifiedTime(p, FileTime.fromMillis(base + i * 60000L))
+          }
         }
       }
       Files.writeString(marker, srcSize)

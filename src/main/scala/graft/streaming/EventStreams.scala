@@ -282,6 +282,14 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    (spark.table(name), q.recentProgress.toIndexedSeq)
+    // The memory sink pins ALL result rows in the driver for the life of
+    // the session (the temp view is never dropped by the engine). Copy the
+    // rows out (localCheckpoint — eager, and releasable by the
+    // between-query sweep once the caller has consumed the frame) and drop
+    // the view, so a long bench run doesn't accrete one sink per
+    // streaming query.
+    val rows = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    (rows, q.recentProgress.toIndexedSeq)
   }
 }

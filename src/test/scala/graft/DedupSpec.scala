@@ -183,6 +183,27 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((None, 0L)))                 // null text stays null
   }
 
+  test("stripDupSpans: token-overlapping spans don't double-count n_removed") {
+    // doc 1's windows w0="a b c" and w2="c q r" are duplicated (via docs 2
+    // and 3) but w1="b c q" is not: islands {0} and {2} emit spans [0,3)
+    // and [2,5), which OVERLAP at token 2. n_removed must be the union
+    // (5 tokens — the whole doc), not sum(span_len) = 6.
+    val d = Seq(
+      (1L, "a b c q r"),
+      (2L, "a b c z z z"),
+      (3L, "y y y c q r")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(d, k = 3, minDf = 2)
+      .where(col("doc_id") === 1L)
+      .as[(Long, Int, Int, Long)].collect()
+      .map(r => (r._2, r._3)).toSet
+    assert(spans == Set((0, 3), (2, 3))) // overlapping in token space
+    val out = Dedup.stripDupSpans(d, k = 3, minDf = 2)
+      .where(col("doc_id") === 1L)
+      .as[(Long, Option[String], Long)].collect().head
+    assert(out._2 == Some("") && out._3 == 5L)
+  }
+
   test("boilerplateStats: hand-computed cross-doc gram frequencies") {
     val d = Seq(
       (1L, "a b c d"),    // grams: "a b c", "b c d"

@@ -279,4 +279,64 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() > 0)
     assert(out.columns.toSeq == Seq("w_start", "event_type", "n", "total_value"))
   }
+
+  // The two deep stream≡batch equivalence checks below used to live INSIDE
+  // the registered queries st_incremental_neardup / st_quality_stream,
+  // where every bench run paid an O(corpus) batch recomputation just to
+  // re-verify the operator. They are correctness facts, not query outputs,
+  // so they run once here; the registered queries emit stream-side
+  // contracts only.
+
+  test("incremental near-dup over staged splits equals the batch novelty rule") {
+    import graft.streaming.DocStreams
+    val store = "/root/repo/target/test_tmp/incnd_eq_store"
+    val out = "/root/repo/target/test_tmp/incnd_eq_out"
+    Seq(store, out).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val q = DocStreams.incrementalNearDup(
+      DocStreams.readDocumentStream(spark, sf, nSplits = 3), store, out)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val docs = Tables.documents(spark, sf)
+    // batch recomputation of the same rule: a doc is novel iff it shares no
+    // (band, band_key) with a doc from an EARLIER split (split =
+    // pmod(doc_id, 3), the staging rule; arrival order pinned by mtimes)
+    val bk = graft.llm.Dedup.bandKeys(
+        graft.llm.Dedup.signatures(docs, "text", 3, 36, 42L), 12, 3)
+      .withColumn("split", pmod(col("id"), lit(3)))
+    val earlier = bk.select(col("band"), col("band_key"),
+      col("split").as("splitB"))
+    val dupIds = bk.join(earlier, Seq("band", "band_key"))
+      .where(col("splitB") < col("split"))
+      .select(col("id").as("doc_id")).distinct()
+    val batchFlags = docs.select("doc_id").distinct()
+      .join(dupIds.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), not(coalesce(col("__dup"), lit(false))).as("bn"))
+    val mismatch = streamed.withColumnRenamed("is_novel", "sn")
+      .join(batchFlags, Seq("doc_id"), "full_outer")
+      .where(col("sn").isNull || col("bn").isNull || col("sn") =!= col("bn"))
+      .count()
+    assert(mismatch == 0L)
+    assert(streamed.count() == docs.count())
+  }
+
+  test("streaming quality scoring equals batch scoring doc-for-doc") {
+    import graft.streaming.DocStreams
+    val docs = Tables.documents(spark, sf)
+    val fitted = graft.llm.QualityModel.fit(docs)
+    val streamed = EventStreams.runToBatch(
+      graft.llm.QualityModel.score(fitted.model,
+        DocStreams.readDocumentStream(spark, sf, nSplits = 3)),
+      "quality_eq_test", complete = false)
+      .withColumnRenamed("quality_prob", "sp")
+    val batch = graft.llm.QualityModel.score(fitted.model, docs)
+      .withColumnRenamed("quality_prob", "bp")
+    // the scoring chain is deterministic per-row arithmetic, so stream and
+    // batch must agree EXACTLY, not approximately
+    val mismatch = streamed.join(batch, Seq("doc_id"), "full_outer")
+      .where(col("sp").isNull || col("bp").isNull || col("sp") =!= col("bp"))
+      .count()
+    assert(mismatch == 0L)
+    assert(streamed.count() == docs.count())
+  }
 }
