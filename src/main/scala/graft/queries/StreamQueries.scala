@@ -66,10 +66,12 @@ object StreamQueries {
       val out = graft.Sweep.ephemeral(s"/root/repo/target/qtmp/st_incdedup_out_$id")
       graft.io.IO.deletePath(store)
       graft.io.IO.deletePath(out)
-      val q = graft.streaming.DocStreams.incrementalExactDedup(
-        graft.streaming.DocStreams.readDocumentStream(s, dir, nSplits = 3),
-        store, out)
-      q.awaitTermination()
+      EventStreams.withStreamShufflePartitions(s) {
+        val q = graft.streaming.DocStreams.incrementalExactDedup(
+          graft.streaming.DocStreams.readDocumentStream(s, dir, nSplits = 3),
+          store, out)
+        q.awaitTermination()
+      }
       graft.io.IO.readPartitionedStore(s, store).select("content_hash")
     }),
 
@@ -120,9 +122,11 @@ object StreamQueries {
       val agg = EventStreams.readEventStream(s, dir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
-      val q = EventStreams.maintainAggregateStore(agg, store,
-        keys = Seq("event_type"), updateCols = Seq("n", "total_value"))
-      q.awaitTermination()
+      EventStreams.withStreamShufflePartitions(s) {
+        val q = EventStreams.maintainAggregateStore(agg, store,
+          keys = Seq("event_type"), updateCols = Seq("n", "total_value"))
+        q.awaitTermination()
+      }
       graft.io.IO.readPartitionedStore(s, store)
     }),
 
@@ -144,10 +148,12 @@ object StreamQueries {
       val out = graft.Sweep.ephemeral(s"/root/repo/target/qtmp/st_incnd_out_$id")
       graft.io.IO.deletePath(store)
       graft.io.IO.deletePath(out)
-      val q = graft.streaming.DocStreams.incrementalNearDup(
-        graft.streaming.DocStreams.readDocumentStream(s, dir, nSplits = 3),
-        store, out)
-      q.awaitTermination()
+      EventStreams.withStreamShufflePartitions(s) {
+        val q = graft.streaming.DocStreams.incrementalNearDup(
+          graft.streaming.DocStreams.readDocumentStream(s, dir, nSplits = 3),
+          store, out)
+        q.awaitTermination()
+      }
       val flags = s.read.parquet(out)
       val nDocs = graft.Tables.documents(s, dir).count()
       val counts = flags.agg(count(lit(1)).as("n"),

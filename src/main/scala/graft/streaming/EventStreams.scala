@@ -268,6 +268,26 @@ object EventStreams {
   def runToBatch(stream: DataFrame, name: String, complete: Boolean): DataFrame =
     runToBatchTracked(stream, name, complete)._1
 
+  /** Scope `spark.sql.shuffle.partitions` down to `n` for the duration of
+    * a streaming run (start → awaitTermination), restoring the caller's
+    * value after. Stateful streaming operators create one state store PER
+    * shuffle partition PER operator PER micro-batch commit; at the
+    * session's batch-sized 32 partitions a 3-batch AvailableNow run pays
+    * ~100 state-store inits/commits for a few thousand rows — pure fixed
+    * overhead, no parallelism won (measured: the st_* fixture queries are
+    * dominated by it). 8 partitions keeps the same semantics (partition
+    * count never changes results) and quarters the per-batch fixed cost.
+    * At production scale a stream would set this to match its real key
+    * cardinality and executor count — the point is it's a STREAM-scoped
+    * knob, not the batch session default. */
+  private[graft] def withStreamShufflePartitions[A](spark: SparkSession,
+                                                    n: Int = 8)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** [[runToBatch]] plus the query's progress events — the per-batch state
     * operator metrics (`stateOperators.numRowsTotal`) are how a caller
     * verifies the watermark actually bounds stateful-operator state rather
@@ -276,12 +296,15 @@ object EventStreams {
   def runToBatchTracked(stream: DataFrame, name: String, complete: Boolean)
       : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val spark = stream.sparkSession
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode(if (complete) OutputMode.Complete() else OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = withStreamShufflePartitions(spark) {
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode(if (complete) OutputMode.Complete() else OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
     // The memory sink pins ALL result rows in the driver for the life of
     // the session (the temp view is never dropped by the engine). Copy the
     // rows out (localCheckpoint — eager, and releasable by the
