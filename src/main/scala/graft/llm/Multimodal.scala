@@ -51,20 +51,43 @@ object Multimodal {
 
   case class DecodedMeta(asset_id: Long, width: Int, height: Int, channels: Int)
 
-  /** STUB decoder: deterministic fake dimensions derived from the payload
-    * bytes. A real deployment swaps `decodeOne` for an actual codec; the
-    * batch shape (one decoder instantiation per partition, streamed rows)
-    * is the part under test. */
-  def decodeImageMeta(spark: SparkSession, assets: DataFrame): Dataset[DecodedMeta] = {
+  /** The codec seam: swapping the stub for a real JPEG/PNG/ffmpeg decoder
+    * is a CONFIG choice (pass a different codec), not a code edit. An
+    * implementation ships to executors (must be Serializable) and gets one
+    * [[ImageCodec.partitionDecoder]] call per partition — native contexts,
+    * sessions, scratch buffers belong in that call's closure, created once
+    * and reused across the partition's rows (the mapInPandas batch shape),
+    * never in the constructor (which serializes) and never per row. */
+  trait ImageCodec extends Serializable {
+    /** Called once per partition; the returned function decodes each row
+      * reusing whatever state this call created. */
+    def partitionDecoder(): (Long, Array[Byte]) => DecodedMeta
+  }
+
+  /** STUB codec: deterministic fake dimensions derived from the payload
+    * bytes — real codecs aren't in this container. Everything around it
+    * (schema, binary flow, per-partition init, batch loop) is real. */
+  object StubCodec extends ImageCodec {
+    def partitionDecoder(): (Long, Array[Byte]) => DecodedMeta = decodeOne
+  }
+
+  /** Decode image metadata with `codec` (default: the stub). The batch
+    * shape is the tested contract: one decoder instantiation per
+    * partition, rows streamed through it. */
+  def decodeImageMeta(spark: SparkSession, assets: DataFrame,
+                      codec: ImageCodec = StubCodec): Dataset[DecodedMeta] = {
     import spark.implicits._
     assets.select("asset_id", "content").as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition setup: a real codec/session would be created here once
-        it.map { case (id, bytes) => decodeOne(id, bytes) }
+        // per-partition setup happens inside partitionDecoder(): a real
+        // codec creates its native context exactly once per partition here
+        val decode = codec.partitionDecoder()
+        it.map { case (id, bytes) => decode(id, bytes) }
       }
   }
 
-  /** STUB: stands in for a real image decode; deterministic in the bytes. */
+  /** STUB decode body: stands in for a real image decode; deterministic in
+    * the bytes. */
   private[llm] def decodeOne(id: Long, bytes: Array[Byte]): DecodedMeta = {
     val n = if (bytes == null) 0 else bytes.length
     val b0 = if (n > 0) bytes(0) & 0xff else 0

@@ -36,6 +36,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("codec seam: a second codec swaps in as config; init runs once per partition") {
+    val inits = spark.sparkContext.longAccumulator("codec_inits")
+    val fixedDims = new Multimodal.ImageCodec {
+      def partitionDecoder(): (Long, Array[Byte]) => Multimodal.DecodedMeta = {
+        inits.add(1) // per-partition init — a real codec opens its native context here
+        (id, _) => Multimodal.DecodedMeta(id, 1, 2, 3)
+      }
+    }
+    val out = Multimodal
+      .decodeImageMeta(spark, assets.repartition(3), fixedDims).collect()
+    assert(out.length == 20)
+    assert(out.forall(m => m.width == 1 && m.height == 2 && m.channels == 3))
+    assert(inits.value == 3L,
+      s"decoder init ran ${inits.value} times for 3 partitions — must be once per partition, not per row")
+    // and the default path still decodes with the stub (different output)
+    val stubbed = Multimodal.decodeImageMeta(spark, assets).collect()
+    assert(stubbed.exists(m => m.width != 1 || m.height != 2))
+  }
+
   test("frame sampling: n frames per asset, spans cover prefix of payload") {
     val frames = Multimodal.sampleFrames(assets, 4)
     val counts = frames.groupBy("asset_id").count().as[(Long, Long)].collect()
