@@ -57,6 +57,8 @@ object ContractBounds {
   /** Flagship: golden pairs ranked into the top-500 output, as a fraction
     * of min(golden, output rows) — when golden outnumber the window
     * (sf0.1: 1333 golden) the metric is the golden share of the window.
-    * Measured: 1.00 / 1.00 / 0.58. */
+    * Measured: 1.00 / 1.00 / 0.60 (sf0.1 value with the flagship config's
+    * 50k stratified training cap; 0.58 with the former 200k cap — the
+    * 3-feature boundary doesn't need the extra negatives). */
   val flagshipGoldenInTop = 0.4
 }

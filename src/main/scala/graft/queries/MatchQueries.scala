@@ -72,7 +72,16 @@ object MatchQueries {
     // fixture-sized store: 16 buckets keeps partition files non-trivial at
     // sf<=0.1 while still exercising the pruned-merge path; production
     // defaults to 64
-    storeBuckets = 16)
+    storeBuckets = 16,
+    // The fixture's 1.3-threshold blocking admits ~900k candidate pairs at
+    // sf0.1 (the synthetic names are near-uniform — a weak blocker, unlike
+    // the reference's real catalogs). The decision boundary lives on 3
+    // scalar distance features, so training reads a 50k stratified sample
+    // (ALL positives kept, negatives downsampled — EntityResolution.train)
+    // instead of the default 200k: measured 2–3 s less distance-join work
+    // per fit with identical ranking quality (flagshipStats golden-in-top
+    // and AUPR bounds unchanged; scoring still covers every candidate).
+    maxTrainPairs = 50000L)
 
   /** Build catalogs (subset by key), fit features; memoized per
     * (session, dir, filter). */
