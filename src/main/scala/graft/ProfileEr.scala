@@ -22,7 +22,8 @@ object ProfileEr {
       r
     }
     val cfg = EntityResolution.Config(w2vMaxIter = 4,
-      gbtMaxIterGrid = Seq(10), gbtMaxDepthGrid = Seq(3), descriptBlocking = false)
+      gbtMaxIterGrid = Seq(10), gbtMaxDepthGrid = Seq(3), descriptBlocking = false,
+      maxTrainPairs = 50000L) // mirror MatchQueries.flagshipCfg
     val a = Catalogs.sideA(spark, dir).where("id % 10 = 0").withColumn("table", lit("abt"))
     val b = Catalogs.sideB(spark, dir).where("id % 10 = 0").withColumn("table", lit("buy"))
     val all = a.unionByName(b).select("table", "id", "name", "description", "price")

@@ -1,7 +1,6 @@
 package graft.blocking
 
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel}
-import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -127,7 +126,7 @@ object Blocking {
     val withDist = keyPairs
       .join(ra.select(col("key").as("keyA"), col(featureCol).as("__fA")), Seq("keyA"))
       .join(rb.select(col("key").as("keyB"), col(featureCol).as("__fB")), Seq("keyB"))
-      .withColumn("distance", sqrt(sqdistUdf(col("__fA"), col("__fB"))))
+      .withColumn("distance", sqrt(graft.functions.SqDist.sq_dist(col("__fA"), col("__fB"))))
       .where(col("distance") < threshold)
       .select("keyA", "keyB", "distance")
     val out = withDist
@@ -143,15 +142,16 @@ object Blocking {
     out
   }
 
-  private val sqdistUdf = udf { (x: Vector, y: Vector) => Vectors.sqdist(x, y) }
-
-  /** J5 — exact cross-join similarity oracle (small inputs only). */
+  /** J5 — exact cross-join similarity oracle (small inputs only). The
+    * distance kernel is the codegen [[graft.functions.SqDist]] expression
+    * (same as the hot scoring path) — the UDF form would deserialize two
+    * VectorUDT structs per candidate pair of the n×m loop. */
   def crossJoinExact(a: DataFrame, b: DataFrame, featureCol: String,
                      threshold: Double): DataFrame = {
     val aa = a.select(col("id").as("idA"), col(featureCol).as("fA"))
     val bb = b.select(col("id").as("idB"), col(featureCol).as("fB"))
     aa.crossJoin(bb)
-      .withColumn("distance", sqrt(sqdistUdf(col("fA"), col("fB"))))
+      .withColumn("distance", sqrt(graft.functions.SqDist.sq_dist(col("fA"), col("fB"))))
       .where(col("distance") < threshold)
       .select("idA", "idB", "distance")
   }

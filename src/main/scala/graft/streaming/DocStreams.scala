@@ -108,10 +108,12 @@ object DocStreams {
       IO.writePartitionedStore(hashed, storePath, keys)
       hashed
     } else {
-      // existence check reads only the buckets this batch's hashes land in
+      // existence check reads only the buckets this batch's hashes land in.
+      // `src` is a narrow map over the already-checkpointed `hashed`, so
+      // its three consumers (touched-bucket collect, anti-join, append)
+      // recompute only the bucket column — no second checkpoint needed
       val nB = IO.storeBuckets(storePath)
       val src = hashed.withColumn(IO.BucketCol, IO.bucketExpr(keys, nB))
-        .localCheckpoint()
       val touched = src.select(IO.BucketCol).distinct().collect().map(_.getInt(0))
       val stored = spark.read.parquet(storePath)
         .where(col(IO.BucketCol).isin(touched.toIndexedSeq: _*))
@@ -176,9 +178,10 @@ object DocStreams {
         IO.writePartitionedStore(bk, storePath, keys)
         bk.select("doc_id").where(lit(false))
       } else {
+        // narrow map over the checkpointed `bk` — consumers recompute only
+        // the bucket column, so no second checkpoint (see exact-dedup path)
         val nB = IO.storeBuckets(storePath)
         val src = bk.withColumn(IO.BucketCol, IO.bucketExpr(keys, nB))
-          .localCheckpoint()
         val touched = src.select(IO.BucketCol).distinct().collect().map(_.getInt(0))
         val stored = spark.read.parquet(storePath)
           .where(col(IO.BucketCol).isin(touched.toIndexedSeq: _*))
