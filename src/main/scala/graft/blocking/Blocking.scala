@@ -112,9 +112,13 @@ object Blocking {
                             bucketLength: Double = 1.0, numHashTables: Int = 10,
                             seed: Long = 42L, salts: Int = 8,
                             logBucketSkew: Boolean = false): DataFrame = {
+    // one representative row per distinct key, carrying BOTH the (shared)
+    // feature vector and the key's id list — so the post-filter expansion
+    // back to id pairs is an in-row explode, not two more shuffled joins
     def reps(df: DataFrame) =
       df.groupBy(col(keyCol).as("key"))
-        .agg(first(col(featureCol)).as(featureCol))
+        .agg(first(col(featureCol)).as(featureCol),
+             collect_list(col("id")).as("__ids"))
     val ra = reps(a).cache()
     val rb = reps(b).cache()
     val model = fitLsh(ra, featureCol, bucketLength, numHashTables, seed)
@@ -123,16 +127,18 @@ object Blocking {
         log.info(s"[blocking] hot bucket ${r.get(0)}: ${r.get(1)} keys (share ${r.get(2)})")
       }
     val keyPairs = saltedBucketJoin(model, ra, rb, salts).distinct()
-    val withDist = keyPairs
-      .join(ra.select(col("key").as("keyA"), col(featureCol).as("__fA")), Seq("keyA"))
-      .join(rb.select(col("key").as("keyB"), col(featureCol).as("__fB")), Seq("keyB"))
+    val out = keyPairs
+      .join(ra.select(col("key").as("keyA"), col(featureCol).as("__fA"),
+        col("__ids").as("__idsA")), Seq("keyA"))
+      .join(rb.select(col("key").as("keyB"), col(featureCol).as("__fB"),
+        col("__ids").as("__idsB")), Seq("keyB"))
       .withColumn("distance", sqrt(graft.functions.SqDist.sq_dist(col("__fA"), col("__fB"))))
       .where(col("distance") < threshold)
-      .select("keyA", "keyB", "distance")
-    val out = withDist
-      .join(a.select(col(keyCol).as("keyA"), col("id").as("idA")), Seq("keyA"))
-      .join(b.select(col(keyCol).as("keyB"), col("id").as("idB")), Seq("keyB"))
-      .select("idA", "idB", "distance")
+      // expansion to id pairs: explode the id lists the reps carried in —
+      // output is exactly the true candidate set (g_a × g_b rows per
+      // surviving key pair), with no post-filter joins back to the inputs
+      .select(explode(col("__idsA")).as("idA"), col("__idsB"), col("distance"))
+      .select(col("idA"), explode(col("__idsB")).as("idB"), col("distance"))
       // materialize (lineage-truncating local checkpoint), then drop the
       // representative caches — otherwise every invocation in a long
       // session leaks two cached frames into storage memory
