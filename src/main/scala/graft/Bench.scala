@@ -42,6 +42,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // GC share of the run — distinguishes "heap pressure" from "host
+    // load" when totals drift between otherwise-identical runs
+    val gcMs = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans)
+      .asScala.map(_.getCollectionTime).sum
+    System.err.println(s"[bench] gcTotal=${gcMs}ms of ${(total * 1000).toLong}ms")
     // "metric"/"value" repeated AFTER the (long) per-query map: harness logs keep
     // only the tail of the line, and the leading fields get truncated away.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
