@@ -20,6 +20,23 @@ object Bench {
     val rt = Runtime.getRuntime
     System.err.println(s"[bench] config: heapMax=${rt.maxMemory() / (1 << 20)}MiB " +
       s"cores=$cpus sf=$sfDir javaVersion=${System.getProperty("java.version")}")
+    // One-time session warmup, OUTSIDE any timed region: whichever query
+    // sorts first otherwise absorbs JVM classloading, the codegen
+    // compiler's first compile, shuffle/broadcast machinery init, and the
+    // vectorized parquet reader's first open (~3.5 s measured: a10 alone
+    // times 4.6 s vs 0.7 s for the same-shaped a6). Those are session
+    // costs, not that query's plan cost — a long-lived cluster pays them
+    // once, not per query. The warmup plan touches each subsystem.
+    locally {
+      import org.apache.spark.sql.functions._
+      val t = spark.range(1000).select(col("id"), (col("id") % 7).as("k"))
+      t.join(broadcast(t.limit(10).select(col("k").as("k2"))),
+          col("k") === col("k2"))
+        .groupBy("k").count().queryExecution.toRdd.count()
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .queryExecution.toRdd.count()
+      Sweep.drop(spark)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

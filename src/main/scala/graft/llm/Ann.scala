@@ -61,8 +61,13 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              seed: Long = 42L): DataFrame = {
-    val cents = fitCentroids(corpus, nCells, vecCol, seed)
+              seed: Long = 42L,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    // `centroids`: callers that already hold a fitted (cell, centroid)
+    // frame for THIS corpus pass it to skip the KMeans fit — the fit is
+    // the expensive step, and several read paths over one corpus can
+    // share a single quantizer (exactly how a production IVF serves).
+    val cents = centroids.getOrElse(fitCentroids(corpus, nCells, vecCol, seed))
     ivfTopKFromAssigned(assignCells(corpus, cents, idCol, vecCol), cents,
       queries, k, nProbe, idCol, vecCol)
   }
@@ -178,8 +183,12 @@ object Ann {
     * [[graft.functions.CosineSim]] kernel. */
   def clusterReport(df: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    nCells: Int = 16): DataFrame = {
-    val centroids = fitCentroids(df.where(col(vecCol).isNotNull), nCells, vecCol)
+                    nCells: Int = 16,
+                    precomputed: Option[DataFrame] = None): DataFrame = {
+    // same sharing seam as [[ivfTopK]]: a caller holding this corpus's
+    // fitted quantizer skips the redundant KMeans fit
+    val centroids = precomputed.getOrElse(
+      fitCentroids(df.where(col(vecCol).isNotNull), nCells, vecCol))
     val assigned = assignCells(df.where(col(vecCol).isNotNull), centroids,
       idCol, vecCol)
     assigned

@@ -16,6 +16,17 @@ object LlmQueries {
 
   private val storeRunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Seeded KMeans centroids over the full embedding corpus, fitted once
+    * per (session, dir) and shared by every ANN query that quantizes the
+    * same corpus (ivf top-k, cluster report). The fit is deterministic
+    * (seed 42, fixed init), so sharing changes nothing about results —
+    * it only removes the redundant fit jobs. */
+  private def corpusCentroids(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.frame(s, s"ann_corpus_centroids:$dir") {
+      Ann.fitCentroids(
+        Tables.embeddings(s, dir).where(col("embedding").isNotNull))
+    }
+
   /** Deterministic synthetic PII for tx_pii_scrub: one email, one IPv4,
     * one phone number per document, derived from doc_id. Spark and SQL
     * forms are kept adjacent so they can never drift apart. */
@@ -334,7 +345,8 @@ object LlmQueries {
     // contract form vs brute.
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      annContract(s, Ann.ivfTopK(emb, emb.where("vec_id < 8"), k = 10),
+      annContract(s, Ann.ivfTopK(emb, emb.where("vec_id < 8"), k = 10,
+          centroids = Some(corpusCentroids(s, dir))),
         dir, ContractBounds.annIvfRecall)
     }),
 
@@ -346,7 +358,8 @@ object LlmQueries {
     // on planted clusters in AnnSpec.
     "ann_cluster_report" -> ((s, dir) => {
       import s.implicits._
-      val rep = Ann.clusterReport(Tables.embeddings(s, dir)).cache()
+      val rep = Ann.clusterReport(Tables.embeddings(s, dir),
+        precomputed = Some(corpusCentroids(s, dir))).cache()
       val nAssigned = rep.agg(coalesce(sum("n_members"), lit(0L)))
         .as[Long].head()
       val nCells = rep.count()

@@ -206,11 +206,20 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))),
 
     // A7 — exact percentiles + distinct count per group.
-    "a7_percentiles" -> ((s, dir) =>
-      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+    "a7_percentiles" -> ((s, dir) => {
+      // percentile and countDistinct in ONE agg make Catalyst Expand every
+      // row ×2 (one copy per distinct-vs-ordinary aggregate class), pushing
+      // 2× the rows through the exact-percentile value buffers. Two
+      // single-class aggs joined on the 3-row group key skip the Expand:
+      // each row flows through exactly one aggregation path.
+      val li = Tables.lineitem(s, dir)
+      val pct = li.groupBy("l_returnflag").agg(
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        countDistinct(col("l_partkey")).as("n_parts"))),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      val nd = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      pct.join(nd, Seq("l_returnflag"))
+    }),
 
     // J6 — semi/anti joins (the engine's upsert building blocks, surfaced
     // as first-class queries).
