@@ -242,7 +242,12 @@ object Ann {
                     seed: Long = 42L): Unit = {
     val dense = corpus.where(col(vecCol).isNotNull)
     val cents = fitCentroids(dense, nCells, vecCol, seed)
+    // REBALANCE on the partition column before a partitionBy write:
+    // without it every input task opens a file in every cell directory
+    // (tasks × nCells small files at scale); with it AQE sizes a small
+    // number of cell-clustered tasks, one file stream per cell each.
     assignCells(dense, cents, idCol, vecCol)
+      .hint("rebalance", col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     cents.coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
   }
@@ -259,6 +264,7 @@ object Ann {
     val cents = spark.read.parquet(centroidsPath(path))
     // same null-vector policy as writeIvfStore: never persist unservable rows
     assignCells(delta.where(col(vecCol).isNotNull), cents, idCol, vecCol)
+      .hint("rebalance", col("cell"))  // same small-files guard as the build
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 

@@ -79,31 +79,35 @@ object FeatureQueries {
     // mirror, but its CONTRACT does: declared dimensionality, strictly
     // 0/1 values, and nnz bounded by the distinct-token count (hashing
     // can merge buckets, never split) — all oracle-hash-checked.
+    // Invariants come from the one-pass vec_stats kernel (O(nnz) over the
+    // sparse layout) instead of vector_to_array + aggregate, which would
+    // densify all 46,656 coordinates per doc just to sum ~10² non-zeros.
     "f7_hashing_tf" -> ((s, dir) => {
       val tf = new HashingTF().setInputCol("tokens").setOutputCol("v")
         .setNumFeatures(36 * 36 * 36).setBinary(true)
-      val arr = vector_to_array(col("v"))
+      val st = graft.functions.VecStats.vec_stats(col("v"))
       tf.transform(docTokens(s, dir))
         .select(col("doc_id"),
-          size(arr).as("dim"),
-          (aggregate(arr, lit(0.0d), (a, x) => a + x * (lit(1.0) - x)) === 0.0)
-            .as("values_binary"),
-          (aggregate(arr, lit(0.0d), (a, x) => a + x).cast("long")
+          st.getField("dim").as("dim"),
+          st.getField("binary").as("values_binary"),
+          (st.getField("sum").cast("long")
             <= size(array_distinct(col("tokens")))).as("nnz_le_distinct"))
     }),
 
     // F8 — HashingTF count mode at the reference's 2^18 dims through the
     // descript TF-IDF pipeline. Hashing conserves term mass: the TF vector
     // sums to EXACTLY the bigram count of the stop-filtered tokens, which
-    // the oracle computes independently of murmur3.
+    // the oracle computes independently of murmur3. vec_stats keeps the
+    // check O(nnz): at 2^18 dims the dense detour is 262,144 materialized
+    // doubles per row for ~10² stored values.
     "f8_hashing_tf_counts" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).where("doc_id < 200")
         .withColumnRenamed("text", "description")
       val m = TextFeatures.descriptTfidfPipeline().fit(docs)
-      val tfArr = vector_to_array(col("description_tf"))
+      val st = graft.functions.VecStats.vec_stats(col("description_tf"))
       m.transform(docs).select(col("doc_id"),
-        size(tfArr).as("dim"),
-        aggregate(tfArr, lit(0.0d), (a, x) => a + x).cast("long").as("sum_tf"))
+        st.getField("dim").as("dim"),
+        st.getField("sum").cast("long").as("sum_tf"))
     }),
 
     // F9 — IDF fit + transform invariants: with add-1 smoothing every IDF
@@ -115,13 +119,13 @@ object FeatureQueries {
         .setNumFeatures(1 << 12)
       val tfd = tf.transform(toks)
       val idf = new IDF().setInputCol("tfv").setOutputCol("tfidf").fit(tfd)
-      val tfArr = vector_to_array(col("tfv"))
-      val idfArr = vector_to_array(col("tfidf"))
+      // vec_stats: nnz and min in one O(nnz) pass per vector (min over all
+      // coordinates incl. implicit zeros, so min >= 0 ⇔ no negative weight)
+      val stTf = graft.functions.VecStats.vec_stats(col("tfv"))
+      val stIdf = graft.functions.VecStats.vec_stats(col("tfidf"))
       idf.transform(tfd).select(col("doc_id"),
-        (size(filter(tfArr, x => x =!= 0.0)) === size(filter(idfArr, x => x =!= 0.0)))
-          .as("nnz_preserved"),
-        (aggregate(idfArr, lit(0.0d), (a, x) => a + least(x, lit(0.0d))) === 0.0)
-          .as("tfidf_nonneg"))
+        (stTf.getField("nnz") === stIdf.getField("nnz")).as("nnz_preserved"),
+        (stIdf.getField("min") >= 0.0).as("tfidf_nonneg"))
     }),
 
     // F10 — L2 normalization, SQL-expressible on the embeddings fixture.
@@ -142,11 +146,11 @@ object FeatureQueries {
       val m = TextFeatures.descriptW2VPipeline(
         input = "text", output = "w2v_features", vectorSize = 32, minCount = 2,
         maxIter = 2).fit(Tables.documents(s, dir).where("doc_id < 500"))
-      val nrm = sqrt(aggregate(vector_to_array(col("w2v_features")), lit(0.0d),
-        (a, x) => a + x * x))
+      val st = graft.functions.VecStats.vec_stats(col("w2v_features"))
+      val nrm = sqrt(st.getField("sum_sq"))
       m.transform(Tables.documents(s, dir).where("doc_id < 100"))
         .select(col("doc_id"),
-          size(vector_to_array(col("w2v_features"))).as("dim"),
+          st.getField("dim").as("dim"),
           (abs(nrm - 1.0) < 1e-6 || nrm === 0.0).as("norm_unit_or_zero"))
     }),
 

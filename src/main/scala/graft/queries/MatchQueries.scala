@@ -290,12 +290,15 @@ object MatchQueries {
     // F13 — pipeline composition: the three fitted pipelines chained over
     // one frame, vector schema contract asserted by output dims.
     "f13_pipeline_chain" -> ((s, dir) => {
-      import org.apache.spark.ml.functions.vector_to_array
+      // vec_stats reads dim off the sparse layout in O(nnz) — the
+      // vector_to_array route would densify all 46,656 name coordinates
+      // per entity just to measure the declared size
+      import graft.functions.VecStats.vec_stats
       val feats = featureStage(s, dir).feats
       feats.select(col("table"), col("id"),
-        size(vector_to_array(col("name_features"))).as("name_dim"),
-        size(vector_to_array(col("descript_features"))).as("descript_dim"),
-        size(vector_to_array(col("price_features"))).as("price_dim"))
+        vec_stats(col("name_features")).getField("dim").as("name_dim"),
+        vec_stats(col("descript_features")).getField("dim").as("descript_dim"),
+        vec_stats(col("price_features")).getField("dim").as("price_dim"))
     }),
 
     // M2 — stratified split, emitted as its verifiable contract: the split
