@@ -123,4 +123,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("f8: vector invariants via vec_stats, not a vector_to_array densify") {
+    val plan = graft.queries.FeatureQueries.defs.toMap
+      .apply("f8_hashing_tf_counts")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the O(nnz) kernel replaced the O(dim) dense detour: no 2^18-element
+    // array materialization, no higher-order aggregate over it
+    assert(plan.contains("vec_stats"), s"vec_stats missing:\n$plan")
+    assert(!plan.contains("vector_to_array"), s"dense detour crept back:\n$plan")
+  }
 }
