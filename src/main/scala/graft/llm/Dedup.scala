@@ -356,6 +356,30 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
   }
 
+  /** Priority-aware survivor selection: keep the best member of each
+    * duplicate cluster by `priorityCol` (ties broken by lowest id), and
+    * every document outside any cluster. The real-pipeline refinement of
+    * min-id canonicalization — curation keeps the *longest* or
+    * *highest-quality* duplicate, not an arbitrary one.
+    *
+    * Scale shape: only cluster MEMBERS enter the per-cluster argmax
+    * window — at 100 TB the duplicate set is a small fraction of the
+    * corpus, so the window's exchange carries members only, never the
+    * whole corpus; non-members pass through via an anti-join on the id
+    * (the same shape dd_survivors uses). */
+  def survivorsByPriority(docs: DataFrame, clusters: DataFrame,
+                          priorityCol: String,
+                          idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = docs.join(clusters, Seq(idCol))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col(priorityCol).desc, col(idCol).asc)
+    val best = members.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn", "cluster_id")
+    docs.join(clusters.select(idCol), Seq(idCol), "left_anti")
+      .unionByName(best)
+  }
+
   /** Decontamination: drop every corpus document whose shingle-Jaccard
     * against ANY benchmark document reaches `threshold` (the standard
     * held-out-eval hygiene step for a training corpus). Returns the

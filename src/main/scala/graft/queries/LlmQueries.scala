@@ -235,6 +235,18 @@ object LlmQueries {
           Seq("doc_id"), "left_anti")
         .select("doc_id")),
 
+    // Priority-aware survivor selection: per near-dup cluster keep the
+    // LONGEST member (whitespace-token count; ties → lowest id) — the
+    // keep-the-best-duplicate refinement real curation uses instead of
+    // min-id canonicalization. Reuses the memoized cluster labels.
+    "dd_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+          .as("n_tok"))
+      Dedup.survivorsByPriority(docs, clustersMemo(s, dir), "n_tok")
+        .select("doc_id", "n_tok")
+    }),
+
     // Decontamination: drop corpus docs matching the doc_id%97 "benchmark"
     // subset at J>=0.5. The benchmark shingle side broadcasts — at 100 TB
     // the contamination check is map-side at scan speed.
@@ -722,6 +734,32 @@ object LlmQueries {
          |dropped AS (SELECT s AS doc_id FROM reach GROUP BY s HAVING min(d) < s)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    // keep-best survivors: same recursive components as dd_survivors, but
+    // per cluster the longest member (ties → lowest id) wins
+    "dd_keep_best" ->
+      s"""WITH RECURSIVE $jaccardCte,
+         |jp AS (SELECT idA, idB FROM pairs
+         |       WHERE CAST(shared AS DOUBLE) / (nA + nB - shared) >= 0.35),
+         |edges AS (SELECT idA AS s, idB AS d FROM jp
+         |          UNION ALL SELECT idB, idA FROM jp),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |lbl AS (SELECT s AS doc_id, least(min(d), s) AS cluster_id
+         |        FROM reach GROUP BY s),
+         |toks AS (SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |    x -> x <> '')) AS INT) AS n_tok FROM documents),
+         |member AS (SELECT t.doc_id, l.cluster_id, t.n_tok
+         |           FROM toks t JOIN lbl l USING (doc_id)),
+         |best AS (SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY cluster_id ORDER BY n_tok DESC, doc_id ASC) AS rn
+         |    FROM member) WHERE rn = 1)
+         |SELECT doc_id, n_tok FROM toks
+         |WHERE doc_id IN (SELECT doc_id FROM best)
+         |   OR doc_id NOT IN (SELECT doc_id FROM member)""".stripMargin,
     // the Bloom prefilter never changes the answer, so the oracle is the
     // exact formulation over the %89 benchmark subset
     "dd_bloom_decontam" ->

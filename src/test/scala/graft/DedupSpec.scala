@@ -276,4 +276,15 @@ class DedupSpec extends SparkSpec {
     assert(sem.select("idA", "idB").join(exact, Seq("idA", "idB"), "left_anti")
       .count() == 0L)
   }
+
+  test("survivorsByPriority: best member per cluster wins; ties to lowest id; singletons pass") {
+    val docs = Seq((1L, 10), (2L, 50), (3L, 20), (4L, 7), (5L, 30), (6L, 30))
+      .toDF("doc_id", "n_tok")
+    // {1,2,3} labeled 1; {5,6} labeled 5; doc 4 in no cluster
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.survivorsByPriority(docs, clusters, "n_tok")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 4L, 5L)) // 2 longest in c1; 5 wins tie; 4 singleton
+  }
 }
