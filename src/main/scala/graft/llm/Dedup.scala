@@ -380,6 +380,44 @@ object Dedup {
       .unionByName(best)
   }
 
+  /** Cross-source containment report: for every ordered source pair
+    * (from, to) — the diagonal included — the fraction of `to`'s
+    * documents that near-duplicate at least one document of `from`,
+    * given a precomputed near-dup pair set (threshold already applied by
+    * the caller, e.g. `jaccardPairs(...).where(jaccard >= t)`). The
+    * question a corpus mix answers before weighting sources: how much of
+    * B is already in A, and how internally duplicated is each source.
+    *
+    * Scale shape: the pair set is linear in near-dups (banded/equi-join
+    * upstream, never all-pairs); attaching sources is two id equi-joins;
+    * the only cross product is sources × per-source totals — two
+    * already-aggregated frames of |sources| rows each, a broadcast-sized
+    * report frame even with thousands of sources. */
+  def crossSourceContainment(docs: DataFrame, pairs: DataFrame,
+                             srcCol: String = "source",
+                             idCol: String = "doc_id"): DataFrame = {
+    val src = docs.select(col(idCol).as("__id"), col(srcCol).as("__src"))
+    // symmetric edges: a "partner" row per direction
+    val edges = pairs.select(col("idA").as("__a"), col("idB").as("__b"))
+      .unionByName(pairs.select(col("idB").as("__a"), col("idA").as("__b")))
+    val dup = edges
+      .join(src.select(col("__id").as("__a"), col("__src").as("source_from")),
+        Seq("__a"))
+      .join(src.select(col("__id").as("__b"), col("__src").as("source_to")),
+        Seq("__b"))
+      .select("source_from", "source_to", "__b").distinct()
+      .groupBy("source_from", "source_to").agg(count(lit(1)).as("__dup"))
+    val totals = docs.groupBy(col(srcCol).as("source_to"))
+      .agg(count(lit(1)).as("n_docs"))
+    docs.select(col(srcCol).as("source_from")).distinct()
+      .crossJoin(totals)
+      .join(dup, Seq("source_from", "source_to"), "left")
+      .select(col("source_from"), col("source_to"), col("n_docs"),
+        coalesce(col("__dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("__dup"), lit(0L)).cast("double")
+          / col("n_docs").cast("double"), 6).as("containment"))
+  }
+
   /** Decontamination: drop every corpus document whose shingle-Jaccard
     * against ANY benchmark document reaches `threshold` (the standard
     * held-out-eval hygiene step for a training corpus). Returns the

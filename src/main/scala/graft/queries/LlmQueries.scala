@@ -247,6 +247,13 @@ object LlmQueries {
         .select("doc_id", "n_tok")
     }),
 
+    // Cross-source containment matrix over the memoized >=0.35 near-dup
+    // pair set: which sources already contain which, and how internally
+    // duplicated each one is — the report a mixing recipe reads first.
+    "dd_containment" -> ((s, dir) =>
+      Dedup.crossSourceContainment(Tables.documents(s, dir),
+        exactJaccardLow(s, dir).where(col("jaccard") >= 0.35))),
+
     // Decontamination: drop corpus docs matching the doc_id%97 "benchmark"
     // subset at J>=0.5. The benchmark shingle side broadcasts — at 100 TB
     // the contamination check is map-side at scan speed.
@@ -734,6 +741,31 @@ object LlmQueries {
          |dropped AS (SELECT s AS doc_id FROM reach GROUP BY s HAVING min(d) < s)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    // containment matrix: symmetric >=0.35 pair edges, distinct matched
+    // target docs per ordered source pair, zero-filled over the full
+    // sources × sources grid
+    "dd_containment" ->
+      s"""WITH $jaccardCte,
+         |jp AS (SELECT idA, idB FROM pairs
+         |       WHERE CAST(shared AS DOUBLE) / (nA + nB - shared) >= 0.35),
+         |edges AS (SELECT idA AS a, idB AS b FROM jp
+         |          UNION ALL SELECT idB, idA FROM jp),
+         |hit AS (SELECT DISTINCT sa.source AS source_from,
+         |                        sb.source AS source_to, e.b
+         |        FROM edges e JOIN documents sa ON e.a = sa.doc_id
+         |                     JOIN documents sb ON e.b = sb.doc_id),
+         |dup AS (SELECT source_from, source_to, count(*) AS n_dup
+         |        FROM hit GROUP BY 1, 2),
+         |tot AS (SELECT source AS source_to, count(*) AS n_docs
+         |        FROM documents GROUP BY 1),
+         |srcs AS (SELECT DISTINCT source AS source_from FROM documents)
+         |SELECT s.source_from, t.source_to, CAST(t.n_docs AS BIGINT) AS n_docs,
+         |  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+         |  round(coalesce(d.n_dup, 0) / CAST(t.n_docs AS DOUBLE), 6)
+         |    AS containment
+         |FROM srcs s CROSS JOIN tot t
+         |LEFT JOIN dup d ON d.source_from = s.source_from
+         |                AND d.source_to = t.source_to""".stripMargin,
     // keep-best survivors: same recursive components as dd_survivors, but
     // per cluster the longest member (ties → lowest id) wins
     "dd_keep_best" ->

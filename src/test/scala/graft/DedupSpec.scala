@@ -287,4 +287,18 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(got.toSeq == Seq(2L, 4L, 5L)) // 2 longest in c1; 5 wins tie; 4 singleton
   }
+
+  test("crossSourceContainment: hand-computed matrix incl. zero cells and diagonal") {
+    val docs = Seq((1L, "s1"), (2L, "s1"), (3L, "s2"), (4L, "s2"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 3L)).toDF("idA", "idB") // one cross-source near-dup
+    val got = Dedup.crossSourceContainment(docs, pairs)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size == 4) // full 2x2 grid
+    assert(got(("s1", "s2")) == ((2L, 1L, 0.5))) // doc 3 of s2 is in s1
+    assert(got(("s2", "s1")) == ((2L, 1L, 0.5))) // doc 1 of s1 is in s2
+    assert(got(("s1", "s1")) == ((2L, 0L, 0.0))) // no internal dups
+    assert(got(("s2", "s2")) == ((2L, 0L, 0.0)))
+  }
 }
