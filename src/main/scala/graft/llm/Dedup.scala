@@ -380,6 +380,34 @@ object Dedup {
       .unionByName(best)
   }
 
+  /** Per-document novelty: the fraction of a document's distinct
+    * n-token shingles FIRST introduced by that document, where the
+    * "owner" of a shingle is the lowest doc_id containing it. A doc full
+    * of already-seen shingles scores near 0, fresh content near 1 — the
+    * contribution signal dedup-aware sampling ranks by (keep documents
+    * that add content, down-weight recombinations of existing text).
+    *
+    * Scale shape: explode-once into 8-byte shingle hashes, one partial-
+    * combining agg for the owner table, one equi-join back, one per-doc
+    * agg — the boilerplateStats shape, linear in total shingles, never
+    * all-pairs. */
+  def noveltyScores(docs: DataFrame, n: Int = 3,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val ex = docs
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("__sh"))
+      .select(col(idCol), xxhash64(col("__sh")).as("__h"))
+    val owner = ex.groupBy("__h").agg(min(col(idCol)).as("__owner"))
+    ex.join(owner, Seq("__h"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__owner") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double")
+          / col("n_shingles").cast("double"), 6))
+  }
+
   /** Cross-source containment report: for every ordered source pair
     * (from, to) — the diagonal included — the fraction of `to`'s
     * documents that near-duplicate at least one document of `from`,

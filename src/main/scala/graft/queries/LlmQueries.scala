@@ -247,6 +247,12 @@ object LlmQueries {
         .select("doc_id", "n_tok")
     }),
 
+    // Per-document novelty: fraction of a doc's distinct shingles first
+    // introduced by that doc — the contribution signal dedup-aware
+    // sampling ranks by.
+    "dd_novelty" -> ((s, dir) =>
+      Dedup.noveltyScores(Tables.documents(s, dir))),
+
     // Cross-source containment matrix over the memoized >=0.35 near-dup
     // pair set: which sources already contain which, and how internally
     // duplicated each one is — the report a mixing recipe reads first.
@@ -741,6 +747,20 @@ object LlmQueries {
          |dropped AS (SELECT s AS doc_id FROM reach GROUP BY s HAVING min(d) < s)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    // novelty: shingle owner = min doc_id containing it; per-doc fraction
+    // of self-owned shingles (jaccardCte's unused `pairs` CTE is lazy —
+    // DuckDB only evaluates `ex`)
+    "dd_novelty" ->
+      s"""WITH $jaccardCte,
+         |own AS (SELECT shingle, min(doc_id) AS owner FROM ex GROUP BY 1)
+         |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN o.owner = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  round(sum(CASE WHEN o.owner = e.doc_id THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+         |FROM ex e JOIN own o ON e.shingle = o.shingle
+         |GROUP BY e.doc_id""".stripMargin,
+
     // containment matrix: symmetric >=0.35 pair edges, distinct matched
     // target docs per ordered source pair, zero-filled over the full
     // sources × sources grid

@@ -288,6 +288,20 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(2L, 4L, 5L)) // 2 longest in c1; 5 wins tie; 4 singleton
   }
 
+  test("noveltyScores: owner is the lowest doc_id; fractions hand-computed") {
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles {a b c, b c d} — both first here
+      (2L, "a b c e"),   // {a b c (owned by 1), b c e (own)} → 0.5
+      (3L, "a b c d"))   // exact dup of 1 → owns nothing → 0.0
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+  }
+
   test("crossSourceContainment: hand-computed matrix incl. zero cells and diagonal") {
     val docs = Seq((1L, "s1"), (2L, "s1"), (3L, "s2"), (4L, "s2"))
       .toDF("doc_id", "source")
