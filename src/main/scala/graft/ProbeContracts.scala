@@ -36,6 +36,16 @@ object ProbeContracts {
     val ivfAnn = LlmQueries.annStats(spark,
       Ann.ivfTopK(emb, emb.where("vec_id < 8"), k = 10), dir)
     p(f"ann_ivf: recall=${ivfAnn.recall}%.4f mismatches=${ivfAnn.mismatches} rankBad=${ivfAnn.rankBad}")
+    val pqAnn = LlmQueries.annStats(spark,
+      Ann.pqTopK(emb, emb.where("vec_id < 8"), k = 10), dir)
+    p(f"ann_pq: recall=${pqAnn.recall}%.4f mismatches=${pqAnn.mismatches} rankBad=${pqAnn.rankBad}")
+    if (sys.env.contains("SPARK_GRAFT_PQ_SWEEP"))
+      for (m <- Seq(4, 8); ks <- Seq(16, 32); rf <- Seq(4, 8)) {
+        val st = LlmQueries.annStats(spark,
+          Ann.pqTopK(emb, emb.where("vec_id < 8"), k = 10,
+            m = m, ksub = ks, refine = rf), dir)
+        p(f"ann_pq m=$m ksub=$ks refine=$rf: recall=${st.recall}%.4f")
+      }
 
     val j4 = MatchQueries.lshJoinStats(spark, dir)
     p(f"j4: nExact=${j4.nExact} recall=${j4.recall}%.4f fp=${j4.falsePos} distMismatch=${j4.distMismatch}")

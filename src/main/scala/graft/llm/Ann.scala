@@ -318,6 +318,183 @@ object Ann {
     }
   }
 
+  // ------------------------------------------------------- product quantization
+
+  /** Product-quantization codebooks: the vector splits into `m` contiguous
+    * subspaces and each subspace gets `ksub` centroids, so a corpus vector
+    * stores as m small codes (here m=8 bytes vs 64 float32s = 32× smaller
+    * at rest — the compression tier below int8's 4×).
+    *
+    * The fit is a hand-rolled distributed Lloyd loop rather than m
+    * separate KMeans fits, because the scale shape matters: ALL m
+    * subspaces update from ONE scan of the corpus per iteration (assign
+    * codes map-side against broadcast codebooks, posexplode dims, one
+    * partial-combined groupBy of m·ksub·dsub cells), where m library fits
+    * would scan a 100 TB corpus m times per iteration. Init is
+    * deterministic: the `ksub` corpus rows with the smallest
+    * xxhash64(id, seed) (a global `limit` — TakeOrdered, no full sort)
+    * seed every subspace. Empty cells keep their previous centroid.
+    *
+    * Returns (subspace, code, centroid) — m × ksub rows, tiny by
+    * definition, same persistable shape as [[fitCentroids]]. */
+  def fitPqCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 32,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     seed: Long = 42L, maxIter: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dense = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("cv"))
+    val dim = dense.select(size(col("cv"))).head().getInt(0)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    // seeded deterministic init: ksub hash-chosen corpus rows, sliced per
+    // subspace (hash order ≈ uniform sample; TakeOrdered keeps it scan-cheap)
+    val initRows = dense
+      .withColumn("h", xxhash64(col("id"), lit(seed)))
+      .orderBy(col("h"), col("id")).limit(ksub)
+      .select("cv").collect().map(_.getSeq[Double](0).toArray)
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      initRows.map(v => v.slice(j * dsub, (j + 1) * dsub))
+    }
+    for (_ <- 1 to maxIter) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val codesU = udf { (v: Seq[Double]) =>
+        val cb = bc.value
+        (0 until cb.length).map { j =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cb(j).length) {
+            val cent = cb(j)(c); var d = 0.0; var i = 0
+            while (i < cent.length) {
+              val x = v(j * cent.length + i) - cent(i); d += x * x; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+      }
+      // one corpus scan: assign → explode dims → partial-combined sums.
+      // The exchange carries m·ksub·dsub cells per partition, not rows.
+      val stats = dense
+        .withColumn("codes", codesU(col("cv")))
+        .select(posexplode(col("cv")).as(Seq("pos", "x")), col("codes"))
+        .withColumn("subspace", (col("pos") / dsub).cast("int"))
+        .withColumn("code", element_at(col("codes"), col("subspace") + 1))
+        .groupBy("subspace", "code", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      stats.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((j, c), rs) =>
+        rs.foreach { r =>
+          next(j)(c)(r.getInt(2) - j * dsub) = r.getLong(4) match {
+            case 0L => next(j)(c)(r.getInt(2) - j * dsub)
+            case n  => r.getDouble(3) / n
+          }
+        }
+      }
+      bc.destroy()
+      cents = next
+    }
+    cents.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+  }
+
+  /** Collect a (subspace, code, centroid) codebook frame into the m ×
+    * ksub × dsub array the map-side encode/LUT kernels loop over —
+    * m·ksub rows, tiny by definition (same collect rationale as
+    * [[assignCells]]'s centroid table). */
+  private def collectCodebooks(cb: DataFrame): Array[Array[Array[Double]]] =
+    cb.select("subspace", "code", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+
+  /** PQ-encode a corpus: each vector → its m nearest-centroid codes.
+    * GENUINELY map-side (broadcast codebooks, tight argmin loop per row;
+    * zero shuffles) — the build pass of a PQ index. Null vectors are
+    * dropped: a null has no codes and could never be served. */
+  def pqEncode(df: DataFrame, codebooks: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = collectCodebooks(codebooks)
+    val codesU = udf { (v: Seq[Double]) =>
+      (0 until cb.length).map { j =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb(j).length) {
+          val cent = cb(j)(c); var d = 0.0; var i = 0
+          while (i < cent.length) {
+            val x = v(j * cent.length + i) - cent(i); d += x * x; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("nn_id"),
+        codesU(asDouble(col(vecCol))).as("codes"))
+  }
+
+  /** PQ ANN via asymmetric distance computation: each query precomputes a
+    * lookup table of partial squared distances to every codebook centroid
+    * (m × ksub doubles — tiny), the ADC scan ranks corpus CODES by summed
+    * table lookups without ever touching a corpus float, and only the
+    * `refine`·k shortlist per query is exact-cosine re-ranked.
+    *
+    * Scale shape: the scan side carries (id, m codes) — bytes per row
+    * however wide the embeddings are; queries broadcast WITH their LUTs;
+    * the shortlist window's partial top-k pushes down (WindowGroupLimit),
+    * so the exchange carries ≤ refine·k candidates per query per
+    * partition; full-precision vectors re-attach to shortlist survivors
+    * only (the same id-only-shuffle pattern as [[lshTopK]]). Emits the
+    * standard (query_id, nn_id, cosine, rank) surface. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 32, refine: Int = 8,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             seed: Long = 42L,
+             codebooks: Option[DataFrame] = None): DataFrame = {
+    val cbDf = codebooks.getOrElse(
+      fitPqCodebooks(corpus, m, ksub, idCol, vecCol, seed))
+    val cb = collectCodebooks(cbDf)
+    val enc = pqEncode(corpus, cbDf, idCol, vecCol)
+    val lutU = udf { (qv: Seq[Double]) =>
+      cb.zipWithIndex.map { case (sub, j) =>
+        sub.map { cent =>
+          var d = 0.0; var i = 0
+          while (i < cent.length) {
+            val x = qv(j * cent.length + i) - cent(i); d += x * x; i += 1
+          }
+          d
+        }.toSeq
+      }.toSeq
+    }
+    val adcU = udf { (codes: Seq[Int], lut: Seq[Seq[Double]]) =>
+      var s = 0.0; var j = 0
+      while (j < codes.length) { s += lut(j)(codes(j)); j += 1 }
+      s
+    }
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("nn_id").asc)
+    val shortlist = enc
+      .crossJoin(broadcast(q.select(col("query_id"), lutU(col("qv")).as("lut"))))
+      .where(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        adcU(col("codes"), col("lut")).as("adc"))
+      .withColumn("crk", row_number().over(wAdc))
+      .where(col("crk") <= refine * k)
+      .select("query_id", "nn_id")
+    val c = corpus.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)
+    shortlist.join(c, Seq("nn_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosine(col("cv"), col("qv")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Quantize-then-dequantize (the value an int8 store actually serves at
     * query time): code_i × scale / 127, in one pass from the original. */
   private val dequantUdf = udf { (v: Seq[Double]) =>

@@ -32,6 +32,13 @@ object ContractBounds {
     * property shows recall rising monotonically with nProbe). */
   val annIvfRecall = 0.45
 
+  /** PQ ANN (8 subspaces × 32 codes, ADC shortlist refine=8) recall@10 of
+    * the brute top-10. Measured: 0.81 / 0.89 / 0.66 — the fixture's
+    * near-orthogonal vectors are PQ's weakest regime (quantization error
+    * comparable to the signal); a codes/LUT bug collapses recall to the
+    * random-shortlist floor refine·k/n ≈ 0.04–0.16, far under the bound. */
+  val annPqRecall = 0.5
+
   /** J4 LSH similarity join (10 tables, bucketLength 1.0, threshold 1.3)
     * recall of the exact cross-join < 1.3 pair set on the id%20 subsets.
     * Measured: 1.00 / 1.00 / 1.00 (false positives and distance

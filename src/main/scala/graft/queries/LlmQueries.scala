@@ -27,6 +27,15 @@ object LlmQueries {
         Tables.embeddings(s, dir).where(col("embedding").isNotNull))
     }
 
+  /** Seeded PQ codebooks over the full embedding corpus, fitted once per
+    * (session, dir) — same sharing seam as [[corpusCentroids]]: the Lloyd
+    * fit is the expensive step; encode/serve are deterministic given the
+    * codebooks. */
+  private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.frame(s, s"ann_pq_codebooks:$dir") {
+      Ann.fitPqCodebooks(Tables.embeddings(s, dir))
+    }
+
   /** Deterministic synthetic PII for tx_pii_scrub: one email, one IPv4,
     * one phone number per document, derived from doc_id. Spark and SQL
     * forms are kept adjacent so they can never drift apart. */
@@ -373,6 +382,17 @@ object LlmQueries {
       annContract(s, Ann.ivfTopK(emb, emb.where("vec_id < 8"), k = 10,
           centroids = Some(corpusCentroids(s, dir))),
         dir, ContractBounds.annIvfRecall)
+    }),
+
+    // PQ ANN: product-quantized codes (m bytes per vector at rest) ranked
+    // by asymmetric-distance lookup, exact re-rank of the refine·k
+    // shortlist — the compression tier of the ANN family. Same contract
+    // form vs brute (codebooks are seeded fit state).
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      annContract(s, Ann.pqTopK(emb, emb.where("vec_id < 8"), k = 10,
+          codebooks = Some(pqCodebooks(s, dir))),
+        dir, ContractBounds.annPqRecall)
     }),
 
     // Corpus clustering report (topic-ish structure of the embedding
@@ -1016,6 +1036,10 @@ object LlmQueries {
         |  true AS rescore_exact, true AS ranks_valid
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     "ann_ivf_topk" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
+        |  true AS rescore_exact, true AS ranks_valid
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "ann_pq_topk" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
         |  true AS rescore_exact, true AS ranks_valid
         |FROM embeddings WHERE vec_id < 8""".stripMargin,

@@ -159,6 +159,88 @@ class AnnSpec extends SparkSpec {
     assert(fromStore.nonEmpty)
   }
 
+  test("pq: codebook shape and encoded codes bounded per subspace") {
+    val emb = Tables.embeddings(spark, sf)
+    val cb = Ann.fitPqCodebooks(emb, m = 8, ksub = 32)
+    assert(cb.count() == 8L * 32L)
+    val centLens = cb.select(size(col("centroid"))).distinct()
+      .as[Int].collect().toSet
+    assert(centLens == Set(8)) // 64-dim fixture / 8 subspaces
+    val enc = Ann.pqEncode(emb, cb)
+    val bad = enc.where(size(col("codes")) =!= 8 ||
+      exists(col("codes"), c => c < 0 || c >= 32))
+    assert(bad.count() == 0L)
+    assert(enc.count() == emb.where("embedding IS NOT NULL").count())
+  }
+
+  test("pq: null embeddings are dropped at encode (never servable)") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Ann.fitPqCodebooks(df, m = 2, ksub = 2)
+    val ids = Ann.pqEncode(df, cb).select("nn_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L))
+  }
+
+  test("pqTopK recall vs brute; a larger refine shortlist improves recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where("vec_id < 5")
+    val brute = Ann.bruteTopK(emb, queries, k = 10)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val cb = Ann.fitPqCodebooks(emb) // shared fit: the recall delta is ADC-only
+    def recallAt(refine: Int): Double = {
+      val pq = Ann.pqTopK(emb, queries, k = 10, refine = refine,
+          codebooks = Some(cb))
+        .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+      brute.intersect(pq).size.toDouble / brute.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    assert(r8 >= r2, s"larger shortlist must not lose recall: $r2 -> $r8")
+    assert(r8 >= 0.5, s"PQ recall at refine=8 too low: $r8")
+  }
+
+  test("pqTopK: planted clusters are served exactly (quantization noise ≪ structure)") {
+    // two tight orthogonal clusters — on genuinely clustered data the ADC
+    // ordering matches the exact ordering and PQ search is lossless
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val df = (0 until 12).map { i =>
+      (i.toLong, mk(if (i < 6) c1 else c2, 0.01f * (i % 4)))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.pqTopK(df, df.where("vec_id = 0"), k = 5, m = 2, ksub = 4,
+      refine = 2)
+    val nn = out.select("nn_id").as[Long].collect().toSet
+    assert(nn == Set(1L, 2L, 3L, 4L, 5L), s"cross-cluster leak: $nn") // own cluster only
+    // re-ranked scores are exact: recompute independently
+    val brute = Ann.bruteTopK(df, df.where("vec_id = 0"), k = 5)
+      .select("nn_id", "cosine").as[(Long, Double)].collect().toMap
+    val pqScores = out.select("nn_id", "cosine").as[(Long, Double)].collect().toMap
+    assert(pqScores == brute)
+  }
+
+  test("pqTopK: ADC shortlist ranks ids only (vectors re-attach after)") {
+    val emb = Tables.embeddings(spark, sf)
+    val cb = Ann.fitPqCodebooks(emb)
+    val plan = Ann.pqTopK(emb, emb.where("vec_id < 3"), k = 5,
+        codebooks = Some(cb))
+      .queryExecution.optimizedPlan
+    // the shortlist window (ordered by adc) must not carry corpus vectors —
+    // full-precision floats join back to the refine·k survivors only
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val adcWindow = windows.find(_.output.map(_.name).contains("crk"))
+    assert(adcWindow.isDefined, "ADC shortlist window missing")
+    assert(!adcWindow.get.output.map(_.name).exists(n => n == "cv" || n == "qv"),
+      s"ADC window still carries vectors: ${adcWindow.get.output.map(_.name)}")
+  }
+
   test("clusterReport: planted clusters are recovered with high coherence") {
     // two tight orthogonal clusters; nulls excluded from assignment
     val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
