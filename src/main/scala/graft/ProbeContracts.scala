@@ -36,8 +36,10 @@ object ProbeContracts {
     val ivfAnn = LlmQueries.annStats(spark,
       Ann.ivfTopK(emb, emb.where("vec_id < 8"), k = 10), dir)
     p(f"ann_ivf: recall=${ivfAnn.recall}%.4f mismatches=${ivfAnn.mismatches} rankBad=${ivfAnn.rankBad}")
+    // maxIter=3 mirrors the registered query's memoized fit (LlmQueries.pqCodebooks)
     val pqAnn = LlmQueries.annStats(spark,
-      Ann.pqTopK(emb, emb.where("vec_id < 8"), k = 10), dir)
+      Ann.pqTopK(emb, emb.where("vec_id < 8"), k = 10,
+        codebooks = Some(Ann.fitPqCodebooks(emb, maxIter = 3))), dir)
     p(f"ann_pq: recall=${pqAnn.recall}%.4f mismatches=${pqAnn.mismatches} rankBad=${pqAnn.rankBad}")
     if (sys.env.contains("SPARK_GRAFT_PQ_SWEEP"))
       for (m <- Seq(4, 8); ks <- Seq(16, 32); rf <- Seq(4, 8)) {

@@ -342,8 +342,12 @@ object Ann {
                      seed: Long = 42L, maxIter: Int = 5): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // cached across the Lloyd iterations: every iteration re-scans this
+    // frame, and without the persist each scan replays the source read +
+    // cast lineage maxIter times
     val dense = corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("cv"))
+      .persist()
     val dim = dense.select(size(col("cv"))).head().getInt(0)
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
@@ -396,6 +400,7 @@ object Ann {
       bc.destroy()
       cents = next
     }
+    dense.unpersist()
     cents.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
     }.toSeq.toDF("subspace", "code", "centroid")
