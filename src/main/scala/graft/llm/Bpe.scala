@@ -1,0 +1,168 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer training and encoding — the
+  * "fit a tokenizer on the corpus you are about to train on" step of an
+  * LLM data pipeline (Sennrich et al. 2016, "Neural Machine Translation of
+  * Rare Words with Subword Units").
+  *
+  * Scale design: the fit iterates over the WORD-TYPE table (distinct
+  * words + corpus frequencies), never the token stream. By Heaps' law the
+  * type table is sublinear in corpus size (~N^0.5), so at 100 TB the
+  * iteration state is millions of rows while the corpus is trillions of
+  * tokens; one corpus-wide shuffle (the word count, partial-combined on
+  * the word key) builds it, and the standard frequency truncation to the
+  * top `topTypes` types — a distributed TakeOrdered, no full sort —
+  * bounds every iteration after that. Each merge iteration is then an
+  * explode + map-side-combined pair-count over the bounded type table and
+  * a one-row argmax collect; merge application is a narrow map. Encoding
+  * runs the same trick in reverse: encode each distinct word ONCE and
+  * equi-join the token stream back to the type-level result (AQE
+  * broadcasts the type side when it is small), so the per-token cost of
+  * the greedy merge loop is paid |V| times, not |corpus| times.
+  */
+object Bpe {
+
+  /** End-of-word marker appended as a standalone symbol, so merges can
+    * learn word-final units ("est&lt;/w&gt;") distinct from word-internal
+    * ones — the original BPE formulation. */
+  val EndMark = "</w>"
+
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** Word-type table: (word, freq), truncated to the `topTypes` most
+    * frequent types with a deterministic tie-break (freq desc, word asc).
+    * Words are the engine's standard lowercase alnum runs
+    * ([[TextAnalysis.tokens]]), so fit/encode agree with every other text
+    * operator on what a "word" is. */
+  def wordTypes(df: DataFrame, textCol: String = "text",
+                topTypes: Int = 4096): DataFrame = {
+    require(topTypes >= 1, s"topTypes must be >= 1; got $topTypes")
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(topTypes)
+  }
+
+  /** One left-to-right non-overlapping pass replacing adjacent (l, r)
+    * with the fused symbol — the apply step of a single learned merge. */
+  def mergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Greedy rank-order encode of one word with a fitted merge table:
+    * start from characters + [[EndMark]], repeatedly apply the
+    * lowest-rank merge present until none applies. This is the standard
+    * BPE inference loop; it also encodes words never seen at fit time. */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString) :+ EndMark
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      var bl: String = null; var br: String = null
+      while (i < syms.length - 1) {
+        val rk = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rk < bestRank) { bestRank = rk; bl = syms(i); br = syms(i + 1) }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else syms = mergeOnce(syms, bl, br)
+    }
+    syms
+  }
+
+  /** Fit `nMerges` BPE merges on the corpus. Returns the learned merge
+    * table in rank order; deterministic (argmax tie-break: count desc,
+    * left asc, right asc — mirrored by the DuckDB oracle). Stops early
+    * when the best remaining pair occurs fewer than `minPairCount` times.
+    *
+    * The corpus-scale work — the word count and the frequency truncation
+    * — is distributed; the merge loop then runs driver-local over the
+    * collected type table, which is <= `topTypes` rows BY CONSTRUCTION
+    * (same shape as the collected IVF centroid table: iterate locally on
+    * state that is bounded, not corpus-sized). At 100 TB you raise
+    * topTypes to the vocabulary you actually want (say 10^6) and each
+    * merge is O(topTypes * avgWordLen) driver work — seconds. Chaining
+    * the iterations as persisted DataFrames instead is a trap: each
+    * cached step nests the previous step's physical plan inside its
+    * InMemoryRelation, and plan-tree rendering blows up exponentially
+    * after a few dozen nestings (observed as an explainString OOM at 32
+    * merges). */
+  def fit(df: DataFrame, textCol: String = "text", nMerges: Int = 32,
+          topTypes: Int = 4096, minPairCount: Long = 2L): Seq[Merge] = {
+    require(nMerges >= 1, s"nMerges must be >= 1; got $nMerges")
+    var dict: Array[(Array[String], Long)] = wordTypes(df, textCol, topTypes)
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toArray :+ EndMark, r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((syms, f) <- dict) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      // total-order argmax: count desc, then (left, right) asc — the
+      // deterministic tie-break the DuckDB oracle replays
+      var best: ((String, String), Long) = null
+      for (e <- counts)
+        if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 &&
+              (e._1._1 < best._1._1 ||
+                (e._1._1 == best._1._1 && e._1._2 < best._1._2)))) best = e
+      if (best == null || best._2 < minPairCount) exhausted = true
+      else {
+        val ((l, r), cnt) = best
+        merges += Merge(merges.length, l, r, cnt)
+        dict = dict.map { case (syms, f) => (mergeOnce(syms, l, r).toArray, f) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The fitted merge table as a DataFrame (rank, left, right,
+    * pair_count) — nMerges rows, driver-local by construction. */
+  def mergesDF(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Per-document BPE token counts under a fitted merge table:
+    * (doc_id, n_words, n_chars, bpe_tokens). Every input document appears
+    * exactly once (wordless documents count 0/0/0). The greedy encode
+    * runs once per DISTINCT word; the corpus joins back on the word key. */
+  def encodedTokenCounts(df: DataFrame, merges: Seq[Merge],
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val encU = udf((w: String) => encodeWord(w, bc.value).length)
+    val ex = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("word"))
+    // type-level encode: |V| udf calls, not |corpus|; plain equi-join back
+    // (AQE broadcasts the type side when it is small enough)
+    val types = ex.select("word").distinct()
+      .select(col("word"), encU(col("word")).as("n_sub"), length(col("word")).as("n_wchars"))
+    val agg = ex.join(types, Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_words"),
+        sum("n_wchars").cast("long").as("n_chars"),
+        sum("n_sub").cast("long").as("bpe_tokens"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .na.fill(0, Seq("n_words", "n_chars", "bpe_tokens"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Ann, Dedup, LangId, Mixing, Multimodal, QualityModel, TextAnalysis}
+import graft.llm.{Ann, Bpe, Dedup, LangId, Mixing, Multimodal, QualityModel, TextAnalysis}
 
 /** The beyond-reference LLM-training-data-pipeline operators: dedup,
   * similarity search, text analysis, multimodal columns — each a
@@ -39,6 +39,16 @@ object LlmQueries {
       // the 0.5 contract floor at 3 iters, while each extra iteration is
       // a full corpus scan (the dominant cost of the fit at any SF)
       Ann.fitPqCodebooks(Tables.embeddings(s, dir), maxIter = 3)
+    }
+
+  /** BPE merge table fitted once per (session, dir) and shared by
+    * tx_bpe_fit and tx_bpe_encode (same corpus, same deterministic fit —
+    * sharing only removes the redundant iteration jobs). The merges are a
+    * driver-local Seq (nMerges rows), so the memo holds no executor
+    * storage. */
+  private def bpeMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    SessionMemo.value(s, s"tx_bpe_merges:$dir") {
+      Bpe.fit(Tables.documents(s, dir))
     }
 
   /** Deterministic synthetic PII for tx_pii_scrub: one email, one IPv4,
@@ -453,6 +463,41 @@ object LlmQueries {
     // (mean token log-probability under the corpus's own unigram model).
     "tx_unigram_lp" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, dir))),
+
+    // BPE tokenizer training on the corpus's own word-type table. The
+    // merge sequence is deterministic (argmax tie-break count desc, pair
+    // asc, mirrored by the oracle), so the query value-checks the FIRST
+    // merge against DuckDB's independent pair-count-argmax over the same
+    // truncated type table, plus the structural invariants of the full
+    // table: merge counts never increase (each new pair's occurrences are
+    // bounded by the occurrences of the pair just merged) and ranks are
+    // contiguous from 0. The 32-deep merge recursion itself is not
+    // SQL-expressible; BpeSpec pins it against a local reference fit.
+    "tx_bpe_fit" -> ((s, dir) => {
+      import s.implicits._
+      val ms = bpeMerges(s, dir)
+      val nonInc = ms.iterator.sliding(2).withPartial(false)
+        .forall(w => w.head.pairCount >= w.last.pairCount)
+      val contiguous = ms.zipWithIndex.forall { case (m, i) => m.rank == i }
+      Seq((ms.length, ms.head.left, ms.head.right, ms.head.pairCount,
+          nonInc, contiguous))
+        .toDF("n_merges", "first_left", "first_right", "first_count",
+          "counts_nonincreasing", "ranks_contiguous")
+    }),
+
+    // Encode every document with the fitted merges: greedy rank-order
+    // merge loop per DISTINCT word, joined back to the token stream. The
+    // per-doc word count is value-checked against the oracle; the BPE
+    // token count (not SQL-replayable) is bounded per doc — at least one
+    // token per word, at most chars + 1 per word (nothing ever splits
+    // below characters, nothing merges across words).
+    "tx_bpe_encode" -> ((s, dir) => {
+      Bpe.encodedTokenCounts(Tables.documents(s, dir), bpeMerges(s, dir))
+        .select(col("doc_id"), col("n_words"),
+          (col("bpe_tokens") >= col("n_words") &&
+            col("bpe_tokens") <= col("n_chars") + col("n_words"))
+            .as("tokens_bounded"))
+    }),
 
     // Model-based quality gate (CCNet/GPT-3 style): logistic model fit on
     // weak labels (corpus docs vs their deterministic degradations) over
@@ -1107,6 +1152,33 @@ object LlmQueries {
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id ASC) AS INT) AS rank
         |  FROM scored)
         |SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin,
+    // Independent replay of the fit's FIRST pair-count argmax: same word
+    // tokenization, same freq-desc/word-asc truncation to 4096 types,
+    // same char+end-marker decomposition, same count-desc/pair-asc
+    // tie-break. Invariant booleans (count monotonicity, rank contiguity)
+    // are literals; the full 32-merge recursion is pinned by BpeSpec.
+    "tx_bpe_fit" ->
+      s"""WITH words AS (
+         |  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(${tokSql("text")}) AS t FROM documents)
+         |  GROUP BY 1),
+         |top_types AS (SELECT word, freq FROM words ORDER BY freq DESC, word LIMIT 4096),
+         |syms AS (SELECT freq,
+         |  list_append(list_transform(generate_series(1, length(word)), i -> word[i]), '</w>') AS s
+         |  FROM top_types),
+         |pairs AS (
+         |  SELECT s[i] AS l, s[i+1] AS r, sum(freq) AS cnt
+         |  FROM syms, unnest(generate_series(1, len(s) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |best AS (SELECT l, r, cnt FROM pairs ORDER BY cnt DESC, l, r LIMIT 1)
+         |SELECT CAST(32 AS INT) AS n_merges, l AS first_left, r AS first_right,
+         |  CAST(cnt AS BIGINT) AS first_count,
+         |  true AS counts_nonincreasing, true AS ranks_contiguous
+         |FROM best""".stripMargin,
+    "tx_bpe_encode" ->
+      s"""SELECT doc_id, CAST(len(${tokSql("text")}) AS INT) AS n_words,
+         |  true AS tokens_bounded
+         |FROM documents""".stripMargin,
     "tx_token_counts" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INT) AS ws_tokens,

@@ -1,0 +1,125 @@
+package graft
+
+import graft.llm.Bpe
+
+/** BPE fit/encode against an independent in-memory reference
+  * implementation (naive dictionary loop, written from the algorithm, not
+  * from Bpe.scala), plus the structural contracts the registered queries
+  * assert. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Sennrich-style toy corpus: word frequencies chosen so the first
+  // merges are hand-checkable ("es", "est", "est</w>", "l o", ...).
+  private val corpus: Seq[(Long, String)] = {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+  }
+
+  /** Reference fit: plain Scala maps, no Spark — recount all adjacent
+    * pairs each round, take the (count desc, pair asc) argmax, apply the
+    * merge left-to-right non-overlapping. */
+  private def refFit(freqs: Map[String, Long], nMerges: Int): Seq[(String, String, Long)] = {
+    var dict: Map[Vector[String], Long] =
+      freqs.map { case (w, f) => (w.map(_.toString).toVector :+ Bpe.EndMark) -> f }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    for (_ <- 0 until nMerges) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- dict; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (c >= 2L) {
+          out += ((l, r, c))
+          dict = dict.map { case (syms, f) =>
+            val merged = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                merged += (l + r); i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            merged.toVector -> f
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private lazy val toyDf = corpus.toDF("doc_id", "text")
+  private lazy val toyFreqs = corpus.groupMapReduce(_._2)(_ => 1L)(_ + _)
+
+  test("fit reproduces the reference merge sequence exactly") {
+    val got = Bpe.fit(toyDf, nMerges = 10)
+    val want = refFit(toyFreqs, 10)
+    assert(got.map(m => (m.left, m.right, m.pairCount)) === want)
+    assert(got.map(_.rank) === got.indices.toSeq)
+    // hand-check the head: "es" (9 = newest 6 + widest 3), then "est",
+    // then "est</w>"
+    assert(got.take(3).map(m => m.left + m.right) === Seq("es", "est", "est</w>"))
+    assert(got.head.pairCount === 9L)
+  }
+
+  test("merge counts never increase across ranks") {
+    val ms = Bpe.fit(toyDf, nMerges = 10)
+    assert(ms.sliding(2).forall(w => w.length < 2 || w(0).pairCount >= w(1).pairCount))
+  }
+
+  test("encodeWord of a training word matches the fit-final segmentation") {
+    val ms = Bpe.fit(toyDf, nMerges = 10)
+    val ranks = ms.map(m => (m.left, m.right) -> m.rank).toMap
+    // replay the merges over the dictionary directly
+    for (w <- toyFreqs.keys) {
+      var syms: Seq[String] = w.map(_.toString) :+ Bpe.EndMark
+      for (m <- ms) syms = Bpe.mergeOnce(syms, m.left, m.right)
+      assert(Bpe.encodeWord(w, ranks) === syms, s"word $w")
+    }
+    // unseen word still encodes, reusing learned units where they apply
+    val unseen = Bpe.encodeWord("lowest", ranks)
+    assert(unseen.mkString === "lowest" + Bpe.EndMark)
+    assert(unseen.contains("est" + Bpe.EndMark) || unseen.contains("est"))
+  }
+
+  test("encodeWord with no merges yields chars + end marker") {
+    assert(Bpe.encodeWord("ab", Map.empty) === Seq("a", "b", Bpe.EndMark))
+    assert(Bpe.encodeWord("", Map.empty) === Seq(Bpe.EndMark))
+  }
+
+  test("mergeOnce is left-to-right non-overlapping") {
+    assert(Bpe.mergeOnce(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(Bpe.mergeOnce(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+  }
+
+  test("encodedTokenCounts: exact counts, one row per doc, wordless docs zero") {
+    val ms = Bpe.fit(toyDf, nMerges = 10)
+    val ranks = ms.map(m => (m.left, m.right) -> m.rank).toMap
+    val df = (corpus :+ (999L, "!!! ???")).toDF("doc_id", "text")
+    val got = Bpe.encodedTokenCounts(df, ms).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size === corpus.size + 1)
+    for ((id, w) <- corpus) {
+      val n = Bpe.encodeWord(w, ranks).length.toLong
+      assert(got(id) === ((1, w.length.toLong, n)), s"doc $id word $w")
+    }
+    assert(got(999L) === ((0, 0L, 0L)))
+  }
+
+  test("fit leaves no persisted RDDs behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Bpe.fit(toyDf, nMerges = 4)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty)
+  }
+
+  test("fixture fit at sf0.001 matches the oracle's first merge and is deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val ms = Bpe.fit(docs, nMerges = 4)
+    // independently computed by the DuckDB prototype of the tx_bpe_fit
+    // oracle over the same fixture: argmax pair is (e, r) x 4650
+    assert((ms.head.left, ms.head.right, ms.head.pairCount) === (("e", "r", 4650L)))
+    val again = Bpe.fit(docs, nMerges = 4)
+    assert(again === ms)
+  }
+}
