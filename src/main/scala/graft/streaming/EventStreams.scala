@@ -17,18 +17,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** The fixture's `ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects outright; read it as raw nanos (legacy conf) and convert to a
-    * microsecond timestamp explicitly. Applied to both batch and stream
-    * reads so the two paths agree.
+  /** Normalize the fixture's `ts` to a tz-aware TIMESTAMP regardless of
+    * how the fixture was written — the generator has shipped it as parquet
+    * TIMESTAMP(NANOS) (readable only as a raw long via the legacy conf),
+    * as naive TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ), and as UTC
+    * micros. Downstream code (watermarks, Instant encoders, the DuckDB
+    * oracle under a UTC session) all assume one canonical type, so adapt
+    * at the read seam. Applied to both batch and stream reads so the two
+    * paths agree.
     *
-    * Integer DIV, not `/`: Spark's `/` on longs is DOUBLE division, and at
-    * ~1.7e18 ns the double's 256 ns ulp rounds ~1.6% of timestamps 1 us
-    * off the exact truncation DuckDB's epoch_us performs — invisible to
-    * second-granularity oracles, wrong for anything that truncates or
-    * compares raw microseconds. */
-  private def nanosToTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    * Nanos path uses integer DIV, not `/`: Spark's `/` on longs is DOUBLE
+    * division, and at ~1.7e18 ns the double's 256 ns ulp rounds ~1.6% of
+    * timestamps 1 us off the exact truncation DuckDB's epoch_us performs —
+    * invisible to second-granularity oracles, wrong for anything that
+    * truncates or compares raw microseconds. NTZ casts to TIMESTAMP under
+    * the session's UTC zone — the same naive-means-UTC reading DuckDB
+    * applies. */
+  private def nanosToTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
 
   /** The scan consults this conf at *execution* time, so it must stay set
     * for the session (harmless: `events.ts` is the corpus's only ns
