@@ -35,6 +35,10 @@ object ProfileEr {
     val labeled = timed("labeledCandidates (LSH)") {
       val l = EntityResolution.labeledCandidates(feats, golden, cfg).cache(); l.count(); l
     }
+    println(s"[profile] labeled pairs = ${labeled.count()}, " +
+      s"positives = ${labeled.where(col("label") === 1).count()}, " +
+      s"distinct A keys = ${feats.where("table='abt'").select("name").distinct().count()}, " +
+      s"distinct B keys = ${feats.where("table='buy'").select("name").distinct().count()}")
     val trained = timed("train (dist+weights+GBT)") {
       EntityResolution.train(feats, labeled, cfg)
     }

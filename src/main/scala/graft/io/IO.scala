@@ -123,7 +123,14 @@ object IO {
     * merges MUST hash with the writer's count, never the caller's. */
   def writePartitionedStore(df: DataFrame, path: String, keys: Seq[String],
                             nBuckets: Int = 64): Unit = {
+    // REBALANCE on the layout column before the partitionBy write: without
+    // it every input task opens a writer in every bucket directory it has
+    // a row for (tasks × nBuckets small files; measured 22 s for a 4k-row
+    // store at 32 tasks × 64 buckets, and every later scan of the store
+    // pays the file count again). With it AQE clusters rows by bucket into
+    // a bounded task set — ~one file per bucket.
     df.withColumn(BucketCol, bucketExpr(keys, nBuckets))
+      .hint("rebalance", col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
     Files.writeString(Paths.get(path, "_graft_buckets"), nBuckets.toString)
   }
@@ -183,7 +190,11 @@ object IO {
     // key join within a bucket only: rows agree on bucket by construction,
     // so the bucket column can ride through the merge as a plain column
     val merged = upsert(target, src, keys, updateCols).localCheckpoint()
-    merged.write.mode("overwrite")
+    // same rebalance-before-partitionBy as writePartitionedStore: the
+    // dynamic overwrite otherwise fans each task across every touched
+    // bucket directory
+    merged.hint("rebalance", col(BucketCol))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(BucketCol).parquet(targetPath)
   }

@@ -119,7 +119,8 @@ object DocStreams {
         .where(col(IO.BucketCol).isin(touched.toIndexedSeq: _*))
         .select("content_hash")
       val survivors = src.join(stored, keys, "left_anti").localCheckpoint()
-      survivors.write.mode("append").partitionBy(IO.BucketCol).parquet(storePath)
+      survivors.hint("rebalance", col(IO.BucketCol))
+        .write.mode("append").partitionBy(IO.BucketCol).parquet(storePath)
       survivors.drop(IO.BucketCol)
     }
   }
@@ -188,7 +189,8 @@ object DocStreams {
           .select("band", "band_key")
         val dups = src.join(stored, keys, "left_semi")
           .select("doc_id").distinct().localCheckpoint()
-        src.write.mode("append").partitionBy(IO.BucketCol).parquet(storePath)
+        src.hint("rebalance", col(IO.BucketCol))
+          .write.mode("append").partitionBy(IO.BucketCol).parquet(storePath)
         dups
       }
     batch.select("doc_id").distinct()
