@@ -132,11 +132,19 @@ object MatchQueries {
   private def flagshipUncached(s: SparkSession, dir: String, keyFilter: String): DataFrame = {
     val st = featureStage(s, dir, keyFilter)
     val (model, labeled) = trainedMatcher(s, dir, keyFilter)
-    EntityResolution.scoreAll(st.feats, labeled.select("idA", "idB"), model)
+    // rank + top-500 FIRST (TakeOrderedAndProject — no global sort, no
+    // full-width shuffle), then attach labels to the 500 survivors with a
+    // broadcast join. Joining labels before the limit shuffled the whole
+    // candidate frame twice (906k x 906k pair join at sf0.1) to label rows
+    // the limit was about to discard. Every scored pair came FROM labeled,
+    // so the post-limit inner join keeps exactly the same 500 rows.
+    broadcast(
+        EntityResolution.scoreAll(st.feats, labeled.select("idA", "idB"), model)
+          .orderBy(col("match_score").desc, col("idA"), col("idB"))
+          .limit(500))
       .join(labeled, Seq("idA", "idB"))
       .orderBy(col("match_score").desc, col("idA"), col("idB"))
       .select(col("idA"), col("idB"), col("label"), round(col("match_score"), 3).as("match_score"))
-      .limit(500)
   }
 
   /** Measured contract stats for the J4 LSH similarity join vs the exact
