@@ -122,8 +122,16 @@ object Ann {
                    vecCol: String = "embedding", seed: Long = 42L,
                    maxIter: Int = 5): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
+    // compact the fit input: KMeans runs maxIter scans, and a routing-key
+    // fit over a few thousand vectors spread across defaultParallelism
+    // partitions pays ~62-rows-per-task scheduling overhead every scan. At
+    // genuine scale the fit input should be a bounded seeded sample of the
+    // corpus anyway (the cells only route; sample != corpus shifts
+    // centroids, not correctness), so a small fixed partition count holds
+    // at any SF.
     val v = corpus.select(asDouble(col(vecCol)).as("arr"))
       .withColumn("mlv", array_to_vector(col("arr")))
+      .coalesce(8)
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setInitMode("random").setFeaturesCol("mlv").fit(v)
     val spark = corpus.sparkSession
@@ -239,9 +247,14 @@ object Ann {
     * servable contents identical. */
   def writeIvfStore(corpus: DataFrame, path: String, nCells: Int = 16,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    seed: Long = 42L): Unit = {
+                    seed: Long = 42L,
+                    centroids: Option[DataFrame] = None): Unit = {
     val dense = corpus.where(col(vecCol).isNotNull)
-    val cents = fitCentroids(dense, nCells, vecCol, seed)
+    // a caller holding an already-fitted quantizer for this corpus passes
+    // it in (the cells are a routing key — any consistent centroid set
+    // works, and the store persists whichever it was built with); without
+    // one, fit here
+    val cents = centroids.getOrElse(fitCentroids(dense, nCells, vecCol, seed))
     // REBALANCE on the partition column before a partitionBy write:
     // without it every input task opens a file in every cell directory
     // (tasks × nCells small files at scale); with it AQE sizes a small

@@ -364,7 +364,12 @@ object LlmQueries {
       val path = graft.Sweep.ephemeral(
         s"/root/repo/target/qtmp/ivf_store_${storeRunId.incrementAndGet()}")
       graft.io.IO.deletePath(path)
-      Ann.writeIvfStore(emb.where("vec_id % 3 != 2"), path)
+      // reuse the session's fitted quantizer as the store's routing
+      // centroids: the incremental-equals-batch check reads centroids back
+      // from the store for both paths, so any consistent centroid set is
+      // valid — refitting on the 2/3 build subset bought nothing
+      Ann.writeIvfStore(emb.where("vec_id % 3 != 2"), path,
+        centroids = Some(corpusCentroids(s, dir)))
       Ann.appendIvfStore(emb.where("vec_id % 3 = 2"), path)
       val queries = emb.where("vec_id < 8")
       val fromStore = Ann.ivfStoreTopK(s, path, queries, k = 10).cache()
