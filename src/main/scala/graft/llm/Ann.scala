@@ -113,6 +113,74 @@ object Ann {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Exact radius (range) search: every corpus row with cosine >= `minCosine`
+    * to each query vector (query itself excluded) — the "find everything
+    * similar enough" primitive behind near-dup auditing and targeted
+    * decontamination, where top-k's fixed cutoff is the wrong contract.
+    * Exhaustive by definition (the result IS the full >= threshold set), so
+    * the whole output is value-checkable in SQL. The query side broadcasts
+    * (queries ≪ corpus); the corpus is scanned once through the codegen
+    * cosine kernel with no shuffle at all — the per-query result is a
+    * filter, not a rank, so not even a window exchange is needed. At scale
+    * the same shape holds: output size is the true match set, and the scan
+    * parallelizes over corpus partitions. Threshold applies to the
+    * UNROUNDED cosine (same convention as [[Dedup.cosinePairs]]); the
+    * emitted score is rounded for cross-engine comparability. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, minCosine: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    c.crossJoin(broadcast(q))
+      .where(col("nn_id") =!= col("query_id"))
+      .withColumn("__cos", cosine(col("cv"), col("qv")))
+      .where(col("__cos") >= minCosine)
+      .select(col("query_id"), col("nn_id"), round(col("__cos"), 6).as("cosine"))
+  }
+
+  /** k-NN graph over the corpus — every vector's top-k neighbors, the
+    * primitive behind graph-based diversity sampling, SemDeDup variants,
+    * and connected-component near-dup clustering at the embedding level.
+    *
+    * The query side here IS the corpus, so the broadcast-the-queries shape
+    * of [[ivfTopKFromAssigned]] is exactly wrong at scale. Instead both
+    * sides block on the IVF cell: assign each node once, compute each
+    * node's `nProbe` nearest cells against the broadcast centroid table
+    * (tiny), then EQUI-JOIN probes to members on the cell id — a shuffle
+    * keyed by cell, never a corpus broadcast and never all-pairs.
+    * Candidate volume is n·nProbe·(n/nCells); at real scale nCells grows
+    * ~sqrt(n) (the standard IVF sizing), keeping per-node candidates flat.
+    * A hot cell is a skew key — AQE's skew-join split handles moderate
+    * cases, and shrinking cells (more of them) is the structural fix.
+    * Same probe order and tie-breaks as the served IVF path, so the
+    * sampled-node results are identical to [[ivfTopK]] under the same
+    * centroids. */
+  def knnGraph(corpus: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               seed: Long = 42L, centroids: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dense = corpus.where(col(vecCol).isNotNull)
+    val cents = centroids.getOrElse(fitCentroids(dense, nCells, vecCol, seed))
+    val assigned = assignCells(dense, cents, idCol, vecCol)
+    val probes = assigned.select(col("nn_id").as("query_id"), col("cv").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", aggregate(
+        zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (s, x) => s + x))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").asc, col("cell").asc)))
+      .where(col("rk") <= nProbe)
+      .select("query_id", "qv", "cell")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)
+    assigned
+      .join(probes, Seq("cell"))
+      .where(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosine(col("cv"), col("qv")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Seeded KMeans centroids as a plain (cell, centroid) frame — the
     * persistable coarse quantizer behind the incremental IVF store.
     * Random init + few iterations, same rationale as

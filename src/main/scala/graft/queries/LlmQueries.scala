@@ -351,6 +351,26 @@ object LlmQueries {
     // baseline instead of recomputing the cross product).
     "ann_brute_topk" -> ((s, dir) => bruteBaseline(s, dir)),
 
+    // Exact radius search (everything with cosine >= 0.25 to each query):
+    // exhaustive by definition, so the ENTIRE result is value-checked
+    // against the DuckDB list-arithmetic mirror — no contract indirection.
+    "ann_range_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.rangeSearch(emb, emb.where("vec_id < 8"), minCosine = 0.25)
+    }),
+
+    // Corpus k-NN graph through the IVF cells (probes equi-joined to cell
+    // members — never a corpus broadcast, never all-pairs). Sampled nodes
+    // are served exactly like ann_ivf_topk under the shared quantizer, so
+    // the same recall bound applies; rescoring and rank validity are
+    // checked over the whole graph.
+    "ann_knn_graph" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      annContract(s, Ann.knnGraph(emb, k = 10,
+          centroids = Some(corpusCentroids(s, dir))),
+        dir, ContractBounds.annIvfRecall)
+    }),
+
     // Incremental IVF index maintenance: build the cell-partitioned store
     // on 2/3 of the corpus, append the remaining third through the STORED
     // centroids (pure insert — no existing file read or rewritten), then
@@ -1086,6 +1106,23 @@ object LlmQueries {
          |SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok,
          |  true AS no_gross_false_positives, true AS ests_in_unit_interval
          |FROM pairs WHERE CAST(shared AS DOUBLE) / (nA + nB - shared) >= 0.35""".stripMargin,
+    // full-value oracle: the range search is exhaustive, so DuckDB mirrors
+    // the cosine arithmetic (same accumulation shape as CosineSim: dot /
+    // (sqrt(ssqA) * sqrt(ssqB)), threshold on the unrounded value)
+    "ann_range_search" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)
+        |SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        |  round(list_sum(list_transform(list_zip(c.v, q.v), p -> p[1] * p[2])) / (c.nrm * q.nrm), 6) AS cosine
+        |FROM n c JOIN n q ON q.vec_id < 8 AND c.vec_id != q.vec_id
+        |WHERE list_sum(list_transform(list_zip(c.v, q.v), p -> p[1] * p[2])) / (c.nrm * q.nrm) >= 0.25""".stripMargin,
+    // contract: node sample count is SQL-computable; recall (seeded cell
+    // state), exact rescoring, and rank validity are the hash-gated booleans
+    "ann_knn_graph" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
+        |  true AS rescore_exact, true AS ranks_valid
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
     "ann_lsh_topk" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
         |  true AS rescore_exact, true AS ranks_valid

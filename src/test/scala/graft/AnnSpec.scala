@@ -261,4 +261,52 @@ class AnnSpec extends SparkSpec {
     // clusters (the clustering-gain property)
     assert(rep.forall(_._3 >= 0.99), s"low coherence: ${rep.toSeq}")
   }
+
+  test("rangeSearch: exactly the >= threshold pair set, thresholded unrounded") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where("vec_id < 5")
+    val got = Ann.rangeSearch(emb, queries, minCosine = 0.25)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    // independent exact baseline via the HOF cosine formulation
+    val c = emb.select($"vec_id".as("nn_id"),
+      transform($"embedding", x => x.cast("double")).as("cv"))
+    val q = queries.select($"vec_id".as("query_id"),
+      transform($"embedding", x => x.cast("double")).as("qv"))
+    val want = c.crossJoin(q).where($"nn_id" =!= $"query_id")
+      .where(Ann.dot($"cv", $"qv") / (Ann.l2norm($"cv") * Ann.l2norm($"qv")) >= 0.25)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    assert(got == want, s"range set mismatch: extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("knnGraph: planted clusters neighbor within their cluster; k bound holds") {
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val vecs = (0 until 12).map { i =>
+      val ctr = if (i < 6) c1 else c2
+      (i.toLong, mk(ctr, 0.01f * (i % 4)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val g = Ann.knnGraph(df, k = 3, nCells = 2, nProbe = 1)
+      .select("query_id", "nn_id").as[(Long, Long)].collect()
+    assert(g.groupBy(_._1).forall(_._2.length <= 3), "k bound violated")
+    assert(g.map(_._1).distinct.length == 12, "every node gets neighbors")
+    // with one probe into two clean cells, neighbors stay in-cluster
+    assert(g.forall { case (a, b) => (a < 6) == (b < 6) },
+      s"cross-cluster edge under clean planted cells: ${g.toSeq}")
+  }
+
+  test("knnGraph: sampled nodes match ivfTopK under the same centroids") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Ann.fitCentroids(emb.where($"embedding".isNotNull))
+    val graph = Ann.knnGraph(emb, k = 10, centroids = Some(cents))
+      .where($"query_id" < 8)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val served = Ann.ivfTopK(emb, emb.where("vec_id < 8"), k = 10,
+        centroids = Some(cents))
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(graph == served,
+      s"graph/served divergence: ${graph -- served} / ${served -- graph}")
+  }
 }
