@@ -67,9 +67,12 @@ object StreamQueries {
       graft.io.IO.deletePath(store)
       graft.io.IO.deletePath(out)
       EventStreams.withStreamShufflePartitions(s) {
+        // 16 buckets for the fixture-scale ephemeral store: every batch's
+        // store read lists all touched bucket dirs, so the count should
+        // track the corpus, not a global default
         val q = graft.streaming.DocStreams.incrementalExactDedup(
           graft.streaming.DocStreams.readDocumentStream(s, dir, nSplits = 3),
-          store, out)
+          store, out, nBuckets = 16)
         q.awaitTermination()
       }
       graft.io.IO.readPartitionedStore(s, store).select("content_hash")
@@ -151,7 +154,7 @@ object StreamQueries {
       EventStreams.withStreamShufflePartitions(s) {
         val q = graft.streaming.DocStreams.incrementalNearDup(
           graft.streaming.DocStreams.readDocumentStream(s, dir, nSplits = 3),
-          store, out)
+          store, out, nBuckets = 16) // fixture-scale store, see st_incremental_dedup
         q.awaitTermination()
       }
       val flags = s.read.parquet(out)

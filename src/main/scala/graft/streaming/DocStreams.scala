@@ -90,7 +90,8 @@ object DocStreams {
     * is a plain partitioned APPEND into the bucket directories — no
     * existing file is read or rewritten, keeping the per-batch write
     * O(delta) even when a batch touches every bucket. */
-  def dedupBatchAgainstStore(batch: DataFrame, storePath: String): DataFrame = {
+  def dedupBatchAgainstStore(batch: DataFrame, storePath: String,
+                             nBuckets: Int = 64): DataFrame = {
     import graft.io.IO
     val spark = batch.sparkSession
     val keys = Seq("content_hash")
@@ -104,8 +105,12 @@ object DocStreams {
       // inference — nor append anything
       hashed
     } else if (!java.nio.file.Files.exists(java.nio.file.Paths.get(storePath))) {
-      // first batch seeds the store; everything in it is novel
-      IO.writePartitionedStore(hashed, storePath, keys)
+      // first batch seeds the store; everything in it is novel. The seed
+      // write pins the store's bucket count (later batches read the
+      // marker) — size it to the expected corpus, not one global default:
+      // every batch's store read lists all touched bucket directories, so
+      // an oversized count is pure file-listing overhead per batch.
+      IO.writePartitionedStore(hashed, storePath, keys, nBuckets)
       hashed
     } else {
       // existence check reads only the buckets this batch's hashes land in.
@@ -131,10 +136,11 @@ object DocStreams {
     * the store / output. */
   def incrementalExactDedup(docs: DataFrame, storePath: String,
                             outPath: String,
-                            availableNow: Boolean = true): StreamingQuery = {
+                            availableNow: Boolean = true,
+                            nBuckets: Int = 64): StreamingQuery = {
     val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit = {
       (batch, _) =>
-        dedupBatchAgainstStore(batch.toDF(), storePath)
+        dedupBatchAgainstStore(batch.toDF(), storePath, nBuckets)
           .write.mode("append").parquet(outPath)
     }
     val w = docs.writeStream.outputMode(OutputMode.Append()).foreachBatch(fn)
@@ -158,7 +164,8 @@ object DocStreams {
   def nearDupBatchAgainstStore(batch: DataFrame, storePath: String,
                                n: Int = 3, bands: Int = 12,
                                rowsPerBand: Int = 3,
-                               seed: Long = 42L): DataFrame = {
+                               seed: Long = 42L,
+                               nBuckets: Int = 64): DataFrame = {
     import graft.io.IO
     import java.nio.file.{Files, Paths}
     val spark = batch.sparkSession
@@ -175,8 +182,9 @@ object DocStreams {
         // parquet dir fails schema inference — and nothing can collide
         bk.select("doc_id")
       } else if (!Files.exists(Paths.get(storePath))) {
-        // first batch seeds the store; nothing earlier to collide with
-        IO.writePartitionedStore(bk, storePath, keys)
+        // first batch seeds the store; nothing earlier to collide with.
+        // The seed write pins the bucket count (see dedupBatchAgainstStore)
+        IO.writePartitionedStore(bk, storePath, keys, nBuckets)
         bk.select("doc_id").where(lit(false))
       } else {
         // narrow map over the checkpointed `bk` — consumers recompute only
@@ -202,10 +210,11 @@ object DocStreams {
   /** Streaming incremental near-dup: every micro-batch flags its docs via
     * [[nearDupBatchAgainstStore]] and appends the flags to `outPath`. */
   def incrementalNearDup(docs: DataFrame, storePath: String, outPath: String,
-                         availableNow: Boolean = true): StreamingQuery = {
+                         availableNow: Boolean = true,
+                         nBuckets: Int = 64): StreamingQuery = {
     val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit = {
       (batch, _) =>
-        nearDupBatchAgainstStore(batch.toDF(), storePath)
+        nearDupBatchAgainstStore(batch.toDF(), storePath, nBuckets = nBuckets)
           .write.mode("append").parquet(outPath)
     }
     val w = docs.writeStream.outputMode(OutputMode.Append()).foreachBatch(fn)
