@@ -360,6 +360,59 @@ object Ann {
     ivfTopKFromAssigned(spark.read.parquet(path),
       readCentroids(spark, path), queries, k, nProbe, idCol, vecCol)
 
+  /** Compact the IVF store's fragmented cells — the OPTIMIZE step every
+    * append-maintained store needs: each [[appendIvfStore]] delta adds a
+    * file per touched cell, and a year of daily deltas makes every probed
+    * read open hundreds of small files per cell. Rewrites ONLY cells whose
+    * file count exceeds `maxFilesPerCell` (read pruned to those
+    * partitions, one output file per cell via a cell-keyed repartition,
+    * dynamic partition overwrite) — cost is O(fragmented cells' data),
+    * never O(store), and served results are byte-identical because row
+    * content never changes. Returns (cell, files_before, files_after) for
+    * the rewritten cells.
+    *
+    * Same durability note as the pruned merge in [[graft.io.IO]]: the
+    * dynamic overwrite commits per partition; an object-store deployment
+    * swaps a manifest pointer instead. */
+  def compactIvfStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                      maxFilesPerCell: Int = 1): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(d: java.nio.file.Path): Int =
+      scala.util.Using.resource(Files.list(d)) {
+        _.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      }
+    def cellFiles(): Map[Int, Int] =
+      scala.util.Using.resource(Files.list(Paths.get(path))) {
+        _.iterator().asScala
+          .filter(p => Files.isDirectory(p)
+            && p.getFileName.toString.startsWith("cell="))
+          .map(p => p.getFileName.toString.stripPrefix("cell=").toInt
+            -> parquetFiles(p))
+          .toMap
+      }
+    val before = cellFiles()
+    val frag = before.filter(_._2 > maxFilesPerCell).keys.toSeq.sorted
+    if (frag.nonEmpty) {
+      // localCheckpoint: a path cannot be overwritten while the plan still
+      // scans it; the fragmented cells' rows are the op's working set
+      val rows = spark.read.parquet(path)
+        .where(col("cell").isin(frag: _*))
+        .localCheckpoint()
+      // cell-keyed repartition: all of a cell's rows land in one task, so
+      // the dynamic overwrite leaves exactly one file per rewritten cell
+      rows.repartition(frag.size, col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(path)
+    }
+    val after = cellFiles()
+    val spark2 = spark
+    import spark2.implicits._
+    frag.map(c => (c, before(c), after.getOrElse(c, 0)))
+      .toDF("cell", "files_before", "files_after")
+  }
+
   /** One-pass int8 scalar quantization of a vector: symmetric per-vector
     * scale = max|x|, code_i = round-half-away(x_i / scale × 127) ∈
     * [-127, 127], plus the QA signals a storage migration wants — max

@@ -405,6 +405,35 @@ object LlmQueries {
         .toDF("n_corpus", "incremental_equals_batch", "rescore_exact", "ranks_valid")
     }),
 
+    // Store compaction (the OPTIMIZE step an append-maintained index
+    // needs): build + append fragments every cell, compaction rewrites
+    // only fragmented cells, and the contract pins that served results are
+    // identical pre/post while the per-cell file count shrinks.
+    "ann_ivf_compact" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val path = graft.Sweep.ephemeral(
+        s"/root/repo/target/qtmp/ivf_compact_${storeRunId.incrementAndGet()}")
+      graft.io.IO.deletePath(path)
+      Ann.writeIvfStore(emb.where("vec_id % 3 != 2"), path,
+        centroids = Some(corpusCentroids(s, dir)))
+      Ann.appendIvfStore(emb.where("vec_id % 3 = 2"), path)
+      val queries = emb.where("vec_id < 8")
+      // materialize the pre-compaction serve — its files are about to be
+      // rewritten under it
+      val served = Ann.ivfStoreTopK(s, path, queries, k = 10).localCheckpoint()
+      val stats = Ann.compactIvfStore(s, path)
+      val reduced = (stats.where(col("files_after") >= col("files_before"))
+        .count() == 0L) && stats.count() > 0L
+      val after = Ann.ivfStoreTopK(s, path, queries, k = 10)
+      val delta = served.unionByName(after)
+        .groupBy("query_id", "nn_id", "cosine", "rank")
+        .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+      val nRows = s.read.parquet(path).count()
+      Seq((emb.count(), nRows == emb.count(), delta == 0L, reduced))
+        .toDF("n_corpus", "store_complete", "served_identical", "files_reduced")
+    }),
+
     // LSH-bucketed ANN (the scale path), emitted as its contract vs the
     // exact brute-force baseline (bucket membership is seed-dependent; the
     // re-ranked scores are exact and checked pairwise against a full exact
@@ -1117,6 +1146,12 @@ object LlmQueries {
         |  round(list_sum(list_transform(list_zip(c.v, q.v), p -> p[1] * p[2])) / (c.nrm * q.nrm), 6) AS cosine
         |FROM n c JOIN n q ON q.vec_id < 8 AND c.vec_id != q.vec_id
         |WHERE list_sum(list_transform(list_zip(c.v, q.v), p -> p[1] * p[2])) / (c.nrm * q.nrm) >= 0.25""".stripMargin,
+    // contract: corpus count is SQL-computable; completeness, serve
+    // equality, and file-count reduction are store-state booleans
+    "ann_ivf_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_corpus, true AS store_complete,
+        |  true AS served_identical, true AS files_reduced
+        |FROM embeddings""".stripMargin,
     // contract: node sample count is SQL-computable; recall (seeded cell
     // state), exact rescoring, and rank validity are the hash-gated booleans
     "ann_knn_graph" ->

@@ -262,6 +262,31 @@ class AnnSpec extends SparkSpec {
     assert(rep.forall(_._3 >= 0.99), s"low coherence: ${rep.toSeq}")
   }
 
+  test("compactIvfStore: rewrites only fragmented cells; content and serve unchanged") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = "/root/repo/target/qtmp/annspec_compact"
+    graft.io.IO.deletePath(path)
+    Ann.writeIvfStore(emb.where($"vec_id" % 3 =!= 2), path)
+    Ann.appendIvfStore(emb.where($"vec_id" % 3 === 2), path)
+    val queries = emb.where("vec_id < 4")
+    val before = Ann.ivfStoreTopK(spark, path, queries, k = 5).localCheckpoint()
+    val nBefore = spark.read.parquet(path).count()
+    val stats = Ann.compactIvfStore(spark, path)
+      .as[(Int, Int, Int)].collect()
+    assert(stats.nonEmpty, "append fragmented no cell? expected rewrites")
+    assert(stats.forall { case (_, b, a) => a == 1 && b > 1 },
+      s"expected 1 file per rewritten cell: ${stats.toSeq}")
+    assert(spark.read.parquet(path).count() == nBefore, "compaction changed row count")
+    val after = Ann.ivfStoreTopK(spark, path, queries, k = 5)
+    val delta = before.unionByName(after)
+      .groupBy("query_id", "nn_id", "cosine", "rank")
+      .agg(count(lit(1)).as("n")).where($"n" =!= 2).count()
+    assert(delta == 0L, "serve changed across compaction")
+    // idempotent: a second pass finds nothing fragmented
+    assert(Ann.compactIvfStore(spark, path).count() == 0L)
+    graft.io.IO.deletePath(path)
+  }
+
   test("rangeSearch: exactly the >= threshold pair set, thresholded unrounded") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where("vec_id < 5")
