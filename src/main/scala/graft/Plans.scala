@@ -45,7 +45,9 @@ object Plans {
     "tx_bigram_lp" -> "bigram LM: prev token by array index (no lag window); count tables partial-combine and join vocab-sized",
     "tx_export_shards" -> "export writer: ONE hash exchange on shard + sort-within-partitions — every shard dir written in position order",
     "x7_lateral_topk" -> "correlated LATERAL LIMIT decorrelated to a ranked window + equi-join — executed once, no per-row subquery",
-    "f8_hashing_tf_counts" -> "vector invariants via the one-pass vec_stats kernel (O(nnz) over the sparse layout) — no vector_to_array densify of the 2^18-dim space")
+    "f8_hashing_tf_counts" -> "vector invariants via the one-pass vec_stats kernel (O(nnz) over the sparse layout) — no vector_to_array densify of the 2^18-dim space",
+    "ann_range_search" -> "radius search: broadcast query side + codegen cosine filter — zero Exchange (a filter, not a rank: not even a window)",
+    "ann_knn_graph" -> "corpus k-NN graph: per-node probes equi-join cell members on the cell key — never a corpus broadcast, never all-pairs")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -84,6 +86,8 @@ object Plans {
         graft.llm.Ann.writeIvfStore(emb, path)
         graft.llm.Ann.ivfStoreTopK(s, path, emb.where("vec_id < 8"), k = 10)
       }),
+      "ann_knn_graph" -> ((s, d) =>
+        graft.llm.Ann.knnGraph(graft.Tables.embeddings(s, d), k = 10)),
       // contract frames hide the operator; audit the underlying chains
       "tx_quality_model" -> ((s, d) => graft.llm.QualityModel.features(
         graft.Tables.documents(s, d), "text", keep = Seq.empty)),
