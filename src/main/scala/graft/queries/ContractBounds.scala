@@ -12,7 +12,9 @@ package graft.queries
   * collapses the ratios to near zero, not to just-under-the-bound.
   *
   * Re-measure with `sbt "runMain graft.ProbeContracts <sfDir>"` whenever a
-  * seeded stage changes. Measured values below were recorded 2026-08-12 at
+  * seeded stage changes OR the driver regenerates the fixtures. Measured
+  * values below were re-recorded 2026-08-13 on the regenerated fixtures
+  * (64-distinct-name part table; 906k flagship candidates at sf0.1), at
   * sf0.001 / sf0.01 / sf0.1.
   */
 object ContractBounds {
@@ -33,7 +35,7 @@ object ContractBounds {
   val annIvfRecall = 0.45
 
   /** PQ ANN (8 subspaces × 32 codes, ADC shortlist refine=8) recall@10 of
-    * the brute top-10. Measured: 0.81 / 0.89 / 0.66 — the fixture's
+    * the brute top-10. Measured: 0.85 / 0.86 / 0.60 — the fixture's
     * near-orthogonal vectors are PQ's weakest regime (quantization error
     * comparable to the signal); a codes/LUT bug collapses recall to the
     * random-shortlist floor refine·k/n ≈ 0.04–0.16, far under the bound. */
@@ -65,7 +67,7 @@ object ContractBounds {
     * of min(golden, output rows) — when golden outnumber the window
     * (sf0.1: 1333 golden) the metric is the golden share of the window.
     * Measured: 1.00 / 1.00 / 0.60 (sf0.1 value with the flagship config's
-    * 50k stratified training cap; 0.58 with the former 200k cap — the
-    * 3-feature boundary doesn't need the extra negatives). */
+    * 50k stratified training cap, unchanged across the 2026-08-13 fixture
+    * regeneration that grew the candidate set to 906k pairs). */
   val flagshipGoldenInTop = 0.4
 }
