@@ -96,6 +96,37 @@ object Multimodal {
       channels = if (n % 2 == 0) 3 else 1)
   }
 
+  /** Stage a SMALL document sample as one payload file per row
+    * (`<id>.bin`) — the fixture-staging harness for [[readBinaryAssets]],
+    * mirroring how media actually arrives: as files already sitting on
+    * storage. The driver-side collect is deliberate and bounded (this
+    * creates a test fixture; a production ingest never writes these files,
+    * it READS the ones the crawler/uploader produced). */
+  def stageAssetFiles(docs: DataFrame, outDir: String, idCol: String = "doc_id",
+                      textCol: String = "text"): String = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    graft.io.IO.deletePath(outDir)
+    Files.createDirectories(Paths.get(outDir))
+    docs.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .collect().foreach { r =>
+        Files.write(Paths.get(outDir, s"${r.getLong(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    outDir
+  }
+
+  /** The real multimodal ingestion path: Spark's built-in `binaryFile`
+    * source reads whole files as rows of (path, modificationTime, length,
+    * content) — images/audio/video land in the engine as binary columns
+    * without any decode step, and everything downstream ([[describe]],
+    * [[decodeImageMeta]], [[sampleFrames]]) applies unchanged. At scale the
+    * source parallelizes over files (bin-packed by
+    * `spark.sql.files.maxPartitionBytes`), prunes `content` when only
+    * metadata is projected, and never lists more than the load path. */
+  def readBinaryAssets(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+
   /** Frame-sampling plumbing: slice the payload into `frames` equal spans
     * (stands in for video frame extraction); pure SQL, no UDF. */
   def sampleFrames(assets: DataFrame, frames: Int): DataFrame =

@@ -697,6 +697,26 @@ object LlmQueries {
     "mm_decode_stub" -> ((s, dir) =>
       Multimodal.decodeImageMeta(s, Multimodal.fromDocuments(Tables.documents(s, dir))).toDF()),
 
+    // Multimodal: file-level ingest through the built-in binaryFile source
+    // (how media actually enters the engine — whole files as binary rows).
+    // A small doc sample stages as one payload file each; the read-back's
+    // id (from the filename), byte length, and content all value-check
+    // against the source rows.
+    "mm_binary_ingest" -> ((s, dir) => {
+      val staged = Multimodal.stageAssetFiles(
+        Tables.documents(s, dir).where("doc_id < 50"),
+        s"/root/repo/target/qtmp/mm_assets_${Integer.toHexString(dir.hashCode)}")
+      val assets = Multimodal.readBinaryAssets(s, staged)
+        .select(regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("asset_id"),
+          col("length").cast("long").as("n_bytes"), col("content"))
+      val expected = Tables.documents(s, dir).where("doc_id < 50")
+        .select(col("doc_id").as("asset_id"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("expected"))
+      assets.join(expected, Seq("asset_id"))
+        .select(col("asset_id"), col("n_bytes"),
+          (col("content") === col("expected")).as("bytes_match"))
+    }),
+
     // Multimodal: frame-sampling plumbing (binary slicing, pure SQL).
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -1466,6 +1486,13 @@ object LlmQueries {
         |                   c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin,
+    // full-value: filename-derived id, byte length, and a content-equality
+    // boolean the Spark side computes against the source rows
+    "mm_binary_ingest" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  true AS bytes_match
+        |FROM documents WHERE doc_id < 50""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS asset_id, 'image' AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

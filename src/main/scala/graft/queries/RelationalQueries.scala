@@ -62,6 +62,20 @@ object RelationalQueries {
         .json(out)
     }),
 
+    // S10 — raw-text sink + scan: the shard format LLM corpora actually
+    // ship in (one document per line). The sink takes exactly one string
+    // column; the newline-delimited framing requires newline-free payloads
+    // (escape/strip upstream otherwise — the fixture corpus is newline-free
+    // by construction). Scan needs no schema at all: the source IS one
+    // string column, so there is nothing to infer — still a single
+    // streaming pass at any scale.
+    "s10_text_roundtrip" -> ((s, dir) => {
+      val out = s"$Tmp/s10_text"
+      Tables.documents(s, dir).select(col("text"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out).withColumnRenamed("value", "text")
+    }),
+
     // S4 — table scan by path with projection + filter (pushdown verified in
     // RelationalSpec via the explain output).
     "s4_table_scan" -> ((s, dir) =>
@@ -292,6 +306,7 @@ object RelationalQueries {
     "s3_parquet_sink" -> "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
     "s8_orc_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s9_json_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
+    "s10_text_roundtrip" -> "SELECT text FROM documents",
     "s4_table_scan" -> "SELECT p_partkey, p_name FROM part WHERE p_size >= 40",
     "s5_upsert" ->
       s"""WITH target AS (SELECT p_partkey AS id, p_name AS name, round(p_retailprice, 2) AS price FROM part),

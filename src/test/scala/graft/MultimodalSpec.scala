@@ -26,6 +26,27 @@ class MultimodalSpec extends SparkSpec {
     assert(row._2 == text.take(4).getBytes("UTF-8").map("%02X".format(_)).mkString)
   }
 
+  test("binaryFile ingest: staged files round-trip bytes; metadata scan prunes content") {
+    val docs = Tables.documents(spark, sf).where("doc_id < 5")
+    val staged = Multimodal.stageAssetFiles(docs,
+      "/root/repo/target/qtmp/mmspec_assets")
+    val got = Multimodal.readBinaryAssets(spark, staged)
+      .select(regexp_extract($"path", "(\\d+)\\.bin$", 1).cast("long").as("id"),
+        $"content")
+      .as[(Long, Array[Byte])].collect().toMap
+    val want = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, text) =>
+      assert(java.util.Arrays.equals(got(id), text.getBytes("UTF-8")),
+        s"content mismatch for $id")
+    }
+    // metadata-only projection must not read file contents into the scan
+    val plan = Multimodal.readBinaryAssets(spark, staged)
+      .select("path", "length").queryExecution.executedPlan.toString
+    assert(!plan.contains("content"), s"content not pruned from:\n$plan")
+    graft.io.IO.deletePath(staged)
+  }
+
   test("decode stub: deterministic in payload bytes, batch loop runs") {
     val out1 = Multimodal.decodeImageMeta(spark, assets).collect().sortBy(_.asset_id)
     val out2 = Multimodal.decodeImageMeta(spark, assets).collect().sortBy(_.asset_id)
