@@ -105,4 +105,24 @@ class IOSpec extends SparkSpec {
     assert(after.keySet.filter(f => touched.contains(bucketOf(f))) !=
       before.keySet.filter(f => touched.contains(bucketOf(f))))
   }
+
+  test("writePartitionedStore: bucket-clustered write — bounded file count, " +
+       "never tasks x buckets") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = s"$tmp/fanout_store"
+    val nBuckets = 16
+    // many input partitions, every partition holding rows of every bucket —
+    // the worst case for a naive partitionBy write (ntasks x nBuckets files;
+    // measured 2k files / 22 s for a 4k-row store before the rebalance fix)
+    val wide = spark.range(0, 2048, 1, 32)
+      .selectExpr("id", "cast(id as string) as payload")
+    IO.writePartitionedStore(wide.toDF(), path, Seq("id"), nBuckets)
+    val nFiles = Files.walk(Paths.get(path)).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    // one-ish file per bucket (AQE may split a big bucket; 2x is slack,
+    // 32 tasks x 16 buckets = 512 is the regression this guards against)
+    assert(nFiles <= nBuckets * 2, s"small-file fanout regressed: $nFiles files")
+    assert(IO.readPartitionedStore(spark, path).count() == 2048)
+  }
 }
