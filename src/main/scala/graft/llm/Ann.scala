@@ -124,8 +124,12 @@ object Ann {
     * filter, not a rank, so not even a window exchange is needed. At scale
     * the same shape holds: output size is the true match set, and the scan
     * parallelizes over corpus partitions. Threshold applies to the
-    * UNROUNDED cosine (same convention as [[Dedup.cosinePairs]]); the
-    * emitted score is rounded for cross-engine comparability. */
+    * ROUNDED (6 dp) cosine — the same value the result emits: the result
+    * set is exhaustive and hash-compared against an independent engine's
+    * arithmetic, and thresholding the unrounded double would let a pair
+    * whose cosine lands within an ulp of `minCosine` be included by one
+    * engine and excluded by the other. Rounding first makes the inclusion
+    * boundary a 6-dp grid point in both engines. */
   def rangeSearch(corpus: DataFrame, queries: DataFrame, minCosine: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.where(col(vecCol).isNotNull)
@@ -134,9 +138,9 @@ object Ann {
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     c.crossJoin(broadcast(q))
       .where(col("nn_id") =!= col("query_id"))
-      .withColumn("__cos", cosine(col("cv"), col("qv")))
-      .where(col("__cos") >= minCosine)
-      .select(col("query_id"), col("nn_id"), round(col("__cos"), 6).as("cosine"))
+      .withColumn("cosine", round(cosine(col("cv"), col("qv")), 6))
+      .where(col("cosine") >= minCosine)
+      .select(col("query_id"), col("nn_id"), col("cosine"))
   }
 
   /** k-NN graph over the corpus — every vector's top-k neighbors, the
@@ -156,22 +160,34 @@ object Ann {
     * Same probe order and tie-breaks as the served IVF path, so the
     * sampled-node results are identical to [[ivfTopK]] under the same
     * centroids. */
-  def knnGraph(corpus: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
+  def knnGraph(corpus: DataFrame, k: Int, nCells: Int = 0, nProbe: Int = 4,
                idCol: String = "vec_id", vecCol: String = "embedding",
                seed: Long = 42L, centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dense = corpus.where(col(vecCol).isNotNull)
+    // nCells defaults to AUTO (√n sizing via fitCentroids): the within-cell
+    // candidate volume n·nProbe·(n/nCells) is exactly what the √n rule
+    // keeps flat per node as the corpus grows.
     val cents = centroids.getOrElse(fitCentroids(dense, nCells, vecCol, seed))
     val assigned = assignCells(dense, cents, idCol, vecCol)
-    val probes = assigned.select(col("nn_id").as("query_id"), col("cv").as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cdist", aggregate(
-        zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (s, x) => s + x))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cdist").asc, col("cell").asc)))
-      .where(col("rk") <= nProbe)
-      .select("query_id", "qv", "cell")
+    // per-node probe cells computed MAP-SIDE against the collected centroid
+    // table (same pattern as assignCells' argmin): a crossJoin + row_number
+    // window here would hash-Exchange n·nCells rows carrying the full
+    // embedding just to take a per-node min-nProbe — the wide-shuffle
+    // anti-pattern assignCells' own doc warns against. Distances accumulate
+    // left-to-right like the zip_with/aggregate form and ties break
+    // (dist asc, cell asc), so the probe set is bit-identical to the
+    // window formulation (pinned by the knnGraph-matches-ivfTopK spec).
+    val centsArr = collectedCentroids(cents)
+    val probeU = udf { (v: Seq[Double]) =>
+      centsArr.map { case (cell, c) =>
+        var d = 0.0; var i = 0
+        while (i < c.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+        (d, cell)
+      }.sortBy(identity).take(nProbe).map(_._2).toSeq
+    }
+    val probes = assigned.select(col("nn_id").as("query_id"), col("cv").as("qv"),
+      explode(probeU(col("cv"))).as("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)
     assigned
       .join(probes, Seq("cell"))
@@ -181,27 +197,61 @@ object Ann {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** The standard IVF cell-count sizing rule: nCells ≈ √n keeps the
+    * expected per-cell membership (and so the within-cell candidate
+    * volume of [[knnGraph]] / the per-probe re-rank cost) growing as √n
+    * instead of n. Clamped to [16, 4096]: a floor so tiny corpora still
+    * block, a ceiling so the broadcast centroid table and the map-side
+    * argmin loop stay trivially small. */
+  def autoCells(n: Long): Int =
+    math.max(16, math.min(4096, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt))
+
   /** Seeded KMeans centroids as a plain (cell, centroid) frame — the
     * persistable coarse quantizer behind the incremental IVF store.
     * Random init + few iterations, same rationale as
     * [[Dedup.semanticPairs]]: cells are a routing key, convergence
-    * quality is secondary. */
+    * quality is secondary.
+    *
+    * `nCells <= 0` means AUTO: size by [[autoCells]] from the corpus
+    * count (the count pass is paid anyway to bound the fit input).
+    *
+    * The fit input is BOUNDED: KMeans runs `maxIter` Lloyd scans, and
+    * funneling a 100 TB corpus through them (let alone through a fixed
+    * 8-partition coalesce) is the one shape that cannot survive scale.
+    * Above `fitSampleCap` rows the fit reads a deterministic hash sample
+    * — the keep-one-in-s filter evaluates at full scan parallelism, then
+    * a repartition moves only the ~cap surviving rows — so the fit costs
+    * O(cap) per iteration at any corpus size. Cells only route; a
+    * sampled fit shifts centroids, not correctness (the recall contracts
+    * in AnnSpec hold under either fit). Below the cap the exact original
+    * single-coalesce plan runs, so fixture-scale results are
+    * bit-identical with or without this guard. */
   def fitCentroids(corpus: DataFrame, nCells: Int = 16,
                    vecCol: String = "embedding", seed: Long = 42L,
-                   maxIter: Int = 5): DataFrame = {
+                   maxIter: Int = 5, fitSampleCap: Long = 10000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    // compact the fit input: KMeans runs maxIter scans, and a routing-key
-    // fit over a few thousand vectors spread across defaultParallelism
-    // partitions pays ~62-rows-per-task scheduling overhead every scan. At
-    // genuine scale the fit input should be a bounded seeded sample of the
-    // corpus anyway (the cells only route; sample != corpus shifts
-    // centroids, not correctness), so a small fixed partition count holds
-    // at any SF.
-    val v = corpus.select(asDouble(col(vecCol)).as("arr"))
-      .withColumn("mlv", array_to_vector(col("arr")))
-      .coalesce(8)
-    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
-      .setInitMode("random").setFeaturesCol("mlv").fit(v)
+    val v0 = corpus.select(asDouble(col(vecCol)).as("arr"))
+    val n = v0.count()
+    val k = if (nCells > 0) nCells
+            else math.max(1, math.min(autoCells(n), math.min(n, Int.MaxValue.toLong).toInt))
+    val fitInput =
+      if (n <= fitSampleCap)
+        // small corpus: the whole thing is the sample. coalesce(8): a
+        // routing-key fit over a few thousand vectors spread across
+        // defaultParallelism partitions pays ~62-rows-per-task scheduling
+        // overhead every scan.
+        v0.withColumn("mlv", array_to_vector(col("arr"))).coalesce(8)
+      else {
+        // deterministic seeded sample: keep rows whose vector hash lands
+        // in one of s residue classes — no RNG, same rows every run. The
+        // filter runs map-side at scan parallelism; only survivors move.
+        val keepOneIn = math.max(2L, (n + fitSampleCap - 1) / fitSampleCap)
+        v0.where(pmod(xxhash64(col("arr"), lit(seed)), lit(keepOneIn)) === 0)
+          .repartition(8)
+          .withColumn("mlv", array_to_vector(col("arr")))
+      }
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random").setFeaturesCol("mlv").fit(fitInput)
     val spark = corpus.sparkSession
     import spark.implicits._
     km.clusterCenters.zipWithIndex
@@ -219,13 +269,18 @@ object Ann {
     * windows' (dist asc, cell asc) ordering; sums accumulate left-to-right
     * like the zip_with/aggregate formulation, so assignments are
     * bit-reproducible across both paths. */
-  def assignCells(df: DataFrame, centroids: DataFrame,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents: Array[(Int, Array[Double])] = centroids
+  /** Collect a (cell, centroid) frame into the sorted array the map-side
+    * argmin/probe kernels loop over — nCells rows, tiny by definition. */
+  private def collectedCentroids(centroids: DataFrame): Array[(Int, Array[Double])] =
+    centroids
       .select(col("cell"), col("centroid"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
+
+  def assignCells(df: DataFrame, centroids: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents: Array[(Int, Array[Double])] = collectedCentroids(centroids)
     val argminUdf = udf { (v: Seq[Double]) =>
       if (v == null) null.asInstanceOf[java.lang.Integer]
       else {
@@ -376,21 +431,21 @@ object Ann {
     * swaps a manifest pointer instead. */
   def compactIvfStore(spark: org.apache.spark.sql.SparkSession, path: String,
                       maxFilesPerCell: Int = 1): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    def parquetFiles(d: java.nio.file.Path): Int =
-      scala.util.Using.resource(Files.list(d)) {
-        _.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
-      }
+    // file accounting goes through Hadoop FileSystem, not java.nio — the
+    // Spark read/write halves of this op are storage-agnostic, and the
+    // listing must be too (an object-store path would throw under
+    // java.nio.Files rather than degrade)
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetFiles(d: Path): Int =
+      fs.listStatus(d).count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     def cellFiles(): Map[Int, Int] =
-      scala.util.Using.resource(Files.list(Paths.get(path))) {
-        _.iterator().asScala
-          .filter(p => Files.isDirectory(p)
-            && p.getFileName.toString.startsWith("cell="))
-          .map(p => p.getFileName.toString.stripPrefix("cell=").toInt
-            -> parquetFiles(p))
-          .toMap
-      }
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .map(st => st.getPath.getName.stripPrefix("cell=").toInt
+          -> parquetFiles(st.getPath))
+        .toMap
     val before = cellFiles()
     val frag = before.filter(_._2 > maxFilesPerCell).keys.toSeq.sorted
     if (frag.nonEmpty) {

@@ -703,19 +703,34 @@ object Dedup {
   def semanticPairs(df: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding", nCells: Int = 8,
                     threshold: Double = 0.3, seed: Long = 42L,
-                    maxIter: Int = 5): DataFrame = {
+                    maxIter: Int = 5, fitSampleCap: Long = 10000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val v = df.select(col(idCol),
         transform(col(vecCol), x => x.cast("double")).as("arr"))
       .withColumn("mlv", array_to_vector(col("arr")))
+    // the KMeans FIT input is bounded (same guard as Ann.fitCentroids):
+    // maxIter Lloyd scans over the whole corpus is the shape that cannot
+    // survive 100×, and the cells only block — a sampled fit shifts
+    // centroids, not pair correctness (emitted cosines are exact either
+    // way). Below the cap the fit reads the corpus exactly as before, so
+    // fixture-scale pairs are bit-identical. ASSIGNMENT (km.transform)
+    // still runs over every row — that part is map-side and must.
+    val n = v.count()
+    val fitInput =
+      if (n <= fitSampleCap) v
+      else {
+        val keepOneIn = math.max(2L, (n + fitSampleCap - 1) / fitSampleCap)
+        v.where(pmod(xxhash64(col("arr"), lit(seed)), lit(keepOneIn)) === 0)
+          .repartition(8)
+      }
     // random init + few Lloyd iterations: the cells are a BLOCKING key, so
     // partition quality (not convergence) is what matters — k-means|| init
     // plus the default 20 iterations costs 4× more fit time (measured via
     // graft.ProfileSem) for no recall gain on either fixture regime
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setInitMode("random").setFeaturesCol("mlv")
-      .setPredictionCol("cell").fit(v)
+      .setPredictionCol("cell").fit(fitInput)
     cosinePairs(km.transform(v), idCol, "arr", col("cell"), threshold)
   }
 

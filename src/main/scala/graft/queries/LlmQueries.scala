@@ -1157,15 +1157,19 @@ object LlmQueries {
          |FROM pairs WHERE CAST(shared AS DOUBLE) / (nA + nB - shared) >= 0.35""".stripMargin,
     // full-value oracle: the range search is exhaustive, so DuckDB mirrors
     // the cosine arithmetic (same accumulation shape as CosineSim: dot /
-    // (sqrt(ssqA) * sqrt(ssqB)), threshold on the unrounded value)
+    // (sqrt(ssqA) * sqrt(ssqB))). Both engines threshold the ROUNDED
+    // (6 dp) cosine — the emitted value — so a pair landing within an ulp
+    // of the threshold cannot be included by one engine and excluded by
+    // the other across fixture regenerations.
     "ann_range_search" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)
-        |SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
-        |  round(list_sum(list_transform(list_zip(c.v, q.v), p -> p[1] * p[2])) / (c.nrm * q.nrm), 6) AS cosine
-        |FROM n c JOIN n q ON q.vec_id < 8 AND c.vec_id != q.vec_id
-        |WHERE list_sum(list_transform(list_zip(c.v, q.v), p -> p[1] * p[2])) / (c.nrm * q.nrm) >= 0.25""".stripMargin,
+        |SELECT * FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        |    round(list_sum(list_transform(list_zip(c.v, q.v), p -> p[1] * p[2])) / (c.nrm * q.nrm), 6) AS cosine
+        |  FROM n c JOIN n q ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+        |WHERE cosine >= 0.25""".stripMargin,
     // contract: corpus count is SQL-computable; completeness, serve
     // equality, and file-count reduction are store-state booleans
     "ann_ivf_compact" ->

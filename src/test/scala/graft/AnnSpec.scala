@@ -287,20 +287,76 @@ class AnnSpec extends SparkSpec {
     graft.io.IO.deletePath(path)
   }
 
-  test("rangeSearch: exactly the >= threshold pair set, thresholded unrounded") {
+  test("rangeSearch: exactly the >= threshold pair set (rounded-cosine boundary)") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where("vec_id < 5")
     val got = Ann.rangeSearch(emb, queries, minCosine = 0.25)
       .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
-    // independent exact baseline via the HOF cosine formulation
+    // independent exact baseline via the HOF cosine formulation; both
+    // sides threshold the ROUNDED 6-dp cosine (the emitted value) so the
+    // inclusion boundary is a grid point, never an ulp race
     val c = emb.select($"vec_id".as("nn_id"),
       transform($"embedding", x => x.cast("double")).as("cv"))
     val q = queries.select($"vec_id".as("query_id"),
       transform($"embedding", x => x.cast("double")).as("qv"))
     val want = c.crossJoin(q).where($"nn_id" =!= $"query_id")
-      .where(Ann.dot($"cv", $"qv") / (Ann.l2norm($"cv") * Ann.l2norm($"qv")) >= 0.25)
+      .where(round(Ann.dot($"cv", $"qv") /
+        (Ann.l2norm($"cv") * Ann.l2norm($"qv")), 6) >= 0.25)
       .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
     assert(got == want, s"range set mismatch: extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("autoCells: √n sizing clamped to [16, 4096]") {
+    assert(Ann.autoCells(0L) == 16)
+    assert(Ann.autoCells(100L) == 16)        // floor
+    assert(Ann.autoCells(10000L) == 100)     // √n
+    assert(Ann.autoCells(1000000L) == 1000)
+    assert(Ann.autoCells(100000000L) == 4096) // ceiling
+  }
+
+  test("fitCentroids: auto nCells follows the √n rule at two corpus sizes") {
+    val emb = Tables.embeddings(spark, sf).where($"embedding".isNotNull)
+    val n = emb.count()
+    assert(Ann.fitCentroids(emb, nCells = 0).count() == Ann.autoCells(n).toLong)
+    val sub = emb.where($"vec_id" < 100)
+    val nSub = sub.count()
+    assert(Ann.fitCentroids(sub, nCells = 0).count() == Ann.autoCells(nSub).toLong)
+    assert(Ann.autoCells(n) != Ann.autoCells(10000L), "sizes must discriminate")
+  }
+
+  test("fitCentroids: sampled fit (cap below corpus) is deterministic and still serves") {
+    val emb = Tables.embeddings(spark, sf).where($"embedding".isNotNull)
+    assert(emb.count() > 100L, "fixture must exceed the cap for this test")
+    val a = Ann.fitCentroids(emb, nCells = 16, fitSampleCap = 100L)
+      .orderBy("cell").collect().map(_.toString)
+    val b = Ann.fitCentroids(emb, nCells = 16, fitSampleCap = 100L)
+      .orderBy("cell").collect().map(_.toString)
+    assert(a.sameElements(b), "hash sample must be deterministic across runs")
+    // centroids from the bounded fit still route: the IVF recall contract
+    // holds unchanged (cells only route — sample shifts centroids, not
+    // correctness)
+    val cents = Ann.fitCentroids(emb, nCells = 16, fitSampleCap = 100L)
+    val queries = emb.where("vec_id < 5")
+    val brute = Ann.bruteTopK(emb, queries, k = 10)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(emb, queries, k = 10, nProbe = 8,
+        centroids = Some(cents))
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"sampled-fit IVF recall too low: $recall")
+  }
+
+  test("knnGraph: probe selection is map-side (only the final rank window remains)") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Ann.fitCentroids(emb.where($"embedding".isNotNull))
+    val plan = Ann.knnGraph(emb, k = 10, centroids = Some(cents))
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // the old probe path added a second window over n·nCells rows carrying
+    // the full embedding; probes now come from a map-side argmin explode
+    assert(windows.size == 1, s"expected only the rank window, got ${windows.size}")
   }
 
   test("knnGraph: planted clusters neighbor within their cluster; k bound holds") {

@@ -277,6 +277,29 @@ class DedupSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("semanticPairs: bounded (sampled) fit is deterministic and keeps the exact-subset property") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    assert(emb.count() > 100L, "fixture must exceed the cap for this test")
+    // cap far below the corpus so the sampled-fit path actually runs
+    def run() = Dedup.semanticPairs(emb, nCells = 8, threshold = 0.3,
+      fitSampleCap = 100L)
+    val p1 = run().orderBy("idA", "idB").collect().map(_.toString)
+    val p2 = run().orderBy("idA", "idB").collect().map(_.toString)
+    assert(p1.sameElements(p2), "sampled fit must be deterministic")
+    // emitted cosines are recomputed exactly, so sampled-fit pairs remain
+    // a subset of the exact >= threshold pair set (blocking only changes
+    // WHICH within-threshold pairs surface, never admits a false positive)
+    val v = emb.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("v"))
+    val exact = v.select($"vec_id".as("idA"), $"v".as("vA"))
+      .crossJoin(broadcast(v.select($"vec_id".as("idB"), $"v".as("vB"))))
+      .where($"idA" < $"idB")
+      .where(graft.functions.CosineSim.cosine_sim($"vA", $"vB") >= 0.3)
+      .select("idA", "idB")
+    assert(run().select("idA", "idB").join(exact, Seq("idA", "idB"), "left_anti")
+      .count() == 0L)
+  }
+
   test("survivorsByPriority: best member per cluster wins; ties to lowest id; singletons pass") {
     val docs = Seq((1L, 10), (2L, 50), (3L, 20), (4L, 7), (5L, 30), (6L, 30))
       .toDF("doc_id", "n_tok")
