@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: images/audio/video as opaque `binary` columns
   * with typed metadata, processed in batch-friendly partition-level loops.
   *
-  * The decode step is a clearly-marked STUB — real codecs (JPEG/PNG/ffmpeg)
-  * are not in this container — but everything Spark-level is real and
-  * tested: the schema contract, the binary column flow, partition sizing,
-  * and the per-partition batch loop (the Scala analogue of `mapInPandas`:
-  * one iterator pass per partition, no per-row setup cost, codec state
-  * reused across the batch).
+  * Image decode is REAL: [[ImageIoCodec]] reads PNG/JPEG/BMP/GIF headers
+  * through the JDK's `javax.imageio` plugin registry (no external native
+  * deps), extracting width/height/bands WITHOUT decoding pixel data — the
+  * right cost model for metadata extraction over a 100 TB asset store.
+  * The codec seam ([[ImageCodec]]) stays pluggable for formats the JDK
+  * lacks (ffmpeg-class video/audio), and [[StubCodec]] remains as the
+  * dependency-free fake for plumbing tests. The batch shape is the Scala
+  * analogue of `mapInPandas`: one decoder instantiation per partition,
+  * rows streamed through it, codec state reused across the batch.
   *
   * Scale notes: binary payloads dominate row size, so ops that only need
   * metadata must never deserialize `content` — [[describe]] is a narrow
@@ -65,17 +68,55 @@ object Multimodal {
   }
 
   /** STUB codec: deterministic fake dimensions derived from the payload
-    * bytes — real codecs aren't in this container. Everything around it
-    * (schema, binary flow, per-partition init, batch loop) is real. */
+    * bytes — a dependency-free stand-in for plumbing tests and for
+    * payloads that are not images at all. */
   object StubCodec extends ImageCodec {
     def partitionDecoder(): (Long, Array[Byte]) => DecodedMeta = decodeOne
   }
 
-  /** Decode image metadata with `codec` (default: the stub). The batch
-    * shape is the tested contract: one decoder instantiation per
-    * partition, rows streamed through it. */
+  /** REAL image codec via the JDK's `javax.imageio` registry: resolves a
+    * format reader from the payload's magic bytes (PNG/JPEG/BMP/GIF/TIFF
+    * in a stock JDK), then reads width/height/band-count from the HEADER
+    * only — `ImageReader.getWidth/getHeight/getImageTypes` never decode
+    * pixel data, so per-asset cost is a few hundred header bytes however
+    * large the image is. Undecodable or null payloads degrade to
+    * (0, 0, 0) rather than failing the batch — at corpus scale a poison
+    * asset must never kill the job (filter `width = 0` downstream).
+    * Per-partition setup disables ImageIO's on-disk scratch cache once so
+    * header reads stay purely in-memory. */
+  object ImageIoCodec extends ImageCodec {
+    def partitionDecoder(): (Long, Array[Byte]) => DecodedMeta = {
+      javax.imageio.ImageIO.setUseCache(false)
+      (id, bytes) => {
+        if (bytes == null || bytes.length == 0) DecodedMeta(id, 0, 0, 0)
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) DecodedMeta(id, 0, 0, 0)
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(iis, true, true)
+                val types = r.getImageTypes(0)
+                val bands = if (types.hasNext) types.next().getNumBands else 0
+                DecodedMeta(id, r.getWidth(0), r.getHeight(0), bands)
+              } catch {
+                case _: java.io.IOException => DecodedMeta(id, 0, 0, 0)
+              } finally r.dispose()
+            }
+          } finally if (iis != null) iis.close()
+        }
+      }
+    }
+  }
+
+  /** Decode image metadata with `codec` (default: the real `javax.imageio`
+    * header reader). The batch shape is the tested contract: one decoder
+    * instantiation per partition, rows streamed through it. */
   def decodeImageMeta(spark: SparkSession, assets: DataFrame,
-                      codec: ImageCodec = StubCodec): Dataset[DecodedMeta] = {
+                      codec: ImageCodec = ImageIoCodec): Dataset[DecodedMeta] = {
     import spark.implicits._
     assets.select("asset_id", "content").as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -113,6 +154,45 @@ object Multimodal {
         Files.write(Paths.get(outDir, s"${r.getLong(0)}.bin"),
           r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
+    outDir
+  }
+
+  /** Stage a SMALL sample of REAL image files (`<id>.png` / `<id>.bmp`) —
+    * the fixture harness for [[decodeImageMeta]] with the real codec,
+    * standing in for the media a crawler/uploader lands on storage. Every
+    * image property derives deterministically from the id so an oracle
+    * can predict the decode output without touching the bytes:
+    * width = 8 + id % 24, height = 8 + id % 17, BMP for id % 5 == 0
+    * (3-channel), otherwise PNG (grayscale 1-channel when id is odd,
+    * RGB 3-channel when even). Written with the same `javax.imageio`
+    * plugin registry the decoder reads with. Driver-side and bounded by
+    * design, like [[stageAssetFiles]]: this creates a test fixture. */
+  def stageImageFiles(docs: DataFrame, outDir: String,
+                      idCol: String = "doc_id"): String = {
+    import java.awt.image.BufferedImage
+    import java.nio.file.{Files, Paths}
+    graft.io.IO.deletePath(outDir)
+    Files.createDirectories(Paths.get(outDir))
+    docs.select(col(idCol).cast("long")).collect().foreach { r =>
+      val id = r.getLong(0)
+      val w = 8 + (id % 24).toInt
+      val h = 8 + (id % 17).toInt
+      val fmt = if (id % 5 == 0) "bmp" else "png"
+      val gray = fmt == "png" && id % 2 == 1
+      val img = new BufferedImage(w, h,
+        if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((id * 2654435761L + x * 7 + y * 131) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val f = Paths.get(outDir, s"$id.$fmt").toFile
+      require(javax.imageio.ImageIO.write(img, fmt, f), s"no $fmt writer")
+    }
     outDir
   }
 

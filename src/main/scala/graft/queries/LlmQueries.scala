@@ -693,9 +693,20 @@ object LlmQueries {
       Multimodal.describe(Multimodal.fromDocuments(Tables.documents(s, dir)))
         .select("asset_id", "modality", "n_bytes")),
 
-    // Multimodal: stubbed batch decode through the partition-level loop.
-    "mm_decode_stub" -> ((s, dir) =>
-      Multimodal.decodeImageMeta(s, Multimodal.fromDocuments(Tables.documents(s, dir))).toDF()),
+    // Multimodal: REAL image decode — deterministic PNG/BMP files staged
+    // by the fixture harness, ingested through binaryFile, width/height/
+    // channels extracted by the javax.imageio header reader (no pixel
+    // decode). Dims/colorspace derive from the id, so the whole decode
+    // output is a full-value oracle.
+    "mm_decode" -> ((s, dir) => {
+      val staged = Multimodal.stageImageFiles(
+        Tables.documents(s, dir).where("doc_id < 50"),
+        s"/root/repo/target/qtmp/mm_images_${Integer.toHexString(dir.hashCode)}")
+      val assets = Multimodal.readBinaryAssets(s, staged)
+        .select(regexp_extract(col("path"), "(\\d+)\\.(png|bmp)$", 1)
+          .cast("long").as("asset_id"), col("content"))
+      Multimodal.decodeImageMeta(s, assets).toDF()
+    }),
 
     // Multimodal: file-level ingest through the built-in binaryFile source
     // (how media actually enters the engine — whole files as binary rows).
@@ -1492,23 +1503,26 @@ object LlmQueries {
         |FROM documents""".stripMargin,
     // full-value: filename-derived id, byte length, and a content-equality
     // boolean the Spark side computes against the source rows
+    // coalesce mirrors stageAssetFiles' null→empty-payload staging
     "mm_binary_ingest" ->
       """SELECT doc_id AS asset_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
         |  true AS bytes_match
         |FROM documents WHERE doc_id < 50""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS asset_id, 'image' AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
-    // the STUB decode is deterministic in the payload bytes, and the
-    // fixture text is pure ASCII — so the fake dims are SQL-expressible
-    "mm_decode_stub" ->
+    // full-value: the staged images' dims/colorspace derive from the id
+    // (width = 8 + id % 24, height = 8 + id % 17; grayscale PNG for odd
+    // non-multiple-of-5 ids), so the REAL javax.imageio decode output is
+    // SQL-predictable without touching the bytes
+    "mm_decode" ->
       """SELECT doc_id AS asset_id,
-        |  CAST(64 + ((CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END) % 64) AS INT) AS width,
-        |  CAST(64 + ((CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END) % 64) AS INT) AS height,
-        |  CAST(CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels
-        |FROM documents""".stripMargin,
+        |  CAST(8 + doc_id % 24 AS INT) AS width,
+        |  CAST(8 + doc_id % 17 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 5 <> 0 AND doc_id % 2 = 1 THEN 1 ELSE 3 END AS INT) AS channels
+        |FROM documents WHERE doc_id < 50""".stripMargin,
     // frame spans are floor(n/frames) bytes each (Spark's double division
     // + int cast truncates; DuckDB mirrors with floor())
     "mm_frame_sample" ->

@@ -71,7 +71,11 @@ object RelationalQueries {
     // streaming pass at any scale.
     "s10_text_roundtrip" -> ((s, dir) => {
       val out = s"$Tmp/s10_text"
-      Tables.documents(s, dir).select(col("text"))
+      // coalesce BEFORE the sink: the text source writes a null row as an
+      // empty line (read back as ""), so nulls must collapse to ""
+      // symmetrically in the oracle too or a null-text fixture row would
+      // hash-mismatch an engine-correct round-trip
+      Tables.documents(s, dir).select(coalesce(col("text"), lit("")).as("text"))
         .write.mode("overwrite").text(out)
       s.read.text(out).withColumnRenamed("value", "text")
     }),
@@ -306,7 +310,8 @@ object RelationalQueries {
     "s3_parquet_sink" -> "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
     "s8_orc_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s9_json_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
-    "s10_text_roundtrip" -> "SELECT text FROM documents",
+    // coalesce mirrors the text sink's null→empty-line framing
+    "s10_text_roundtrip" -> "SELECT coalesce(text, '') AS text FROM documents",
     "s4_table_scan" -> "SELECT p_partkey, p_name FROM part WHERE p_size >= 40",
     "s5_upsert" ->
       s"""WITH target AS (SELECT p_partkey AS id, p_name AS name, round(p_retailprice, 2) AS price FROM part),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.llm.Multimodal
 
-/** Multimodal plumbing: schema contract, stub decode batch loop, framing. */
+/** Multimodal plumbing: schema contract, real javax.imageio decode, framing. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -48,13 +48,59 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decode stub: deterministic in payload bytes, batch loop runs") {
-    val out1 = Multimodal.decodeImageMeta(spark, assets).collect().sortBy(_.asset_id)
-    val out2 = Multimodal.decodeImageMeta(spark, assets).collect().sortBy(_.asset_id)
+    def run() = Multimodal
+      .decodeImageMeta(spark, assets, Multimodal.StubCodec)
+      .collect().sortBy(_.asset_id)
+    val out1 = run()
+    val out2 = run()
     assert(out1.length == 20)
     assert(out1.toSeq == out2.toSeq)
     out1.foreach { m =>
       assert(m.width >= 64 && m.width < 128 && m.height >= 64 && m.height < 128)
     }
+  }
+
+  test("ImageIoCodec: a known PNG decodes to its real dimensions and bands") {
+    // hand-built 5x3 RGB PNG and 4x7 grayscale PNG, written with the same
+    // public ImageIO registry the codec reads with
+    def pngBytes(w: Int, h: Int, gray: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      img.setRGB(0, 0, 0x336699)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, pngBytes(5, 3, gray = false)),
+                 (2L, pngBytes(4, 7, gray = true)),
+                 (3L, "not an image".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+    val out = Multimodal.decodeImageMeta(spark, df).collect()
+      .map(m => m.asset_id -> ((m.width, m.height, m.channels))).toMap
+    assert(out(1L) == ((5, 3, 3)))
+    assert(out(2L) == ((4, 7, 1)))
+    assert(out(3L) == ((0, 0, 0))) // poison asset degrades, never throws
+  }
+
+  test("stageImageFiles: staged real images decode to the id-derived contract") {
+    val staged = Multimodal.stageImageFiles(
+      Tables.documents(spark, sf).where("doc_id < 12"),
+      "/root/repo/target/qtmp/mmspec_images")
+    val assetsDf = Multimodal.readBinaryAssets(spark, staged)
+      .select(regexp_extract($"path", "(\\d+)\\.(png|bmp)$", 1)
+        .cast("long").as("asset_id"), $"content")
+    val out = Multimodal.decodeImageMeta(spark, assetsDf).collect()
+      .map(m => m.asset_id -> m).toMap
+    assert(out.size == 12)
+    (0L until 12L).foreach { id =>
+      val m = out(id)
+      assert(m.width == 8 + (id % 24).toInt, s"width for $id")
+      assert(m.height == 8 + (id % 17).toInt, s"height for $id")
+      val wantCh = if (id % 5 != 0 && id % 2 == 1) 1 else 3
+      assert(m.channels == wantCh, s"channels for $id: got ${m.channels}")
+    }
+    graft.io.IO.deletePath(staged)
   }
 
   test("codec seam: a second codec swaps in as config; init runs once per partition") {
@@ -71,9 +117,10 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(m => m.width == 1 && m.height == 2 && m.channels == 3))
     assert(inits.value == 3L,
       s"decoder init ran ${inits.value} times for 3 partitions — must be once per partition, not per row")
-    // and the default path still decodes with the stub (different output)
-    val stubbed = Multimodal.decodeImageMeta(spark, assets).collect()
-    assert(stubbed.exists(m => m.width != 1 || m.height != 2))
+    // and the default (real) path yields different output — text payloads
+    // are not images, so ImageIoCodec degrades them to (0, 0, 0)
+    val real = Multimodal.decodeImageMeta(spark, assets).collect()
+    assert(real.forall(m => m.width == 0 && m.height == 0 && m.channels == 0))
   }
 
   test("frame sampling: n frames per asset, spans cover prefix of payload") {
