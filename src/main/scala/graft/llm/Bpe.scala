@@ -36,9 +36,18 @@ object Bpe {
     * frequent types with a deterministic tie-break (freq desc, word asc).
     * Words are the engine's standard lowercase alnum runs
     * ([[TextAnalysis.tokens]]), so fit/encode agree with every other text
-    * operator on what a "word" is. */
+    * operator on what a "word" is.
+    *
+    * The truncation is an EXPLICIT, tested part of the fit contract, not
+    * an accident of scale: pair statistics come from the `topTypes` most
+    * frequent types only (the standard frequency cutoff every practical
+    * BPE trainer applies). When the corpus has fewer types than the cap —
+    * the fixture regime — the cutoff is a no-op and learned merges are
+    * invariant to `topTypes` (pinned by BpeSpec); when it binds, raising
+    * `topTypes` is the knob, and the default (64k types) is sized for a
+    * real 30k+ merge vocabulary, not a toy. */
   def wordTypes(df: DataFrame, textCol: String = "text",
-                topTypes: Int = 4096): DataFrame = {
+                topTypes: Int = 65536): DataFrame = {
     require(topTypes >= 1, s"topTypes must be >= 1; got $topTypes")
     df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -89,48 +98,120 @@ object Bpe {
     * — is distributed; the merge loop then runs driver-local over the
     * collected type table, which is <= `topTypes` rows BY CONSTRUCTION
     * (same shape as the collected IVF centroid table: iterate locally on
-    * state that is bounded, not corpus-sized). At 100 TB you raise
-    * topTypes to the vocabulary you actually want (say 10^6) and each
-    * merge is O(topTypes * avgWordLen) driver work — seconds. Chaining
-    * the iterations as persisted DataFrames instead is a trap: each
-    * cached step nests the previous step's physical plan inside its
-    * InMemoryRelation, and plan-tree rendering blows up exponentially
-    * after a few dozen nestings (observed as an explainString OOM at 32
-    * merges). */
-  def fit(df: DataFrame, textCol: String = "text", nMerges: Int = 32,
-          topTypes: Int = 4096, minPairCount: Long = 2L): Seq[Merge] = {
+    * state that is bounded, not corpus-sized). Chaining the iterations as
+    * persisted DataFrames instead is a trap: each cached step nests the
+    * previous step's physical plan inside its InMemoryRelation, and
+    * plan-tree rendering blows up exponentially after a few dozen
+    * nestings (observed as an explainString OOM at 32 merges).
+    *
+    * Pair statistics are maintained INCREMENTALLY (the standard fast-BPE
+    * trainer shape, cf. Sennrich's learn_bpe): an inverted index maps
+    * each pair to the word types containing it, so applying a merge
+    * touches only the affected types and the argmax comes from an
+    * ordered set in O(1) — a naive full recount per merge is
+    * O(topTypes × avgLen) EVERY round and makes a real 30k-merge
+    * vocabulary quadratic. The incremental counts equal the full recount
+    * at every step (each rewrite retracts the word's old adjacent pairs
+    * and adds the new ones), so learned merges are identical to the
+    * naive reference — pinned by BpeSpec. */
+  def fit(df: DataFrame, textCol: String = "text", nMerges: Int = 256,
+          topTypes: Int = 65536, minPairCount: Long = 2L): Seq[Merge] =
+    fitVerbose(df, textCol, nMerges, topTypes, minPairCount).merges
+
+  /** [[fit]] plus the stop reason: `exhausted` is true iff the trainer
+    * stopped because no remaining pair reaches `minPairCount` (so a
+    * shorter-than-requested merge table is the corpus running dry, not a
+    * truncated fit) — the boolean the tx_bpe_fit contract surfaces. */
+  final case class FitResult(merges: Seq[Merge], exhausted: Boolean)
+
+  def fitVerbose(df: DataFrame, textCol: String = "text", nMerges: Int = 256,
+                 topTypes: Int = 65536, minPairCount: Long = 2L): FitResult = {
     require(nMerges >= 1, s"nMerges must be >= 1; got $nMerges")
-    var dict: Array[(Array[String], Long)] = wordTypes(df, textCol, topTypes)
-      .collect()
-      .map(r => (r.getString(0).map(_.toString).toArray :+ EndMark, r.getLong(1)))
+    val rows = wordTypes(df, textCol, topTypes).collect()
+    val words: Array[Array[String]] =
+      rows.map(r => r.getString(0).map(_.toString).toArray :+ EndMark)
+    val freqs: Array[Long] = rows.map(_.getLong(1))
+
+    val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+    // inverted index pair -> word-type ids; a SUPERSET (stale entries are
+    // filtered against the word's current symbols at use)
+    val occurs =
+      scala.collection.mutable.HashMap[(String, String),
+        scala.collection.mutable.HashSet[Int]]()
+    // argmax structure: ordered by (count desc, left asc, right asc) —
+    // the oracle-replayed tie-break; entries are (count, l, r) snapshots
+    // removed/re-added on every count change so the set order never lies
+    val heap = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          if (a._1 != b._1) java.lang.Long.compare(b._1, a._1)
+          else {
+            val c = a._2.compareTo(b._2)
+            if (c != 0) c else a._3.compareTo(b._3)
+          }
+        }
+      })
+    def setCount(p: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old > 0L) heap.remove((old, p._1, p._2))
+      val now = old + delta
+      if (now > 0L) { counts(p) = now; heap.add((now, p._1, p._2)) }
+      else counts.remove(p)
+    }
+    var wi = 0
+    while (wi < words.length) {
+      val syms = words(wi); val f = freqs(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        setCount(p, f)
+        occurs.getOrElseUpdate(p,
+          scala.collection.mutable.HashSet[Int]()) += wi
+        i += 1
+      }
+      wi += 1
+    }
+
+    def containsPair(s: Array[String], l: String, r: String): Boolean = {
+      var i = 0; var found = false
+      while (!found && i < s.length - 1) {
+        if (s(i) == l && s(i + 1) == r) found = true
+        i += 1
+      }
+      found
+    }
+
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
     var exhausted = false
     while (merges.length < nMerges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
-      for ((syms, f) <- dict) {
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts(k) = counts.getOrElse(k, 0L) + f
-          i += 1
-        }
-      }
-      // total-order argmax: count desc, then (left, right) asc — the
-      // deterministic tie-break the DuckDB oracle replays
-      var best: ((String, String), Long) = null
-      for (e <- counts)
-        if (best == null || e._2 > best._2 ||
-            (e._2 == best._2 &&
-              (e._1._1 < best._1._1 ||
-                (e._1._1 == best._1._1 && e._1._2 < best._1._2)))) best = e
-      if (best == null || best._2 < minPairCount) exhausted = true
+      if (heap.isEmpty || heap.first()._1 < minPairCount) exhausted = true
       else {
-        val ((l, r), cnt) = best
+        val (cnt, l, r) = heap.first()
         merges += Merge(merges.length, l, r, cnt)
-        dict = dict.map { case (syms, f) => (mergeOnce(syms, l, r).toArray, f) }
+        val affected = occurs.getOrElse((l, r),
+          scala.collection.mutable.HashSet.empty[Int])
+        for (w <- affected) {
+          val syms = words(w)
+          if (containsPair(syms, l, r)) {
+            val f = freqs(w)
+            var i = 0
+            while (i < syms.length - 1) { setCount((syms(i), syms(i + 1)), -f); i += 1 }
+            val ns = mergeOnce(syms.toIndexedSeq, l, r).toArray
+            words(w) = ns
+            var j = 0
+            while (j < ns.length - 1) {
+              val p = (ns(j), ns(j + 1))
+              setCount(p, f)
+              occurs.getOrElseUpdate(p,
+                scala.collection.mutable.HashSet[Int]()) += w
+              j += 1
+            }
+          }
+        }
+        occurs.remove((l, r))
       }
     }
-    merges.toSeq
+    FitResult(merges.toSeq, exhausted)
   }
 
   /** The fitted merge table as a DataFrame (rank, left, right,

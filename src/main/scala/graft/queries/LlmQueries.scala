@@ -43,12 +43,15 @@ object LlmQueries {
 
   /** BPE merge table fitted once per (session, dir) and shared by
     * tx_bpe_fit and tx_bpe_encode (same corpus, same deterministic fit —
-    * sharing only removes the redundant iteration jobs). The merges are a
-    * driver-local Seq (nMerges rows), so the memo holds no executor
+    * sharing only removes the redundant iteration jobs). Depth 256 — a
+    * non-toy vocabulary request; the tiny-vocab fixture legitimately
+    * exhausts earlier, and the fit reports which happened. The merges are
+    * a driver-local Seq (≤ nMerges rows), so the memo holds no executor
     * storage. */
-  private def bpeMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+  private val bpeDepth = 256
+  private def bpeFit(s: SparkSession, dir: String): Bpe.FitResult =
     SessionMemo.value(s, s"tx_bpe_merges:$dir") {
-      Bpe.fit(Tables.documents(s, dir))
+      Bpe.fitVerbose(Tables.documents(s, dir), nMerges = bpeDepth)
     }
 
   /** Deterministic synthetic PII for tx_pii_scrub: one email, one IPv4,
@@ -518,25 +521,29 @@ object LlmQueries {
     "tx_unigram_lp" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, dir))),
 
-    // BPE tokenizer training on the corpus's own word-type table. The
-    // merge sequence is deterministic (argmax tie-break count desc, pair
-    // asc, mirrored by the oracle), so the query value-checks the FIRST
-    // merge against DuckDB's independent pair-count-argmax over the same
-    // truncated type table, plus the structural invariants of the full
-    // table: merge counts never increase (each new pair's occurrences are
-    // bounded by the occurrences of the pair just merged) and ranks are
-    // contiguous from 0. The 32-deep merge recursion itself is not
+    // BPE tokenizer training on the corpus's own word-type table, at a
+    // non-toy requested depth (256 merges). The merge sequence is
+    // deterministic (argmax tie-break count desc, pair asc, mirrored by
+    // the oracle), so the query value-checks the type-table size and the
+    // FIRST merge against DuckDB's independent pair-count-argmax over the
+    // same truncated type table, plus the structural invariants of the
+    // full table: the fit either reached the requested depth or genuinely
+    // ran the corpus dry (no remaining pair ≥ minPairCount — the
+    // tiny-vocab fixture's case), merge counts never increase, and ranks
+    // are contiguous from 0. The deep merge recursion itself is not
     // SQL-expressible; BpeSpec pins it against a local reference fit.
     "tx_bpe_fit" -> ((s, dir) => {
       import s.implicits._
-      val ms = bpeMerges(s, dir)
+      val fr = bpeFit(s, dir)
+      val ms = fr.merges
+      val nTypes = Bpe.wordTypes(Tables.documents(s, dir)).count()
       val nonInc = ms.iterator.sliding(2).withPartial(false)
         .forall(w => w.head.pairCount >= w.last.pairCount)
       val contiguous = ms.zipWithIndex.forall { case (m, i) => m.rank == i }
-      Seq((ms.length, ms.head.left, ms.head.right, ms.head.pairCount,
-          nonInc, contiguous))
-        .toDF("n_merges", "first_left", "first_right", "first_count",
-          "counts_nonincreasing", "ranks_contiguous")
+      Seq((nTypes, ms.head.left, ms.head.right, ms.head.pairCount,
+          ms.length == bpeDepth || fr.exhausted, nonInc, contiguous))
+        .toDF("n_types", "first_left", "first_right", "first_count",
+          "depth_full_or_exhausted", "counts_nonincreasing", "ranks_contiguous")
     }),
 
     // Encode every document with the fitted merges: greedy rank-order
@@ -546,7 +553,7 @@ object LlmQueries {
     // token per word, at most chars + 1 per word (nothing ever splits
     // below characters, nothing merges across words).
     "tx_bpe_encode" -> ((s, dir) => {
-      Bpe.encodedTokenCounts(Tables.documents(s, dir), bpeMerges(s, dir))
+      Bpe.encodedTokenCounts(Tables.documents(s, dir), bpeFit(s, dir).merges)
         .select(col("doc_id"), col("n_words"),
           (col("bpe_tokens") >= col("n_words") &&
             col("bpe_tokens") <= col("n_chars") + col("n_words"))
@@ -1265,16 +1272,18 @@ object LlmQueries {
         |  FROM scored)
         |SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin,
     // Independent replay of the fit's FIRST pair-count argmax: same word
-    // tokenization, same freq-desc/word-asc truncation to 4096 types,
+    // tokenization, same freq-desc/word-asc truncation to 65536 types,
     // same char+end-marker decomposition, same count-desc/pair-asc
-    // tie-break. Invariant booleans (count monotonicity, rank contiguity)
-    // are literals; the full 32-merge recursion is pinned by BpeSpec.
+    // tie-break; the type-table size is value-checked too. Invariant
+    // booleans (depth reached or corpus genuinely dry, count monotonicity,
+    // rank contiguity) are literals; the deep merge recursion itself is
+    // pinned by BpeSpec against a naive reference trainer.
     "tx_bpe_fit" ->
       s"""WITH words AS (
          |  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
          |  FROM (SELECT unnest(${tokSql("text")}) AS t FROM documents)
          |  GROUP BY 1),
-         |top_types AS (SELECT word, freq FROM words ORDER BY freq DESC, word LIMIT 4096),
+         |top_types AS (SELECT word, freq FROM words ORDER BY freq DESC, word LIMIT 65536),
          |syms AS (SELECT freq,
          |  list_append(list_transform(generate_series(1, length(word)), i -> word[i]), '</w>') AS s
          |  FROM top_types),
@@ -1283,8 +1292,10 @@ object LlmQueries {
          |  FROM syms, unnest(generate_series(1, len(s) - 1)) AS u(i)
          |  GROUP BY 1, 2),
          |best AS (SELECT l, r, cnt FROM pairs ORDER BY cnt DESC, l, r LIMIT 1)
-         |SELECT CAST(32 AS INT) AS n_merges, l AS first_left, r AS first_right,
+         |SELECT (SELECT count(*) FROM top_types) AS n_types,
+         |  l AS first_left, r AS first_right,
          |  CAST(cnt AS BIGINT) AS first_count,
+         |  true AS depth_full_or_exhausted,
          |  true AS counts_nonincreasing, true AS ranks_contiguous
          |FROM best""".stripMargin,
     "tx_bpe_encode" ->

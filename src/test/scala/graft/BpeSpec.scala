@@ -122,4 +122,47 @@ class BpeSpec extends SparkSpec {
     val again = Bpe.fit(docs, nMerges = 4)
     assert(again === ms)
   }
+
+  test("merges are invariant to topTypes beyond the corpus's type count") {
+    val docs = Tables.documents(spark, sf)
+    val nTypes = Bpe.wordTypes(docs, topTypes = Int.MaxValue).count()
+    assert(nTypes < 64L, s"fixture grew past the caps this test uses ($nTypes types)")
+    // both caps exceed the type count, so the truncation is a no-op and
+    // the learned merges must be identical — the explicit contract of the
+    // frequency cutoff (it binds only when the corpus outgrows it)
+    val a = Bpe.fit(docs, nMerges = 64, topTypes = 64)
+    val b = Bpe.fit(docs, nMerges = 64, topTypes = 65536)
+    assert(a === b)
+  }
+
+  test("non-toy vocabulary: 512-deep incremental fit equals the naive reference trainer") {
+    // syllable-composed synthetic corpus: ~1.3k distinct word types with
+    // heavy shared-pair structure, enough to sustain 512 genuine merges
+    val syl = Vector("ba", "ce", "di", "fo", "gu", "ka", "le", "mi",
+      "no", "pu", "ra", "se", "ti", "vo", "wa", "ze")
+    val words = (0 until 1344).map { i =>
+      syl(i % 16) + syl((i / 16) % 16) + syl((i / 256) % 16)
+    }
+    val freqs = words.zipWithIndex
+      .map { case (w, i) => w -> ((i % 7) + 1).toLong }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val df = words.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill((i % 7) + 1)(w)
+    }.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = Bpe.fitVerbose(df, nMerges = 512)
+    assert(got.merges.length === 512, "corpus must sustain the full depth")
+    assert(!got.exhausted)
+    val want = refFit(freqs, 512)
+    assert(got.merges.map(m => (m.left, m.right, m.pairCount)) === want)
+  }
+
+  test("fitVerbose reports exhaustion only when the corpus genuinely runs dry") {
+    val full = Bpe.fitVerbose(toyDf, nMerges = 1000)
+    assert(full.exhausted, "toy corpus cannot sustain 1000 merges")
+    // continuing past the reported exhaustion point finds nothing more
+    assert(Bpe.fit(toyDf, nMerges = 1000) === Bpe.fit(toyDf, nMerges = 2000))
+    val truncated = Bpe.fitVerbose(toyDf, nMerges = 3)
+    assert(!truncated.exhausted, "a depth-truncated fit is not exhaustion")
+    assert(truncated.merges.length === 3)
+  }
 }
