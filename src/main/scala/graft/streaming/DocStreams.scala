@@ -104,7 +104,7 @@ object DocStreams {
       // empty store — a later read of a data-less parquet dir fails schema
       // inference — nor append anything
       hashed
-    } else if (!java.nio.file.Files.exists(java.nio.file.Paths.get(storePath))) {
+    } else if (!IO.isPartitionedStore(spark, storePath)) {
       // first batch seeds the store; everything in it is novel. The seed
       // write pins the store's bucket count (later batches read the
       // marker) — size it to the expected corpus, not one global default:
@@ -113,19 +113,20 @@ object DocStreams {
       IO.writePartitionedStore(hashed, storePath, keys, nBuckets)
       hashed
     } else {
-      // existence check reads only the buckets this batch's hashes land in.
-      // `src` is a narrow map over the already-checkpointed `hashed`, so
-      // its three consumers (touched-bucket collect, anti-join, append)
-      // recompute only the bucket column — no second checkpoint needed
+      // existence check reads only the buckets this batch's hashes land in
+      // (manifest-pruned file listing). `src` is a narrow map over the
+      // already-checkpointed `hashed`, so its three consumers
+      // (touched-bucket collect, anti-join, append) recompute only the
+      // bucket column — no second checkpoint needed
       val nB = IO.storeBuckets(storePath)
       val src = hashed.withColumn(IO.BucketCol, IO.bucketExpr(keys, nB))
       val touched = src.select(IO.BucketCol).distinct().collect().map(_.getInt(0))
-      val stored = spark.read.parquet(storePath)
-        .where(col(IO.BucketCol).isin(touched.toIndexedSeq: _*))
+      val stored = IO.readStoreBuckets(spark, storePath, touched.toSet)
         .select("content_hash")
       val survivors = src.join(stored, keys, "left_anti").localCheckpoint()
-      survivors.hint("rebalance", col(IO.BucketCol))
-        .write.mode("append").partitionBy(IO.BucketCol).parquet(storePath)
+      // atomic delta-generation append: a crash mid-batch leaves the store
+      // exactly as the previous batch committed it
+      IO.appendPartitionedStore(spark, storePath, survivors, keys)
       survivors.drop(IO.BucketCol)
     }
   }
@@ -167,7 +168,6 @@ object DocStreams {
                                seed: Long = 42L,
                                nBuckets: Int = 64): DataFrame = {
     import graft.io.IO
-    import java.nio.file.{Files, Paths}
     val spark = batch.sparkSession
     val keys = Seq("band", "band_key")
     val bk = graft.llm.Dedup.bandKeys(
@@ -181,7 +181,7 @@ object DocStreams {
         // never seed/append an empty store — a later read of a data-less
         // parquet dir fails schema inference — and nothing can collide
         bk.select("doc_id")
-      } else if (!Files.exists(Paths.get(storePath))) {
+      } else if (!IO.isPartitionedStore(spark, storePath)) {
         // first batch seeds the store; nothing earlier to collide with.
         // The seed write pins the bucket count (see dedupBatchAgainstStore)
         IO.writePartitionedStore(bk, storePath, keys, nBuckets)
@@ -192,13 +192,12 @@ object DocStreams {
         val nB = IO.storeBuckets(storePath)
         val src = bk.withColumn(IO.BucketCol, IO.bucketExpr(keys, nB))
         val touched = src.select(IO.BucketCol).distinct().collect().map(_.getInt(0))
-        val stored = spark.read.parquet(storePath)
-          .where(col(IO.BucketCol).isin(touched.toIndexedSeq: _*))
+        val stored = IO.readStoreBuckets(spark, storePath, touched.toSet)
           .select("band", "band_key")
         val dups = src.join(stored, keys, "left_semi")
           .select("doc_id").distinct().localCheckpoint()
-        src.hint("rebalance", col(IO.BucketCol))
-          .write.mode("append").partitionBy(IO.BucketCol).parquet(storePath)
+        // atomic delta-generation append (see dedupBatchAgainstStore)
+        IO.appendPartitionedStore(spark, storePath, src, keys)
         dups
       }
     batch.select("doc_id").distinct()

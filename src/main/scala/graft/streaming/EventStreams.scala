@@ -250,21 +250,21 @@ object EventStreams {
     * store; every batch (including the first) then runs the merge path so
     * the upsert machinery is exercised even on single-batch inputs.
     *
-    * The store uses the key-hash-bucketed layout, so each micro-batch's
-    * merge rewrites only the buckets its keys touch (partition-pruned
-    * read + dynamic partition overwrite) — per-batch cost is O(delta +
-    * touched buckets), not O(store), which is what keeps an always-on
-    * stream viable once the store outgrows a batch. Read it back with
-    * [[graft.io.IO.readPartitionedStore]].
+    * The store uses the key-hash-bucketed manifest layout, so each
+    * micro-batch's merge reads only the buckets its keys touch and
+    * commits atomically via the manifest marker — per-batch cost is
+    * O(delta + touched buckets), not O(store), which is what keeps an
+    * always-on stream viable once the store outgrows a batch, and a
+    * crashed batch leaves the store exactly as the previous commit. Read
+    * it back with [[graft.io.IO.readPartitionedStore]].
     * Returns the started query; caller awaits/termination. */
   def maintainAggregateStore(aggStream: DataFrame, storePath: String,
                              keys: Seq[String], updateCols: Seq[String],
                              availableNow: Boolean = true,
                              nBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
-    import java.nio.file.{Files, Paths}
     val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = { (batch, _) =>
       val df = batch.toDF()
-      if (!Files.exists(Paths.get(storePath)))
+      if (!graft.io.IO.isPartitionedStore(df.sparkSession, storePath))
         graft.io.IO.writePartitionedStore(df, storePath, keys, nBuckets)
       graft.io.IO.upsertPartitionedStore(df.sparkSession, storePath, df,
         keys, updateCols)

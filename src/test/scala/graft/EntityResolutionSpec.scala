@@ -69,7 +69,7 @@ class EntityResolutionSpec extends SparkSpec {
     val (pipes, allFeats) = EntityResolution.fitFeatureModels(all, cfg)
     val store = "/root/repo/target/test_tmp/er_store"
     EntityResolution.writeFeatureStore(allFeats, store, cfg)
-    val before = spark.read.parquet(store).count()
+    val before = graft.io.IO.readPartitionedStore(spark, store).count()
 
     val labeled = EntityResolution.labeledCandidates(allFeats.cache(),
       Catalogs.golden(spark, sf), cfg)
@@ -84,7 +84,9 @@ class EntityResolutionSpec extends SparkSpec {
     val ranked = EntityResolution.inferIncremental(
       newRows, store, pipes, trained.model, cfg)
 
-    val after = spark.read.parquet(store)
+    // read through the manifest — a raw directory read would also see
+    // the superseded generation files the atomic merge left for vacuum
+    val after = graft.io.IO.readPartitionedStore(spark, store)
     assert(after.count() == before + 1)        // upsert inserted the new id
     assert(after.where("id = 999999").count() == 1)
     assert(ranked.count() > 0)

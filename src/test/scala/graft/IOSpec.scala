@@ -106,6 +106,59 @@ class IOSpec extends SparkSpec {
       before.keySet.filter(f => touched.contains(bucketOf(f))))
   }
 
+  test("upsertPartitionedStore: crash before the commit marker leaves the " +
+       "pre-merge state readable; a retry completes the merge") {
+    val path = s"$tmp/atomic_store"
+    val target = (1 to 32).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    IO.writePartitionedStore(target, path, Seq("id"), nBuckets = 8)
+    val source = Seq((3L, 300.0), (500L, 5.0)).toDF("id", "v")
+    // injected crash in the window AFTER all data + manifest files are
+    // written, BEFORE the atomic commit-marker create — the widest
+    // possible loss window of the old dynamic-overwrite design
+    val boom = intercept[RuntimeException] {
+      IO.upsertPartitionedStoreImpl(spark, path, source, Seq("id"), Seq("v"),
+        beforeCommit = () => throw new RuntimeException("injected crash"))
+    }
+    assert(boom.getMessage == "injected crash")
+    val afterCrash = IO.readPartitionedStore(spark, path)
+      .as[(Long, Double)].collect().toMap
+    assert(afterCrash == (1 to 32).map(i => i.toLong -> i.toDouble).toMap,
+      "crashed merge must be invisible: readers resolve the old manifest")
+    // a plain retry re-derives the generation, overwrites the orphan
+    // files, and commits
+    IO.upsertPartitionedStore(spark, path, source, Seq("id"), Seq("v"))
+    val out = IO.readPartitionedStore(spark, path).as[(Long, Double)].collect().toMap
+    assert(out(3L) == 300.0 && out(500L) == 5.0 && out.size == 33)
+  }
+
+  test("vacuumPartitionedStore: reclaims superseded bucket files; " +
+       "post-vacuum reads identical, one generation per bucket") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = s"$tmp/vacuum_store"
+    IO.writePartitionedStore(
+      (1 to 32).map(i => (i.toLong, i.toDouble)).toDF("id", "v"),
+      path, Seq("id"), nBuckets = 8)
+    IO.upsertPartitionedStore(spark, path,
+      Seq((3L, 300.0), (7L, 700.0)).toDF("id", "v"), Seq("id"), Seq("v"))
+    val before = IO.readPartitionedStore(spark, path)
+      .as[(Long, Double)].collect().toSet
+    IO.vacuumPartitionedStore(spark, path)
+    val after = IO.readPartitionedStore(spark, path)
+      .as[(Long, Double)].collect().toSet
+    assert(after == before)
+    // every bucket now lives in exactly one generation directory
+    val genBuckets = Files.walk(Paths.get(path)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet"))
+      .map { f =>
+        val b = f.split(s"${IO.BucketCol}=")(1).split("/")(0).toInt
+        val g = f.split(s"${IO.GenCol}=")(1).split("/")(0).toInt
+        (b, g)
+      }.toSet
+    assert(genBuckets.groupMap(_._1)(_._2).forall(_._2.size == 1),
+      s"bucket present in two generations after vacuum: $genBuckets")
+  }
+
   test("writePartitionedStore: bucket-clustered write — bounded file count, " +
        "never tasks x buckets") {
     import java.nio.file.{Files, Paths}

@@ -96,6 +96,33 @@ class MatcherSpec extends SparkSpec {
     assert(auprRefined > 0.95, s"separable data should stay near-perfect: $auprRefined")
   }
 
+  test("successive halving: deterministic schedule, searched model stays " +
+       "near-perfect on separable data") {
+    val df = Matcher.addClassWeights(syntheticPairs(400)).coalesce(2)
+    val Seq(train, test) = Matcher.stratifiedSplit(df, Seq(0.8, 0.2))
+    val r = Matcher.trainHalving(train, parallelism = 4,
+      minIter = 2, maxIter = 18, eta = 3)
+    // 16 candidates, eta 3 → rungs of 16 + 6 + 2 = 24 evals, final budget
+    // 2·3·3 = 18 — the schedule is pure arithmetic, independent of data
+    assert(r.evals == 24, s"schedule drifted: ${r.evals} evals")
+    assert(r.budget == 18, s"final budget drifted: ${r.budget}")
+    assert(r.validationMetric >= 0.0 && r.validationMetric <= 1.0)
+    // the winner comes from the declared candidate set
+    assert(Matcher.defaultHalvingCandidates.contains(r.candidate))
+    val aupr = Matcher.areaUnderPR(r.model, test)
+    assert(aupr > 0.95, s"separable data should stay near-perfect: $aupr")
+  }
+
+  test("successive halving: single-candidate degenerate search fits once " +
+       "at full budget") {
+    val df = Matcher.addClassWeights(syntheticPairs(200)).coalesce(2)
+    val r = Matcher.trainHalving(df, parallelism = 2,
+      candidates = Seq(Matcher.GbtCandidate(3, 0.1, 1.0)),
+      minIter = 2, maxIter = 6, eta = 3)
+    assert(r.evals == 1 && r.budget == 6)
+    assert(r.candidate == Matcher.GbtCandidate(3, 0.1, 1.0))
+  }
+
   test("model store: versioning, production pointer, load round-trip") {
     val root = "/root/repo/target/test_tmp/registry"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/m"))
