@@ -642,6 +642,19 @@ object LlmQueries {
     // Language-ID heuristic (marker-word overlap).
     "tx_langid" -> ((s, dir) => LangId.predict(Tables.documents(s, dir))),
 
+    // Language-ID, trained: char-trigram multinomial naive Bayes fit on
+    // the corpus's own (text, lang) labels, then training-set predict.
+    // Fit is one bounded groupBy; predict is a zero-shuffle broadcast-
+    // model scan. The oracle re-derives fit AND predict in SQL — a full
+    // value check of the whole learner, not a contract. (The fixture's
+    // text carries no real language signal — TextAnalysisSpec proves the
+    // classifier beats the marker heuristic on a genuinely multilingual
+    // corpus; this query pins engine-vs-oracle equivalence.)
+    "tx_langid_nb" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LangId.predictNb(docs, LangId.fitNb(docs))
+    }),
+
     // Document fingerprint (rolling polynomial hash).
     "tx_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -1488,6 +1501,42 @@ object LlmQueries {
          |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(greatest(len(${tokSql("text")}), 1) AS DOUBLE), 6) AS mean_word_len
          |FROM documents""".stripMargin,
     "tx_langid" -> langidSql,
+    // Full fit+predict re-derivation of the NB learner: counts, Laplace
+    // smoothing over the joint kept vocabulary, per-(doc, lang) log-
+    // likelihoods, 6-dp-grid argmax with lang-asc tie-break — every step
+    // mirrors LangId.fitNb/predictNb exactly (incl. the (count desc,
+    // gram asc) truncation order and the ' '-padded lowercased trigrams).
+    "tx_langid_nb" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, concat(' ', lower(coalesce(text, '')), ' ') AS p
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, substr(p, CAST(i AS INT), 3) AS gram
+        |  FROM d, unnest(range(1, greatest(length(p) - 2, 0) + 1)) AS u(i)),
+        |cnt AS (
+        |  SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2
+        |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram) <= 65536),
+        |tot AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS t FROM cnt GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT gram) AS DOUBLE) AS v FROM cnt),
+        |pri AS (SELECT lang, CAST(count(*) AS DOUBLE) AS nd FROM d GROUP BY 1),
+        |tt AS (SELECT sum(nd) AS total FROM pri),
+        |ids AS (SELECT doc_id, greatest(length(p) - 2, 0) AS n_grams FROM d),
+        |dg AS (SELECT doc_id, gram, count(*) AS k FROM g GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT ids.doc_id, ids.n_grams, tot.lang,
+        |    ln(pri.nd / tt.total)
+        |      + coalesce(sum(dg.k * (ln(coalesce(cnt.c, 0) + 1.0) - ln(tot.t + v.v))), 0) AS s
+        |  FROM ids
+        |  CROSS JOIN tot CROSS JOIN v CROSS JOIN tt
+        |  JOIN pri ON pri.lang = tot.lang
+        |  LEFT JOIN dg ON dg.doc_id = ids.doc_id
+        |  LEFT JOIN cnt ON cnt.lang = tot.lang AND cnt.gram = dg.gram
+        |  GROUP BY ids.doc_id, ids.n_grams, tot.lang, tot.t, v.v, pri.nd, tt.total)
+        |SELECT doc_id, CAST(n_grams AS INT) AS n_grams, lang AS lang_nb
+        |FROM (SELECT *, row_number()
+        |        OVER (PARTITION BY doc_id ORDER BY round(s, 6) DESC, lang) AS rk
+        |      FROM sc)
+        |WHERE rk = 1""".stripMargin,
     "tx_chunk" ->
       """WITH b AS (
         |  SELECT doc_id, text,

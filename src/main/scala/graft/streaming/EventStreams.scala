@@ -292,6 +292,33 @@ object EventStreams {
     * At production scale a stream would set this to match its real key
     * cardinality and executor count — the point is it's a STREAM-scoped
     * knob, not the batch session default. */
+  /** FQCN of Spark's RocksDB state-store provider (in-box since 3.2;
+    * rocksdbjni ships with the distribution). The default HDFS-backed
+    * provider keeps every state row on the executor HEAP — fine at
+    * fixture scale, but a 100×-state stream (billions of dedup keys,
+    * wide session maps) wants state off-heap and spillable. RocksDB
+    * keeps a native working set with changelog/snapshot files in the
+    * checkpoint dir, bounding heap regardless of key cardinality. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with `spark.sql.streaming.stateStore.providerClass` set to
+    * `provider`, restoring the previous setting after. The conf is read
+    * per-query AT START, so scoping it around a start→awaitTermination
+    * block swaps the state backend for exactly that stream; results are
+    * provider-invariant by contract (StreamingSpec pins this for the
+    * stateful dedup + windowed agg under RocksDB). An existing query's
+    * checkpoint pins its provider — swap only with a fresh checkpoint. */
+  def withStateStoreProvider[A](spark: SparkSession, provider: String = RocksDbProvider)
+                               (body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    // conf.get resolves the default when unset — restoring that effective
+    // value by set() is behavior-identical to unsetting
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, provider)
+    try body finally spark.conf.set(key, prev)
+  }
+
   private[graft] def withStreamShufflePartitions[A](spark: SparkSession,
                                                     n: Int = 8)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"

@@ -48,6 +48,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store: stateful dedup + windowed counts are provider-invariant") {
+    // same stream under the default (HDFS-backed) and RocksDB providers;
+    // results must be identical, and the progress metrics must prove the
+    // RocksDB provider actually backed the run (not a silently-ignored
+    // conf). This is the 100×-state config: state lives off-heap in
+    // native RocksDB instead of the executor heap.
+    def run(name: String): (Set[(Long, Long, Double)], Boolean) = {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](spark)
+      val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      val q = EventStreams.dedupEvents(df, "1 hour")
+        .groupBy("user_id").agg(count("*").as("n"), sum("value").as("v"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        mem.addData(ev(1, 1, 1, "click", 1.0), ev(1, 1, 1, "click", 1.0),
+          ev(2, 2, 1, "click", 2.0))
+        q.processAllAvailable()
+        mem.addData(ev(1, 1, 1, "click", 1.0), ev(3, 9, 2, "buy", 4.0))
+        q.processAllAvailable()
+        val rocks = q.lastProgress.stateOperators.exists(
+          _.customMetrics.keySet().stream().anyMatch(_.startsWith("rocksdb")))
+        (spark.table(name).as[(Long, Long, Double)].collect().toSet, rocks)
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+    val (defaultOut, defaultRocks) = run("ss_default")
+    val (rocksOut, rocksActive) =
+      EventStreams.withStateStoreProvider(spark) { run("ss_rocksdb") }
+    assert(defaultOut == Set((1L, 2L, 3.0), (2L, 1L, 4.0)))
+    assert(rocksOut == defaultOut, "provider must not change results")
+    assert(rocksActive, "RocksDB provider not active despite the conf")
+    assert(!defaultRocks, "default run unexpectedly used RocksDB")
+    // the scoped conf restored the session default
+    val restored = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    assert(!restored.contains("RocksDB"), s"provider not restored: $restored")
+  }
+
   test("dedupKeysWithinWatermark: duplicate keys within the horizon emit once") {
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](spark)
     val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")

@@ -187,4 +187,78 @@ class TextAnalysisSpec extends SparkSpec {
       ("b", 3L, 2, 0.777778),
       ("c", 1L, 3, 0.888889)))
   }
+
+  // Genuinely multilingual mini-corpus (the parquet fixture's text is the
+  // same synthetic English-ish vocabulary for every lang label, so it
+  // cannot demonstrate a language classifier — this can).
+  private lazy val multiCorpus: Seq[(Long, String, String)] = Seq(
+    (1L, "en", "the weather was cold and the children stayed inside the house"),
+    (2L, "en", "she walked to the market and bought fresh bread for the family"),
+    (3L, "en", "a long road leads through the forest toward the old stone bridge"),
+    (4L, "en", "they watched the evening sky change color over the quiet harbor"),
+    (5L, "en", "his brother works in the city and comes home every weekend"),
+    (6L, "en", "reading books by the window is her favorite way to spend sunday"),
+    (7L, "de", "das wetter war kalt und die kinder blieben im haus bei den eltern"),
+    (8L, "de", "sie ging zum markt und kaufte frisches brot für die ganze familie"),
+    (9L, "de", "ein langer weg führt durch den wald zur alten steinernen brücke"),
+    (10L, "de", "sie beobachteten den abendhimmel über dem ruhigen hafen der stadt"),
+    (11L, "de", "sein bruder arbeitet in der stadt und kommt jedes wochenende nach hause"),
+    (12L, "de", "am fenster bücher zu lesen ist ihre liebste beschäftigung am sonntag"),
+    (13L, "fr", "le temps était froid et les enfants sont restés dans la maison"),
+    (14L, "fr", "elle est allée au marché et a acheté du pain frais pour la famille"),
+    (15L, "fr", "un long chemin traverse la forêt vers le vieux pont de pierre"),
+    (16L, "fr", "ils regardaient le ciel du soir changer de couleur sur le port calme"),
+    (17L, "fr", "son frère travaille en ville et rentre à la maison chaque week-end"),
+    (18L, "fr", "lire des livres près de la fenêtre est sa façon préférée de passer le dimanche"),
+    (19L, "es", "el tiempo era frío y los niños se quedaron dentro de la casa"),
+    (20L, "es", "ella fue al mercado y compró pan fresco para toda la familia"),
+    (21L, "es", "un largo camino atraviesa el bosque hacia el viejo puente de piedra"),
+    (22L, "es", "miraban el cielo de la tarde cambiar de color sobre el puerto tranquilo"),
+    (23L, "es", "su hermano trabaja en la ciudad y vuelve a casa cada fin de semana"),
+    (24L, "es", "leer libros junto a la ventana es su manera favorita de pasar el domingo"))
+
+  test("langid NB: holdout accuracy on a real multilingual corpus beats the marker heuristic") {
+    // hold out the last 2 docs of each language, train on the first 4
+    val holdoutIds = Set(5L, 6L, 11L, 12L, 17L, 18L, 23L, 24L)
+    val all = multiCorpus.toDF("doc_id", "lang", "text")
+    val train = all.where(!$"doc_id".isInCollection(holdoutIds))
+    val test = all.where($"doc_id".isInCollection(holdoutIds))
+    val model = LangId.fitNb(train)
+    val truth = multiCorpus.map(r => r._1 -> r._2).toMap
+    val nbAcc = LangId.predictNb(test, model)
+      .select("doc_id", "lang_nb").as[(Long, String)].collect()
+      .count { case (id, l) => truth(id) == l } / holdoutIds.size.toDouble
+    val markerAcc = LangId.predict(test)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect()
+      .count { case (id, l) => truth(id) == l } / holdoutIds.size.toDouble
+    assert(nbAcc >= 0.75, s"NB holdout accuracy $nbAcc")
+    assert(nbAcc > markerAcc,
+      s"NB ($nbAcc) should beat the marker heuristic ($markerAcc) on held-out docs")
+  }
+
+  test("langid NB: classifies marker-free text the heuristic cannot") {
+    // no marker function words at all -> every heuristic count is 0 and
+    // the tie-break blindly answers the first lang code; the char-gram
+    // model still reads the orthography
+    val model = LangId.fitNb(multiCorpus.toDF("doc_id", "lang", "text"))
+    val probes = Seq((100L, "es", "puente piedra ciudad mercado bosque"),
+                     (101L, "fr", "enfants couleur pierre maison chemin"),
+                     (102L, "de", "wochenende bruder hafen markt kinder"))
+    val got = LangId.predictNb(probes.toDF("doc_id", "lang", "text"), model)
+      .select("doc_id", "lang_nb").as[(Long, String)].collect().toMap
+    probes.foreach { case (id, want, _) => assert(got(id) == want, s"doc $id") }
+    val marker = LangId.predict(probes.toDF("doc_id", "lang", "text"))
+      .select("doc_id", "marker_hits").as[(Long, Int)].collect()
+    assert(marker.forall(_._2 == 0), "probes must be marker-free")
+  }
+
+  test("langid NB: fit is invariant to a non-binding gram cap; n_grams is text length") {
+    val df = multiCorpus.toDF("doc_id", "lang", "text")
+    val m1 = LangId.fitNb(df, maxGramsPerLang = 65536)
+    val m2 = LangId.fitNb(df, maxGramsPerLang = 100000)
+    assert(m1 == m2)
+    val ng = LangId.predictNb(df.limit(1), m1)
+      .select("n_grams").as[Int].head()
+    assert(ng == multiCorpus.head._3.length) // ' '-padded trigrams: L+2-3+1
+  }
 }
