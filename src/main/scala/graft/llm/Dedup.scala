@@ -753,4 +753,92 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select("idA", "idB", "cosine")
   }
+
+  /** Consecutive `segTokens`-token segments of a token array, in order —
+    * the deterministic segmenter behind [[segmentDedup]]. The fixture
+    * corpus carries no line structure, so segmentation is positional; on
+    * real documents the same operator runs with a newline/paragraph split
+    * feeding it. Tight JVM loop for the same reason as [[shingles]]: the
+    * higher-order-function Column form evaluates interpreted per token. */
+  private val segmentUdf = udf { (toks: Seq[String], k: Int) =>
+    if (toks == null) null
+    else toks.grouped(k).map(_.mkString(" ")).toSeq
+  }
+
+  /** Segment-level exact dedup (the line/paragraph-dedup pass of
+    * RefinedWeb-style curation): split each document into consecutive
+    * `segTokens`-token segments, drop every segment whose exact text
+    * already occurred earlier in the corpus (first occurrence by
+    * (doc_id, segment index) survives), and reassemble each document from
+    * its surviving segments in order. Returns one row per input document:
+    * `(doc_id, clean_text, n_dropped)` — a fully-duplicated document
+    * collapses to `clean_text = ''`.
+    *
+    * Scale shape: one shuffle keyed on the segment text for the
+    * first-occurrence window, one keyed on doc_id for the reassembly —
+    * both linear. The window partitions by the segment STRING; at real
+    * scale the key would be a 128-bit content hash to keep the exchange
+    * narrow (not done here so the full-value oracle shares the engine's
+    * exact grouping with no collision caveat). Duplicated segments are by
+    * definition the hot keys, but a group's size is the duplication count
+    * of one segment — the sort inside each window group is tiny, and the
+    * standard salt-then-min two-phase applies if a segment dominates. */
+  def segmentDedup(df: DataFrame, textCol: String = "text",
+                   segTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = df
+      .where(col(textCol).isNotNull)
+      .select(col("doc_id"),
+        posexplode(segmentUdf(TextAnalysis.tokens(col(textCol)), lit(segTokens)))
+          .as(Seq("seg_idx", "seg_text")))
+    val w = Window.partitionBy("seg_text").orderBy(col("doc_id"), col("seg_idx"))
+    val ranked = segs.withColumn("rk", row_number().over(w))
+    val perDoc = ranked.groupBy("doc_id").agg(
+      // ordered reassembly without a sort shuffle: collect (idx, text)
+      // structs, array_sort on the leading idx field, strip to text
+      concat_ws(" ",
+        transform(array_sort(collect_list(
+          when(col("rk") === 1, struct(col("seg_idx"), col("seg_text"))))),
+          s => s.getField("seg_text"))).as("clean_text"),
+      count(when(col("rk") > 1, lit(1))).as("n_dropped"))
+    // empty/token-less docs never reach the explode — restore them with
+    // empty surviving text so the output is one row per input document
+    df.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  /** Embedding-space decontamination (the semantic analogue of
+    * [[decontaminate]]'s shingle overlap): flag every corpus vector whose
+    * cosine against ANY benchmark vector reaches `threshold` — the
+    * published guard against paraphrased eval contamination that exact
+    * n-gram matching misses (same kernel family as SemDeDup).
+    *
+    * Returns `(vec_id, n_hits, max_cosine)` for contaminated vectors only;
+    * cosines are rounded to 6 dp BEFORE thresholding and aggregation (same
+    * boundary-parity rationale as [[graft.llm.Ann.rangeSearch]]).
+    *
+    * Scale shape: the benchmark side broadcasts (eval suites are small by
+    * definition — same standing assumption as `decontaminate`), so the
+    * corpus is screened map-side at scan speed through the codegen cosine
+    * kernel, and the per-vector max/count aggregate is partial before its
+    * one narrow shuffle keyed on vec_id. Never a corpus×corpus join. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val b = benchmark.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("bench_id"),
+        transform(col(vecCol), x => x.cast("double")).as("bv"))
+    c.join(broadcast(b), col("vec_id") =!= col("bench_id"))
+      .withColumn("cosine",
+        round(graft.functions.CosineSim.cosine_sim(col("cv"), col("bv")), 6))
+      .where(col("cosine") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"), max(col("cosine")).as("max_cosine"))
+  }
 }

@@ -15,6 +15,31 @@ object TextAnalysis {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
 
+  /** Corpus text normalization — the canonicalization pass every dedup /
+    * fingerprint / tokenizer stage assumes has already run: Unicode NFC
+    * (composed canonical form, via the codegen
+    * [[graft.functions.NfcNormalize]] expression), control-character
+    * strip, whitespace-run collapse, and edge trim. Lowercasing is NOT
+    * part of it (case is signal for quality and language models;
+    * [[tokens]] folds case where wanted). All four steps are codegen'd
+    * string ops in one projection — at 100 TB this is a pure scan-speed
+    * map with full column pruning.
+    *
+    * The strip set excludes the whitespace controls TAB/LF/FF/CR so they
+    * COLLAPSE to a separating space rather than gluing their neighbors
+    * together; vertical tab (0x0b) is in the strip set instead because
+    * Java's `\s` includes it and RE2's does not — stripping it first
+    * keeps the engine and the DuckDB oracle step-for-step identical.
+    *
+    * DuckDB mirror (used by the `tx_normalize` oracle):
+    * `trim(regexp_replace(regexp_replace(nfc_normalize(x),
+    * '[\x00-\x08\x0b\x0e-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g'))`. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize.nfc_normalize(c),
+        "[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f]", ""),
+      "\\s+", " "))
+
   /** Whitespace token count plus a BPE-ish sub-token count (letter runs,
     * single digits, single punctuation marks — a cheap proxy for BPE token
     * pressure). */

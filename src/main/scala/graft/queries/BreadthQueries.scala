@@ -108,6 +108,15 @@ object BreadthQueries {
         .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 4).as("avg_price"))
     }),
 
+    // J9 — edit-distance (Levenshtein <= 1) fuzzy self-join via the
+    // deletion-neighborhood equi-join (FastSS): a COMPLETE k=1 candidate
+    // filter with an exact distance check, never an all-pairs comparison.
+    // The oracle is the naive cross join — candidate completeness is
+    // exactly what the hash compare pins.
+    "j9_edit_join" -> ((s, dir) =>
+      graft.ops.EditDistance.selfJoin(
+        Tables.customer(s, dir), "c_custkey", "c_name")),
+
     // X4 — correlated EXISTS / NOT EXISTS subqueries (decorrelated by
     // Catalyst into semi/anti joins — asserted in BreadthSpec).
     "x4_exists_subquery" -> ((s, dir) => {
@@ -260,6 +269,14 @@ object BreadthQueries {
         |                FROM range(0, 10)) b
         |  ON p_retailprice >= b.lo AND p_retailprice < b.hi
         |GROUP BY b.band_id""".stripMargin,
+    // full-value: the naive all-pairs formulation — both engines implement
+    // standard unit-cost Levenshtein, so the blocked engine result must
+    // equal it exactly (completeness of the deletion-neighborhood filter)
+    "j9_edit_join" ->
+      """SELECT a.c_custkey AS idA, b.c_custkey AS idB,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "x4_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

@@ -660,6 +660,32 @@ object LlmQueries {
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
+    // Corpus text normalization (NFC + control strip + whitespace collapse
+    // + trim): the canonicalization pass ahead of every dedup/fingerprint
+    // stage. Codegen projection end-to-end — the NFC step is the native
+    // graft.functions.NfcNormalize expression, not a UDF.
+    "tx_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("norm_text"))),
+
+    // Segment-level exact dedup (RefinedWeb's line/paragraph-dedup pass
+    // with a positional 10-token segmenter — the fixture corpus has no
+    // line structure): first corpus-wide occurrence of each segment
+    // survives, documents reassembled from survivors.
+    "dd_segment" -> ((s, dir) =>
+      Dedup.segmentDedup(Tables.documents(s, dir), segTokens = 10)),
+
+    // Embedding-space decontamination: corpus vectors within cosine 0.3 of
+    // any benchmark vector (vec_id % 13 picks the "benchmark") — the
+    // paraphrase-robust complement of dd_decontam's shingle overlap. The
+    // benchmark broadcasts; the corpus is screened map-side.
+    "dd_semantic_decontam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Dedup.semanticDecontaminate(
+        emb.where("vec_id % 13 != 0"), emb.where("vec_id % 13 = 0"),
+        threshold = 0.3)
+    }),
+
     // Data mixing: deterministic hash-sampled per-language keep rates (the
     // "recipe" step of corpus assembly). Pure projection + filter — no
     // shuffle, no RNG state, bit-identical on any cluster size.
@@ -1561,6 +1587,52 @@ object LlmQueries {
         |                   c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin,
+    // full-value: DuckDB's nfc_normalize + RE2 regexes mirror the engine's
+    // codegen NfcNormalize + Java-regex pipeline step for step
+    "tx_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0b\x0e-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
+    // full-value: positional 10-token segments, corpus-wide first
+    // occurrence by (doc_id, seg_idx), ordered reassembly — the identical
+    // grouping/window/rebuild pipeline in DuckDB terms
+    "dd_segment" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(L) AS tok, generate_subscripts(L, 1) AS i
+         |  FROM (SELECT doc_id, ${tokSql("text")} AS L
+         |        FROM documents WHERE text IS NOT NULL)),
+         |segs AS (
+         |  SELECT doc_id, CAST((i - 1) // 10 AS BIGINT) AS seg_idx,
+         |         string_agg(tok, ' ' ORDER BY i) AS seg_text
+         |  FROM toks GROUP BY doc_id, seg_idx),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY seg_text
+         |    ORDER BY doc_id, seg_idx) AS rk FROM segs),
+         |agg AS (
+         |  SELECT doc_id,
+         |    string_agg(CASE WHEN rk = 1 THEN seg_text END, ' ' ORDER BY seg_idx)
+         |      AS clean_text,
+         |    count(*) FILTER (rk > 1) AS n_dropped
+         |  FROM ranked GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |  CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // full-value: same list-arithmetic cosine as the dd_cosine /
+    // ann_range_search mirrors; both engines round to 6 dp BEFORE the
+    // threshold and the max aggregate (boundary parity)
+    "dd_semantic_decontam" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+        |b AS (SELECT vec_id AS bench_id, v AS bv, nrm AS bnrm FROM n WHERE vec_id % 13 = 0),
+        |c AS (SELECT vec_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 13 != 0),
+        |s AS (SELECT c.vec_id,
+        |        round(list_sum(list_transform(list_zip(cv, bv), p -> p[1] * p[2]))
+        |          / (cnrm * bnrm), 6) AS cosine
+        |      FROM c, b WHERE c.vec_id != b.bench_id)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(cosine) AS max_cosine
+        |FROM s WHERE cosine >= 0.3 GROUP BY vec_id""".stripMargin,
     // full-value: filename-derived id, byte length, and a content-equality
     // boolean the Spark side computes against the source rows
     // coalesce mirrors stageAssetFiles' null→empty-payload staging

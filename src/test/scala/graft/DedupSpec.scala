@@ -338,4 +338,50 @@ class DedupSpec extends SparkSpec {
     assert(got(("s1", "s1")) == ((2L, 0L, 0.0))) // no internal dups
     assert(got(("s2", "s2")) == ((2L, 0L, 0.0)))
   }
+
+  test("segmentDedup: later duplicated segments drop, docs reassemble in order") {
+    // segTokens=2 → doc 1: [a b][c d]; doc 2: [a b][x y] (first segment is
+    // a corpus dup of doc 1's); doc 3 duplicates doc 1 entirely; doc 4
+    // repeats the SAME segment internally (second occurrence drops too)
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b c d"),
+      (4L, "p q p q"),
+      (5L, ""))           // token-less → empty survivor row, not a lost row
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, segTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("a b c d", 0L)))
+    assert(got(2L) == (("x y", 1L)))     // "a b" already seen in doc 1
+    assert(got(3L) == (("", 2L)))        // fully duplicated → empty text
+    assert(got(4L) == (("p q", 1L)))     // internal repeat drops
+    assert(got(5L) == (("", 0L)))
+  }
+
+  test("segmentDedup: trailing partial segment is its own unit") {
+    val docs = Seq((1L, "a b c"), (2L, "c")).toDF("doc_id", "text")
+    // segments: doc 1 → [a b][c]; doc 2 → [c] (dup of doc 1's trailing one)
+    val got = Dedup.segmentDedup(docs, segTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("a b c", 0L)))
+    assert(got(2L) == (("", 1L)))
+  }
+
+  test("semanticDecontaminate: only vectors within threshold of a benchmark flag") {
+    val mk = (id: Long, v: Seq[Float]) => (id, v)
+    // benchmark = {0}: e1; corpus: e1-dup (cos 1), orthogonal (cos 0),
+    // 45-degree (cos ~0.7071)
+    val emb = Seq(
+      mk(0L, Seq(1f, 0f)),
+      mk(1L, Seq(2f, 0f)),
+      mk(2L, Seq(0f, 3f)),
+      mk(3L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDecontaminate(
+        emb.where($"vec_id" =!= 0L), emb.where($"vec_id" === 0L), threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 3L)) // orthogonal vec 2 stays clean
+    assert(got(1L) == ((1L, 1.0)))
+    assert(got(3L) == ((1L, 0.707107))) // rounded 6dp before aggregation
+  }
 }

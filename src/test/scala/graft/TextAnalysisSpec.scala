@@ -13,6 +13,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq("hello", "world", "42x"))
   }
 
+  test("normalizeText: NFC composition, control strip, whitespace collapse, trim") {
+    // "e" + COMBINING ACUTE (U+0301) must compose to U+00E9 under NFC —
+    // the decomposed and precomposed spellings of the same word become
+    // byte-identical (what every hash-keyed dedup upstream relies on)
+    val decomposed = "cafe\u0301"  // e + COMBINING ACUTE ACCENT
+    val precomposed = "caf\u00e9"  // precomposed e-acute
+    val df = Seq(
+      (1L, s"  $decomposed \u0007 bar\t\tbaz \n"),  // BEL strips, tabs collapse
+      (2L, precomposed + " bar baz"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        TextAnalysis.normalizeText($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == got(2L))            // NFC unifies the two spellings
+    assert(got(2L) == precomposed + " bar baz")
+    assert(got(3L) == null)               // null propagates, no NPE
+  }
+
+  test("normalizeText: already-normalized ASCII is identity") {
+    val s = "plain ascii text 123"
+    val out = Seq(Tuple1(s)).toDF("text")
+      .select(TextAnalysis.normalizeText($"text")).as[String].head()
+    assert(out == s)
+  }
+
   test("tokenCounts: whitespace vs alnum vs BPE-ish") {
     val df = Seq((1L, "don't stop-me now 99")).toDF("doc_id", "text")
     val (ws, alnum, bpe) = TextAnalysis.tokenCounts(df)
