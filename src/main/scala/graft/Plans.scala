@@ -47,7 +47,11 @@ object Plans {
     "x7_lateral_topk" -> "correlated LATERAL LIMIT decorrelated to a ranked window + equi-join — executed once, no per-row subquery",
     "f8_hashing_tf_counts" -> "vector invariants via the one-pass vec_stats kernel (O(nnz) over the sparse layout) — no vector_to_array densify of the 2^18-dim space",
     "ann_range_search" -> "radius search: broadcast query side + codegen cosine filter — zero Exchange (a filter, not a rank: not even a window)",
-    "ann_knn_graph" -> "corpus k-NN graph: per-node probes equi-join cell members on the cell key — never a corpus broadcast, never all-pairs")
+    "ann_knn_graph" -> "corpus k-NN graph: per-node probes equi-join cell members on the cell key — never a corpus broadcast, never all-pairs",
+    "tx_normalize" -> "normalization is ONE codegen projection (native NFC expression + regex chain) — zero shuffle, zero UDF",
+    "dd_segment" -> "segment dedup: window keyed on segment text + one doc-keyed reassembly agg — two linear exchanges, no cartesian",
+    "dd_semantic_decontam" -> "semantic decontam: benchmark side broadcasts; corpus screened map-side through the codegen cosine kernel",
+    "j9_edit_join" -> "edit-distance join: deletion-neighborhood EQUI-join on an 8-byte signature hash — never an all-pairs theta join")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -423,7 +423,12 @@ object MatchQueries {
       // scheduled rounds — 16·3 + 4·12 + 12-round refit = 108 — IS the
       // cost; an eta=3 schedule (244 rounds) measured 2.3× slower for the
       // same winner
-      val r = Matcher.trainHalving(weighted, parallelism = 8,
+      // parallelism 16 = one wave for the 16-candidate first rung: each
+      // fixture-scale fit is a chain of tiny single-task jobs, so waves
+      // serialize on scheduling latency, not cores (A/B on local[32],
+      // isolated subset incl. the shared feature stage: 41.3 s at 8 →
+      // 29.4 s at 16)
+      val r = Matcher.trainHalving(weighted, parallelism = 16,
         minIter = 3, maxIter = 48, eta = 4, coalesceTo = Some(parts))
       val out = Seq((nPairs, r.evals.toLong, r.budget.toLong,
           nPairs < 500L || r.validationMetric > 0.5,

@@ -133,4 +133,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("vec_stats"), s"vec_stats missing:\n$plan")
     assert(!plan.contains("vector_to_array"), s"dense detour crept back:\n$plan")
   }
+
+  test("tx_normalize: one codegen projection — no shuffle, no ScalaUDF") {
+    val plan = planOf("tx_normalize")
+    assert(!plan.contains("Exchange"), s"normalization shuffled:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"UDF in the scan projection:\n$plan")
+    assert(plan.contains("nfc_normalize"), s"native NFC expression missing:\n$plan")
+  }
+
+  test("j9_edit_join: deletion-neighborhood EQUI-join, never all-pairs") {
+    val plan = graft.ops.EditDistance.selfJoin(
+        Tables.customer(spark, sf), "c_custkey", "c_name")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    // the join keys on the 8-byte signature hash, not the name string
+    assert(plan.contains("xxhash64"), s"signature hash missing:\n$plan")
+  }
+
+  test("dd_semantic_decontam: benchmark broadcasts; corpus screened map-side") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = graft.llm.Dedup.semanticDecontaminate(
+        emb.where("vec_id % 13 != 0"), emb.where("vec_id % 13 = 0"), 0.3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"benchmark side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
 }
