@@ -117,6 +117,40 @@ object BreadthQueries {
       graft.ops.EditDistance.selfJoin(
         Tables.customer(s, dir), "c_custkey", "c_name")),
 
+    // W4 — SCD Type-2 history build (gaps-and-islands): each customer's
+    // order-status change log collapses to validity intervals. Every
+    // window and the run-collapsing aggregate key on o_custkey, so the
+    // whole history is ONE hash exchange (asserted in BreadthSpec).
+    "w4_scd2" -> ((s, dir) => {
+      val hist = graft.ops.History.scd2(
+          Tables.orders(s, dir)
+            .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"),
+          keyCol = "o_custkey", tsCol = "o_orderdate", tieCol = "o_orderkey",
+          valueCol = "o_orderstatus")
+        .withColumnRenamed("value", "status")
+      // open intervals close at the conventional SCD2 high date rather
+      // than NULL — the is_current flag carries the semantics and the
+      // cross-engine compare never sees a NULL timestamp. Cast to the
+      // log's own timestamp type (NTZ on the parquet fixtures).
+      hist.withColumn("valid_to",
+        coalesce(col("valid_to"),
+          lit("9999-12-31 00:00:00").cast(hist.schema("valid_to").dataType)))
+    }),
+
+    // W5 — epoch-aligned sliding windows (10-minute width, 5-minute
+    // slide) over the event stream, in batch: each event lands in
+    // width/slide windows via the built-in generator — a scan-side
+    // explode, then one aggregation exchange. Window starts emit as
+    // epoch seconds (timezone-proof across engines).
+    "w5_sliding_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        // ts is TIMESTAMP_NTZ off the parquet fixture; NTZ has no direct
+        // long cast, so hop through TIMESTAMP (session tz pinned UTC)
+        .select(col("window.start").cast("timestamp").cast("long").as("w_start_s"),
+          col("event_type"), col("n"), col("total_value"))),
+
     // X4 — correlated EXISTS / NOT EXISTS subqueries (decorrelated by
     // Catalyst into semi/anti joins — asserted in BreadthSpec).
     "x4_exists_subquery" -> ((s, dir) => {
@@ -277,6 +311,34 @@ object BreadthQueries {
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // full-value: the identical gaps-and-islands pipeline in DuckDB terms
+    // (lag change flags -> running-sum islands -> run collapse -> lead)
+    "w4_scd2" ->
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |    lag(o_orderstatus) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |fl AS (SELECT *, CASE WHEN prev IS NULL OR prev <> o_orderstatus
+        |                      THEN 1 ELSE 0 END AS chg FROM ch),
+        |isl AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS island FROM fl),
+        |g AS (SELECT o_custkey, island, min(o_orderstatus) AS status,
+        |        min(o_orderdate) AS valid_from, CAST(count(*) AS BIGINT) AS n_rows
+        |      FROM isl GROUP BY o_custkey, island)
+        |SELECT o_custkey, status, valid_from,
+        |  coalesce(lead(valid_from) OVER wi,
+        |           TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |  (lead(valid_from) OVER wi IS NULL) AS is_current, n_rows
+        |FROM g WINDOW wi AS (PARTITION BY o_custkey ORDER BY island)""".stripMargin,
+    // full-value: each event expands to width/slide = 2 epoch-aligned
+    // window starts; starts compare as epoch seconds (timezone-proof)
+    "w5_sliding_window" ->
+      """SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - k.k * 300 AS w_start_s,
+        |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+        |FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS k) k
+        |GROUP BY 1, 2""".stripMargin,
     "x4_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

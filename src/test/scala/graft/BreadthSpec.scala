@@ -147,4 +147,46 @@ class BreadthSpec extends SparkSpec {
     val phys = df.queryExecution.executedPlan.toString
     assert(!phys.contains("ScalarSubquery"), "subquery was not decorrelated")
   }
+
+  test("scd2: hand-computed islands, intervals chain, ties break on the tie column") {
+    val log = Seq(
+      // key 1: A,A,B,A — runs [A x2][B][A], middle rows share a ts (tie
+      // broken by id so the A at id=2 sorts before the B at id=3)
+      (1L, 1L, ts("2024-01-01 10:00"), "A"),
+      (1L, 2L, ts("2024-01-01 11:00"), "A"),
+      (1L, 3L, ts("2024-01-01 11:00"), "B"),
+      (1L, 4L, ts("2024-01-01 12:00"), "A"),
+      // key 2: single row → one open current interval
+      (2L, 5L, ts("2024-01-02 09:00"), "Z"))
+      .toDF("k", "id", "t", "v")
+    val got = graft.ops.History.scd2(log, "k", "t", "id", "v")
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4), r.getLong(5)))
+    assert(got.length == 4)
+    val Array(r1, r2, r3, r4) = got
+    assert(r1 == ((1L, "A", ts("2024-01-01 10:00"), Some(ts("2024-01-01 11:00")), false, 2L)))
+    assert(r2 == ((1L, "B", ts("2024-01-01 11:00"), Some(ts("2024-01-01 12:00")), false, 1L)))
+    assert(r3 == ((1L, "A", ts("2024-01-01 12:00"), None, true, 1L)))
+    assert(r4 == ((2L, "Z", ts("2024-01-02 09:00"), None, true, 1L)))
+  }
+
+  test("scd2 plans exactly ONE shuffle — windows and run collapse share the key exchange") {
+    val plan = SparkEntry.queries("w4_scd2")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("sliding windows: every event lands in exactly width/slide windows") {
+    val agg = SparkEntry.queries("w5_sliding_window")(spark, sf)
+    val total = agg.agg(sum("n")).as[Long].head()
+    val events = Tables.events(spark, sf).count()
+    assert(total == 2 * events)  // 10-min width / 5-min slide = 2 windows each
+    // window starts align to the 5-minute epoch grid
+    assert(agg.where(pmod(col("w_start_s"), lit(300)) =!= 0).count() == 0)
+  }
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s + ":00")
 }
