@@ -51,6 +51,92 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Maximal-marginal-relevance (MMR) diverse top-k: re-rank each query's
+    * exact top-`m` candidates by greedily picking
+    * `argmax λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)` — the standard
+    * redundancy-penalized retrieval selection (Carbonell & Goldstein,
+    * SIGIR 1998), the piece a dedup-heavy corpus needs so k near-identical
+    * neighbors don't crowd out coverage.
+    *
+    * Scale shape: the candidate stage is the same broadcast-query scan +
+    * ranked window as [[bruteTopK]] (swap in the IVF path for a large
+    * corpus — only the per-query top-m matters downstream); the greedy
+    * runs MAP-SIDE on each query's collected m-candidate array — O(k·m·dim)
+    * per query, independent of corpus size, no extra shuffle beyond the
+    * per-query grouping the candidate window already paid for.
+    *
+    * Deterministic: candidates sort (cosine desc, nn_id asc) before the
+    * greedy; argmax ties break the same way. First pick is always the
+    * exact top-1 (empty-S penalty is zero), and the emitted `mmr_score`
+    * sequence is non-increasing in rank (each pick only grows the
+    * penalty every remaining candidate faces) — both pinned by AnnSpec
+    * and the `ann_mmr_topk` contract. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 30,
+              lambda: Double = 0.7,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && m >= k && lambda >= 0.0 && lambda <= 1.0)
+    val c = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)
+    val cands = c.crossJoin(broadcast(q))
+      .where(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"), col("cv"),
+        round(cosine(col("cv"), col("qv")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= m)
+    val sel = udf { (rows: Seq[org.apache.spark.sql.Row], kk: Int, lam: Double) =>
+      val cs = rows.map { r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+      }.sortBy { case (id, _, cos) => (-cos, id) }.toArray
+      def sim(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        val d = math.sqrt(na) * math.sqrt(nb)
+        if (d == 0.0) 0.0 else dot / d
+      }
+      val picked = new scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+      // max similarity to the selected set so far, per remaining candidate
+      val maxSel = Array.fill(cs.length)(0.0)
+      val used = Array.fill(cs.length)(false)
+      var step = 0
+      while (step < math.min(kk, cs.length)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cs.length) {
+          if (!used(i)) {
+            val s = lam * cs(i)._3 - (1 - lam) * (if (step == 0) 0.0 else maxSel(i))
+            // ties: higher raw cosine, then lower id (cs is sorted that way,
+            // so strict > keeps the earliest = highest-cosine/lowest-id)
+            if (s > bestScore) { bestScore = s; best = i }
+          }
+          i += 1
+        }
+        used(best) = true
+        picked += ((cs(best)._1, cs(best)._3, bestScore))
+        var j = 0
+        while (j < cs.length) {
+          if (!used(j)) {
+            val sj = sim(cs(j)._2, cs(best)._2)
+            if (sj > maxSel(j)) maxSel(j) = sj
+          }
+          j += 1
+        }
+        step += 1
+      }
+      picked.toSeq
+    }
+    cands.groupBy("query_id")
+      .agg(collect_list(struct(col("nn_id"), col("cv"), col("cosine"))).as("cands"))
+      .select(col("query_id"),
+        posexplode(sel(col("cands"), lit(k), lit(lambda))).as(Seq("pos", "pick")))
+      .select(col("query_id"),
+        (col("pos") + 1).as("mmr_rank"),
+        col("pick._1").as("nn_id"),
+        col("pick._2").as("cosine"),
+        round(col("pick._3"), 4).as("mmr_score"))
+  }
+
   /** IVF-style ANN: cluster the corpus into `nCells` KMeans cells once
     * (the "coarse quantizer"), assign each corpus vector to its cell, and
     * answer each query by exact-ranking only the `nProbe` cells nearest to

@@ -362,6 +362,35 @@ object LlmQueries {
       Ann.rangeSearch(emb, emb.where("vec_id < 8"), minCosine = 0.25)
     }),
 
+    // MMR diverse top-k: greedy redundancy-penalized re-rank of each
+    // query's exact top-30 (λ=0.7). Greedy state is per-query and
+    // map-side, so the contract pins the structural invariants: exact
+    // query count, k picks each, first pick ≡ exact top-1, and the
+    // non-increasing mmr_score sequence the greedy guarantees.
+    "ann_mmr_topk" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val mmr = Ann.mmrTopK(emb, emb.where("vec_id < 8"),
+        k = 10, m = 30, lambda = 0.7).cache()
+      val nQ = mmr.select("query_id").distinct().count()
+      val kEach = mmr.groupBy("query_id").count()
+        .where(col("count") =!= 10).count() == 0L
+      val top1 = bruteBaseline(s, dir).where(col("rank") === 1)
+        .select(col("query_id"), col("nn_id").as("top1"))
+      val firstOk = mmr.where(col("mmr_rank") === 1)
+        .join(top1, "query_id").where(col("nn_id") =!= col("top1")).count() == 0L
+      val monotone = mmr
+        .withColumn("prev", lag(col("mmr_score"), 1)
+          .over(Window.partitionBy("query_id").orderBy("mmr_rank")))
+        .where(col("prev").isNotNull && col("mmr_score") > col("prev"))
+        .count() == 0L
+      val out = Seq((nQ, kEach, firstOk, monotone))
+        .toDF("n_queries", "k_each", "first_is_top1", "scores_nonincreasing")
+      mmr.unpersist(blocking = false)
+      out
+    }),
+
     // Corpus k-NN graph through the IVF cells (probes equi-joined to cell
     // members — never a corpus broadcast, never all-pairs). Sampled nodes
     // are served exactly like ann_ivf_topk under the shared quantizer, so
@@ -1251,6 +1280,13 @@ object LlmQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
         |  true AS rescore_exact, true AS ranks_valid
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // contract: query count is SQL-exact; the MMR greedy's structural
+    // guarantees (first pick = exact top-1, k picks each, non-increasing
+    // score sequence) surface as invariant booleans
+    "ann_mmr_topk" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS k_each,
+        |  true AS first_is_top1, true AS scores_nonincreasing
+        |FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL""".stripMargin,
     "ann_brute_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),

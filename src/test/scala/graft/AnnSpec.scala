@@ -390,4 +390,49 @@ class AnnSpec extends SparkSpec {
     assert(graph == served,
       s"graph/served divergence: ${graph -- served} / ${served -- graph}")
   }
+
+  test("mmrTopK: hand-computed greedy — the diverse pick beats the redundant one") {
+    // query along e1; corpus: a = exact e1 match, b = duplicate of a,
+    // c = orthogonal along e2. λ=0.4: after picking a, b scores
+    // 0.4·1 − 0.6·sim(a,b)=1 → −0.2, c scores 0.4·0 − 0.6·0 = 0 → c wins
+    // rank 2 despite b's higher raw cosine.
+    val df = Seq(
+      (100L, Seq(1f, 0f)),   // the query
+      (1L, Seq(2f, 0f)),     // a: cos 1.0
+      (2L, Seq(3f, 0f)),     // b: cos 1.0, duplicate direction of a
+      (3L, Seq(0f, 5f))      // c: cos 0.0, orthogonal
+    ).toDF("vec_id", "embedding")
+    val got = Ann.mmrTopK(df.where($"vec_id" =!= 100L), df.where($"vec_id" === 100L),
+        k = 3, m = 3, lambda = 0.4)
+      .orderBy("mmr_rank")
+      .select("mmr_rank", "nn_id", "cosine", "mmr_score")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L)) // a, then diverse c, then b
+    assert(got(0) == ((1, 1L, 1.0, 0.4)))   // first pick: λ·cos, zero penalty
+    assert(got(1) == ((2, 3L, 0.0, 0.0)))   // c: 0.4·0 − 0.6·0
+    assert(got(2) == ((3, 2L, 1.0, -0.2)))  // b: 0.4·1 − 0.6·1
+    // the guaranteed invariant: scores never increase down the ranking
+    assert(got.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("mmrTopK: λ=1 degenerates to the exact top-k (no diversity penalty)") {
+    val emb = Tables.embeddings(spark, sf)
+    val mmr = Ann.mmrTopK(emb, emb.where("vec_id < 4"), k = 5, m = 5, lambda = 1.0)
+      .select($"query_id", $"mmr_rank".as("rank"), $"nn_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val brute = Ann.bruteTopK(emb, emb.where("vec_id < 4"), k = 5)
+      .select($"query_id", $"rank", $"nn_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(mmr == brute)
+  }
+
+  test("mmrTopK: first pick is the exact top-1 at any λ") {
+    val emb = Tables.embeddings(spark, sf)
+    val first = Ann.mmrTopK(emb, emb.where("vec_id < 8"), k = 3, m = 10, lambda = 0.3)
+      .where($"mmr_rank" === 1).select("query_id", "nn_id")
+      .as[(Long, Long)].collect().toSet
+    val top1 = Ann.bruteTopK(emb, emb.where("vec_id < 8"), k = 1)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    assert(first == top1)
+  }
 }
