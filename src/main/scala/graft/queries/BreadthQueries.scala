@@ -143,7 +143,9 @@ object BreadthQueries {
     // explode, then one aggregation exchange. Window starts emit as
     // epoch seconds (timezone-proof across engines).
     "w5_sliding_window" -> ((s, dir) =>
-      Tables.events(s, dir)
+      // null-ts guard is symmetric with the oracle: Spark's window()
+      // silently drops null timestamps, DuckDB's epoch() would group them
+      Tables.events(s, dir).where(col("ts").isNotNull)
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
         // ts is TIMESTAMP_NTZ off the parquet fixture; NTZ has no direct
@@ -338,6 +340,7 @@ object BreadthQueries {
       """SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - k.k * 300 AS w_start_s,
         |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
         |FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS k) k
+        |WHERE ts IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
     "x4_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
