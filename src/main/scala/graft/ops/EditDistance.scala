@@ -38,7 +38,11 @@ import org.apache.spark.sql.functions._
   */
 object EditDistance {
 
-  /** All distinct single-deletion variants of `s`, plus `s` itself. */
+  /** All distinct single-deletion variants of `s`, plus `s` itself.
+    * Deletions step by CODEPOINT, not UTF-16 unit: `levenshtein` counts
+    * codepoints, so a surrogate-pair character (emoji, astral CJK) must
+    * delete as one unit or the k=1 completeness guarantee breaks for
+    * names containing them (pinned by EditDistanceSpec). */
   private val deletionSigs = udf { (s: String) =>
     if (s == null) null
     else {
@@ -46,8 +50,9 @@ object EditDistance {
       out.add(s)
       var i = 0
       while (i < s.length) {
-        out.add(s.substring(0, i) + s.substring(i + 1))
-        i += 1
+        val step = Character.charCount(s.codePointAt(i))
+        out.add(s.substring(0, i) + s.substring(i + step))
+        i += step
       }
       import scala.jdk.CollectionConverters._
       out.asScala.toSeq

@@ -57,6 +57,19 @@ class EditDistanceSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("surrogate-pair characters delete as one codepoint (astral-name completeness)") {
+    // "ok" + U+1F600 (a surrogate PAIR in UTF-16) vs plain "ok": one
+    // codepoint apart. A UTF-16-unit deletion scheme never generates
+    // "ok" from the emoji form and silently loses the pair.
+    val astral = Seq((1L, "ok😀"), (2L, "ok"), (3L, "ok😀"))
+      .toDF("id", "name")
+    val got = EditDistance.selfJoin(astral, "id", "name")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = naive(astral).as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 3L, 0L)))
+  }
+
   test("maxGroup drops hot signature groups (explicit recall trade)") {
     // every name is one deletion from "ab" → the "ab"-derived signatures
     // are hot; capping at 2 must drop some true pairs but never error
