@@ -196,6 +196,84 @@ object Multimodal {
     outDir
   }
 
+  case class AudioMeta(asset_id: Long, sample_rate: Int, channels: Int,
+                       bits_per_sample: Int, n_frames: Long)
+
+  /** Audio analogue of [[ImageCodec]]: same pluggable seam, same
+    * one-decoder-per-partition batch shape. */
+  trait AudioCodec extends Serializable {
+    def partitionDecoder(): (Long, Array[Byte]) => AudioMeta
+  }
+
+  /** REAL audio codec via the JDK's `javax.sound.sampled` registry:
+    * `AudioSystem.getAudioFileFormat` parses the WAV/AIFF/AU HEADER only
+    * (the RIFF/fmt chunk — sample rate, channel count, sample width,
+    * frame length) without touching sample data, so per-asset cost is a
+    * few dozen bytes however long the recording is — the same cost model
+    * as [[ImageIoCodec]]. Unparseable or null payloads degrade to zeros
+    * rather than failing the batch (poison-asset rule). */
+  object JavaSoundCodec extends AudioCodec {
+    def partitionDecoder(): (Long, Array[Byte]) => AudioMeta =
+      (id, bytes) => {
+        if (bytes == null || bytes.length == 0) AudioMeta(id, 0, 0, 0, 0L)
+        else try {
+          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes))
+          val f = aff.getFormat
+          AudioMeta(id, f.getSampleRate.toInt, f.getChannels,
+            f.getSampleSizeInBits, aff.getFrameLength.toLong)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException => AudioMeta(id, 0, 0, 0, 0L)
+        }
+      }
+  }
+
+  /** Decode audio metadata with `codec` (default: the real JDK header
+    * parser); mapPartitions for the per-partition codec-instantiation
+    * contract shared with [[decodeImageMeta]]. */
+  def decodeAudioMeta(spark: SparkSession, assets: DataFrame,
+                      codec: AudioCodec = JavaSoundCodec): Dataset[AudioMeta] = {
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decode = codec.partitionDecoder()
+        it.map { case (id, bytes) => decode(id, bytes) }
+      }
+  }
+
+  /** Stage a SMALL sample of REAL PCM WAV files (`<id>.wav`) — the fixture
+    * harness for [[decodeAudioMeta]], mirroring [[stageImageFiles]]. Every
+    * audio property derives deterministically from the id so an oracle can
+    * predict the decode output without touching the bytes:
+    * sampleRate = 8000 + (id % 8) · 1000, channels = 1 + id % 2,
+    * bits = 8 for odd ids / 16 for even, frames = 100 + id % 50. Written
+    * with the same `javax.sound.sampled` registry the decoder reads with.
+    * Driver-side and bounded by design: this creates a test fixture. */
+  def stageWavFiles(docs: DataFrame, outDir: String,
+                    idCol: String = "doc_id"): String = {
+    import java.nio.file.{Files, Paths}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    graft.io.IO.deletePath(outDir)
+    Files.createDirectories(Paths.get(outDir))
+    docs.select(col(idCol).cast("long")).collect().foreach { r =>
+      val id = r.getLong(0)
+      val rate = 8000f + (id % 8).toInt * 1000f
+      val channels = 1 + (id % 2).toInt
+      val bits = if (id % 2 == 1) 8 else 16
+      val frames = 100 + (id % 50).toInt
+      val fmt = new AudioFormat(rate, bits, channels, bits == 16, false)
+      val bytesPerFrame = channels * bits / 8
+      val pcm = Array.tabulate(frames * bytesPerFrame)(i =>
+        ((id * 2654435761L + i * 31) & 0xff).toByte)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE,
+        Paths.get(outDir, s"$id.wav").toFile)
+    }
+    outDir
+  }
+
   /** The real multimodal ingestion path: Spark's built-in `binaryFile`
     * source reads whole files as rows of (path, modificationTime, length,
     * content) — images/audio/video land in the engine as binary columns

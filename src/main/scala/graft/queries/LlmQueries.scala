@@ -783,6 +783,20 @@ object LlmQueries {
       Multimodal.decodeImageMeta(s, assets).toDF()
     }),
 
+    // Multimodal AUDIO: sample rate / channels / sample width / frame
+    // count parsed from REAL PCM WAV headers by the JDK's javax.sound
+    // registry (no sample-data decode). Every property derives from the
+    // id, so the whole decode output is a full-value oracle.
+    "mm_audio_decode" -> ((s, dir) => {
+      val staged = Multimodal.stageWavFiles(
+        Tables.documents(s, dir).where("doc_id < 50"),
+        s"/root/repo/target/qtmp/mm_audio_${Integer.toHexString(dir.hashCode)}")
+      val assets = Multimodal.readBinaryAssets(s, staged)
+        .select(regexp_extract(col("path"), "(\\d+)\\.wav$", 1)
+          .cast("long").as("asset_id"), col("content"))
+      Multimodal.decodeAudioMeta(s, assets).toDF()
+    }),
+
     // Multimodal: file-level ingest through the built-in binaryFile source
     // (how media actually enters the engine — whole files as binary rows).
     // A small doc sample stages as one payload file each; the read-back's
@@ -1690,6 +1704,17 @@ object LlmQueries {
         |  CAST(8 + doc_id % 24 AS INT) AS width,
         |  CAST(8 + doc_id % 17 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 5 <> 0 AND doc_id % 2 = 1 THEN 1 ELSE 3 END AS INT) AS channels
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+    // full-value: the staged WAVs' audio format derives from the id
+    // (rate = 8000 + id%8·1000, channels = 1 + id%2, 8-bit odd / 16-bit
+    // even, frames = 100 + id%50), so the REAL javax.sound header parse
+    // is SQL-predictable without touching the bytes
+    "mm_audio_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 16 END AS INT) AS bits_per_sample,
+        |  CAST(100 + doc_id % 50 AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id < 50""".stripMargin,
     // frame spans are floor(n/frames) bytes each (Spark's double division
     // + int cast truncates; DuckDB mirrors with floor())

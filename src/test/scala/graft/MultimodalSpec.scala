@@ -131,4 +131,48 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_len").as[Int].collect()
     assert(lens.distinct.length == 1) // equal spans
   }
+
+  test("JavaSoundCodec: a known WAV header parses to its real format") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // hand-built 44.1 kHz stereo 16-bit little-endian PCM, 200 frames
+    val fmt = new AudioFormat(44100f, 16, 2, true, false)
+    val pcm = Array.fill[Byte](200 * 4)(42)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 200L),
+      AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((7L, bos.toByteArray)).toDF("asset_id", "content")
+    val got = Multimodal.decodeAudioMeta(spark, df).collect().head
+    assert(got == Multimodal.AudioMeta(7L, 44100, 2, 16, 200L))
+  }
+
+  test("JavaSoundCodec: poison and null payloads degrade to zeros, not failures") {
+    val df = Seq(
+      (1L, "definitely not audio".getBytes("UTF-8")),
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array.empty[Byte])).toDF("asset_id", "content")
+    val got = Multimodal.decodeAudioMeta(spark, df).collect()
+      .map(m => m.asset_id -> m).toMap
+    assert(got.values.forall(m =>
+      m.sample_rate == 0 && m.channels == 0 && m.bits_per_sample == 0 && m.n_frames == 0L))
+    assert(got.size == 3)
+  }
+
+  test("stageWavFiles: staged real WAVs decode to the id-derived contract") {
+    val docs = Seq(10L, 11L, 12L, 13L).toDF("doc_id")
+    val dir = Multimodal.stageWavFiles(docs, "target/qtmp/spec_wavs")
+    val assets = Multimodal.readBinaryAssets(spark, dir)
+      .select(regexp_extract($"path", "(\\d+)\\.wav$", 1).cast("long").as("asset_id"),
+        $"content")
+    val got = Multimodal.decodeAudioMeta(spark, assets).collect()
+      .map(m => m.asset_id -> m).toMap
+    assert(got.size == 4)
+    for (id <- 10L to 13L) {
+      val m = got(id)
+      assert(m.sample_rate == 8000 + (id % 8) * 1000)
+      assert(m.channels == 1 + (id % 2).toInt)
+      assert(m.bits_per_sample == (if (id % 2 == 1) 8 else 16))
+      assert(m.n_frames == 100 + id % 50)
+    }
+  }
 }
