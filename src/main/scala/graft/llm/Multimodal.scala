@@ -274,6 +274,171 @@ object Multimodal {
     outDir
   }
 
+  case class VideoMeta(asset_id: Long, duration_ms: Long, width: Int,
+                       height: Int, n_tracks: Int)
+
+  /** Video analogue of [[ImageCodec]]/[[AudioCodec]]: same pluggable seam,
+    * same per-partition batch shape. */
+  trait VideoCodec extends Serializable {
+    def partitionDecoder(): (Long, Array[Byte]) => VideoMeta
+  }
+
+  /** REAL MP4 (ISO BMFF, ISO/IEC 14496-12) container parser: walks the
+    * box tree (size+fourcc headers, 64-bit `largesize` supported) to
+    * `moov`, reads duration/timescale from `mvhd` (version 0 and 1
+    * layouts) and the presentation width/height from the first `trak`'s
+    * `tkhd` (16.16 fixed point), counting tracks on the way. HEADER-ONLY
+    * by construction — `mdat` (the sample data, ~all of a real file's
+    * bytes) is skipped via its size field without being read, the same
+    * cost model as the image/audio codecs. The JDK ships no MP4 reader,
+    * so the box walk is implemented here from the public spec layout;
+    * malformed or non-MP4 payloads degrade to zeros (poison-asset rule). */
+  object Mp4Codec extends VideoCodec {
+    def partitionDecoder(): (Long, Array[Byte]) => VideoMeta = parse
+
+    private def parse(id: Long, bytes: Array[Byte]): VideoMeta = {
+      if (bytes == null || bytes.length < 8) return VideoMeta(id, 0L, 0, 0, 0)
+      try {
+        val bb = java.nio.ByteBuffer.wrap(bytes) // ISO BMFF is big-endian
+        var durMs = 0L; var w = 0; var h = 0; var tracks = 0
+        // children of [start, end): invoke f(fourcc, bodyStart, boxEnd)
+        def boxes(start: Int, end: Int, f: (String, Int, Int) => Unit): Unit = {
+          var p = start
+          var ok = true
+          while (ok && p + 8 <= end) {
+            val size32 = bb.getInt(p)
+            val typ = new String(bytes, p + 4, 4, "ISO-8859-1")
+            val (hdr, boxSize) =
+              if (size32 == 1 && p + 16 <= end) (16, bb.getLong(p + 8))
+              else (8, size32.toLong & 0xffffffffL)
+            if (boxSize < hdr || p + boxSize > end) ok = false
+            else {
+              f(typ, p + hdr, p + boxSize.toInt)
+              p += boxSize.toInt
+            }
+          }
+        }
+        boxes(0, bytes.length, {
+          case ("moov", ms, me) => boxes(ms, me, {
+            case ("mvhd", s, _) =>
+              val v = bytes(s) & 0xff
+              if (v == 1) {
+                val ts = bb.getInt(s + 20)
+                if (ts > 0) durMs = bb.getLong(s + 24) * 1000L / ts
+              } else {
+                val ts = bb.getInt(s + 12)
+                if (ts > 0)
+                  durMs = (bb.getInt(s + 16).toLong & 0xffffffffL) * 1000L / ts
+              }
+            case ("trak", s, e) =>
+              tracks += 1
+              boxes(s, e, {
+                case ("tkhd", ks, _) =>
+                  val v = bytes(ks) & 0xff
+                  // v0: ver/flags 4 + times 4+4 + id 4 + res 4 + dur 4
+                  //   + res 8 + layer/alt/volume/res 8 + matrix 36 = 76
+                  // v1: 8-byte times and duration = 88
+                  val at = ks + (if (v == 1) 88 else 76)
+                  if (w == 0) { // first track with real presentation size
+                    w = bb.getInt(at) >>> 16      // 16.16 fixed point
+                    h = bb.getInt(at + 4) >>> 16
+                  }
+                case _ => ()
+              })
+            case _ => ()
+          })
+          case _ => ()
+        })
+        VideoMeta(id, durMs, w, h, tracks)
+      } catch {
+        case _: IndexOutOfBoundsException | _: NegativeArraySizeException =>
+          VideoMeta(id, 0L, 0, 0, 0)
+      }
+    }
+  }
+
+  /** Decode video container metadata with `codec` (default: the BMFF box
+    * parser); same per-partition contract as the other modalities. */
+  def decodeVideoMeta(spark: SparkSession, assets: DataFrame,
+                      codec: VideoCodec = Mp4Codec): Dataset[VideoMeta] = {
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decode = codec.partitionDecoder()
+        it.map { case (id, bytes) => decode(id, bytes) }
+      }
+  }
+
+  /** Stage a SMALL sample of minimal-but-valid MP4 files (`<id>.mp4`) —
+    * ftyp + moov(mvhd + trak(tkhd)) + an mdat payload, laid out per the
+    * public ISO/IEC 14496-12 box structure (the JDK ships no MP4 writer,
+    * so the boxes are assembled field by field). Properties derive from
+    * the id: duration_ms = 1000 + (id % 60) · 500, width = 16 + (id % 32)
+    * · 2, height = 16 + (id % 18) · 2, one track. Driver-side and bounded
+    * by design: this creates a test fixture. */
+  def stageMp4Files(docs: DataFrame, outDir: String,
+                    idCol: String = "doc_id"): String = {
+    import java.nio.ByteBuffer
+    import java.nio.file.{Files, Paths}
+    graft.io.IO.deletePath(outDir)
+    Files.createDirectories(Paths.get(outDir))
+    docs.select(col(idCol).cast("long")).collect().foreach { r =>
+      val id = r.getLong(0)
+      val durMs = 1000L + (id % 60) * 500L
+      val w = 16 + (id % 32).toInt * 2
+      val h = 16 + (id % 18).toInt * 2
+      def box(typ: String, body: Array[Byte]): Array[Byte] = {
+        val out = ByteBuffer.allocate(8 + body.length)
+        out.putInt(8 + body.length).put(typ.getBytes("ISO-8859-1")).put(body)
+        out.array()
+      }
+      val unityMatrix = {
+        val m = ByteBuffer.allocate(36)
+        m.putInt(0x00010000).putInt(0).putInt(0)
+        m.putInt(0).putInt(0x00010000).putInt(0)
+        m.putInt(0).putInt(0).putInt(0x40000000)
+        m.array()
+      }
+      val mvhd = { // version 0 body: timescale 1000 → duration == durMs
+        val b = ByteBuffer.allocate(100)
+        b.putInt(0)                  // version + flags
+        b.putInt(0).putInt(0)        // creation / modification
+        b.putInt(1000)               // timescale
+        b.putInt(durMs.toInt)        // duration (in timescale units)
+        b.putInt(0x00010000)         // rate 1.0
+        b.putShort(0x0100.toShort)   // volume 1.0
+        b.putShort(0)                // reserved
+        b.putLong(0)                 // reserved
+        b.put(unityMatrix)
+        b.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // pre_defined
+        b.putInt(2)                  // next_track_ID
+        box("mvhd", b.array())
+      }
+      val tkhd = { // version 0 body
+        val b = ByteBuffer.allocate(84)
+        b.putInt(0x00000007)         // version + flags (enabled|in-movie|in-preview)
+        b.putInt(0).putInt(0)        // creation / modification
+        b.putInt(1)                  // track_ID
+        b.putInt(0)                  // reserved
+        b.putInt(durMs.toInt)        // duration
+        b.putLong(0)                 // reserved
+        b.putShort(0).putShort(0)    // layer, alternate_group
+        b.putShort(0).putShort(0)    // volume (video track: 0), reserved
+        b.put(unityMatrix)
+        b.putInt(w << 16)            // width, 16.16
+        b.putInt(h << 16)            // height, 16.16
+        box("tkhd", b.array())
+      }
+      val ftyp = box("ftyp",
+        ByteBuffer.allocate(8).put("isom".getBytes("ISO-8859-1")).putInt(0).array())
+      val moov = box("moov", mvhd ++ box("trak", tkhd))
+      val mdat = box("mdat",
+        Array.tabulate(64)(i => ((id * 2654435761L + i * 131) & 0xff).toByte))
+      Files.write(Paths.get(outDir, s"$id.mp4"), ftyp ++ moov ++ mdat)
+    }
+    outDir
+  }
+
   /** The real multimodal ingestion path: Spark's built-in `binaryFile`
     * source reads whole files as rows of (path, modificationTime, length,
     * content) — images/audio/video land in the engine as binary columns

@@ -797,6 +797,20 @@ object LlmQueries {
       Multimodal.decodeAudioMeta(s, assets).toDF()
     }),
 
+    // Multimodal VIDEO: duration / presentation size / track count parsed
+    // from REAL MP4 (ISO BMFF) box headers — mdat is skipped by size, the
+    // header-only cost model. Every property derives from the id, so the
+    // whole decode output is a full-value oracle.
+    "mm_video_decode" -> ((s, dir) => {
+      val staged = Multimodal.stageMp4Files(
+        Tables.documents(s, dir).where("doc_id < 50"),
+        s"/root/repo/target/qtmp/mm_video_${Integer.toHexString(dir.hashCode)}")
+      val assets = Multimodal.readBinaryAssets(s, staged)
+        .select(regexp_extract(col("path"), "(\\d+)\\.mp4$", 1)
+          .cast("long").as("asset_id"), col("content"))
+      Multimodal.decodeVideoMeta(s, assets).toDF()
+    }),
+
     // Multimodal: file-level ingest through the built-in binaryFile source
     // (how media actually enters the engine — whole files as binary rows).
     // A small doc sample stages as one payload file each; the read-back's
@@ -1715,6 +1729,17 @@ object LlmQueries {
         |  CAST(1 + doc_id % 2 AS INT) AS channels,
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 16 END AS INT) AS bits_per_sample,
         |  CAST(100 + doc_id % 50 AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+    // full-value: the staged MP4s' container fields derive from the id
+    // (duration_ms = 1000 + id%60·500, width = 16 + id%32·2,
+    // height = 16 + id%18·2, one track), so the REAL BMFF box walk is
+    // SQL-predictable without touching the bytes
+    "mm_video_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(1000 + (doc_id % 60) * 500 AS BIGINT) AS duration_ms,
+        |  CAST(16 + (doc_id % 32) * 2 AS INT) AS width,
+        |  CAST(16 + (doc_id % 18) * 2 AS INT) AS height,
+        |  CAST(1 AS INT) AS n_tracks
         |FROM documents WHERE doc_id < 50""".stripMargin,
     // frame spans are floor(n/frames) bytes each (Spark's double division
     // + int cast truncates; DuckDB mirrors with floor())

@@ -24,6 +24,15 @@ object StreamQueries {
       out
     }),
 
+    // Watermarked SLIDING-window aggregation (10-min width, 5-min slide)
+    // — the streaming counterpart of the batch w5_sliding_window, sharing
+    // its epoch-seconds oracle shape.
+    "st_sliding_counts" -> ((s, dir) => {
+      EventStreams.runToBatch(
+        EventStreams.slidingCounts(EventStreams.readEventStream(s, dir)),
+        s"st_sliding_counts_${runId.incrementAndGet()}", complete = true)
+    }),
+
     // Streaming dedup on (event_id, ts) within the watermark horizon.
     "st_dedup" -> ((s, dir) => {
       EventStreams.runToBatch(
@@ -219,6 +228,12 @@ object StreamQueries {
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "st_sliding_counts" ->
+      """SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - k.k * 300 AS w_start_s,
+        |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+        |FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS k) k
+        |WHERE ts IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "st_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
     "st_dedup_wm" ->

@@ -90,6 +90,22 @@ object EventStreams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** SLIDING-window counts per event type, watermarked: each event lands
+    * in width/slide windows (the built-in generator expands them
+    * scan-side), state is one aggregate row per open (window, type) —
+    * width/slide × more windows than tumbling, the standard trade for
+    * smoother trend curves. Window starts emit as epoch seconds (the
+    * timezone-proof form the batch `w5_sliding_window` oracle shares). */
+  def slidingCounts(events: DataFrame, windowLen: String = "10 minutes",
+                    slide: String = "5 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").cast("timestamp").cast("long").as("w_start_s"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Streaming dedup on event_id within the watermark horizon. */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")

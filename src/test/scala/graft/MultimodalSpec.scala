@@ -158,6 +158,73 @@ class MultimodalSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("Mp4Codec: staged MP4 parses to its id-derived container fields") {
+    val dir = Multimodal.stageMp4Files(Seq(5L, 6L).toDF("doc_id"),
+      "target/qtmp/spec_mp4")
+    val assets = Multimodal.readBinaryAssets(spark, dir)
+      .select(regexp_extract($"path", "(\\d+)\\.mp4$", 1).cast("long").as("asset_id"),
+        $"content")
+    val got = Multimodal.decodeVideoMeta(spark, assets).collect()
+      .map(m => m.asset_id -> m).toMap
+    assert(got(5L) == Multimodal.VideoMeta(5L, 1000 + 5 * 500, 16 + 10, 16 + 10, 1))
+    assert(got(6L) == Multimodal.VideoMeta(6L, 1000 + 6 * 500, 16 + 12, 16 + 12, 1))
+  }
+
+  test("Mp4Codec: version-1 boxes and 64-bit largesize parse; poison degrades") {
+    import java.nio.ByteBuffer
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(typ.getBytes("ISO-8859-1")).put(body)
+      b.array()
+    }
+    // mvhd VERSION 1: 8-byte times/duration, timescale 90000 (broadcast
+    // convention), duration 90000*7 → 7000 ms
+    val mvhd1 = {
+      val b = ByteBuffer.allocate(112)
+      b.putInt(0x01000000)           // version 1
+      b.putLong(0).putLong(0)        // 64-bit creation/modification
+      b.putInt(90000)                // timescale
+      b.putLong(90000L * 7)          // 64-bit duration
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      b.putLong(0)
+      b.put(new Array[Byte](36))     // matrix (content unused by parser)
+      b.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.putInt(2)
+      box("mvhd", b.array())
+    }
+    // tkhd VERSION 1 (88-byte offset to the 16.16 dims)
+    val tkhd1 = {
+      val b = ByteBuffer.allocate(96)
+      b.putInt(0x01000007)
+      b.putLong(0).putLong(0)        // 64-bit times
+      b.putInt(1).putInt(0)
+      b.putLong(90000L * 7)          // 64-bit duration
+      b.putLong(0)
+      b.putShort(0).putShort(0).putShort(0).putShort(0)
+      b.put(new Array[Byte](36))
+      b.putInt(320 << 16).putInt(240 << 16)
+      box("tkhd", b.array())
+    }
+    val moovBody = mvhd1 ++ box("trak", tkhd1)
+    // moov wrapped with a 64-bit largesize header (size32 == 1)
+    val moovLarge = {
+      val b = ByteBuffer.allocate(16 + moovBody.length)
+      b.putInt(1).put("moov".getBytes("ISO-8859-1"))
+        .putLong(16L + moovBody.length).put(moovBody)
+      b.array()
+    }
+    val mp4 = box("ftyp",
+      ByteBuffer.allocate(8).put("isom".getBytes("ISO-8859-1")).putInt(0).array()) ++
+      moovLarge
+    val df = Seq((1L, mp4), (2L, "not a container".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("asset_id", "content")
+    val got = Multimodal.decodeVideoMeta(spark, df).collect()
+      .map(m => m.asset_id -> m).toMap
+    assert(got(1L) == Multimodal.VideoMeta(1L, 7000L, 320, 240, 1))
+    assert(got(2L) == Multimodal.VideoMeta(2L, 0L, 0, 0, 0))
+    assert(got(3L) == Multimodal.VideoMeta(3L, 0L, 0, 0, 0))
+  }
+
   test("stageWavFiles: staged real WAVs decode to the id-derived contract") {
     val docs = Seq(10L, 11L, 12L, 13L).toDF("doc_id")
     val dir = Multimodal.stageWavFiles(docs, "target/qtmp/spec_wavs")
