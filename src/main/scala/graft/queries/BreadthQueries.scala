@@ -117,6 +117,15 @@ object BreadthQueries {
       graft.ops.EditDistance.selfJoin(
         Tables.customer(s, dir), "c_custkey", "c_name")),
 
+    // J10 — sorted-neighborhood blocking (the classic ER candidate
+    // generator when a meaningful sort key exists): global positions via
+    // the scalable range-partition + offset rank (NO single-partition
+    // window), pairs within the w=4 window via a position-bucket
+    // equi-join. Full-value oracle against the naive global row_number.
+    "j10_sorted_neighborhood" -> ((s, dir) =>
+      graft.ops.Rank.sortedNeighborhoodPairs(
+        Tables.customer(s, dir), "c_custkey", "c_name", w = 4)),
+
     // W4 — SCD Type-2 history build (gaps-and-islands): each customer's
     // order-status change log collapses to validity intervals. Every
     // window and the run-collapsing aggregate key on o_custkey, so the
@@ -313,6 +322,14 @@ object BreadthQueries {
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // full-value: the naive global row_number formulation — the engine's
+    // range-partitioned rank + bucket join must reproduce it exactly
+    "j10_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_custkey AS id,
+        |             row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+        |           FROM customer)
+        |SELECT a.id AS idA, b.id AS idB, CAST(b.rn - a.rn AS BIGINT) AS gap
+        |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3""".stripMargin,
     // full-value: the identical gaps-and-islands pipeline in DuckDB terms
     // (lag change flags -> running-sum islands -> run collapse -> lead)
     "w4_scd2" ->

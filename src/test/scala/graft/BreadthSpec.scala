@@ -189,4 +189,36 @@ class BreadthSpec extends SparkSpec {
 
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(s + ":00")
+
+  test("globalRowNumber: equals the naive global window, without the 1-partition stage") {
+    val df = Tables.customer(spark, sf).select($"c_custkey".as("id"), $"c_name".as("k"))
+    val got = graft.ops.Rank.globalRowNumber(df, Seq("k", "id"), nPartitions = 7)
+    // no Window at all (positions decode from monotonically_increasing_id)
+    // and exactly ONE exchange — the range partition; a keyed-window
+    // formulation would add a second full hash shuffle on the pid
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window crept into the rank:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1, s"extra shuffle:\n$plan")
+    // and the ranks must equal the single-partition formulation exactly
+    val naive = df.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy($"k", $"id")).cast("long"))
+    assert(got.select("id", "rn").except(naive.select("id", "rn")).count() == 0)
+    assert(naive.select("id", "rn").except(got.select("id", "rn")).count() == 0)
+  }
+
+  test("sortedNeighborhood pairs equal the naive window-of-w formulation") {
+    val pairs = SparkEntry.queries("j10_sorted_neighborhood")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val ranked = Tables.customer(spark, sf)
+      .select($"c_custkey".as("id"), $"c_name".as("k"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"k", $"id")).cast("long"))
+    val a = ranked.select($"id".as("idA"), $"rn".as("rnA"))
+    val b = ranked.select($"id".as("idB"), $"rn".as("rnB"))
+    val naive = a.crossJoin(b)
+      .where(($"rnB" - $"rnA").between(1, 3))
+      .select($"idA", $"idB", ($"rnB" - $"rnA").as("gap"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == naive && naive.nonEmpty)
+  }
 }
