@@ -477,6 +477,37 @@ object MatchQueries {
           "scores_in_unit_interval")
     }),
 
+    // Active-learning candidate selection (beyond-reference ER workflow):
+    // the 100 candidate pairs the model is LEAST sure about
+    // (|score − 0.5| smallest) — the batch a human labeler reviews next,
+    // the standard uncertainty-sampling loop for improving a matcher.
+    // TakeOrdered over the scored frame (no global sort); rides the
+    // memoized feature stage + trained model. Scores are model state, so
+    // the contract pins the structure: exactly 100 picks, probabilities
+    // valid, uncertainty non-decreasing, never above the 0.5 ceiling.
+    "er_uncertainty" -> ((s, dir) => {
+      import s.implicits._
+      val st = featureStage(s, dir)
+      val (model, labeled) = trainedMatcher(s, dir)
+      val picked = EntityResolution.scoreAll(st.feats,
+          labeled.select("idA", "idB"), model)
+        .withColumn("uncertainty", abs(col("match_score") - 0.5))
+        .orderBy(col("uncertainty").asc, col("idA"), col("idB"))
+        .limit(100).cache()
+      val n = picked.count()
+      val scoresBad = picked
+        .where(col("match_score") < 0.0 || col("match_score") > 1.0).count()
+      val u = picked.orderBy(col("uncertainty").asc, col("idA"), col("idB"))
+        .select("uncertainty").as[Double].collect() // bounded: 100 rows
+      val out = Seq((n, scoresBad == 0L,
+          u.length < 2 || u.sliding(2).forall(p => p(0) <= p(1)),
+          u.forall(_ <= 0.5)))
+        .toDF("n_selected", "scores_in_unit_interval",
+          "uncertainty_sorted", "uncertainty_le_half")
+      picked.unpersist(blocking = false)
+      out
+    }),
+
     // The reference's full inference loop (`03:455-579`): featurize
     // new/updated rows with FITTED pipelines, MERGE into the parquet
     // feature store (S5), re-block vs stored features, score, rank —
@@ -535,6 +566,12 @@ object MatchQueries {
     "x2_model_score" ->
       """SELECT true AS scored_all_candidates_capped, true AS capped_at_500,
         |  true AS scores_in_unit_interval""".stripMargin,
+    // contract: the selection size is fixed by construction (candidate
+    // sets far exceed 100 at every fixture SF); the uncertainty-sampling
+    // invariants surface as booleans
+    "er_uncertainty" ->
+      """SELECT CAST(100 AS BIGINT) AS n_selected, true AS scores_in_unit_interval,
+        |  true AS uncertainty_sorted, true AS uncertainty_le_half""".stripMargin,
     "m2_stratified_split" ->
       s"""WITH ${Fixtures.labeledCte}
          |SELECT CAST(count(*) AS BIGINT) AS total_rows,
