@@ -51,7 +51,9 @@ object Plans {
     "tx_normalize" -> "normalization is ONE codegen projection (native NFC expression + regex chain) — zero shuffle, zero UDF",
     "dd_segment" -> "segment dedup: window keyed on segment text + one doc-keyed reassembly agg — two linear exchanges, no cartesian",
     "dd_semantic_decontam" -> "semantic decontam: benchmark side broadcasts; corpus screened map-side through the codegen cosine kernel",
-    "j9_edit_join" -> "edit-distance join: deletion-neighborhood EQUI-join on an 8-byte signature hash — never an all-pairs theta join")
+    "j9_edit_join" -> "edit-distance join: deletion-neighborhood EQUI-join on an 8-byte signature hash — never an all-pairs theta join",
+    "j10_sorted_neighborhood" -> "sorted-neighborhood blocking: ONE range exchange for the global rank (positions decode from monotonically_increasing_id — zero Window nodes), pairs via a position-bucket equi-join",
+    "w4_scd2" -> "SCD2 history: every window and the run collapse key on the entity — the whole build is ONE hash exchange")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
