@@ -123,8 +123,13 @@ object BreadthQueries {
     // window), pairs within the w=4 window via a position-bucket
     // equi-join. Full-value oracle against the naive global row_number.
     "j10_sorted_neighborhood" -> ((s, dir) =>
+      // null-key guard is symmetric with the oracle: Spark sorts NULLS
+      // FIRST, DuckDB NULLS LAST — a null name would silently shift every
+      // rank between engines (and a null blocking key is meaningless for
+      // SNM anyway)
       graft.ops.Rank.sortedNeighborhoodPairs(
-        Tables.customer(s, dir), "c_custkey", "c_name", w = 4)),
+        Tables.customer(s, dir).where(col("c_name").isNotNull),
+        "c_custkey", "c_name", w = 4)),
 
     // W4 — SCD Type-2 history build (gaps-and-islands): each customer's
     // order-status change log collapses to validity intervals. Every
@@ -327,7 +332,7 @@ object BreadthQueries {
     "j10_sorted_neighborhood" ->
       """WITH r AS (SELECT c_custkey AS id,
         |             row_number() OVER (ORDER BY c_name, c_custkey) AS rn
-        |           FROM customer)
+        |           FROM customer WHERE c_name IS NOT NULL)
         |SELECT a.id AS idA, b.id AS idB, CAST(b.rn - a.rn AS BIGINT) AS gap
         |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3""".stripMargin,
     // full-value: the identical gaps-and-islands pipeline in DuckDB terms
