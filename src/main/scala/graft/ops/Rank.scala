@@ -52,10 +52,13 @@ object Rank {
       var acc = 0L
       counts.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
     }
-    val offsetOf = udf((pid: Long) => cum.getOrElse(pid, 0L))
+    // offsets as a MAP LITERAL, not a UDF: element_at stays inside
+    // whole-stage codegen, so the rank projection never leaves the
+    // generated loop (a UDF here would box every row for one lookup)
+    val offsets = typedLit(cum)
     indexed
       .withColumn("rn",
-        offsetOf(shiftright(col("_mid"), 33))
+        coalesce(element_at(offsets, shiftright(col("_mid"), 33)), lit(0L))
           + (col("_mid").bitwiseAND(lit((1L << 33) - 1))) + 1L)
       .drop("_mid")
   }
