@@ -20,5 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "sq_dist takes exactly 2 arguments")
         SqDist(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(children.head)
+      }))
   }
 }

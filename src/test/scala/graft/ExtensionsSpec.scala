@@ -26,6 +26,10 @@ class ExtensionsSpec extends AnyFunSuite {
         .createOrReplaceTempView("ext_t")
       val d = spark.sql("SELECT sq_dist(a, b) FROM ext_t").as[Double].head()
       assert(d == 25.0)
+      // nfc_normalize installs through the same extension point:
+      // decomposed e+combining-acute in, precomposed e-acute out
+      val n = spark.sql("SELECT nfc_normalize('cafe\u0301')").as[String].head()
+      assert(n == "caf\u00e9")
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)
