@@ -29,6 +29,34 @@ import org.apache.spark.sql.functions._
   */
 object History {
 
+  /** Batch sessionization — the gaps-and-islands sibling of [[scd2]]: a
+    * new session starts when the gap to the key's previous event exceeds
+    * `gapSeconds`. Same single-exchange shape (all windows and the
+    * session collapse key on the entity); the streaming engine's
+    * stateful counterpart lives in `streaming.EventStreams.sessionize`.
+    * Returns one row per session: start, end, event count. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val ordered = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    df
+      .withColumn("_prev", lag(col(tsCol), 1).over(ordered))
+      .withColumn("_new",
+        // gap compare in exact integer MICROSECONDS (the fixtures carry
+        // sub-second event times; truncating to seconds would flip
+        // boundary gaps against any exact-arithmetic oracle). The
+        // timestamp hop makes TIMESTAMP_NTZ inputs unix_micros-able and
+        // is a no-op for LTZ.
+        when(col("_prev").isNull ||
+          unix_micros(col(tsCol).cast("timestamp"))
+            - unix_micros(col("_prev").cast("timestamp")) > gapSeconds * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session", sum(col("_new")).over(ordered))
+      .groupBy(col(keyCol), col("session"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   def scd2(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
            valueCol: String): DataFrame = {
     val byKey = Window.partitionBy(keyCol)

@@ -167,6 +167,40 @@ object BreadthQueries {
         .select(col("window.start").cast("timestamp").cast("long").as("w_start_s"),
           col("event_type"), col("n"), col("total_value"))),
 
+    // W6 — BATCH sessionization (gaps-and-islands, 30-min gap): the
+    // offline counterpart of the streaming st_sessionize family, one
+    // key exchange for the whole build. Gap compare runs in exact
+    // integer microseconds (the fixture carries sub-second times).
+    "w6_sessionize_batch" -> ((s, dir) =>
+      graft.ops.History.sessionize(
+          Tables.events(s, dir).where(col("ts").isNotNull)
+            .select("user_id", "event_id", "ts"),
+          keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+          gapSeconds = 1800L)
+        .withColumn("session", col("session").cast("long"))),
+
+    // A14 — approximate heavy hitters (`freqItems`, the FP-growth-free
+    // single-pass sketch): bounded state through one scan, with the
+    // published guarantee that every TRUE heavy hitter above the support
+    // threshold appears in the result (false positives allowed — the
+    // exact check is the affordable post-filter). Contract: the exact
+    // heavy-hitter count is SQL-computable; the no-false-negative
+    // guarantee surfaces as a boolean.
+    "a14_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val orders = Tables.orders(s, dir)
+      val n = orders.count()
+      // exact heavy hitters: priorities covering > 15% of orders
+      val exact = orders.groupBy("o_orderpriority").count()
+        .where(col("count") > n * 0.15)
+        .select("o_orderpriority").as[String].collect().toSet
+      val sketched = orders.stat.freqItems(Seq("o_orderpriority"), 0.15)
+        .select(col("o_orderpriority_freqItems"))
+        .as[Seq[String]].head().toSet
+      Seq((exact.size.toLong, exact.subsetOf(sketched)))
+        .toDF("n_exact_heavy", "no_false_negatives")
+    }),
+
     // X4 — correlated EXISTS / NOT EXISTS subqueries (decorrelated by
     // Catalyst into semi/anti joins — asserted in BreadthSpec).
     "x4_exists_subquery" -> ((s, dir) => {
@@ -364,6 +398,29 @@ object BreadthQueries {
         |FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS k) k
         |WHERE ts IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // full-value: the identical lag/flag/cumsum/collapse pipeline with
+    // exact epoch_us microsecond arithmetic
+    "w6_sessionize_batch" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT *, CASE WHEN prev IS NULL
+        |        OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000
+        |        THEN 1 ELSE 0 END AS nw FROM o),
+        |i AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session
+        |      FROM f)
+        |SELECT user_id, CAST(session AS BIGINT) AS session,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM i GROUP BY user_id, session""".stripMargin,
+    // contract: the exact heavy-hitter count is SQL-computable; the
+    // sketch's no-false-negative guarantee surfaces as a boolean
+    "a14_heavy_hitters" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact_heavy, true AS no_false_negatives
+        |FROM (SELECT o_orderpriority FROM orders GROUP BY o_orderpriority
+        |      HAVING count(*) > (SELECT count(*) FROM orders) * 0.15)""".stripMargin,
     "x4_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

@@ -190,6 +190,21 @@ class BreadthSpec extends SparkSpec {
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(s + ":00")
 
+  test("batch sessionize: exact-gap boundary, per-key isolation, counts") {
+    // gap = 60 s. key 1: events at 0 s, 60 s (EXACTLY the gap — same
+    // session, > is strict), 121 s (61 s gap — new session).
+    val base = ts("2024-01-01 00:00").getTime
+    val mk = (ms: Long) => new java.sql.Timestamp(base + ms)
+    val ev = Seq(
+      (1L, 10L, mk(0L)), (1L, 11L, mk(60000L)), (1L, 12L, mk(121000L)),
+      (2L, 20L, mk(0L)))
+      .toDF("user_id", "event_id", "ts")
+    val got = graft.ops.History.sessionize(ev, "user_id", "ts", "event_id", 60L)
+      .orderBy("user_id", "session")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
   test("globalRowNumber: equals the naive global window, without the 1-partition stage") {
     val df = Tables.customer(spark, sf).select($"c_custkey".as("id"), $"c_name".as("k"))
     val got = graft.ops.Rank.globalRowNumber(df, Seq("k", "id"), nPartitions = 7)
