@@ -21,7 +21,7 @@ object LlmQueries {
     * same corpus (ivf top-k, cluster report). The fit is deterministic
     * (seed 42, fixed init), so sharing changes nothing about results —
     * it only removes the redundant fit jobs. */
-  private def corpusCentroids(s: SparkSession, dir: String): DataFrame =
+  private[graft] def corpusCentroids(s: SparkSession, dir: String): DataFrame =
     SessionMemo.frame(s, s"ann_corpus_centroids:$dir") {
       Ann.fitCentroids(
         Tables.embeddings(s, dir).where(col("embedding").isNotNull))

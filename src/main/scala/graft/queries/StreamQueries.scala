@@ -24,6 +24,46 @@ object StreamQueries {
       out
     }),
 
+    // Streaming ANN serving: a stream of query vectors served per
+    // micro-batch against the PERSISTED IVF store (stateless per query —
+    // the stream side only batches; the index does the work). foreachBatch
+    // runs the same partition-pruned probe plan as the batch path, so the
+    // union of per-batch results must equal one batch serve of every
+    // query — the equality is the contract, alongside the SQL-exact query
+    // count and rank validity.
+    "st_ann_serve" -> ((s, dir) => {
+      import s.implicits._
+      val emb = graft.Tables.embeddings(s, dir)
+      val store = s"/root/repo/target/qtmp/st_ann_store_${Integer.toHexString(dir.hashCode)}"
+      graft.io.IO.deletePath(store)
+      graft.llm.Ann.writeIvfStore(emb, store,
+        centroids = Some(graft.queries.LlmQueries.corpusCentroids(s, dir)))
+      val resultsDir = s"/root/repo/target/qtmp/st_ann_serve_${runId.incrementAndGet()}"
+      graft.io.IO.deletePath(resultsDir)
+      val stream = graft.streaming.DocStreams.readVectorStream(s, dir, nSplits = 3)
+        .where(col("vec_id") < 24)
+      val q = stream.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.llm.Ann.ivfStoreTopK(batch.sparkSession, store, batch.toDF(), k = 10)
+            .write.mode("append").parquet(resultsDir)
+        }
+        .start()
+      q.awaitTermination()
+      val streamed = s.read.parquet(resultsDir)
+      val batchServe = graft.llm.Ann.ivfStoreTopK(s, store,
+        emb.where("vec_id < 24"), k = 10)
+      val equal = streamed.exceptAll(batchServe).isEmpty &&
+        batchServe.exceptAll(streamed).isEmpty
+      val nQ = streamed.select("query_id").distinct().count()
+      val rankBad = streamed.groupBy("query_id")
+        .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+        .where(col("mx") =!= col("n") || col("mn") =!= 1).count()
+      Seq((nQ, equal, rankBad == 0L))
+        .toDF("n_queries", "stream_equals_batch", "ranks_valid")
+    }),
+
     // Watermarked SLIDING-window aggregation (10-min width, 5-min slide)
     // — the streaming counterpart of the batch w5_sliding_window, sharing
     // its epoch-seconds oracle shape.
@@ -228,6 +268,13 @@ object StreamQueries {
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // contract: the served-query count is SQL-exact (vec_id < 24 with a
+    // non-null vector); stream≡batch equality and rank validity are
+    // hash-gated booleans
+    "st_ann_serve" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS stream_equals_batch,
+        |  true AS ranks_valid
+        |FROM embeddings WHERE vec_id < 24 AND embedding IS NOT NULL""".stripMargin,
     "st_sliding_counts" ->
       """SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - k.k * 300 AS w_start_s,
         |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value

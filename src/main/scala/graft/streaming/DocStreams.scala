@@ -36,24 +36,41 @@ object DocStreams {
       .parquet(staged)
   }
 
+  /** File-source stream over the EMBEDDINGS fixture — the query side of a
+    * streaming ANN serve path. Same staging contract as
+    * [[readDocumentStream]]: `nSplits` deterministic pmod splits, one
+    * file per micro-batch. */
+  def readVectorStream(spark: SparkSession, dir: String,
+                       nSplits: Int = 3): DataFrame = {
+    val staged = stageTableSplits(spark, dir, "embeddings", "vec_id", nSplits)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+  }
+
   /** Stage the single-file fixture as `nSplits` parquet files, split
     * deterministically by pmod(doc_id, nSplits) so every run (and every
     * engine) sees the same batch contents. The marker records the source
     * file's size AND mtime, so a regenerated fixture at the same path
     * re-stages even when the new file happens to land on the same byte
     * count (size alone is a weak regeneration signal). */
-  private def stageSplits(spark: SparkSession, dir: String, nSplits: Int): String = {
+  private def stageSplits(spark: SparkSession, dir: String, nSplits: Int): String =
+    stageTableSplits(spark, dir, "documents", "doc_id", nSplits)
+
+  private def stageTableSplits(spark: SparkSession, dir: String, table: String,
+                               idCol: String, nSplits: Int): String = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
-    val src = Paths.get(dir, "documents.parquet")
+    val src = Paths.get(dir, s"$table.parquet")
     val out = Paths.get("/root/repo/target/qtmp",
-      s"stream_docs_v2_${Integer.toHexString(dir.hashCode)}_$nSplits")
+      s"stream_${table}_v2_${Integer.toHexString(dir.hashCode)}_$nSplits")
     val marker = out.resolve("_graft_staged")
     val srcSize = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
     if (!Files.exists(marker) || Files.readString(marker).trim != srcSize) {
       val docs = spark.read.parquet(src.toString)
       (0 until nSplits).foreach { i =>
-        docs.where(pmod(col("doc_id"), lit(nSplits)) === i)
+        docs.where(pmod(col(idCol), lit(nSplits)) === i)
           .coalesce(1).write.mode("overwrite")
           .parquet(out.resolve(f"split_$i%02d").toString)
       }
