@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * the standard scalable recipe instead: range-repartition on the sort
   * key (the same machinery a global `orderBy` uses), rank WITHIN each
   * partition (a keyed window — parallel), then add per-partition row
-  * counts as broadcast offsets. Cost: one range exchange + one tiny
-  * count aggregate; no stage ever sees more than its own partition.
+  * counts as broadcast offsets. Cost: the range exchange computed twice
+  * (once under the count job, once under the rank itself — the same
+  * two-pass shape as `RDD.zipWithIndex`) plus a tiny count aggregate;
+  * no stage ever sees more than its own partition. Cache the input
+  * upstream if the double scan matters more than memory.
   *
   * Determinism: the caller's sort key must be made total (pass a
   * tie-breaker column); with a total order the assigned ranks are

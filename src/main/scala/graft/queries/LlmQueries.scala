@@ -991,6 +991,22 @@ object LlmQueries {
          |  WHERE CAST(shared AS DOUBLE) / (nC + nB - shared) >= 0.5)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
+    // the STREAMING decontamination screen (st_decontam_stream, defined in
+    // StreamQueries) is stateless per batch, so its survivor union equals
+    // the batch decontamination — the identical oracle applies
+    "st_decontam_stream" ->
+      s"""WITH $jaccardCte,
+         |bpairs AS (
+         |  SELECT c.doc_id AS cid, b.doc_id AS bid, c.n_sh AS nC, b.n_sh AS nB,
+         |         count(*) AS shared
+         |  FROM ex c JOIN (SELECT * FROM ex WHERE doc_id % 97 = 0) b
+         |    ON c.shingle = b.shingle
+         |  GROUP BY 1, 2, 3, 4),
+         |contaminated AS (
+         |  SELECT DISTINCT cid AS doc_id FROM bpairs
+         |  WHERE CAST(shared AS DOUBLE) / (nC + nB - shared) >= 0.5)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
     // canonical docs: everything except non-minimal members of a cluster
     "dd_survivors" ->
       s"""WITH RECURSIVE $jaccardCte,

@@ -24,6 +24,31 @@ object StreamQueries {
       out
     }),
 
+    // Streaming decontamination: each arriving micro-batch of documents
+    // is screened against the benchmark shingle set (stateless per batch
+    // — the benchmark side broadcasts inside foreachBatch exactly like
+    // the batch dd_decontam plan), so the union of per-batch survivors
+    // must equal the batch decontamination of the whole corpus. The
+    // always-on form of the eval-leak guard a crawl-delta pipeline runs.
+    "st_decontam_stream" -> ((s, dir) => {
+      import s.implicits._
+      val docs = graft.Tables.documents(s, dir)
+      val benchmark = docs.where("doc_id % 97 = 0")
+      val outDir = s"/root/repo/target/qtmp/st_decontam_${runId.incrementAndGet()}"
+      graft.io.IO.deletePath(outDir)
+      val stream = graft.streaming.DocStreams.readDocumentStream(s, dir, nSplits = 3)
+      val q = stream.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.llm.Dedup.decontaminate(batch.toDF(), benchmark, threshold = 0.5)
+            .select("doc_id").write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    }),
+
     // Streaming ANN serving: a stream of query vectors served per
     // micro-batch against the PERSISTED IVF store (stateless per query —
     // the stream side only batches; the index does the work). foreachBatch
