@@ -246,7 +246,36 @@ object IO {
     val v = currentManifestVersion(fs, root).getOrElse(
       throw new IllegalArgumentException(
         s"$path has no committed manifest — not a partitioned store"))
-    readBuckets(spark, path, readManifest(fs, root, v)).drop(BucketCol)
+    readPartitionedStoreAt(spark, path, v)
+  }
+
+  /** All committed manifest versions, ascending — the store's readable
+    * history until [[vacuumPartitionedStore]] trims it to the current
+    * version. */
+  def storeVersions(spark: SparkSession, path: String): Seq[Int] = {
+    val (fs, root) = hfs(spark, path)
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".committed"))
+      .map(_.stripPrefix("v").stripSuffix(".committed").toInt)
+      .toSeq.sorted
+  }
+
+  /** TIME-TRAVEL read: the store exactly as of committed manifest
+    * `version`. Free by construction of the manifest-pointer design —
+    * every commit writes a NEW generation directory and a NEW manifest,
+    * never touching a live file, so any retained manifest still resolves
+    * to intact data. Retention is [[vacuumPartitionedStore]]'s contract:
+    * vacuum deletes superseded files and old manifests, after which only
+    * the current version is readable (same trade as any table format's
+    * VACUUM vs time travel). */
+  def readPartitionedStoreAt(spark: SparkSession, path: String, version: Int): DataFrame = {
+    val (fs, root) = hfs(spark, path)
+    require(fs.exists(new HPath(manifestDir(root), s"v$version.committed")),
+      s"$path has no committed manifest v$version (retained versions: " +
+        s"${storeVersions(spark, path).mkString(",")})")
+    readBuckets(spark, path, readManifest(fs, root, version)).drop(BucketCol)
   }
 
   /** Pruned read of only the given buckets (all their generations),
@@ -334,20 +363,119 @@ object IO {
     // so the bucket column can ride through the merge as a plain column
     val target = readStoreBuckets(spark, targetPath, touched)
     val merged = upsert(target, src, keys, updateCols)
+    commitRewrittenBuckets(fs, root, cur, man, touched, merged, beforeCommit)
+  }
+
+  /** Shared commit tail for ops that REWRITE a set of touched buckets
+    * (upsert, delete): write the rewritten rows to generation `cur`+1,
+    * point the new manifest's touched buckets at it (a rewrite collapses
+    * each touched bucket's delta generations; untouched buckets keep
+    * theirs; a bucket the rewrite emptied simply drops out), then commit
+    * via the atomic marker create. Same crash contract as
+    * [[upsertPartitionedStore]] documents. */
+  private def commitRewrittenBuckets(fs: FileSystem, root: HPath, cur: Int,
+                                     man: Seq[(Int, Int)], touched: Set[Int],
+                                     rewritten: DataFrame,
+                                     beforeCommit: () => Unit = () => ()): Unit = {
     val newGen = cur + 1
     val genPath = new HPath(root, s"$GenCol=$newGen")
     fs.delete(genPath, true) // leftovers from a crashed, uncommitted attempt
     // same rebalance-before-partitionBy as writePartitionedStore: the
     // write otherwise fans each task across every touched bucket directory
-    merged.hint("rebalance", col(BucketCol))
+    rewritten.hint("rebalance", col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
     val written = listPartDirs(fs, genPath, BucketCol)
-    // an upsert COLLAPSES each touched bucket to the new generation (its
-    // old delta files are superseded); untouched buckets keep theirs
     val kept = man.filter { case (b, _) => !touched(b) }
     writeManifestVersion(fs, root, newGen, kept ++ written.map(_ -> newGen))
     beforeCommit()
     commitManifestVersion(fs, root, newGen)
+  }
+
+  /** Keyed DELETE — `WHEN MATCHED DELETE` with the same O(delta) pruning
+    * as the merge: bucket the delete keys with the store's persisted hash,
+    * read ONLY those buckets, anti-join the keys away, and commit the
+    * rewritten buckets as a new generation. The capability every
+    * training-data store eventually needs (takedown / right-to-be-forgotten
+    * passes), and at scale the pruning is the whole story: a delete of k
+    * keys touches ≤ k buckets however large the store is. A bucket whose
+    * rows are all deleted drops out of the manifest entirely. */
+  def deleteFromPartitionedStore(spark: SparkSession, targetPath: String,
+                                 keyRows: DataFrame, keys: Seq[String]): Unit = {
+    val (fs, root) = hfs(spark, targetPath)
+    val nBuckets = storeBuckets(targetPath)
+    val cur = currentManifestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$targetPath has no committed manifest — not a partitioned store"))
+    val man = readManifest(fs, root, cur)
+    val del = keyRows.select(keys.map(col): _*).distinct()
+      .withColumn(BucketCol, bucketExpr(keys, nBuckets))
+      .localCheckpoint()
+    val touched = del.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+    val target = readStoreBuckets(spark, targetPath, touched)
+    val remaining = target.join(broadcast(del.drop(BucketCol)), keys, "left_anti")
+    commitRewrittenBuckets(fs, root, cur, man, touched, remaining)
+  }
+
+  /** CHANGE FEED — the net row-level diff between two committed versions,
+    * in CDC shape: `_change_type` ∈ insert / delete / update_preimage /
+    * update_postimage ahead of the data columns. Consumers that mirror the
+    * store (a downstream index, a feature cache) apply this instead of
+    * re-reading 100 TB.
+    *
+    * Pruned by construction: a commit only ever REPOINTS the buckets it
+    * touched, so any bucket whose (bucket → generations) manifest entry is
+    * identical at both versions provably holds identical rows and is never
+    * listed or read. What remains is one key-keyed full-outer join over
+    * just the changed buckets' rows — O(changed data), not O(store) —
+    * with unchanged rows inside rewritten buckets suppressed by a
+    * null-safe struct compare (a rewrite that copied a row unchanged is
+    * not a change event). This is a SNAPSHOT diff (net effect of all
+    * commits in the range): a row inserted then deleted inside the range
+    * emits nothing, an insert+update emits one insert carrying the final
+    * values. */
+  def storeChangeFeed(spark: SparkSession, path: String,
+                      fromVersion: Int, toVersion: Int,
+                      keys: Seq[String]): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val (fs, root) = hfs(spark, path)
+    Seq(fromVersion, toVersion).foreach { v =>
+      require(fs.exists(new HPath(manifestDir(root), s"v$v.committed")),
+        s"$path has no committed manifest v$v")
+    }
+    val mOld = readManifest(fs, root, fromVersion)
+    val mNew = readManifest(fs, root, toVersion)
+    def gens(m: Seq[(Int, Int)]): Map[Int, Set[Int]] =
+      m.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (gOld, gNew) = (gens(mOld), gens(mNew))
+    val changed = (gOld.keySet ++ gNew.keySet)
+      .filter(b => gOld.get(b) != gNew.get(b))
+    def side(man: Seq[(Int, Int)]): DataFrame = {
+      val pairs = man.filter { case (b, _) => changed(b) }
+      if (pairs.nonEmpty) readBuckets(spark, path, pairs).drop(BucketCol)
+      else readBuckets(spark, path, Seq((mOld ++ mNew).head)).drop(BucketCol).limit(0)
+    }
+    val o = side(mOld)
+    val n = side(mNew)
+    val nonKey = n.columns.toSeq.filterNot(keys.contains)
+    def img(df: DataFrame, name: String) =
+      df.select(keys.map(col) :+ struct(nonKey.map(col): _*).as(name): _*)
+    val j = img(o, "__pre").join(img(n, "__post"), keys.toSeq, "full_outer")
+    j.withColumn("__evs",
+      when(col("__pre").isNull,
+        array(struct(lit("insert").as("t"), col("__post").as("img"))))
+      .when(col("__post").isNull,
+        array(struct(lit("delete").as("t"), col("__pre").as("img"))))
+      .when(!(col("__pre") <=> col("__post")),
+        array(struct(lit("update_preimage").as("t"), col("__pre").as("img")),
+              struct(lit("update_postimage").as("t"), col("__post").as("img"))))
+      // a rewritten bucket's unchanged rows are not change events — the
+      // no-event branch is a correctly-typed EMPTY array (an `array()`
+      // literal couldn't carry the img struct schema, so slice one down)
+      .otherwise(slice(array(struct(lit("x").as("t"), col("__pre").as("img"))), 1, 0)))
+      .select(keys.map(col) :+ explode(col("__evs")).as("__e"): _*)
+      .select(col("__e.t").as("_change_type") +:
+        (keys.map(col) ++ nonKey.map(c => col(s"__e.img.$c").as(c))): _*)
   }
 
   /** Atomic APPEND to a partitioned store: write the delta rows to a new

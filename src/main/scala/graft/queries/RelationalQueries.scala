@@ -99,6 +99,49 @@ object RelationalQueries {
       IO.upsert(target, source, Seq("id"), Seq("price"))
     }),
 
+    // S11 — TIME TRAVEL on the manifest-pointer store: build v1, merge to
+    // v2, then read BOTH versions back. The full-value oracle pins that v1
+    // still serves the exact pre-merge rows after the merge committed —
+    // the property vacuum-less manifest retention guarantees.
+    "s11_time_travel" -> ((s, dir) => {
+      val path = s"$Tmp/s11_store"
+      IO.deletePath(path)
+      val target = Tables.part(s, dir)
+        .selectExpr("p_partkey as id", "p_name as name", "round(p_retailprice, 2) as price")
+      IO.writePartitionedStore(target, path, Seq("id"), nBuckets = 16)
+      val source = Tables.part(s, dir).where("p_partkey % 5 = 0")
+        .selectExpr("p_partkey as id", "concat('upd ', p_name) as name",
+                    "round(p_retailprice * 2, 2) as price")
+      IO.upsertPartitionedStore(s, path, source, Seq("id"), Seq("price"))
+      IO.readPartitionedStoreAt(s, path, 1).withColumn("version", lit(1))
+        .unionByName(IO.readPartitionedStore(s, path).withColumn("version", lit(2)))
+    }),
+
+    // S12 — CHANGE FEED (CDC) between store versions: a merge commit and a
+    // delete commit, each diffed bucket-pruned against its predecessor.
+    // Updates emit pre/post image pairs (updateCols semantics visible:
+    // name retained, price replaced); unchanged rows inside rewritten
+    // buckets emit nothing.
+    "s12_change_feed" -> ((s, dir) => {
+      val path = s"$Tmp/s12_store"
+      IO.deletePath(path)
+      val target = Tables.part(s, dir)
+        .selectExpr("p_partkey as id", "p_name as name", "round(p_retailprice, 2) as price")
+      IO.writePartitionedStore(target, path, Seq("id"), nBuckets = 16)
+      val source = Tables.part(s, dir).where("p_partkey % 5 = 0")
+        .selectExpr("p_partkey as id", "p_name as name", "round(p_retailprice * 2, 2) as price")
+        .unionByName(Tables.part(s, dir).where("p_partkey % 97 = 0")
+          .selectExpr("p_partkey + 10000000 as id", "p_name as name",
+                      "round(p_retailprice, 2) as price"))
+      IO.upsertPartitionedStore(s, path, source, Seq("id"), Seq("price"))
+      IO.deleteFromPartitionedStore(s, path,
+        Tables.part(s, dir).where("p_partkey % 11 = 0").selectExpr("p_partkey as id"),
+        Seq("id"))
+      IO.storeChangeFeed(s, path, 1, 2, Seq("id")).withColumn("step", lit("merge"))
+        .unionByName(
+          IO.storeChangeFeed(s, path, 2, 3, Seq("id")).withColumn("step", lit("delete")))
+    }),
+
     // P1 — string clean + cast ('$'-strip then float).
     "p1_clean_cast" -> ((s, dir) =>
       Catalogs.sideB(s, dir)
@@ -326,6 +369,36 @@ object RelationalQueries {
          |UNION ALL
          |SELECT s.id, s.name, s.price FROM source s
          |WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.id = s.id)""".stripMargin,
+    "s11_time_travel" ->
+      """WITH target AS (SELECT p_partkey AS id, p_name AS name,
+        |                       round(p_retailprice, 2) AS price FROM part),
+        |source AS (SELECT p_partkey AS id, round(p_retailprice * 2, 2) AS price
+        |           FROM part WHERE p_partkey % 5 = 0)
+        |SELECT id, name, price, 1 AS version FROM target
+        |UNION ALL
+        |SELECT t.id, t.name,
+        |       CASE WHEN s.id IS NOT NULL THEN s.price ELSE t.price END AS price,
+        |       2 AS version
+        |FROM target t LEFT JOIN source s ON t.id = s.id""".stripMargin,
+    "s12_change_feed" ->
+      """WITH t AS (SELECT p_partkey AS id, p_name AS name,
+        |                  round(p_retailprice, 2) AS price,
+        |                  round(p_retailprice * 2, 2) AS price2 FROM part),
+        |upd AS (SELECT id, name, price, price2 FROM t WHERE id % 5 = 0),
+        |ins AS (SELECT p_partkey + 10000000 AS id, p_name AS name,
+        |               round(p_retailprice, 2) AS price
+        |        FROM part WHERE p_partkey % 97 = 0)
+        |SELECT 'update_preimage' AS _change_type, id, name, price, 'merge' AS step FROM upd
+        |UNION ALL
+        |SELECT 'update_postimage' AS _change_type, id, name, price2 AS price,
+        |       'merge' AS step FROM upd
+        |UNION ALL
+        |SELECT 'insert' AS _change_type, id, name, price, 'merge' AS step FROM ins
+        |UNION ALL
+        |SELECT 'delete' AS _change_type, id, name,
+        |       CASE WHEN id % 5 = 0 THEN price2 ELSE price END AS price,
+        |       'delete' AS step
+        |FROM t WHERE id % 11 = 0""".stripMargin,
     "p1_clean_cast" ->
       s"SELECT id, CAST(replace(price, '$$', '') AS REAL) AS price_f FROM (${Catalogs.sideBSql})",
     "p2_lit_provenance" ->

@@ -159,6 +159,106 @@ class IOSpec extends SparkSpec {
       s"bucket present in two generations after vacuum: $genBuckets")
   }
 
+  test("time travel: every committed version stays readable until vacuum; " +
+       "vacuum trims history to the current version") {
+    val path = s"$tmp/tt_store"
+    val v1 = (1 to 16).map(i => (i.toLong, i.toDouble))
+    IO.writePartitionedStore(v1.toDF("id", "v"), path, Seq("id"), nBuckets = 4)
+    IO.upsertPartitionedStore(spark, path,
+      Seq((3L, 300.0), (100L, 1.0)).toDF("id", "v"), Seq("id"), Seq("v"))
+    IO.upsertPartitionedStore(spark, path,
+      Seq((100L, 2.0)).toDF("id", "v"), Seq("id"), Seq("v"))
+    assert(IO.storeVersions(spark, path) == Seq(1, 2, 3))
+    assert(IO.readPartitionedStoreAt(spark, path, 1)
+      .as[(Long, Double)].collect().toSet == v1.toSet)
+    val atV2 = IO.readPartitionedStoreAt(spark, path, 2)
+      .as[(Long, Double)].collect().toMap
+    assert(atV2(3L) == 300.0 && atV2(100L) == 1.0 && atV2.size == 17)
+    val cur = IO.readPartitionedStore(spark, path)
+      .as[(Long, Double)].collect().toMap
+    assert(cur(100L) == 2.0 && cur.size == 17)
+    IO.vacuumPartitionedStore(spark, path)
+    // post-vacuum: old manifests gone, v1 no longer readable, current intact
+    assert(IO.storeVersions(spark, path) == Seq(3))
+    intercept[IllegalArgumentException] {
+      IO.readPartitionedStoreAt(spark, path, 1)
+    }
+    assert(IO.readPartitionedStore(spark, path)
+      .as[(Long, Double)].collect().toMap == cur)
+  }
+
+  test("deleteFromPartitionedStore: keyed delete prunes to touched buckets; " +
+       "fully-emptied buckets drop out of the manifest") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = s"$tmp/delete_store"
+    val nBuckets = 8
+    IO.writePartitionedStore(
+      (1 to 64).map(i => (i.toLong, i.toDouble)).toDF("id", "v"),
+      path, Seq("id"), nBuckets)
+    def files(): Map[String, Long] = Files.walk(Paths.get(path)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    val before = files()
+    val delKeys = Seq(5L, 17L, 999L) // 999 absent: deleting a missing key is a no-op
+    val touched = delKeys.toDF("id")
+      .select(IO.bucketExpr(Seq("id"), nBuckets).as("b"))
+      .distinct().as[Int].collect().toSet
+    Thread.sleep(20)
+    IO.deleteFromPartitionedStore(spark, path, delKeys.toDF("id"), Seq("id"))
+    val out = IO.readPartitionedStore(spark, path).as[(Long, Double)].collect().toMap
+    assert(!out.contains(5L) && !out.contains(17L) && out.size == 62)
+    // pruning: untouched buckets byte-identical
+    def bucketOf(f: String): Int =
+      f.split(s"${IO.BucketCol}=")(1).split("/")(0).toInt
+    val untouchedAfter = files().filter { case (f, _) => !touched.contains(bucketOf(f)) }
+    assert(untouchedAfter == before.filter { case (f, _) => !touched.contains(bucketOf(f)) })
+    // empty a whole bucket: delete every id hashing to one bucket
+    val b0 = (1 to 64).map(_.toLong).toDF("id")
+      .withColumn("b", IO.bucketExpr(Seq("id"), nBuckets))
+      .where(col("b") === 0).select("id")
+    val b0Ids = b0.as[Long].collect().toSet
+    assert(b0Ids.nonEmpty)
+    IO.deleteFromPartitionedStore(spark, path, b0, Seq("id"))
+    val out2 = IO.readPartitionedStore(spark, path).as[(Long, Double)].collect().toMap
+    assert(out2.keySet.intersect(b0Ids).isEmpty)
+    assert(out2.size == 62 - (b0Ids -- Set(5L, 17L)).size)
+  }
+
+  test("storeChangeFeed: net CDC between versions — inserts, updates as " +
+       "pre/post image pairs, deletes; unchanged rows in rewritten buckets " +
+       "emit nothing") {
+    val path = s"$tmp/cdc_store"
+    IO.writePartitionedStore(
+      (1 to 32).map(i => (i.toLong, s"n$i", i.toDouble)).toDF("id", "name", "v"),
+      path, Seq("id"), nBuckets = 4)
+    // v2: update v of 3 (same bucket carries other, unchanged rows), insert 100
+    IO.upsertPartitionedStore(spark, path,
+      Seq((3L, "ignored", 300.0), (100L, "hundred", 1.0)).toDF("id", "name", "v"),
+      Seq("id"), Seq("v"))
+    // v3: delete 7
+    IO.deleteFromPartitionedStore(spark, path, Seq(7L).toDF("id"), Seq("id"))
+    val feed12 = IO.storeChangeFeed(spark, path, 1, 2, Seq("id"))
+      .as[(String, Long, String, Double)].collect().toSet
+    assert(feed12 == Set(
+      ("update_preimage", 3L, "n3", 3.0),
+      ("update_postimage", 3L, "n3", 300.0), // updateCols=v only: name retained
+      ("insert", 100L, "hundred", 1.0)))
+    val feed23 = IO.storeChangeFeed(spark, path, 2, 3, Seq("id"))
+      .as[(String, Long, String, Double)].collect().toSet
+    assert(feed23 == Set(("delete", 7L, "n7", 7.0)))
+    // net range diff: insert→survives, update→collapsed, delete→emitted
+    val feed13 = IO.storeChangeFeed(spark, path, 1, 3, Seq("id"))
+      .as[(String, Long, String, Double)].collect().toSet
+    assert(feed13 == Set(
+      ("update_preimage", 3L, "n3", 3.0),
+      ("update_postimage", 3L, "n3", 300.0),
+      ("insert", 100L, "hundred", 1.0),
+      ("delete", 7L, "n7", 7.0)))
+    // identical versions: empty feed, nothing scanned
+    assert(IO.storeChangeFeed(spark, path, 2, 2, Seq("id")).isEmpty)
+  }
+
   test("writePartitionedStore: bucket-clustered write — bounded file count, " +
        "never tasks x buckets") {
     import java.nio.file.{Files, Paths}
