@@ -542,6 +542,27 @@ object IO {
     }
   }
 
+  /** Apply a [[storeChangeFeed]] to a mirror of the `fromVersion` snapshot,
+    * producing exactly the `toVersion` snapshot — the CONSUMER side of CDC
+    * (a downstream index or feature cache stays in sync by applying feeds,
+    * never re-reading the store). Inverse-by-construction: drop every key
+    * the feed deletes or updates, then union the inserts and the update
+    * postimages. One anti-join keyed on the merge keys (the feed side is
+    * the small one and broadcasts); cost is O(mirror + feed), and the
+    * round-trip law `apply(readAt(v1), feed(v1,v2)) == readAt(v2)` is
+    * pinned by IOSpec. */
+  def applyChangeFeed(mirror: DataFrame, feed: DataFrame,
+                      keys: Seq[String]): DataFrame = {
+    val dataCols = mirror.columns.toSeq
+    val removedKeys = feed
+      .where(col("_change_type").isin("delete", "update_preimage"))
+      .select(keys.map(col): _*).distinct()
+    val added = feed
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .select(dataCols.map(col): _*)
+    mirror.join(broadcast(removedKeys), keys, "left_anti").unionByName(added)
+  }
+
   /** Crash recovery for [[upsertPath]]: if the target directory is missing
     * but the `.__graft_old` backup exists (crash between the two moves),
     * restore the backup. Idempotent; safe to call before any read of a

@@ -179,6 +179,26 @@ object BreadthQueries {
           gapSeconds = 1800L)
         .withColumn("session", col("session").cast("long"))),
 
+    // S13 — Z-ORDER re-layout + file-skipping contract: lineitem written
+    // Z-ordered on (l_partkey, l_suppkey); per-file min/max spans must be
+    // narrow on BOTH columns (the property parquet footer pruning turns
+    // into skipped files — a single-column sort leaves the second column
+    // at ~full span per file). Row count is exact; the clustering bounds
+    // surface as booleans (file boundaries themselves are
+    // sampling-dependent, so spans are the stable contract).
+    "s13_zorder_layout" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"$Tmp/s13_zorder"
+      val li = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey", "l_orderkey")
+      graft.ops.Layout.zorderWrite(li, out, Seq("l_partkey", "l_suppkey"),
+        nFiles = 16, bits = 10)
+      val back = s.read.parquet(out)
+      val sp = graft.ops.Layout.fileSpans(back, Seq("l_partkey", "l_suppkey"))
+        .agg(avg("span_l_partkey"), avg("span_l_suppkey")).head()
+      Seq((back.count(), sp.getDouble(0) < 0.6, sp.getDouble(1) < 0.6))
+        .toDF("n_rows", "partkey_clustered", "suppkey_clustered")
+    }),
+
     // A14 — approximate heavy hitters (`freqItems`, the FP-growth-free
     // single-pass sketch): bounded state through one scan, with the
     // published guarantee that every TRUE heavy hitter above the support
@@ -417,6 +437,10 @@ object BreadthQueries {
         |FROM i GROUP BY user_id, session""".stripMargin,
     // contract: the exact heavy-hitter count is SQL-computable; the
     // sketch's no-false-negative guarantee surfaces as a boolean
+    "s13_zorder_layout" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS partkey_clustered, true AS suppkey_clustered
+        |FROM lineitem""".stripMargin,
     "a14_heavy_hitters" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_exact_heavy, true AS no_false_negatives
         |FROM (SELECT o_orderpriority FROM orders GROUP BY o_orderpriority

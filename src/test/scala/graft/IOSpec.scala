@@ -257,6 +257,15 @@ class IOSpec extends SparkSpec {
       ("delete", 7L, "n7", 7.0)))
     // identical versions: empty feed, nothing scanned
     assert(IO.storeChangeFeed(spark, path, 2, 2, Seq("id")).isEmpty)
+    // consumer round-trip: applying the net feed to a v1 mirror yields
+    // exactly v3 — CDC apply is the inverse of the diff
+    val applied = IO.applyChangeFeed(
+        IO.readPartitionedStoreAt(spark, path, 1),
+        IO.storeChangeFeed(spark, path, 1, 3, Seq("id")), Seq("id"))
+      .as[(Long, String, Double)].collect().toSet
+    val v3 = IO.readPartitionedStoreAt(spark, path, 3)
+      .as[(Long, String, Double)].collect().toSet
+    assert(applied == v3)
   }
 
   test("writePartitionedStore: bucket-clustered write — bounded file count, " +
