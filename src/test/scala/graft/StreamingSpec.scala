@@ -375,4 +375,74 @@ class StreamingSpec extends SparkSpec {
     assert(mismatch == 0L)
     assert(streamed.count() == docs.count())
   }
+
+  test("sliding windows: each event lands in width/slide windows; " +
+       "overlapping windows sum independently") {
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](spark)
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.slidingCounts(df) // 10-min width, 5-min slide
+      .writeStream.format("memory").queryName("slide_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(ev(1, 1, 1, "click", 1.0)) // 10:01 → windows 09:55, 10:00
+      mem.addData(ev(2, 7, 1, "click", 2.0)) // 10:07 → windows 10:00, 10:05
+      q.processAllAvailable()
+      val rows = spark.table("slide_test")
+        .select("w_start_s", "n", "total_value")
+        .as[(Long, Long, Double)].collect()
+      val base = rows.map(_._1).min
+      // timezone-proof: compare window starts relative to the earliest
+      assert(rows.map { case (w, n, v) => (w - base, n, v) }.toSet ==
+        Set((0L, 1L, 1.0), (300L, 2L, 3.0), (600L, 1L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("streaming ANN serve: per-batch serves against the persisted store " +
+       "union to exactly the batch serve") {
+    import graft.llm.Ann
+    val emb = Tables.embeddings(spark, sf).where("embedding IS NOT NULL")
+    val store = "/root/repo/target/test_tmp/ann_serve_store"
+    graft.io.IO.deletePath(store)
+    Ann.writeIvfStore(emb, store, nCells = 8)
+    // serve the query set in two arrival batches exactly as the query's
+    // foreachBatch does; the serve is stateless per query, so batching
+    // must not change any result
+    val outDir = "/root/repo/target/test_tmp/ann_serve_out"
+    graft.io.IO.deletePath(outDir)
+    val ids = emb.where("vec_id < 12").select("vec_id").as[Long].collect().sorted
+    val (first, second) = ids.splitAt(ids.length / 2)
+    Seq(first, second).foreach { batchIds =>
+      Ann.ivfStoreTopK(spark, store,
+          emb.where(col("vec_id").isin(batchIds.toSeq: _*)), k = 5)
+        .write.mode("append").parquet(outDir)
+    }
+    val streamed = spark.read.parquet(outDir)
+    val batchServe = Ann.ivfStoreTopK(spark, store, emb.where("vec_id < 12"), k = 5)
+    assert(streamed.exceptAll(batchServe).isEmpty &&
+      batchServe.exceptAll(streamed).isEmpty)
+    assert(streamed.select("query_id").distinct().count() == ids.length)
+  }
+
+  test("streaming decontamination: per-batch survivor union equals batch " +
+       "decontamination of the whole corpus") {
+    import graft.llm.Dedup
+    import graft.streaming.DocStreams
+    val docs = Tables.documents(spark, sf)
+    val benchmark = docs.where("doc_id % 97 = 0")
+    val streamed = EventStreams.runToBatch(
+      DocStreams.readDocumentStream(spark, sf, nSplits = 3),
+      "decontam_src_test", complete = false)
+    // replay the per-batch screen exactly as the query's foreachBatch does
+    val perBatch = (0 until 3).map { k =>
+      Dedup.decontaminate(
+        streamed.where(pmod(col("doc_id"), lit(3)) === k), benchmark,
+        threshold = 0.5).select("doc_id")
+    }.reduce(_ unionByName _)
+    val batch = Dedup.decontaminate(docs, benchmark, threshold = 0.5)
+      .select("doc_id")
+    assert(perBatch.exceptAll(batch).isEmpty && batch.exceptAll(perBatch).isEmpty)
+    // the screen actually removes something at fixture scale (benchmark
+    // docs collide with themselves)
+    assert(batch.count() < docs.count())
+  }
 }
