@@ -53,7 +53,9 @@ object Plans {
     "dd_semantic_decontam" -> "semantic decontam: benchmark side broadcasts; corpus screened map-side through the codegen cosine kernel",
     "j9_edit_join" -> "edit-distance join: deletion-neighborhood EQUI-join on an 8-byte signature hash — never an all-pairs theta join",
     "j10_sorted_neighborhood" -> "sorted-neighborhood blocking: ONE range exchange for the global rank (positions decode from monotonically_increasing_id — zero Window nodes), pairs via a position-bucket equi-join",
-    "w4_scd2" -> "SCD2 history: every window and the run collapse key on the entity — the whole build is ONE hash exchange")
+    "w4_scd2" -> "SCD2 history: every window and the run collapse key on the entity — the whole build is ONE hash exchange",
+    "s12_change_feed" -> "CDC diff: both sides scan ONLY the buckets whose manifest entry changed (file-list pruning before the plan); one key-keyed full-outer join, image structs compared null-safe, events explode scan-side",
+    "s13_zorder_layout" -> "Z-order re-layout: width_bucket codes + Morton shift/mask interleave all codegen in one projection; the only exchange is the RangePartitioning on the Z-value")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -99,6 +101,29 @@ object Plans {
         graft.Tables.documents(s, d), "text", keep = Seq.empty)),
       "ann_cluster_report" -> ((s, d) => graft.llm.Ann.clusterReport(
         graft.Tables.embeddings(s, d))),
+      // the registered query builds the store AND reads the feed; audit the
+      // feed plan alone on a prepared store (scan pruning is the point)
+      "s12_change_feed" -> ((s, d) => {
+        import s.implicits._
+        val path = "/root/repo/target/qtmp/plans_cdc_store"
+        graft.io.IO.deletePath(path)
+        graft.io.IO.writePartitionedStore(
+          (1 to 64).map(i => (i.toLong, i.toDouble)).toDF("id", "v"),
+          path, Seq("id"), nBuckets = 8)
+        graft.io.IO.upsertPartitionedStore(s, path,
+          Seq((3L, 300.0), (500L, 5.0)).toDF("id", "v"), Seq("id"), Seq("v"))
+        graft.io.IO.storeChangeFeed(s, path, 1, 2, Seq("id"))
+      }),
+      // the contract frame hides the layout op; audit the re-layout plan
+      "s13_zorder_layout" -> ((s, d) => {
+        val li = graft.Tables.lineitem(s, d)
+          .select("l_partkey", "l_suppkey", "l_orderkey")
+        val z = graft.ops.Layout.zvalue(li, Seq("l_partkey", "l_suppkey"), bits = 10)
+        li.withColumn("__graft_zval", z)
+          .repartitionByRange(16, org.apache.spark.sql.functions.col("__graft_zval"))
+          .sortWithinPartitions("__graft_zval")
+          .drop("__graft_zval")
+      }),
       // the writer is an action; audit the frame it writes
       "tx_export_shards" -> ((s, d) => {
         val docs = graft.Tables.documents(s, d)
