@@ -563,6 +563,55 @@ object IO {
     mirror.join(broadcast(removedKeys), keys, "left_anti").unionByName(added)
   }
 
+  /** Incrementally SYNC a plain-parquet mirror of a partitioned store —
+    * the polling consumer the change feed exists for (a downstream
+    * serving copy, a different-format export, a cross-region replica).
+    * The mirror records the store version it reflects in a
+    * `_graft_cursor` file written INSIDE the mirror directory before the
+    * atomic swap, so data and cursor commit together: a crash anywhere
+    * leaves the previous (data, cursor) pair intact and the next call
+    * simply redoes the delta (idempotent).
+    *
+    * Catch-up is O(changes): however many commits landed since the
+    * cursor, one [[storeChangeFeed]] range diff covers them (net effect),
+    * and [[applyChangeFeed]] applies it against the current mirror. If
+    * the cursor's manifest has been vacuumed away, falls back to a full
+    * snapshot copy — the same retention contract as any table-format
+    * streaming read that falls behind VACUUM. Returns the store version
+    * the mirror now reflects. */
+  def syncMirror(spark: SparkSession, storePath: String, mirrorPath: String,
+                 keys: Seq[String]): Int = {
+    recoverPath(mirrorPath)
+    val (fs, root) = hfs(spark, storePath)
+    val cur = currentManifestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$storePath has no committed manifest — not a partitioned store"))
+    val cursorFile = new HPath(mirrorPath, "_graft_cursor")
+    val (mfs, _) = hfs(spark, mirrorPath)
+    val cursor: Option[Int] =
+      if (mfs.exists(cursorFile)) Some(readSmallFile(mfs, cursorFile).trim.toInt)
+      else None
+    if (cursor.contains(cur)) return cur
+    val retained = storeVersions(spark, storePath).toSet
+    val next = cursor match {
+      case Some(v) if retained(v) =>
+        applyChangeFeed(spark.read.parquet(mirrorPath),
+          storeChangeFeed(spark, storePath, v, cur, keys), keys)
+      case _ => // first sync, or cursor vacuumed away: full snapshot
+        readPartitionedStoreAt(spark, storePath, cur)
+    }
+    val tmp = mirrorPath + ".__graft_tmp"
+    next.write.mode("overwrite").parquet(tmp)
+    writeSmallFile(mfs, new HPath(tmp, "_graft_cursor"), cur.toString)
+    val tgt = Paths.get(mirrorPath)
+    val old = Paths.get(mirrorPath + ".__graft_old")
+    deleteRecursive(old)
+    if (Files.exists(tgt)) Files.move(tgt, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), tgt, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursive(old)
+    cur
+  }
+
   /** Crash recovery for [[upsertPath]]: if the target directory is missing
     * but the `.__graft_old` backup exists (crash between the two moves),
     * restore the backup. Idempotent; safe to call before any read of a

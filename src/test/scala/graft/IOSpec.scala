@@ -268,6 +268,46 @@ class IOSpec extends SparkSpec {
     assert(applied == v3)
   }
 
+  test("syncMirror: cursor-tracked incremental sync; multi-commit catch-up; " +
+       "no-op when current; full-resync fallback after vacuum") {
+    val store = s"$tmp/mirror_store"
+    val mirror = s"$tmp/mirror_copy"
+    IO.deletePath(mirror)
+    IO.deletePath(mirror + ".__graft_tmp")
+    IO.writePartitionedStore(
+      (1 to 32).map(i => (i.toLong, i.toDouble)).toDF("id", "v"),
+      store, Seq("id"), nBuckets = 8)
+    def mirrorSet() = spark.read.parquet(mirror).as[(Long, Double)].collect().toSet
+    def storeSet() = IO.readPartitionedStore(spark, store)
+      .as[(Long, Double)].collect().toSet
+    // first sync: full snapshot
+    assert(IO.syncMirror(spark, store, mirror, Seq("id")) == 1)
+    assert(mirrorSet() == storeSet())
+    // two commits, one catch-up
+    IO.upsertPartitionedStore(spark, store,
+      Seq((3L, 300.0), (500L, 5.0)).toDF("id", "v"), Seq("id"), Seq("v"))
+    IO.deleteFromPartitionedStore(spark, store, Seq(7L).toDF("id"), Seq("id"))
+    assert(IO.syncMirror(spark, store, mirror, Seq("id")) == 3)
+    assert(mirrorSet() == storeSet())
+    // caught up: no-op (mirror files untouched)
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def files() = Files.walk(Paths.get(mirror)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    val before = files()
+    assert(IO.syncMirror(spark, store, mirror, Seq("id")) == 3)
+    assert(files() == before)
+    // vacuum trims the cursor's manifest → next sync falls back to a full
+    // snapshot and still converges
+    IO.upsertPartitionedStore(spark, store,
+      Seq((9L, 900.0)).toDF("id", "v"), Seq("id"), Seq("v"))
+    IO.vacuumPartitionedStore(spark, store)
+    assert(IO.storeVersions(spark, store) == Seq(4))
+    assert(IO.syncMirror(spark, store, mirror, Seq("id")) == 4)
+    assert(mirrorSet() == storeSet())
+  }
+
   test("writePartitionedStore: bucket-clustered write — bounded file count, " +
        "never tasks x buckets") {
     import java.nio.file.{Files, Paths}
