@@ -113,12 +113,19 @@ object IO {
   val BucketCol = "__graft_bucket"
 
   /** Generation column/directory prefix: each committed merge writes its
-    * touched buckets under a fresh `__graft_gen=<v>/` directory, and the
-    * manifest maps every bucket to the generation holding its current
-    * files. The leading underscore-free name is deliberate Hive-partition
-    * syntax so partition discovery types it for free; it is dropped on
-    * every read. */
+    * touched buckets under a fresh `__graft_gen=<v>-<nonce>/` directory,
+    * and the manifest maps every bucket to the generation holding its
+    * current files. The nonce makes the directory WRITER-UNIQUE: two
+    * writers racing the same commit version can never clobber each
+    * other's uncommitted data files — only the manifest commit decides,
+    * and the loser's directory is unreachable garbage for vacuum. The
+    * underscore-free name is deliberate Hive-partition syntax so
+    * partition discovery types it for free; it is dropped on every
+    * read. */
   val GenCol = "__graft_gen"
+
+  private def newGenName(v: Int): String =
+    s"$v-${java.util.UUID.randomUUID.toString.take(8)}"
 
   private def hfs(spark: SparkSession, path: String): (FileSystem, HPath) = {
     val p = new HPath(path)
@@ -151,32 +158,83 @@ object IO {
       .maxOption
   }
 
-  /** (bucket, generation) pairs of manifest version `v`. A bucket may
+  /** (bucket, generation-dir) pairs of manifest version `v`. A bucket may
     * appear with several generations (appends accumulate delta files,
     * LSM-style); an upsert collapses a touched bucket back to one. */
-  private[graft] def readManifest(fs: FileSystem, root: HPath, v: Int): Seq[(Int, Int)] =
+  private[graft] def readManifest(fs: FileSystem, root: HPath, v: Int): Seq[(Int, String)] =
     readSmallFile(fs, new HPath(manifestDir(root), s"v$v")).linesIterator
       .filter(_.nonEmpty).map { line =>
-        val Array(b, g) = line.split('\t'); b.toInt -> g.toInt
+        val Array(b, g) = line.split('\t'); b.toInt -> g
       }.toSeq
 
   /** Write manifest version `v` (overwrite=true: a retry after a crash
-    * that never committed `v` may legitimately rewrite it). NOT the
-    * commit — [[commitManifestVersion]] is. */
+    * that never committed `v` may legitimately rewrite it; the claim
+    * lock makes live writers of the same `v` mutually exclusive). NOT
+    * the commit — [[commitManifestVersion]] is. */
   private def writeManifestVersion(fs: FileSystem, root: HPath, v: Int,
-                                   m: Seq[(Int, Int)]): Unit =
+                                   m: Seq[(Int, String)]): Unit =
     writeSmallFile(fs, new HPath(manifestDir(root), s"v$v"),
       m.distinct.sorted.map { case (b, g) => s"$b\t$g" }.mkString("\n"))
 
   /** THE commit point: atomically create the `.committed` marker.
     * `create(overwrite=false)` is atomic on HDFS and local filesystems;
     * on an object store without atomic create the equivalent is a
-    * conditional PUT. Single-writer protocol — concurrent merges need an
-    * external lock (same stance as Delta without a commit service). */
+    * conditional PUT. */
   private def commitManifestVersion(fs: FileSystem, root: HPath, v: Int): Unit =
     fs.create(new HPath(manifestDir(root), s"v$v.committed"), false).close()
 
-  private def bucketDir(path: String, g: Int, b: Int): String =
+  private def isCommitted(fs: FileSystem, root: HPath, v: Int): Boolean =
+    fs.exists(new HPath(manifestDir(root), s"v$v.committed"))
+
+  /** How long a commit claim may sit unreleased before another writer may
+    * break it as a crashed claimant's leftover. */
+  private[graft] val ClaimLeaseMs: Long = 15L * 60 * 1000
+
+  /** Optimistic-concurrency CLAIM of commit version `v`: atomically
+    * create `v<v>.lock` (the same create-if-absent primitive as the
+    * commit marker) and verify by read-back that the lock carries OUR
+    * nonce. While a writer holds an unbroken claim, it is the only one
+    * writing manifest `v` — that exclusivity is what lets the manifest
+    * content file be rewritten with overwrite=true on a crashed-attempt
+    * retry without racing a live peer. A claim older than `leaseMs` is
+    * treated as a crashed writer's leftover and broken (delete +
+    * re-create; the nonce read-back catches the narrow double-break
+    * race). Best-effort by design for the crash case — the COMMIT
+    * marker's atomic create remains the single serialization point, and
+    * an object-store deployment replaces the whole protocol with a
+    * conditional PUT per version (the standard public answer). */
+  private def claimVersion(fs: FileSystem, root: HPath, v: Int,
+                           leaseMs: Long): Boolean = {
+    val lock = new HPath(manifestDir(root), s"v$v.lock")
+    val nonce = java.util.UUID.randomUUID.toString
+    def tryCreate(): Boolean = {
+      val created =
+        try { writeSmallFileAtomic(fs, lock, nonce); true }
+        catch { case _: java.io.IOException => false }
+      created && {
+        val ok = try readSmallFile(fs, lock) == nonce
+                 catch { case _: java.io.IOException => false }
+        ok // a concurrent lease-breaker clobbered us: their claim, not ours
+      }
+    }
+    tryCreate() || {
+      val stale =
+        try fs.getFileStatus(lock).getModificationTime <
+          System.currentTimeMillis() - leaseMs
+        catch { case _: java.io.IOException => true } // vanished: released
+      stale && { fs.delete(lock, false); tryCreate() }
+    }
+  }
+
+  private def writeSmallFileAtomic(fs: FileSystem, p: HPath, content: String): Unit = {
+    val out = fs.create(p, false) // create-if-absent: the atomic primitive
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def releaseClaim(fs: FileSystem, root: HPath, v: Int): Unit =
+    fs.delete(new HPath(manifestDir(root), s"v$v.lock"), false)
+
+  private def bucketDir(path: String, g: String, b: Int): String =
     s"$path/$GenCol=$g/$BucketCol=$b"
 
   private def listPartDirs(fs: FileSystem, dir: HPath, prefix: String): Seq[Int] =
@@ -201,7 +259,7 @@ object IO {
     val spark = df.sparkSession
     val (fs, root) = hfs(spark, path)
     fs.delete(root, true) // fresh-store overwrite semantics
-    val gen = 1
+    val gen = newGenName(1)
     // REBALANCE on the layout column before the partitionBy write: without
     // it every input task opens a writer in every bucket directory it has
     // a row for (tasks × nBuckets small files; measured 22 s for a 4k-row
@@ -214,8 +272,8 @@ object IO {
       .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
     writeSmallFile(fs, new HPath(root, "_graft_buckets"), nBuckets.toString)
     val buckets = listPartDirs(fs, genPath, BucketCol)
-    writeManifestVersion(fs, root, gen, buckets.map(_ -> gen))
-    commitManifestVersion(fs, root, gen)
+    writeManifestVersion(fs, root, 1, buckets.map(_ -> gen))
+    commitManifestVersion(fs, root, 1)
   }
 
   /** The bucket count a partitioned store was written with. */
@@ -296,7 +354,7 @@ object IO {
   }
 
   private def readBuckets(spark: SparkSession, path: String,
-                          buckets: Seq[(Int, Int)]): DataFrame = {
+                          buckets: Seq[(Int, String)]): DataFrame = {
     val dirs = buckets.distinct.sorted.map { case (b, g) => bucketDir(path, g, b) }
     spark.read.option("basePath", path).parquet(dirs: _*).drop(GenCol)
   }
@@ -342,53 +400,87 @@ object IO {
     upsertPartitionedStoreImpl(spark, targetPath, source, keys, updateCols,
       beforeCommit = () => ())
 
-  /** [[upsertPartitionedStore]] with a test seam: `beforeCommit` runs
+  /** [[upsertPartitionedStore]] with two test seams: `beforeCommit` runs
     * after all data and manifest files are written but before the commit
-    * marker — IOSpec throws there to prove a crash in the window leaves
-    * the pre-merge state readable. */
+    * marker (IOSpec throws there to prove a crash in the window leaves
+    * the pre-merge state readable); `beforeClaim` runs after the attempt's
+    * data write but BEFORE the version claim (IOSpec runs a competing
+    * full merge there to prove the optimistic retry serializes racing
+    * writers). */
   private[graft] def upsertPartitionedStoreImpl(
       spark: SparkSession, targetPath: String, source: DataFrame,
       keys: Seq[String], updateCols: Seq[String],
-      beforeCommit: () => Unit): Unit = {
-    val (fs, root) = hfs(spark, targetPath)
+      beforeCommit: () => Unit,
+      beforeClaim: () => Unit = () => ()): Unit = {
     val nBuckets = storeBuckets(targetPath)
-    val cur = currentManifestVersion(fs, root).getOrElse(
-      throw new IllegalArgumentException(
-        s"$targetPath has no committed manifest — not a partitioned store"))
-    val man = readManifest(fs, root, cur)
     val src = source.withColumn(BucketCol, bucketExpr(keys, nBuckets))
       .localCheckpoint()
     val touched = src.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
-    // key join within a bucket only: rows agree on bucket by construction,
-    // so the bucket column can ride through the merge as a plain column
-    val target = readStoreBuckets(spark, targetPath, touched)
-    val merged = upsert(target, src, keys, updateCols)
-    commitRewrittenBuckets(fs, root, cur, man, touched, merged, beforeCommit)
+    commitRewrittenBuckets(spark, targetPath, touched,
+      // recomputed per optimistic attempt: the merge is a function of the
+      // base version it commits against
+      () => upsert(readStoreBuckets(spark, targetPath, touched), src,
+        keys, updateCols),
+      beforeCommit, beforeClaim = beforeClaim)
   }
 
-  /** Shared commit tail for ops that REWRITE a set of touched buckets
-    * (upsert, delete): write the rewritten rows to generation `cur`+1,
-    * point the new manifest's touched buckets at it (a rewrite collapses
-    * each touched bucket's delta generations; untouched buckets keep
-    * theirs; a bucket the rewrite emptied simply drops out), then commit
-    * via the atomic marker create. Same crash contract as
+  /** Shared OPTIMISTICALLY-CONCURRENT commit tail for ops that REWRITE a
+    * set of touched buckets (upsert, delete). Per attempt: read the
+    * current version, rebuild the rewritten rows against it, write them
+    * to a WRITER-UNIQUE generation directory (racing writers can never
+    * clobber each other's data files), claim the next commit version via
+    * the atomic lock create, re-check the base is still current under
+    * the claim, then write manifest `cur`+1 (rewrite collapses each
+    * touched bucket's delta generations; untouched buckets keep theirs;
+    * an emptied bucket drops out) and commit via the atomic marker
+    * create. A writer that loses the race — claim refused, or the base
+    * advanced while it computed — recomputes against the NEW current and
+    * retries, so concurrent merges serialize like any optimistic table
+    * format's commit loop; its orphaned generation directory is
+    * unreachable garbage vacuum reclaims. Same crash contract as
     * [[upsertPartitionedStore]] documents. */
-  private def commitRewrittenBuckets(fs: FileSystem, root: HPath, cur: Int,
-                                     man: Seq[(Int, Int)], touched: Set[Int],
-                                     rewritten: DataFrame,
-                                     beforeCommit: () => Unit = () => ()): Unit = {
-    val newGen = cur + 1
-    val genPath = new HPath(root, s"$GenCol=$newGen")
-    fs.delete(genPath, true) // leftovers from a crashed, uncommitted attempt
-    // same rebalance-before-partitionBy as writePartitionedStore: the
-    // write otherwise fans each task across every touched bucket directory
-    rewritten.hint("rebalance", col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
-    val written = listPartDirs(fs, genPath, BucketCol)
-    val kept = man.filter { case (b, _) => !touched(b) }
-    writeManifestVersion(fs, root, newGen, kept ++ written.map(_ -> newGen))
-    beforeCommit()
-    commitManifestVersion(fs, root, newGen)
+  private def commitRewrittenBuckets(spark: SparkSession, targetPath: String,
+                                     touched: Set[Int],
+                                     rewrite: () => DataFrame,
+                                     beforeCommit: () => Unit = () => (),
+                                     maxAttempts: Int = 5,
+                                     beforeClaim: () => Unit = () => ()): Unit = {
+    val (fs, root) = hfs(spark, targetPath)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = currentManifestVersion(fs, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"$targetPath has no committed manifest — not a partitioned store"))
+      val man = readManifest(fs, root, cur)
+      val genName = newGenName(cur + 1)
+      val genPath = new HPath(root, s"$GenCol=$genName")
+      // same rebalance-before-partitionBy as writePartitionedStore: the
+      // write otherwise fans each task across every touched bucket dir
+      rewrite().hint("rebalance", col(BucketCol))
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
+      val written = listPartDirs(fs, genPath, BucketCol)
+      val next = cur + 1
+      beforeClaim()
+      if (claimVersion(fs, root, next, ClaimLeaseMs)) {
+        try {
+          if (currentManifestVersion(fs, root).contains(cur) &&
+              !isCommitted(fs, root, next)) {
+            val kept = man.filter { case (b, _) => !touched(b) }
+            writeManifestVersion(fs, root, next, kept ++ written.map(_ -> genName))
+            beforeCommit()
+            commitManifestVersion(fs, root, next)
+            return
+          }
+          // base advanced under us: our generation is orphan garbage
+          // (vacuum reclaims it); recompute against the new current
+        } finally releaseClaim(fs, root, next)
+      }
+      // claim refused: an active writer is committing `next` — its marker
+      // or released lock resolves the base for the next attempt
+    }
+    throw new IllegalStateException(
+      s"merge lost $maxAttempts optimistic-concurrency races on $targetPath")
   }
 
   /** Keyed DELETE — `WHEN MATCHED DELETE` with the same O(delta) pruning
@@ -401,19 +493,14 @@ object IO {
     * rows are all deleted drops out of the manifest entirely. */
   def deleteFromPartitionedStore(spark: SparkSession, targetPath: String,
                                  keyRows: DataFrame, keys: Seq[String]): Unit = {
-    val (fs, root) = hfs(spark, targetPath)
     val nBuckets = storeBuckets(targetPath)
-    val cur = currentManifestVersion(fs, root).getOrElse(
-      throw new IllegalArgumentException(
-        s"$targetPath has no committed manifest — not a partitioned store"))
-    val man = readManifest(fs, root, cur)
     val del = keyRows.select(keys.map(col): _*).distinct()
       .withColumn(BucketCol, bucketExpr(keys, nBuckets))
       .localCheckpoint()
     val touched = del.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
-    val target = readStoreBuckets(spark, targetPath, touched)
-    val remaining = target.join(broadcast(del.drop(BucketCol)), keys, "left_anti")
-    commitRewrittenBuckets(fs, root, cur, man, touched, remaining)
+    commitRewrittenBuckets(spark, targetPath, touched,
+      () => readStoreBuckets(spark, targetPath, touched)
+        .join(broadcast(del.drop(BucketCol)), keys, "left_anti"))
   }
 
   /** CHANGE FEED — the net row-level diff between two committed versions,
@@ -445,12 +532,12 @@ object IO {
     }
     val mOld = readManifest(fs, root, fromVersion)
     val mNew = readManifest(fs, root, toVersion)
-    def gens(m: Seq[(Int, Int)]): Map[Int, Set[Int]] =
+    def gens(m: Seq[(Int, String)]): Map[Int, Set[String]] =
       m.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val (gOld, gNew) = (gens(mOld), gens(mNew))
     val changed = (gOld.keySet ++ gNew.keySet)
       .filter(b => gOld.get(b) != gNew.get(b))
-    def side(man: Seq[(Int, Int)]): DataFrame = {
+    def side(man: Seq[(Int, String)]): DataFrame = {
       val pairs = man.filter { case (b, _) => changed(b) }
       if (pairs.nonEmpty) readBuckets(spark, path, pairs).drop(BucketCol)
       else readBuckets(spark, path, Seq((mOld ++ mNew).head)).drop(BucketCol).limit(0)
@@ -494,21 +581,38 @@ object IO {
   def appendPartitionedStore(spark: SparkSession, targetPath: String,
                              source: DataFrame, keys: Seq[String]): Unit = {
     val (fs, root) = hfs(spark, targetPath)
-    val cur = currentManifestVersion(fs, root).getOrElse(
-      throw new IllegalArgumentException(
-        s"$targetPath has no committed manifest — not a partitioned store"))
-    val man = readManifest(fs, root, cur)
     val src =
       if (source.columns.contains(BucketCol)) source
       else source.withColumn(BucketCol, bucketExpr(keys, storeBuckets(targetPath)))
-    val newGen = cur + 1
-    val genPath = new HPath(root, s"$GenCol=$newGen")
-    fs.delete(genPath, true) // leftovers from a crashed, uncommitted attempt
+    // append data is base-independent (new pairs just ADD to whatever
+    // manifest is current), so the delta writes ONCE to a writer-unique
+    // generation and only the manifest commit loops optimistically
+    val genName = newGenName(0)
+    val genPath = new HPath(root, s"$GenCol=$genName")
     src.hint("rebalance", col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
     val written = listPartDirs(fs, genPath, BucketCol)
-    writeManifestVersion(fs, root, newGen, man ++ written.map(_ -> newGen))
-    commitManifestVersion(fs, root, newGen)
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val cur = currentManifestVersion(fs, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"$targetPath has no committed manifest — not a partitioned store"))
+      val man = readManifest(fs, root, cur)
+      val next = cur + 1
+      if (claimVersion(fs, root, next, ClaimLeaseMs)) {
+        try {
+          if (currentManifestVersion(fs, root).contains(cur) &&
+              !isCommitted(fs, root, next)) {
+            writeManifestVersion(fs, root, next, man ++ written.map(_ -> genName))
+            commitManifestVersion(fs, root, next)
+            return
+          }
+        } finally releaseClaim(fs, root, next)
+      }
+    }
+    throw new IllegalStateException(
+      s"append lost 5 optimistic-concurrency races on $targetPath")
   }
 
   /** Reclaim files no committed reader can reach: bucket directories
@@ -520,11 +624,11 @@ object IO {
   def vacuumPartitionedStore(spark: SparkSession, path: String): Unit = {
     val (fs, root) = hfs(spark, path)
     currentManifestVersion(fs, root).foreach { cur =>
-      val live: Set[(Int, Int)] =
+      val live: Set[(String, Int)] =
         readManifest(fs, root, cur).toSeq.map { case (b, g) => (g, b) }.toSet
       fs.listStatus(root).filter(_.getPath.getName.startsWith(GenCol + "="))
         .foreach { genSt =>
-          val g = genSt.getPath.getName.stripPrefix(GenCol + "=").toInt
+          val g = genSt.getPath.getName.stripPrefix(GenCol + "=")
           fs.listStatus(genSt.getPath)
             .filter(_.getPath.getName.startsWith(BucketCol + "="))
             .foreach { bSt =>
@@ -535,9 +639,13 @@ object IO {
                  .exists(_.getPath.getName.startsWith(BucketCol + "=")))
             fs.delete(genSt.getPath, true)
         }
+      // reclaim old manifests, their markers, and stale claim locks —
+      // all named v<digits>[.committed|.lock]
       fs.listStatus(manifestDir(root)).foreach { s =>
-        val v = s.getPath.getName.stripPrefix("v").stripSuffix(".committed")
-        if (v.forall(_.isDigit) && v.toInt < cur) fs.delete(s.getPath, false)
+        val v = s.getPath.getName.stripPrefix("v")
+          .stripSuffix(".committed").stripSuffix(".lock")
+        if (v.forall(_.isDigit) && v.nonEmpty && v.toInt < cur)
+          fs.delete(s.getPath, false)
       }
     }
   }

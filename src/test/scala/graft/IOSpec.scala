@@ -152,7 +152,7 @@ class IOSpec extends SparkSpec {
       .map(_.toString).filter(_.endsWith(".parquet"))
       .map { f =>
         val b = f.split(s"${IO.BucketCol}=")(1).split("/")(0).toInt
-        val g = f.split(s"${IO.GenCol}=")(1).split("/")(0).toInt
+        val g = f.split(s"${IO.GenCol}=")(1).split("/")(0)
         (b, g)
       }.toSet
     assert(genBuckets.groupMap(_._1)(_._2).forall(_._2.size == 1),
@@ -266,6 +266,59 @@ class IOSpec extends SparkSpec {
     val v3 = IO.readPartitionedStoreAt(spark, path, 3)
       .as[(Long, String, Double)].collect().toSet
     assert(applied == v3)
+  }
+
+  test("optimistic concurrency: a merge that loses the commit race retries " +
+       "against the winner's version — both writers' effects serialize") {
+    val path = s"$tmp/occ_store"
+    IO.writePartitionedStore(
+      (1 to 32).map(i => (i.toLong, i.toDouble)).toDF("id", "v"),
+      path, Seq("id"), nBuckets = 8)
+    // writer A computes its merge against v1; in A's pre-CLAIM window a
+    // competing writer B runs a FULL merge (B commits v2 first). A's
+    // claim check must then detect the lost race and retry against v2.
+    val competed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    IO.upsertPartitionedStoreImpl(spark, path,
+      Seq((3L, 300.0), (100L, 1.0)).toDF("id", "v"), Seq("id"), Seq("v"),
+      beforeCommit = () => (),
+      beforeClaim = () =>
+        if (competed.compareAndSet(false, true)) {
+          IO.upsertPartitionedStore(spark, path,
+            Seq((5L, 500.0), (200L, 2.0)).toDF("id", "v"), Seq("id"), Seq("v"))
+        })
+    val out = IO.readPartitionedStore(spark, path)
+      .as[(Long, Double)].collect().toMap
+    // BOTH merges landed, serialized B then A
+    assert(out(3L) == 300.0 && out(100L) == 1.0, "loser's merge must land on retry")
+    assert(out(5L) == 500.0 && out(200L) == 2.0, "winner's merge must survive")
+    assert(out.size == 34)
+    assert(IO.storeVersions(spark, path) == Seq(1, 2, 3))
+    // time travel shows the serialization order: v2 = B only, v3 = B + A
+    val v2 = IO.readPartitionedStoreAt(spark, path, 2)
+      .as[(Long, Double)].collect().toMap
+    assert(v2(5L) == 500.0 && !v2.contains(100L))
+  }
+
+  test("optimistic concurrency: a stale claim lock from a crashed writer " +
+       "is broken and the merge proceeds") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val path = s"$tmp/stale_claim_store"
+    IO.writePartitionedStore(
+      (1 to 16).map(i => (i.toLong, i.toDouble)).toDF("id", "v"),
+      path, Seq("id"), nBuckets = 4)
+    // simulate a claimant that died mid-commit: lock for v2 exists with an
+    // mtime far past the lease
+    val lockPath = new HPath(path, "_graft_manifests/v2.lock")
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lockPath, false)
+    out.write("dead-writer".getBytes("UTF-8")); out.close()
+    fs.setTimes(lockPath, System.currentTimeMillis() - IO.ClaimLeaseMs - 60000, -1)
+    IO.upsertPartitionedStore(spark, path,
+      Seq((3L, 300.0)).toDF("id", "v"), Seq("id"), Seq("v"))
+    val res = IO.readPartitionedStore(spark, path)
+      .as[(Long, Double)].collect().toMap
+    assert(res(3L) == 300.0 && res.size == 16)
+    assert(IO.storeVersions(spark, path) == Seq(1, 2))
   }
 
   test("syncMirror: cursor-tracked incremental sync; multi-commit catch-up; " +
