@@ -161,4 +161,40 @@ class PlanAuditSpec extends SparkSpec {
       s"benchmark side not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("zorder: one range exchange, Morton value codegen, no UDF") {
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey", "l_orderkey")
+    val z = graft.ops.Layout.zvalue(li, Seq("l_partkey", "l_suppkey"), bits = 10)
+    val plan = li.withColumn("__z", z)
+      .repartitionByRange(16, col("__z")).sortWithinPartitions("__z").drop("__z")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"no range exchange:\n$plan")
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"re-layout must cost exactly ONE exchange:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"Morton value fell out of codegen:\n$plan")
+    assert(plan.contains("width_bucket") && plan.contains("shiftleft"), plan)
+  }
+
+  test("storeChangeFeed: scans list ONLY changed bucket directories") {
+    import spark.implicits._
+    val path = "/root/repo/target/test_tmp/audit_cdc_store"
+    graft.io.IO.writePartitionedStore(
+      (1 to 64).map(i => (i.toLong, i.toDouble)).toDF("id", "v"),
+      path, Seq("id"), nBuckets = 8)
+    graft.io.IO.upsertPartitionedStore(spark, path,
+      Seq((3L, 300.0)).toDF("id", "v"), Seq("id"), Seq("v"))
+    val touched = Seq(3L).toDF("id")
+      .select(graft.io.IO.bucketExpr(Seq("id"), 8).as("b")).as[Int].head()
+    val plan = graft.io.IO.storeChangeFeed(spark, path, 1, 2, Seq("id"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // both scans' file indexes carry exactly the touched bucket's dirs —
+    // the seven untouched buckets never appear in the plan at all
+    (0 until 8).filter(_ != touched).foreach { b =>
+      assert(!plan.contains(s"__graft_bucket=$b"),
+        s"untouched bucket $b listed in:\n$plan")
+    }
+    assert(plan.contains(s"__graft_bucket=$touched"), plan)
+  }
 }
