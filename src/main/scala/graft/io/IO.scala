@@ -55,8 +55,17 @@ object IO {
     */
   def upsert(target: DataFrame, source: DataFrame,
              keys: Seq[String], updateCols: Seq[String],
-             broadcastSource: Boolean = true): DataFrame = {
+             broadcastSource: Boolean = true,
+             evolveSchema: Boolean = false): DataFrame = {
     val matchFlag = "__graft_matched"
+    // SCHEMA EVOLUTION (opt-in, Delta autoMerge-style): source columns the
+    // target lacks widen the output schema. A new column has no target
+    // value to retain, so it behaves as an implicit update column —
+    // matched rows take the source value, unmatched target rows get NULL,
+    // inserts carry it through.
+    val newCols = if (evolveSchema)
+      source.columns.filterNot(target.columns.contains).toSeq else Seq.empty
+    val outCols = target.columns.toSeq ++ newCols
     val src = source.withColumn(matchFlag, lit(1))
     // broadcast the DELTA side only, and only when the caller says it is
     // small (the default incremental-upsert shape); a bulk merge of two
@@ -66,18 +75,18 @@ object IO {
       srcSide,
       keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
       "left_outer")
-    val updated = joined.select(target.columns.map { c =>
+    val updated = joined.select((target.columns.map { c =>
       if (updateCols.contains(c))
         when(col(matchFlag).isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
       else col(s"t.$c").as(c)
-    }.toSeq: _*)
+    } ++ newCols.map(c => col(s"s.$c").as(c))).toSeq: _*)
     // No broadcast hint here: the anti-join's build side would be the TARGET
     // key set, which is the large table at scale (broadcasting it OOMs the
     // driver at 100 TB). Let the planner/AQE pick — with a small source and a
     // large target this resolves to a shuffled hash join keyed the same way
     // as the update join above, so the two passes share the exchange.
     val inserts = source.join(target.select(keys.map(col): _*), keys, "left_anti")
-      .select(target.columns.map(col).toSeq: _*)
+      .select(outCols.map(col): _*)
     updated.unionByName(inserts)
   }
 
@@ -356,7 +365,11 @@ object IO {
   private def readBuckets(spark: SparkSession, path: String,
                           buckets: Seq[(Int, String)]): DataFrame = {
     val dirs = buckets.distinct.sorted.map { case (b, g) => bucketDir(path, g, b) }
-    spark.read.option("basePath", path).parquet(dirs: _*).drop(GenCol)
+    // mergeSchema: a schema-evolved merge leaves older generations without
+    // the new columns; the union schema reads them back as NULL. Cost is a
+    // footer merge over the pruned file list — bounded by the read itself.
+    spark.read.option("basePath", path).option("mergeSchema", "true")
+      .parquet(dirs: _*).drop(GenCol)
   }
 
   /** S5 at scale — partition-pruned MERGE with an ATOMIC manifest commit.
@@ -396,9 +409,10 @@ object IO {
     * partitions and re-insert keys it failed to find. */
   def upsertPartitionedStore(spark: SparkSession, targetPath: String,
                              source: DataFrame, keys: Seq[String],
-                             updateCols: Seq[String]): Unit =
+                             updateCols: Seq[String],
+                             evolveSchema: Boolean = false): Unit =
     upsertPartitionedStoreImpl(spark, targetPath, source, keys, updateCols,
-      beforeCommit = () => ())
+      beforeCommit = () => (), evolveSchema = evolveSchema)
 
   /** [[upsertPartitionedStore]] with two test seams: `beforeCommit` runs
     * after all data and manifest files are written but before the commit
@@ -411,7 +425,8 @@ object IO {
       spark: SparkSession, targetPath: String, source: DataFrame,
       keys: Seq[String], updateCols: Seq[String],
       beforeCommit: () => Unit,
-      beforeClaim: () => Unit = () => ()): Unit = {
+      beforeClaim: () => Unit = () => (),
+      evolveSchema: Boolean = false): Unit = {
     val nBuckets = storeBuckets(targetPath)
     val src = source.withColumn(BucketCol, bucketExpr(keys, nBuckets))
       .localCheckpoint()
@@ -420,7 +435,7 @@ object IO {
       // recomputed per optimistic attempt: the merge is a function of the
       // base version it commits against
       () => upsert(readStoreBuckets(spark, targetPath, touched), src,
-        keys, updateCols),
+        keys, updateCols, evolveSchema = evolveSchema),
       beforeCommit, beforeClaim = beforeClaim)
   }
 
@@ -542,9 +557,18 @@ object IO {
       if (pairs.nonEmpty) readBuckets(spark, path, pairs).drop(BucketCol)
       else readBuckets(spark, path, Seq((mOld ++ mNew).head)).drop(BucketCol).limit(0)
     }
-    val o = side(mOld)
-    val n = side(mNew)
-    val nonKey = n.columns.toSeq.filterNot(keys.contains)
+    val o0 = side(mOld)
+    val n0 = side(mNew)
+    // schema evolution: align both sides on the UNION of columns (a column
+    // a version predates reads as typed NULL on that side), so the image
+    // structs compare field-for-field across an evolved boundary
+    def aligned(df: DataFrame, other: DataFrame): DataFrame =
+      other.schema.fields.filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)))
+    val o = aligned(o0, n0)
+    val n = aligned(n0, o0)
+    val nonKey = (n0.columns.toSeq ++
+      o0.columns.toSeq.filterNot(n0.columns.contains)).filterNot(keys.contains)
     def img(df: DataFrame, name: String) =
       df.select(keys.map(col) :+ struct(nonKey.map(col): _*).as(name): _*)
     val j = img(o, "__pre").join(img(n, "__post"), keys.toSeq, "full_outer")

@@ -268,6 +268,49 @@ class IOSpec extends SparkSpec {
     assert(applied == v3)
   }
 
+  test("schema evolution: new source columns widen the merge output; " +
+       "matched rows take the value, unmatched target rows read NULL") {
+    val target = Seq((1, 10.0), (2, 20.0)).toDF("id", "v")
+    val source = Seq((2, 99.0, "b2"), (3, 30.0, "b3")).toDF("id", "v", "w")
+    val out = IO.upsert(target, source, Seq("id"), Seq("v"), evolveSchema = true)
+      .as[(Int, Double, Option[String])].collect().toSet
+    assert(out == Set(
+      (1, 10.0, None),        // unmatched target: new column NULL
+      (2, 99.0, Some("b2")),  // matched: update col + evolved col
+      (3, 30.0, Some("b3")))) // insert carries the evolved col
+    // without the flag, evolution is refused by the narrower projection
+    val legacy = IO.upsert(target, source, Seq("id"), Seq("v"))
+    assert(legacy.columns.toSeq == Seq("id", "v"))
+  }
+
+  test("schema evolution in the partitioned store: untouched generations " +
+       "read back as NULL; time travel keeps the pre-evolution schema") {
+    val path = s"$tmp/evolve_store"
+    IO.writePartitionedStore(
+      (1 to 32).map(i => (i.toLong, i.toDouble)).toDF("id", "v"),
+      path, Seq("id"), nBuckets = 4)
+    IO.upsertPartitionedStore(spark, path,
+      Seq((3L, 300.0, "tag3"), (100L, 1.0, "tag100")).toDF("id", "v", "w"),
+      Seq("id"), Seq("v"), evolveSchema = true)
+    val cur = IO.readPartitionedStore(spark, path)
+    assert(cur.columns.toSeq.sorted == Seq("id", "v", "w"))
+    val m = cur.as[(Long, Double, Option[String])].collect()
+      .map { case (i, v, w) => i -> ((v, w)) }.toMap
+    assert(m(3L) == ((300.0, Some("tag3"))))
+    assert(m(100L) == ((1.0, Some("tag100"))))
+    // a row in an untouched bucket predates the column entirely
+    assert(m.size == 33 && m.exists(_._2._2.isEmpty))
+    // time travel: v1 has no `w` — old generations were never rewritten
+    assert(!IO.readPartitionedStoreAt(spark, path, 1).columns.contains("w"))
+    // change feed across the evolved boundary: preimages read NULL for `w`
+    val feed = IO.storeChangeFeed(spark, path, 1, 2, Seq("id"))
+      .as[(String, Long, Double, Option[String])].collect().toSet
+    assert(feed == Set(
+      ("update_preimage", 3L, 3.0, None),
+      ("update_postimage", 3L, 300.0, Some("tag3")),
+      ("insert", 100L, 1.0, Some("tag100"))))
+  }
+
   test("optimistic concurrency: a merge that loses the commit race retries " +
        "against the winner's version — both writers' effects serialize") {
     val path = s"$tmp/occ_store"
