@@ -168,6 +168,35 @@ object BreadthQueries {
           col("event_type"), col("n"), col("total_value"))),
 
     // W6 — BATCH sessionization (gaps-and-islands, 30-min gap): the
+    // W7 — the full ranking-window family in one pass: rank, dense_rank,
+    // ntile, percent_rank, cume_dist share ONE window definition, so the
+    // whole suite costs a single hash exchange on the partition key (the
+    // order columns make the frame a total order — every function is
+    // deterministic and fully value-checkable).
+    "w7_window_suite" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cum_dist"))
+    }),
+
+    // X9 — array higher-order functions (transform / filter / aggregate):
+    // the lambda forms stay scan-side expressions, so per-row array work
+    // never shuffles and never leaves the JVM.
+    "x9_hof_suite" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"), split(col("p_name"), " ").as("arr"))
+        .select(col("p_partkey"),
+          array_join(transform(col("arr"), x => upper(x)), ",").as("upper_csv"),
+          size(filter(col("arr"), x => length(x) > 4)).as("n_long"),
+          aggregate(col("arr"), lit(0), (acc, x) => acc + length(x)).as("total_len"))),
+
     // offline counterpart of the streaming st_sessionize family, one
     // key exchange for the whole build. Gap compare runs in exact
     // integer microseconds (the fixture carries sub-second times).
@@ -437,6 +466,22 @@ object BreadthQueries {
         |FROM i GROUP BY user_id, session""".stripMargin,
     // contract: the exact heavy-hitter count is SQL-computable; the
     // sketch's no-false-negative guarantee surfaces as a boolean
+    "w7_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cum_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "x9_hof_suite" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(arr, x -> upper(x)), ',') AS upper_csv,
+        |  CAST(len(list_filter(arr, x -> length(x) > 4)) AS INT) AS n_long,
+        |  CAST(list_sum(list_transform(arr, x -> length(x))) AS INT) AS total_len
+        |FROM (SELECT p_partkey, string_split(p_name, ' ') AS arr FROM part)""".stripMargin,
     "s13_zorder_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  true AS partkey_clustered, true AS suppkey_clustered
