@@ -144,6 +144,47 @@ object Plans {
     } finally sys.props.remove("graft.audit.rawPlans") // never leaks past the audit
     sb.append(
       """
+        |## Partitioned-store protocol (io.IO) — the table-format audit
+        |
+        |The bucketed store under `io.IO` is a manifest-pointer table
+        |format over plain parquet, and every guarantee reduces to two
+        |filesystem primitives: atomic create-if-absent (commit markers,
+        |claim locks) and never-overwrite-a-live-file (generation dirs).
+        |
+        |- **Layout**: `__graft_gen=<v>-<nonce>/__graft_bucket=<b>/` data
+        |  dirs; `_graft_manifests/v<N>` maps bucket → generation(s);
+        |  `v<N>.committed` (atomic create) is the single commit point.
+        |  Generation names carry a writer nonce, so racing writers can
+        |  never clobber each other's uncommitted files.
+        |- **Writes**: MERGE / DELETE rewrite only touched buckets
+        |  (O(delta), key-hash pruning); APPEND adds delta generations
+        |  without reading anything (LSM trade);
+        |  `compactPartitionedStore` collapses fragmented buckets only.
+        |- **Concurrency**: optimistic — per-version claim lock (atomic
+        |  create + lease for crashed claimants), base re-check under the
+        |  claim, losers recompute against the new current and retry;
+        |  orphan generations are vacuum's to reclaim.
+        |- **Reads**: always through the committed manifest (uncommitted
+        |  or superseded files are invisible); `readPartitionedStoreAt`
+        |  serves any retained version (time travel); `storeChangeFeed`
+        |  diffs two versions scanning ONLY buckets whose manifest entry
+        |  changed (asserted in PlanAuditSpec); `applyChangeFeed` /
+        |  `syncMirror` are the consumer side with a cursor committed
+        |  atomically alongside the mirror data.
+        |- **Schema evolution**: `upsert(evolveSchema = true)` widens the
+        |  schema; old generations read back as typed NULLs via parquet
+        |  mergeSchema over the already-pruned file list; the feed aligns
+        |  both versions on the column union.
+        |- **Retention**: `vacuumPartitionedStore` deletes superseded
+        |  generations, old manifests, and stale locks — after which only
+        |  the current version is readable (the standard time-travel ↔
+        |  vacuum trade) and a lagging mirror falls back to a snapshot.
+        |
+        |On an object store without atomic create, the claim/commit pair
+        |becomes a conditional PUT per version; nothing else changes.
+        |All of the above is exercised by IOSpec (crash injection, racing
+        |writers, stale-claim break, evolution, mirror catch-up).
+        |
         |## Streaming state backend (st_* family)
         |
         |The eleven `st_*` queries run on Structured Streaming's default

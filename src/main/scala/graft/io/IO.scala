@@ -518,6 +518,32 @@ object IO {
         .join(broadcast(del.drop(BucketCol)), keys, "left_anti"))
   }
 
+  /** COMPACT the store's fragmented buckets — the OPTIMIZE step for the
+    * LSM trade [[appendPartitionedStore]] makes: each append adds a delta
+    * generation to every bucket it touches, and a bucket fragmented
+    * across many generations pays a multi-directory list + many small
+    * files on every read. Rewrites ONLY buckets spread over more than
+    * `maxGensPerBucket` generations (content byte-identical, so served
+    * reads cannot change), committing through the same optimistic loop
+    * as the merge — cost is O(fragmented buckets' data), never O(store).
+    * A no-op when nothing is fragmented. Note CDC semantics: compaction
+    * repoints the touched buckets, so a [[storeChangeFeed]] across the
+    * boundary scans them — and correctly emits nothing, because every
+    * row compares equal. */
+  def compactPartitionedStore(spark: SparkSession, path: String,
+                              maxGensPerBucket: Int = 1): Unit = {
+    val (fs, root) = hfs(spark, path)
+    val cur = currentManifestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no committed manifest — not a partitioned store"))
+    val frag = readManifest(fs, root, cur)
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+      .filter(_._2 > maxGensPerBucket).keys.toSet
+    if (frag.nonEmpty)
+      commitRewrittenBuckets(spark, path, frag,
+        () => readStoreBuckets(spark, path, frag))
+  }
+
   /** CHANGE FEED — the net row-level diff between two committed versions,
     * in CDC shape: `_change_type` ∈ insert / delete / update_preimage /
     * update_postimage ahead of the data columns. Consumers that mirror the

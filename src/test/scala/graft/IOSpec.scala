@@ -364,6 +364,41 @@ class IOSpec extends SparkSpec {
     assert(IO.storeVersions(spark, path) == Seq(1, 2))
   }
 
+  test("compactPartitionedStore: appends fragment buckets across " +
+       "generations; compaction collapses only those, content identical") {
+    val path = s"$tmp/compact_store"
+    IO.writePartitionedStore(
+      (1 to 32).map(i => (i.toLong, i.toDouble)).toDF("id", "v"),
+      path, Seq("id"), nBuckets = 4)
+    // two appends: every touched bucket accumulates delta generations
+    IO.appendPartitionedStore(spark, path,
+      Seq((101L, 1.0), (102L, 2.0)).toDF("id", "v"), Seq("id"))
+    IO.appendPartitionedStore(spark, path,
+      Seq((103L, 3.0)).toDF("id", "v"), Seq("id"))
+    val before = IO.readPartitionedStore(spark, path)
+      .as[(Long, Double)].collect().toSet
+    def gensPerBucket(): Map[Int, Int] = {
+      val v = IO.storeVersions(spark, path).last
+      spark.read.text(s"$path/_graft_manifests/v$v").collect()
+        .map(_.getString(0).split('\t')).map(a => a(0).toInt -> a(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    }
+    assert(gensPerBucket().values.max > 1, "appends should fragment buckets")
+    IO.compactPartitionedStore(spark, path)
+    assert(gensPerBucket().values.max == 1, "compaction must collapse generations")
+    val after = IO.readPartitionedStore(spark, path)
+      .as[(Long, Double)].collect().toSet
+    assert(after == before)
+    // the compaction commit emits NO change events: rows are identical
+    val vs = IO.storeVersions(spark, path)
+    assert(IO.storeChangeFeed(spark, path, vs(vs.length - 2), vs.last,
+      Seq("id")).isEmpty)
+    // already compact: a second call is a no-op commit-wise
+    val v0 = IO.storeVersions(spark, path).last
+    IO.compactPartitionedStore(spark, path)
+    assert(IO.storeVersions(spark, path).last == v0)
+  }
+
   test("syncMirror: cursor-tracked incremental sync; multi-commit catch-up; " +
        "no-op when current; full-resync fallback after vacuum") {
     val store = s"$tmp/mirror_store"
