@@ -114,16 +114,12 @@ object Plans {
           Seq((3L, 300.0), (500L, 5.0)).toDF("id", "v"), Seq("id"), Seq("v"))
         graft.io.IO.storeChangeFeed(s, path, 1, 2, Seq("id"))
       }),
-      // the contract frame hides the layout op; audit the re-layout plan
-      "s13_zorder_layout" -> ((s, d) => {
-        val li = graft.Tables.lineitem(s, d)
-          .select("l_partkey", "l_suppkey", "l_orderkey")
-        val z = graft.ops.Layout.zvalue(li, Seq("l_partkey", "l_suppkey"), bits = 10)
-        li.withColumn("__graft_zval", z)
-          .repartitionByRange(16, org.apache.spark.sql.functions.col("__graft_zval"))
-          .sortWithinPartitions("__graft_zval")
-          .drop("__graft_zval")
-      }),
+      // the contract frame hides the layout op; audit the exact frame
+      // zorderWrite writes (one definition — Layout.zorderFrame)
+      "s13_zorder_layout" -> ((s, d) =>
+        graft.ops.Layout.zorderFrame(
+          graft.Tables.lineitem(s, d).select("l_partkey", "l_suppkey", "l_orderkey"),
+          Seq("l_partkey", "l_suppkey"), nFiles = 16, bits = 10)),
       // the writer is an action; audit the frame it writes
       "tx_export_shards" -> ((s, d) => {
         val docs = graft.Tables.documents(s, d)

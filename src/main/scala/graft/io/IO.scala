@@ -213,35 +213,61 @@ object IO {
     * an object-store deployment replaces the whole protocol with a
     * conditional PUT per version (the standard public answer). */
   private def claimVersion(fs: FileSystem, root: HPath, v: Int,
-                           leaseMs: Long): Boolean = {
-    val lock = new HPath(manifestDir(root), s"v$v.lock")
+                           leaseMs: Long): Option[String] = {
+    val lock = lockPath(root, v)
     val nonce = java.util.UUID.randomUUID.toString
     def tryCreate(): Boolean = {
       val created =
         try { writeSmallFileAtomic(fs, lock, nonce); true }
         catch { case _: java.io.IOException => false }
       created && {
-        val ok = try readSmallFile(fs, lock) == nonce
-                 catch { case _: java.io.IOException => false }
-        ok // a concurrent lease-breaker clobbered us: their claim, not ours
+        // read-back: a concurrent lease-breaker may have clobbered us
+        try readSmallFile(fs, lock) == nonce
+        catch { case _: java.io.IOException =>
+          // we created it but can't read it back — reclaim our own lock
+          // rather than leaving an unreadable claim that stalls every
+          // writer for the full lease
+          fs.delete(lock, false); false
+        }
       }
     }
-    tryCreate() || {
+    val claimed = tryCreate() || {
       val stale =
         try fs.getFileStatus(lock).getModificationTime <
           System.currentTimeMillis() - leaseMs
         catch { case _: java.io.IOException => true } // vanished: released
       stale && { fs.delete(lock, false); tryCreate() }
     }
+    if (claimed) Some(nonce) else None
   }
+
+  private def lockPath(root: HPath, v: Int): HPath =
+    new HPath(manifestDir(root), s"v$v.lock")
+
+  /** True iff the claim lock for `v` still carries `nonce` — the fencing
+    * re-check a lease-broken holder fails. Called immediately before the
+    * manifest content write and again before the commit marker, so a
+    * writer whose claim was broken (stalled past the lease) backs off
+    * instead of clobbering the new holder's manifest. The residual window
+    * is the instants between a check and its write — the documented
+    * best-effort bound of any lease without server-side fencing; the
+    * object-store deployment's conditional PUT closes it. */
+  private def holdsClaim(fs: FileSystem, root: HPath, v: Int,
+                         nonce: String): Boolean =
+    try readSmallFile(fs, lockPath(root, v)) == nonce
+    catch { case _: java.io.IOException => false }
 
   private def writeSmallFileAtomic(fs: FileSystem, p: HPath, content: String): Unit = {
     val out = fs.create(p, false) // create-if-absent: the atomic primitive
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  private def releaseClaim(fs: FileSystem, root: HPath, v: Int): Unit =
-    fs.delete(new HPath(manifestDir(root), s"v$v.lock"), false)
+  private def releaseClaim(fs: FileSystem, root: HPath, v: Int,
+                           nonce: String): Unit =
+    // release only OUR claim: after a lease break the lock belongs to the
+    // breaker, and deleting it would cascade the very race it guards
+    if (holdsClaim(fs, root, v, nonce))
+      fs.delete(lockPath(root, v), false)
 
   private def bucketDir(path: String, g: String, b: Int): String =
     s"$path/$GenCol=$g/$BucketCol=$b"
@@ -461,6 +487,12 @@ object IO {
                                      maxAttempts: Int = 5,
                                      beforeClaim: () => Unit = () => ()): Unit = {
     val (fs, root) = hfs(spark, targetPath)
+    // reused across attempts when the base hasn't advanced: a refused
+    // claim (peer mid-commit, not yet committed) must not cost a second
+    // full Spark rewrite of byte-identical data
+    var dataBase = -1
+    var genName = ""
+    var written = Seq.empty[Int]
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -468,31 +500,47 @@ object IO {
         throw new IllegalArgumentException(
           s"$targetPath has no committed manifest — not a partitioned store"))
       val man = readManifest(fs, root, cur)
-      val genName = newGenName(cur + 1)
-      val genPath = new HPath(root, s"$GenCol=$genName")
-      // same rebalance-before-partitionBy as writePartitionedStore: the
-      // write otherwise fans each task across every touched bucket dir
-      rewrite().hint("rebalance", col(BucketCol))
-        .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
-      val written = listPartDirs(fs, genPath, BucketCol)
+      if (dataBase != cur) {
+        genName = newGenName(cur + 1)
+        val genPath = new HPath(root, s"$GenCol=$genName")
+        // same rebalance-before-partitionBy as writePartitionedStore: the
+        // write otherwise fans each task across every touched bucket dir
+        rewrite().hint("rebalance", col(BucketCol))
+          .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
+        written = listPartDirs(fs, genPath, BucketCol)
+        dataBase = cur
+      }
       val next = cur + 1
       beforeClaim()
-      if (claimVersion(fs, root, next, ClaimLeaseMs)) {
-        try {
-          if (currentManifestVersion(fs, root).contains(cur) &&
-              !isCommitted(fs, root, next)) {
-            val kept = man.filter { case (b, _) => !touched(b) }
-            writeManifestVersion(fs, root, next, kept ++ written.map(_ -> genName))
-            beforeCommit()
-            commitManifestVersion(fs, root, next)
-            return
-          }
-          // base advanced under us: our generation is orphan garbage
-          // (vacuum reclaims it); recompute against the new current
-        } finally releaseClaim(fs, root, next)
+      claimVersion(fs, root, next, ClaimLeaseMs) match {
+        case Some(nonce) =>
+          try {
+            if (currentManifestVersion(fs, root).contains(cur) &&
+                !isCommitted(fs, root, next) &&
+                // fencing: a holder whose lease was broken while it
+                // stalled must not write the new holder's manifest
+                holdsClaim(fs, root, next, nonce)) {
+              val kept = man.filter { case (b, _) => !touched(b) }
+              writeManifestVersion(fs, root, next, kept ++ written.map(_ -> genName))
+              beforeCommit()
+              if (holdsClaim(fs, root, next, nonce)) {
+                try { commitManifestVersion(fs, root, next); return }
+                catch { case e: java.io.IOException =>
+                  // marker landed from a fenced-off racer in the residual
+                  // window: a lost race, not a failure — loop and recompute
+                  if (!isCommitted(fs, root, next)) throw e
+                }
+              }
+            }
+            // base advanced (or claim fenced off) under us: our generation
+            // is orphan garbage (vacuum reclaims it); recompute
+          } finally releaseClaim(fs, root, next, nonce)
+        case None =>
+          // claim refused: an active writer is committing `next`. Its
+          // commit/release resolves the base; back off so spins don't
+          // exhaust the attempts inside the peer's few-ms commit window.
+          Thread.sleep(100L * attempt)
       }
-      // claim refused: an active writer is committing `next` — its marker
-      // or released lock resolves the base for the next attempt
     }
     throw new IllegalStateException(
       s"merge lost $maxAttempts optimistic-concurrency races on $targetPath")
@@ -643,26 +691,35 @@ object IO {
       .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
     val written = listPartDirs(fs, genPath, BucketCol)
     var attempt = 0
-    while (attempt < 5) {
+    while (attempt < 10) {
       attempt += 1
       val cur = currentManifestVersion(fs, root).getOrElse(
         throw new IllegalArgumentException(
           s"$targetPath has no committed manifest — not a partitioned store"))
       val man = readManifest(fs, root, cur)
       val next = cur + 1
-      if (claimVersion(fs, root, next, ClaimLeaseMs)) {
-        try {
-          if (currentManifestVersion(fs, root).contains(cur) &&
-              !isCommitted(fs, root, next)) {
-            writeManifestVersion(fs, root, next, man ++ written.map(_ -> genName))
-            commitManifestVersion(fs, root, next)
-            return
-          }
-        } finally releaseClaim(fs, root, next)
+      claimVersion(fs, root, next, ClaimLeaseMs) match {
+        case Some(nonce) =>
+          try {
+            if (currentManifestVersion(fs, root).contains(cur) &&
+                !isCommitted(fs, root, next) &&
+                holdsClaim(fs, root, next, nonce)) {
+              writeManifestVersion(fs, root, next, man ++ written.map(_ -> genName))
+              if (holdsClaim(fs, root, next, nonce)) {
+                commitManifestVersion(fs, root, next)
+                return
+              }
+            }
+          } finally releaseClaim(fs, root, next, nonce)
+        case None =>
+          // appends never truly conflict (base-independent data); a
+          // refused claim just means a peer is inside its few-ms commit
+          // window — back off instead of spinning through the attempts
+          Thread.sleep(50L * attempt)
       }
     }
     throw new IllegalStateException(
-      s"append lost 5 optimistic-concurrency races on $targetPath")
+      s"append lost 10 optimistic-concurrency races on $targetPath")
   }
 
   /** Reclaim files no committed reader can reach: bucket directories
@@ -671,23 +728,39 @@ object IO {
     * that resolved an older manifest races with deletion — same retention
     * contract as any table format's VACUUM; safe when no reader started
     * before the last commit is still running). */
-  def vacuumPartitionedStore(spark: SparkSession, path: String): Unit = {
+  def vacuumPartitionedStore(spark: SparkSession, path: String,
+                             orphanGraceMs: Long = ClaimLeaseMs): Unit = {
     val (fs, root) = hfs(spark, path)
     currentManifestVersion(fs, root).foreach { cur =>
       val live: Set[(String, Int)] =
         readManifest(fs, root, cur).toSeq.map { case (b, g) => (g, b) }.toSet
+      // generations referenced by ANY retained manifest were committed —
+      // their writers are done, so superseded ones delete immediately. A
+      // generation in NO manifest is either a lost attempt's orphan or a
+      // LIVE writer's not-yet-committed data: only age can tell them
+      // apart, so those wait out `orphanGraceMs` (the same lease bound
+      // the claim protocol uses) before deletion. Without the grace, a
+      // vacuum racing an in-flight writer would delete data the writer
+      // is about to commit a manifest for.
+      val everReferenced: Set[String] = storeVersions(spark, path)
+        .flatMap(v => readManifest(fs, root, v).map(_._2)).toSet
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
       fs.listStatus(root).filter(_.getPath.getName.startsWith(GenCol + "="))
         .foreach { genSt =>
           val g = genSt.getPath.getName.stripPrefix(GenCol + "=")
-          fs.listStatus(genSt.getPath)
-            .filter(_.getPath.getName.startsWith(BucketCol + "="))
-            .foreach { bSt =>
-              val b = bSt.getPath.getName.stripPrefix(BucketCol + "=").toInt
-              if (!live((g, b))) fs.delete(bSt.getPath, true)
-            }
-          if (!fs.listStatus(genSt.getPath)
-                 .exists(_.getPath.getName.startsWith(BucketCol + "=")))
-            fs.delete(genSt.getPath, true)
+          val reclaimable = everReferenced(g) ||
+            genSt.getModificationTime < cutoff
+          if (reclaimable) {
+            fs.listStatus(genSt.getPath)
+              .filter(_.getPath.getName.startsWith(BucketCol + "="))
+              .foreach { bSt =>
+                val b = bSt.getPath.getName.stripPrefix(BucketCol + "=").toInt
+                if (!live((g, b))) fs.delete(bSt.getPath, true)
+              }
+            if (!fs.listStatus(genSt.getPath)
+                   .exists(_.getPath.getName.startsWith(BucketCol + "=")))
+              fs.delete(genSt.getPath, true)
+          }
         }
       // reclaim old manifests, their markers, and stale claim locks —
       // all named v<digits>[.committed|.lock]
@@ -711,14 +784,25 @@ object IO {
     * pinned by IOSpec. */
   def applyChangeFeed(mirror: DataFrame, feed: DataFrame,
                       keys: Seq[String]): DataFrame = {
-    val dataCols = mirror.columns.toSeq
+    // columns come from the FEED (minus the CDC tag), not the mirror: a
+    // schema-evolved store's feed carries columns the mirror predates,
+    // and projecting onto the mirror's schema would silently drop them
+    // forever. The mirror side aligns with typed NULLs instead — exactly
+    // how the store itself reads pre-evolution generations.
+    val dataCols = feed.columns.toSeq.filterNot(_ == "_change_type")
+    val alignedMirror = feed.schema.fields
+      .filter(f => f.name != "_change_type" && !mirror.columns.contains(f.name))
+      .foldLeft(mirror)((acc, f) =>
+        acc.withColumn(f.name, lit(null).cast(f.dataType)))
+      .select(dataCols.map(col): _*)
     val removedKeys = feed
       .where(col("_change_type").isin("delete", "update_preimage"))
       .select(keys.map(col): _*).distinct()
     val added = feed
       .where(col("_change_type").isin("insert", "update_postimage"))
       .select(dataCols.map(col): _*)
-    mirror.join(broadcast(removedKeys), keys, "left_anti").unionByName(added)
+    alignedMirror.join(broadcast(removedKeys), keys, "left_anti")
+      .unionByName(added)
   }
 
   /** Incrementally SYNC a plain-parquet mirror of a partitioned store —

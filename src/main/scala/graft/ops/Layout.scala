@@ -64,19 +64,27 @@ object Layout {
     interleaveBits(codes, bits)
   }
 
-  /** Re-layout `df` Z-ordered on `cols` into ~`nFiles` files at `path`.
-    * Range-partition + local sort on the Z-value, then drop it — the
-    * written files carry only the original schema, clustered so parquet
-    * footer min/max stats prune on every Z-column. */
-  def zorderWrite(df: DataFrame, path: String, cols: Seq[String],
-                  nFiles: Int, bits: Int = 12): Unit = {
+  /** The Z-ordered re-layout frame: range-partition + local sort on the
+    * Z-value, then drop it. The ONE definition of the re-layout pipeline
+    * — [[zorderWrite]] writes it, and the plan audits (Plans, the
+    * PlanAuditSpec exchange-count assert) explain this same frame, so
+    * the audited plan can never diverge from what the writer executes. */
+  def zorderFrame(df: DataFrame, cols: Seq[String],
+                  nFiles: Int, bits: Int = 12): DataFrame = {
     val z = "__graft_zval"
     df.withColumn(z, zvalue(df, cols, bits))
       .repartitionByRange(nFiles, col(z))
       .sortWithinPartitions(z)
       .drop(z)
-      .write.mode("overwrite").parquet(path)
   }
+
+  /** Re-layout `df` Z-ordered on `cols` into ~`nFiles` files at `path` —
+    * the written files carry only the original schema, clustered so
+    * parquet footer min/max stats prune on every Z-column. */
+  def zorderWrite(df: DataFrame, path: String, cols: Seq[String],
+                  nFiles: Int, bits: Int = 12): Unit =
+    zorderFrame(df, cols, nFiles, bits)
+      .write.mode("overwrite").parquet(path)
 
   /** Per-file clustering report of a written table: for each file and each
     * of `cols`, the fraction of the column's global span the file's

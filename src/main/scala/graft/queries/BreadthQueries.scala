@@ -167,7 +167,6 @@ object BreadthQueries {
         .select(col("window.start").cast("timestamp").cast("long").as("w_start_s"),
           col("event_type"), col("n"), col("total_value"))),
 
-    // W6 — BATCH sessionization (gaps-and-islands, 30-min gap): the
     // W7 — the full ranking-window family in one pass: rank, dense_rank,
     // ntile, percent_rank, cume_dist share ONE window definition, so the
     // whole suite costs a single hash exchange on the partition key (the
@@ -197,6 +196,7 @@ object BreadthQueries {
           size(filter(col("arr"), x => length(x) > 4)).as("n_long"),
           aggregate(col("arr"), lit(0), (acc, x) => acc + length(x)).as("total_len"))),
 
+    // W6 — BATCH sessionization (gaps-and-islands, 30-min gap): the
     // offline counterpart of the streaming st_sessionize family, one
     // key exchange for the whole build. Gap compare runs in exact
     // integer microseconds (the fixture carries sub-second times).

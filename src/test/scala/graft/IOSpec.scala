@@ -437,6 +437,19 @@ class IOSpec extends SparkSpec {
     assert(IO.storeVersions(spark, store) == Seq(4))
     assert(IO.syncMirror(spark, store, mirror, Seq("id")) == 4)
     assert(mirrorSet() == storeSet())
+    // schema evolution crosses the incremental path: the feed carries the
+    // new column and the mirror must gain it (not project it away)
+    IO.upsertPartitionedStore(spark, store,
+      Seq((3L, 333.0, "tag")).toDF("id", "v", "w"),
+      Seq("id"), Seq("v"), evolveSchema = true)
+    assert(IO.syncMirror(spark, store, mirror, Seq("id")) == 5)
+    val evolved = spark.read.parquet(mirror)
+    assert(evolved.columns.contains("w"), "mirror dropped the evolved column")
+    val em = evolved.as[(Long, Double, Option[String])].collect()
+      .map { case (i, v, w) => i -> ((v, w)) }.toMap
+    assert(em(3L) == ((333.0, Some("tag"))))
+    assert(em.size.toLong == IO.readPartitionedStore(spark, store).count())
+    assert(em(1L)._2.isEmpty)
   }
 
   test("writePartitionedStore: bucket-clustered write — bounded file count, " +

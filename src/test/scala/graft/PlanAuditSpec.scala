@@ -164,9 +164,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("zorder: one range exchange, Morton value codegen, no UDF") {
     val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey", "l_orderkey")
-    val z = graft.ops.Layout.zvalue(li, Seq("l_partkey", "l_suppkey"), bits = 10)
-    val plan = li.withColumn("__z", z)
-      .repartitionByRange(16, col("__z")).sortWithinPartitions("__z").drop("__z")
+    val plan = graft.ops.Layout
+      .zorderFrame(li, Seq("l_partkey", "l_suppkey"), nFiles = 16, bits = 10)
       .queryExecution.executedPlan.toString
     assert(plan.contains("rangepartitioning"), s"no range exchange:\n$plan")
     assert(plan.split("Exchange").length - 1 == 1,
