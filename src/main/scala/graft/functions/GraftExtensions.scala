@@ -27,5 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "nfc_normalize takes exactly 1 argument")
         NfcNormalize(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "jaro_winkler takes exactly 2 arguments")
+        JaroWinkler(children(0), children(1))
+      }))
   }
 }

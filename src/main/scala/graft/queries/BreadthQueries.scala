@@ -117,6 +117,24 @@ object BreadthQueries {
       graft.ops.EditDistance.selfJoin(
         Tables.customer(s, dir), "c_custkey", "c_name")),
 
+    // J11 — Jaro–Winkler scored pairs through the NATIVE codegen
+    // expression (functions.JaroWinkler): residue-blocked name pairs,
+    // typo-tolerant similarity, threshold on the rounded score so the
+    // cross-engine boundary sits on a 4-dp grid point in both engines
+    // (same rationale as ann_range_search). Full-value oracle against
+    // DuckDB's jaro_winkler_similarity — value-for-value agreement of
+    // two independent implementations of the canonical algorithm.
+    "j11_jaro_winkler" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+        col("c_name").as("name"), pmod(col("c_custkey"), lit(50L)).as("g"))
+      c.as("a").join(c.as("b"),
+          col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(graft.functions.JaroWinkler.jaro_winkler(
+            col("a.name"), col("b.name")), 4).as("jw"))
+        .where(col("jw") >= 0.97)
+    }),
+
     // J10 — sorted-neighborhood blocking (the classic ER candidate
     // generator when a meaningful sort key exists): global positions via
     // the scalable range-partition + offset rank (NO single-partition
@@ -466,6 +484,12 @@ object BreadthQueries {
         |FROM i GROUP BY user_id, session""".stripMargin,
     // contract: the exact heavy-hitter count is SQL-computable; the
     // sketch's no-false-negative guarantee surfaces as a boolean
+    "j11_jaro_winkler" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 4) AS jw
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey % 50 = b.c_custkey % 50 AND a.c_custkey < b.c_custkey
+        |WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 4) >= 0.97""".stripMargin,
     "w7_window_suite" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(rank() OVER w AS INT) AS rnk,

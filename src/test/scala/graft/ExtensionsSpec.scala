@@ -30,6 +30,11 @@ class ExtensionsSpec extends AnyFunSuite {
       // decomposed e+combining-acute in, precomposed e-acute out
       val n = spark.sql("SELECT nfc_normalize('cafe\u0301')").as[String].head()
       assert(n == "caf\u00e9")
+      // jaro_winkler installs through the same extension point (textbook
+      // MARTHA/MARHTA value)
+      val jw = spark.sql("SELECT round(jaro_winkler('MARTHA', 'MARHTA'), 6)")
+        .as[Double].head()
+      assert(jw == 0.961111)
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)
