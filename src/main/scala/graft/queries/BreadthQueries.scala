@@ -24,6 +24,31 @@ object BreadthQueries {
   }
 
   val defs: Seq[(String, Q)] = Seq(
+    // DQ1 — one-pass column profile (Deequ-style metrics): per column,
+    // row/null/exact-distinct counts and min/max — ONE aggregation job,
+    // ncols output rows however large the table (the exact-distinct
+    // Expand cost is documented on the operator; approxDistinct=true is
+    // the monitoring mode). String-typed min/max keep the frame
+    // cross-engine comparable.
+    "dq_profile" -> ((s, dir) =>
+      graft.ops.DataQuality.profile(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+
+    // DQ2 — constraint checks: uniqueness / completeness / predicate
+    // conformance share one conditional-aggregation pass; referential
+    // integrity (child keys with no parent) is the one extra (anti-)join,
+    // parent side broadcast. Violation counts are SQL-exact.
+    "dq_checks" -> ((s, dir) => {
+      import graft.ops.DataQuality._
+      val orders = Tables.orders(s, dir)
+      checks(orders, Seq(
+          unique(Seq("o_orderkey")),
+          complete("o_custkey"),
+          satisfies("positive_total", col("o_totalprice") > 0)))
+        .unionByName(referential(orders, "o_custkey",
+          Tables.customer(s, dir), "c_custkey"))
+    }),
+
     // A8 — pivot: per-priority order value by status, statuses as columns.
     // Explicit pivot values keep the plan a single pass (no distinct-scan
     // to discover columns — at scale the value list must be declared).
@@ -484,6 +509,34 @@ object BreadthQueries {
         |FROM i GROUP BY user_id, session""".stripMargin,
     // contract: the exact heavy-hitter count is SQL-computable; the
     // sketch's no-false-negative guarantee surfaces as a boolean
+    "dq_profile" -> {
+      def colSql(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(colSql).mkString("\nUNION ALL\n")
+    },
+    "dq_checks" ->
+      """SELECT 'unique(o_orderkey)' AS "check",
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+        |  count(*) = count(DISTINCT o_orderkey) AS passed FROM orders
+        |UNION ALL
+        |SELECT 'complete(o_custkey)',
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
+        |UNION ALL
+        |SELECT 'positive_total',
+        |  CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT),
+        |  sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) = 0 FROM orders
+        |UNION ALL
+        |SELECT 'referential(o_custkey -> c_custkey)',
+        |  CAST(count(*) AS BIGINT), count(*) = 0
+        |FROM orders o WHERE o.o_custkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
     "j11_jaro_winkler" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  round(jaro_winkler_similarity(a.c_name, b.c_name), 4) AS jw
