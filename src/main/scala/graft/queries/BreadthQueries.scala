@@ -142,6 +142,21 @@ object BreadthQueries {
       graft.ops.EditDistance.selfJoin(
         Tables.customer(s, dir), "c_custkey", "c_name")),
 
+    // J12 — the same band assignment as J8 through the SCALE-PATH range
+    // join: both sides bucket on a fixed-width grid and EQUI-join the
+    // bucket (no broadcast, no nested loop — the plan that survives an
+    // interval table too large for memory). Identical results to the BNL
+    // form by construction; the shared oracle pins it.
+    "j12_bucketed_range" -> ((s, dir) => {
+      val bands = s.range(0, 10).select(col("id").as("band_id"),
+        (lit(900.0) + col("id") * 10).as("lo"),
+        (lit(910.0) + col("id") * 10).as("hi"))
+      graft.ops.IntervalJoin.bucketedRangeJoin(
+          Tables.part(s, dir), "p_retailprice", bands, "lo", "hi", width = 10.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 4).as("avg_price"))
+    }),
+
     // J11 — Jaro–Winkler scored pairs through the NATIVE codegen
     // expression (functions.JaroWinkler): residue-blocked name pairs,
     // typo-tolerant similarity, threshold on the rounded score so the
@@ -438,6 +453,15 @@ object BreadthQueries {
         |  round(u.value, 2) AS ffill_value
         |FROM g ASOF LEFT JOIN u ON g.user_id = u.user_id AND g.grid_ts >= u.ts""".stripMargin,
     "j8_range_band" ->
+      """SELECT b.band_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(p_retailprice), 4) AS avg_price
+        |FROM part JOIN (SELECT range AS band_id, 900.0 + range * 10 AS lo,
+        |                       910.0 + range * 10 AS hi
+        |                FROM range(0, 10)) b
+        |  ON p_retailprice >= b.lo AND p_retailprice < b.hi
+        |GROUP BY b.band_id""".stripMargin,
+    // the bucketed scale path must produce the identical band assignment
+    "j12_bucketed_range" ->
       """SELECT b.band_id, CAST(count(*) AS BIGINT) AS n,
         |  round(avg(p_retailprice), 4) AS avg_price
         |FROM part JOIN (SELECT range AS band_id, 900.0 + range * 10 AS lo,

@@ -236,4 +236,31 @@ class BreadthSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(pairs == naive && naive.nonEmpty)
   }
+
+  test("bucketedRangeJoin equals the naive theta join (overlapping and " +
+       "boundary intervals); plan has no broadcast nested loop") {
+    import graft.ops.IntervalJoin
+    // deterministic pseudo-random facts + OVERLAPPING intervals, with
+    // exact-boundary cases (lo/hi on grid lines, point at hi excluded)
+    val facts = spark.range(500)
+      .select($"id", (pmod(xxhash64($"id"), lit(1000L)) / 10.0).as("v"))
+    val ivals = spark.range(60).select(
+      $"id".as("ival_id"),
+      (pmod(xxhash64($"id", lit(7L)), lit(900L)) / 10.0).as("lo"))
+      .withColumn("hi", $"lo" + (pmod(xxhash64($"ival_id", lit(13L)), lit(300L)) / 10.0))
+    val got = IntervalJoin.bucketedRangeJoin(facts, "v", ivals, "lo", "hi", width = 7.0)
+      .select("id", "ival_id").as[(Long, Long)].collect().toSet
+    val naive = facts.crossJoin(ivals)
+      .where($"v" >= $"lo" && $"v" < $"hi")
+      .select("id", "ival_id").as[(Long, Long)].collect().toSet
+    assert(got == naive && naive.nonEmpty)
+    // each qualifying pair meets EXACTLY once (no dedup pass needed)
+    val n = IntervalJoin.bucketedRangeJoin(facts, "v", ivals, "lo", "hi", width = 7.0)
+      .groupBy("id", "ival_id").count().where($"count" > 1).count()
+    assert(n == 0, "bucket fanout duplicated a pair")
+    val plan = IntervalJoin.bucketedRangeJoin(facts, "v", ivals, "lo", "hi", 7.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"range join degenerated:\n$plan")
+  }
 }
