@@ -55,7 +55,10 @@ object Plans {
     "j10_sorted_neighborhood" -> "sorted-neighborhood blocking: ONE range exchange for the global rank (positions decode from monotonically_increasing_id — zero Window nodes), pairs via a position-bucket equi-join",
     "w4_scd2" -> "SCD2 history: every window and the run collapse key on the entity — the whole build is ONE hash exchange",
     "s12_change_feed" -> "CDC diff: both sides scan ONLY the buckets whose manifest entry changed (file-list pruning before the plan); one key-keyed full-outer join, image structs compared null-safe, events explode scan-side",
-    "s13_zorder_layout" -> "Z-order re-layout: width_bucket codes + Morton shift/mask interleave all codegen in one projection; the only exchange is the RangePartitioning on the Z-value")
+    "s13_zorder_layout" -> "Z-order re-layout: width_bucket codes + Morton shift/mask interleave all codegen in one projection; the only exchange is the RangePartitioning on the Z-value",
+    "j11_jaro_winkler" -> "Jaro-Winkler via the native codegen expression inside the residue equi-join projection — no ScalaUDF, no cartesian",
+    "j12_bucketed_range" -> "bucketed range join: grid EQUI-join with scan-side interval explode + residual bound filter — no broadcast nested loop",
+    "dq_profile" -> "column profile: ONE aggregation pass, all metrics partial-combine; the documented exact-distinct Expand is the only widening")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
