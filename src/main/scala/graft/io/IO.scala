@@ -199,6 +199,11 @@ object IO {
     * break it as a crashed claimant's leftover. */
   private[graft] val ClaimLeaseMs: Long = 15L * 60 * 1000
 
+  /** How long an UNREFERENCED generation directory survives vacuum — a
+    * bound on writers' data-write→commit latency, deliberately much
+    * larger than the claim lease (which only fences post-claim stalls). */
+  private[graft] val OrphanRetentionMs: Long = 24L * 60 * 60 * 1000
+
   /** Optimistic-concurrency CLAIM of commit version `v`: atomically
     * create `v<v>.lock` (the same create-if-absent primitive as the
     * commit marker) and verify by read-back that the lock carries OUR
@@ -706,8 +711,12 @@ object IO {
                 holdsClaim(fs, root, next, nonce)) {
               writeManifestVersion(fs, root, next, man ++ written.map(_ -> genName))
               if (holdsClaim(fs, root, next, nonce)) {
-                commitManifestVersion(fs, root, next)
-                return
+                try { commitManifestVersion(fs, root, next); return }
+                catch { case e: java.io.IOException =>
+                  // marker landed from a fenced-off racer in the residual
+                  // window: a lost race, not a failure — loop and retry
+                  if (!isCommitted(fs, root, next)) throw e
+                }
               }
             }
           } finally releaseClaim(fs, root, next, nonce)
@@ -729,7 +738,7 @@ object IO {
     * contract as any table format's VACUUM; safe when no reader started
     * before the last commit is still running). */
   def vacuumPartitionedStore(spark: SparkSession, path: String,
-                             orphanGraceMs: Long = ClaimLeaseMs): Unit = {
+                             orphanGraceMs: Long = OrphanRetentionMs): Unit = {
     val (fs, root) = hfs(spark, path)
     currentManifestVersion(fs, root).foreach { cur =>
       val live: Set[(String, Int)] =
@@ -738,10 +747,14 @@ object IO {
       // their writers are done, so superseded ones delete immediately. A
       // generation in NO manifest is either a lost attempt's orphan or a
       // LIVE writer's not-yet-committed data: only age can tell them
-      // apart, so those wait out `orphanGraceMs` (the same lease bound
-      // the claim protocol uses) before deletion. Without the grace, a
-      // vacuum racing an in-flight writer would delete data the writer
-      // is about to commit a manifest for.
+      // apart, so those wait out `orphanGraceMs` before deletion. NOTE
+      // the clock: the gen dir's mtime is set at DATA-WRITE time, and
+      // nothing fences the writer's gap between data write and claim
+      // (the claim lease only bounds post-claim stalls) — so the grace
+      // must exceed the deployment's worst write-to-commit latency, not
+      // the claim lease. Default is a day (the usual table-format
+      // retention scale); a single-writer pipeline that vacuums in its
+      // own quiet window can pass 0.
       val everReferenced: Set[String] = storeVersions(spark, path)
         .flatMap(v => readManifest(fs, root, v).map(_._2)).toSet
       val cutoff = System.currentTimeMillis() - orphanGraceMs
@@ -784,21 +797,26 @@ object IO {
     * pinned by IOSpec. */
   def applyChangeFeed(mirror: DataFrame, feed: DataFrame,
                       keys: Seq[String]): DataFrame = {
-    // columns come from the FEED (minus the CDC tag), not the mirror: a
-    // schema-evolved store's feed carries columns the mirror predates,
-    // and projecting onto the mirror's schema would silently drop them
-    // forever. The mirror side aligns with typed NULLs instead — exactly
-    // how the store itself reads pre-evolution generations.
-    val dataCols = feed.columns.toSeq.filterNot(_ == "_change_type")
-    val alignedMirror = feed.schema.fields
-      .filter(f => f.name != "_change_type" && !mirror.columns.contains(f.name))
-      .foldLeft(mirror)((acc, f) =>
-        acc.withColumn(f.name, lit(null).cast(f.dataType)))
-      .select(dataCols.map(col): _*)
-    val removedKeys = feed
+    // TWO-WAY union alignment (the same rule storeChangeFeed applies to
+    // its own version pair): the feed may carry columns the mirror
+    // predates (a schema-evolved commit) AND the mirror may carry columns
+    // the feed lacks (a later commit that touched only pre-evolution
+    // buckets reads a feed without the evolved column). Either one-sided
+    // projection silently loses data forever; both sides align to the
+    // column union with typed NULLs — exactly how the store itself reads
+    // pre-evolution generations.
+    def align(df: DataFrame, other: DataFrame): DataFrame =
+      other.schema.fields
+        .filter(f => f.name != "_change_type" && !df.columns.contains(f.name))
+        .foldLeft(df)((acc, f) =>
+          acc.withColumn(f.name, lit(null).cast(f.dataType)))
+    val alignedFeed = align(feed, mirror)
+    val dataCols = alignedFeed.columns.toSeq.filterNot(_ == "_change_type")
+    val alignedMirror = align(mirror, alignedFeed).select(dataCols.map(col): _*)
+    val removedKeys = alignedFeed
       .where(col("_change_type").isin("delete", "update_preimage"))
       .select(keys.map(col): _*).distinct()
-    val added = feed
+    val added = alignedFeed
       .where(col("_change_type").isin("insert", "update_postimage"))
       .select(dataCols.map(col): _*)
     alignedMirror.join(broadcast(removedKeys), keys, "left_anti")

@@ -52,10 +52,17 @@ object DataQuality {
     * clean), evaluated inside the shared single-pass aggregation. */
   final case class Check(name: String, violations: org.apache.spark.sql.Column)
 
-  /** Uniqueness: rows beyond the first per key value. */
-  def unique(cols: Seq[String]): Check =
+  /** Uniqueness: rows beyond the first per key value. NULL keys are
+    * never violations (SQL UNIQUE semantics: NULLs are all distinct), so
+    * the row count restricts to fully-non-null keys — countDistinct
+    * drops any row with a NULL key component, and an unrestricted
+    * count(*) would charge every such row as a duplicate. */
+  def unique(cols: Seq[String]): Check = {
+    val allNotNull = cols.map(col(_).isNotNull).reduce(_ && _)
     Check(s"unique(${cols.mkString(",")})",
-      count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*))
+      count(when(allNotNull, 1)) -
+        countDistinct(col(cols.head), cols.tail.map(col): _*))
+  }
 
   /** Completeness: null values in `c`. */
   def complete(c: String): Check =

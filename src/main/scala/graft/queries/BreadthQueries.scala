@@ -546,8 +546,8 @@ object BreadthQueries {
     },
     "dq_checks" ->
       """SELECT 'unique(o_orderkey)' AS "check",
-        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
-        |  count(*) = count(DISTINCT o_orderkey) AS passed FROM orders
+        |  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+        |  count(o_orderkey) = count(DISTINCT o_orderkey) AS passed FROM orders
         |UNION ALL
         |SELECT 'complete(o_custkey)',
         |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),

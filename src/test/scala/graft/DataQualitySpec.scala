@@ -49,6 +49,21 @@ class DataQualitySpec extends SparkSpec {
     assert(clean.forall(_._3))
   }
 
+  test("unique: NULL keys are never violations (SQL UNIQUE semantics), " +
+       "single and composite") {
+    val t = Seq(
+      (Some(1), Some("x")), (Some(2), None), (Some(2), None),
+      (None, Some("y")), (None, Some("y"))
+    ).toDF("a", "b")
+    val out = checks(t, Seq(unique(Seq("a")), unique(Seq("a", "b"))))
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    // 'a': non-null values 1,2,2 → one duplicate; the two NULLs don't count
+    assert(out("unique(a)") == 1L)
+    // composite: fully-non-null rows are only (1,x) → distinct; rows with
+    // any NULL component are excluded from both sides
+    assert(out("unique(a,b)") == 0L)
+  }
+
   test("empty table: zero violations, passed=true, profile all-zero") {
     val empty = dirty.where("id < 0")
     val out = checks(empty, Seq(unique(Seq("id")), complete("name")))

@@ -450,6 +450,23 @@ class IOSpec extends SparkSpec {
     assert(em(3L) == ((333.0, Some("tag"))))
     assert(em.size.toLong == IO.readPartitionedStore(spark, store).count())
     assert(em(1L)._2.isEmpty)
+    // a later commit touching ONLY pre-evolution buckets yields a feed
+    // without `w` — the incremental apply must keep the mirror's existing
+    // `w` values, not project them away (two-way union alignment)
+    val b3 = Seq(3L).toDF("id")
+      .select(IO.bucketExpr(Seq("id"), 8).as("b")).as[Int].head()
+    val otherKey = evolved.select("id")
+      .withColumn("b", IO.bucketExpr(Seq("id"), 8))
+      .where(col("b") =!= b3 && col("id") =!= 3L)
+      .select("id").as[Long].head()
+    IO.deleteFromPartitionedStore(spark, store, Seq(otherKey).toDF("id"), Seq("id"))
+    assert(IO.syncMirror(spark, store, mirror, Seq("id")) == 6)
+    val after = spark.read.parquet(mirror)
+    assert(after.columns.contains("w"), "pre-evolution-bucket commit dropped w")
+    val am = after.as[(Long, Double, Option[String])].collect()
+      .map { case (i, v, w) => i -> ((v, w)) }.toMap
+    assert(am(3L) == ((333.0, Some("tag"))), "evolved value lost on later sync")
+    assert(!am.contains(otherKey))
   }
 
   test("writePartitionedStore: bucket-clustered write — bounded file count, " +
