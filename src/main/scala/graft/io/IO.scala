@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
@@ -88,6 +88,72 @@ object IO {
     val inserts = source.join(target.select(keys.map(col): _*), keys, "left_anti")
       .select(outCols.map(col): _*)
     updated.unionByName(inserts)
+  }
+
+  /** The full MERGE clause grammar, beyond [[upsert]]'s unconditional
+    * matched-update / not-matched-insert pair. Conditions see both sides
+    * through the `t`/`s` aliases (`col("t.x")`, `col("s.x")`), exactly
+    * how SQL MERGE conditions reference target and source. */
+  final case class MergeClauses(
+      /** WHEN MATCHED [AND updateCondition] THEN UPDATE SET updateCols. */
+      updateCols: Seq[String],
+      updateCondition: Option[Column] = None,
+      /** WHEN MATCHED AND deleteCondition THEN DELETE (checked BEFORE the
+        * update clause, SQL clause-order semantics). */
+      deleteCondition: Option[Column] = None,
+      /** WHEN NOT MATCHED [AND insertCondition] THEN INSERT. */
+      insertCondition: Option[Column] = None,
+      /** WHEN NOT MATCHED BY SOURCE THEN DELETE — makes the target a full
+        * mirror of the source's key set. NOTE the scale interplay: this
+        * clause must examine EVERY target row, so it is incompatible with
+        * the bucket-pruned store merge (which never reads untouched
+        * buckets) — it exists at the DataFrame/path level only. */
+      deleteNotMatchedBySource: Boolean = false)
+
+  /** MERGE with the full clause grammar. One left-outer join drives every
+    * matched/not-matched-by-source decision (same single-exchange shape
+    * as [[upsert]]); the insert side is the same anti-join. */
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
+            clauses: MergeClauses, broadcastSource: Boolean = true): DataFrame = {
+    val matchFlag = "__graft_matched"
+    val src = source.withColumn(matchFlag, lit(1))
+    val srcSide = if (broadcastSource) broadcast(src.as("s")) else src.as("s")
+    val joined = target.as("t").join(
+      srcSide,
+      keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+      "left_outer")
+    val matched = col(matchFlag).isNotNull
+    // a NULL clause condition means the clause does NOT fire (SQL
+    // three-valued semantics) — without the coalesce a matched row whose
+    // delete condition evaluates NULL would vanish through the filter
+    val deleteHit = coalesce(
+      clauses.deleteCondition.map(c => matched && c).getOrElse(lit(false)),
+      lit(false))
+    val updateHit = coalesce(
+      clauses.updateCondition.map(c => matched && c).getOrElse(matched) &&
+        !deleteHit,
+      lit(false))
+    val dropUnmatchedTarget =
+      if (clauses.deleteNotMatchedBySource) !matched else lit(false)
+    val kept = joined
+      .where(!deleteHit && !dropUnmatchedTarget)
+      .select(target.columns.map { c =>
+        if (clauses.updateCols.contains(c))
+          when(updateHit, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+        else col(s"t.$c").as(c)
+      }.toSeq: _*)
+    // the insert side carries the same `s` alias so insertCondition can
+    // reference col("s.x") like the matched-clause conditions (t.* is
+    // meaningless in a NOT MATCHED clause). Target columns the source
+    // lacks insert as typed NULLs — SQL INSERT-with-column-list semantics
+    val inserts = source.as("s")
+      .where(clauses.insertCondition.getOrElse(lit(true)))
+      .join(target.select(keys.map(col): _*), keys, "left_anti")
+      .select(target.schema.fields.map { f =>
+        if (source.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    kept.unionByName(inserts)
   }
 
   /** Path-level upsert with a tmp-dir swap.

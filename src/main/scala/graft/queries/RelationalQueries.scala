@@ -142,6 +142,24 @@ object RelationalQueries {
           IO.storeChangeFeed(s, path, 2, 3, Seq("id")).withColumn("step", lit("delete")))
     }),
 
+    // S14 — the FULL MERGE clause grammar (conditional matched-update,
+    // matched-delete checked first, conditional insert; source lacking
+    // target columns inserts typed NULLs): every branch of the clause
+    // logic lands in the full-value oracle.
+    "s14_merge_clauses" -> ((s, dir) => {
+      val target = Tables.part(s, dir).selectExpr("p_partkey as id",
+        "p_name as name", "round(p_retailprice, 2) as price", "p_size as size")
+      val source = Tables.part(s, dir).where("p_partkey % 3 = 0")
+        .selectExpr("p_partkey as id", "round(p_retailprice * 2, 2) as price")
+        .unionByName(Tables.part(s, dir).where("p_partkey % 97 = 0")
+          .selectExpr("p_partkey + 10000000 as id", "round(p_retailprice, 2) as price"))
+      IO.merge(target, source, Seq("id"), IO.MergeClauses(
+        updateCols = Seq("price"),
+        updateCondition = Some(col("t.size") >= 25),
+        deleteCondition = Some(col("t.size") < 10),
+        insertCondition = Some(col("s.price") > 1000)))
+    }),
+
     // P1 — string clean + cast ('$'-strip then float).
     "p1_clean_cast" -> ((s, dir) =>
       Catalogs.sideB(s, dir)
@@ -369,6 +387,21 @@ object RelationalQueries {
          |UNION ALL
          |SELECT s.id, s.name, s.price FROM source s
          |WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.id = s.id)""".stripMargin,
+    "s14_merge_clauses" ->
+      """WITH t AS (SELECT p_partkey AS id, p_name AS name,
+        |                  round(p_retailprice, 2) AS price, p_size AS size FROM part),
+        |m AS (SELECT p_partkey AS id, round(p_retailprice * 2, 2) AS newprice
+        |      FROM part WHERE p_partkey % 3 = 0)
+        |SELECT t.id, t.name,
+        |  CASE WHEN m.id IS NOT NULL AND t.size >= 25 THEN m.newprice
+        |       ELSE t.price END AS price,
+        |  t.size
+        |FROM t LEFT JOIN m ON t.id = m.id
+        |WHERE NOT (m.id IS NOT NULL AND t.size < 10)
+        |UNION ALL
+        |SELECT p_partkey + 10000000 AS id, NULL AS name,
+        |  round(p_retailprice, 2) AS price, NULL AS size
+        |FROM part WHERE p_partkey % 97 = 0 AND round(p_retailprice, 2) > 1000""".stripMargin,
     "s11_time_travel" ->
       """WITH target AS (SELECT p_partkey AS id, p_name AS name,
         |                       round(p_retailprice, 2) AS price FROM part),

@@ -268,6 +268,36 @@ class IOSpec extends SparkSpec {
     assert(applied == v3)
   }
 
+  test("merge clauses: conditional update/delete, conditional insert, " +
+       "not-matched-by-source delete; NULL conditions never fire") {
+    import graft.io.IO.MergeClauses
+    val target = Seq((1, 10.0, "keep"), (2, 20.0, "upd"), (3, 30.0, "del"),
+      (4, 40.0, "stale"), (5, 50.0, Option.empty[String].orNull))
+      .toDF("id", "v", "tag")
+    val source = Seq((2, 99.0), (3, -1.0), (5, 77.0), (6, 60.0), (7, -7.0))
+      .toDF("id", "v")
+    val out = IO.merge(target, source, Seq("id"), MergeClauses(
+        updateCols = Seq("v"),
+        updateCondition = Some(col("t.tag") === "upd"),
+        deleteCondition = Some(col("s.v") < 0),
+        insertCondition = Some(col("s.v") > 0),
+        deleteNotMatchedBySource = true))
+      .as[(Int, Double, Option[String])].collect().toSet
+    assert(out == Set(
+      (2, 99.0, Some("upd")),   // matched + update condition → updated
+      (5, 50.0, None),          // matched, update cond NULL (tag null) → kept as-is
+      (6, 60.0, None)))         // not matched + insert condition → inserted
+    // 1: not matched by source → deleted; 3: delete condition → deleted;
+    // 4: not matched by source → deleted; 7: insert condition false → skipped
+    // clause order: delete checked before update (id=3 had both)
+    val both = IO.merge(target, source, Seq("id"), MergeClauses(
+        updateCols = Seq("v"),
+        deleteCondition = Some(col("s.v") < 0)))
+      .as[(Int, Double, Option[String])].collect()
+      .map { case (i, v, _) => i -> v }.toMap
+    assert(!both.contains(3) && both(2) == 99.0 && both(1) == 10.0)
+  }
+
   test("schema evolution: new source columns widen the merge output; " +
        "matched rows take the value, unmatched target rows read NULL") {
     val target = Seq((1, 10.0), (2, 20.0)).toDF("id", "v")
