@@ -44,6 +44,37 @@ object IO {
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
 
+  /** Fail-fast guard on the MERGE source's key uniqueness: SQL MERGE (and
+    * every table format's MERGE) raises when multiple source rows match
+    * one target row, because the left-outer join would otherwise fan each
+    * matched target row out once per source match — and a dup-keyed
+    * source fed to the partitioned store would silently corrupt its
+    * key-uniqueness invariant. The check is embedded IN the plan (a
+    * window count over the merge keys, raised through the first key
+    * column so pruning can never drop it): no extra job, one exchange on
+    * the same keys the join shuffles on, and the delta side is the small
+    * one by construction. Callers that want last-writer-wins semantics
+    * dedupe explicitly (`dropDuplicates(keys)`) before calling — an
+    * explicit winner beats a silent fan-out. */
+  private def requireUniqueSourceKeys(source: DataFrame,
+                                      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = "__graft_src_keycnt"
+    val k0 = keys.head
+    val kType = source.schema(k0).dataType
+    source
+      .withColumn(cnt, count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .withColumn(k0,
+        when(col(cnt) > 1,
+          raise_error(concat(
+            lit("MERGE source has multiple rows for key ("),
+            concat_ws(", ", keys.map(k => col(k).cast("string")): _*),
+            lit(") — SQL MERGE forbids multi-match; dropDuplicates(keys) " +
+              "the source to pick an explicit winner"))).cast(kType))
+        .otherwise(col(k0)))
+      .drop(cnt)
+  }
+
   /** S5 — MERGE-equivalent upsert, pure DataFrame ops.
     *
     * Semantics of `03:486-494`: `WHEN MATCHED UPDATE SET` only `updateCols`
@@ -66,7 +97,11 @@ object IO {
     val newCols = if (evolveSchema)
       source.columns.filterNot(target.columns.contains).toSeq else Seq.empty
     val outCols = target.columns.toSeq ++ newCols
-    val src = source.withColumn(matchFlag, lit(1))
+    // BOTH join passes read the guarded source: a dup-keyed source fans
+    // out matched target rows through the update join AND double-inserts
+    // through the anti-join, so the guard must sit upstream of both
+    val checkedSource = requireUniqueSourceKeys(source, keys)
+    val src = checkedSource.withColumn(matchFlag, lit(1))
     // broadcast the DELTA side only, and only when the caller says it is
     // small (the default incremental-upsert shape); a bulk merge of two
     // large tables passes false and gets a shuffled hash join on the key
@@ -85,7 +120,8 @@ object IO {
     // driver at 100 TB). Let the planner/AQE pick — with a small source and a
     // large target this resolves to a shuffled hash join keyed the same way
     // as the update join above, so the two passes share the exchange.
-    val inserts = source.join(target.select(keys.map(col): _*), keys, "left_anti")
+    val inserts = checkedSource
+      .join(target.select(keys.map(col): _*), keys, "left_anti")
       .select(outCols.map(col): _*)
     updated.unionByName(inserts)
   }
@@ -116,7 +152,11 @@ object IO {
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
             clauses: MergeClauses, broadcastSource: Boolean = true): DataFrame = {
     val matchFlag = "__graft_matched"
-    val src = source.withColumn(matchFlag, lit(1))
+    // same multi-match fail-fast as [[upsert]] — the clause grammar makes
+    // a silent fan-out even worse (a fanned row can take BOTH an update
+    // and a delete decision depending on which source row it paired with)
+    val checkedSource = requireUniqueSourceKeys(source, keys)
+    val src = checkedSource.withColumn(matchFlag, lit(1))
     val srcSide = if (broadcastSource) broadcast(src.as("s")) else src.as("s")
     val joined = target.as("t").join(
       srcSide,
@@ -146,7 +186,7 @@ object IO {
     // reference col("s.x") like the matched-clause conditions (t.* is
     // meaningless in a NOT MATCHED clause). Target columns the source
     // lacks insert as typed NULLs — SQL INSERT-with-column-list semantics
-    val inserts = source.as("s")
+    val inserts = checkedSource.as("s")
       .where(clauses.insertCondition.getOrElse(lit(true)))
       .join(target.select(keys.map(col): _*), keys, "left_anti")
       .select(target.schema.fields.map { f =>
@@ -306,7 +346,15 @@ object IO {
       val stale =
         try fs.getFileStatus(lock).getModificationTime <
           System.currentTimeMillis() - leaseMs
-        catch { case _: java.io.IOException => true } // vanished: released
+        catch {
+          // ONLY a truly vanished lock counts as released — a transient
+          // stat error (network blip, throttle) must NOT be read as
+          // "stale" or this writer would break a LIVE peer's fresh claim
+          // and collapse the lease to zero. On any other IOException the
+          // claim is simply refused; the caller's optimistic loop retries.
+          case _: java.io.FileNotFoundException => true // vanished: released
+          case _: java.io.IOException => false
+        }
       stale && { fs.delete(lock, false); tryCreate() }
     }
     if (claimed) Some(nonce) else None
@@ -354,6 +402,20 @@ object IO {
   def bucketExpr(keys: Seq[String], nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
 
+  /** [[bucketExpr]] with the store-boundary NULL-key rejection folded in:
+    * a NULL merge key can never be MATCHED by a later merge (SQL equality
+    * never matches NULL), so a NULL-key row admitted once would duplicate
+    * on every subsequent merge of the "same" key — silently breaking the
+    * store's key-uniqueness invariant. Raised through the bucket column
+    * itself so the guard is evaluated exactly where the row is first
+    * materialized (the delta's localCheckpoint) and can never be pruned. */
+  private def guardedBucketExpr(keys: Seq[String], nBuckets: Int): Column =
+    when(keys.map(col(_).isNull).reduce(_ || _),
+      raise_error(lit(s"NULL merge key (${keys.mkString(", ")}) — the " +
+        "partitioned store's key-uniqueness invariant cannot hold for NULL " +
+        "keys; filter or coalesce them upstream")).cast("int"))
+    .otherwise(bucketExpr(keys, nBuckets))
+
   /** Lay a store out partitioned by key-hash bucket under a generation
     * directory (`__graft_gen=1/__graft_bucket=N/…`) with a committed
     * manifest, so merges can prune to touched buckets AND commit
@@ -373,7 +435,7 @@ object IO {
     // pays the file count again). With it AQE clusters rows by bucket into
     // a bounded task set — ~one file per bucket.
     val genPath = new HPath(root, s"$GenCol=$gen")
-    df.withColumn(BucketCol, bucketExpr(keys, nBuckets))
+    df.withColumn(BucketCol, guardedBucketExpr(keys, nBuckets))
       .hint("rebalance", col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
     writeSmallFile(fs, new HPath(root, "_graft_buckets"), nBuckets.toString)
@@ -525,7 +587,7 @@ object IO {
       beforeClaim: () => Unit = () => (),
       evolveSchema: Boolean = false): Unit = {
     val nBuckets = storeBuckets(targetPath)
-    val src = source.withColumn(BucketCol, bucketExpr(keys, nBuckets))
+    val src = source.withColumn(BucketCol, guardedBucketExpr(keys, nBuckets))
       .localCheckpoint()
     val touched = src.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
     commitRewrittenBuckets(spark, targetPath, touched,
@@ -716,7 +778,15 @@ object IO {
       o0.columns.toSeq.filterNot(n0.columns.contains)).filterNot(keys.contains)
     def img(df: DataFrame, name: String) =
       df.select(keys.map(col) :+ struct(nonKey.map(col): _*).as(name): _*)
-    val j = img(o, "__pre").join(img(n, "__post"), keys.toSeq, "full_outer")
+    // NULL-SAFE key equality: plain `===` never matches a NULL key, so a
+    // NULL-key row in a rewritten bucket (e.g. after a compaction, which
+    // must emit nothing) would pair with nothing on either side and emit
+    // a spurious delete + insert — breaking the apply∘feed round-trip
+    // law. `<=>` pairs NULL with NULL and still plans as an equi-join.
+    val cond = keys.map(k => col(s"p.$k") <=> col(s"q.$k")).reduce(_ && _)
+    val j = img(o, "__pre").as("p").join(img(n, "__post").as("q"), cond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"p.$k"), col(s"q.$k")).as(k)) ++
+        Seq(col("__pre"), col("__post")): _*)
     j.withColumn("__evs",
       when(col("__pre").isNull,
         array(struct(lit("insert").as("t"), col("__post").as("img"))))
@@ -752,7 +822,8 @@ object IO {
     val (fs, root) = hfs(spark, targetPath)
     val src =
       if (source.columns.contains(BucketCol)) source
-      else source.withColumn(BucketCol, bucketExpr(keys, storeBuckets(targetPath)))
+      else source.withColumn(BucketCol,
+        guardedBucketExpr(keys, storeBuckets(targetPath)))
     // append data is base-independent (new pairs just ADD to whatever
     // manifest is current), so the delta writes ONCE to a writer-unique
     // generation and only the manifest commit loops optimistically
@@ -885,7 +956,12 @@ object IO {
     val added = alignedFeed
       .where(col("_change_type").isin("insert", "update_postimage"))
       .select(dataCols.map(col): _*)
-    alignedMirror.join(broadcast(removedKeys), keys, "left_anti")
+    // same null-safe rule as the feed's own diff join: an anti-join on
+    // `===` can never remove a NULL-key mirror row, so each sync would
+    // re-add its postimage beside the stale copy
+    val anti = keys.map(k => col(s"m.$k") <=> col(s"r.$k")).reduce(_ && _)
+    alignedMirror.as("m")
+      .join(broadcast(removedKeys.as("r")), anti, "left_anti")
       .unionByName(added)
   }
 
@@ -907,13 +983,18 @@ object IO {
     * the mirror now reflects. */
   def syncMirror(spark: SparkSession, storePath: String, mirrorPath: String,
                  keys: Seq[String]): Int = {
-    recoverPath(mirrorPath)
+    val (mfs, _) = hfs(spark, mirrorPath)
+    // recovery + swap below go through the MIRROR's FileSystem (not
+    // java.nio), so an HDFS mirror works; rename is metadata-atomic on
+    // HDFS/local, and an object-store mirror should swap a manifest
+    // pointer instead — the same deployment note as [[upsertPath]],
+    // which IS local-only by its java.nio contract
+    recoverPathOn(mfs, mirrorPath)
     val (fs, root) = hfs(spark, storePath)
     val cur = currentManifestVersion(fs, root).getOrElse(
       throw new IllegalArgumentException(
         s"$storePath has no committed manifest — not a partitioned store"))
     val cursorFile = new HPath(mirrorPath, "_graft_cursor")
-    val (mfs, _) = hfs(spark, mirrorPath)
     val cursor: Option[Int] =
       if (mfs.exists(cursorFile)) Some(readSmallFile(mfs, cursorFile).trim.toInt)
       else None
@@ -929,13 +1010,24 @@ object IO {
     val tmp = mirrorPath + ".__graft_tmp"
     next.write.mode("overwrite").parquet(tmp)
     writeSmallFile(mfs, new HPath(tmp, "_graft_cursor"), cur.toString)
-    val tgt = Paths.get(mirrorPath)
-    val old = Paths.get(mirrorPath + ".__graft_old")
-    deleteRecursive(old)
-    if (Files.exists(tgt)) Files.move(tgt, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), tgt, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursive(old)
+    val tgtP = new HPath(mirrorPath)
+    val oldP = new HPath(mirrorPath + ".__graft_old")
+    mfs.delete(oldP, true)
+    if (mfs.exists(tgtP) && !mfs.rename(tgtP, oldP))
+      throw new java.io.IOException(s"could not stage $mirrorPath aside for swap")
+    if (!mfs.rename(new HPath(tmp), tgtP))
+      throw new java.io.IOException(s"could not commit $tmp -> $mirrorPath")
+    mfs.delete(oldP, true)
     cur
+  }
+
+  /** FileSystem-routed twin of [[recoverPath]] for stores whose swap goes
+    * through Hadoop `rename` ([[syncMirror]]): restore the `.__graft_old`
+    * backup if a crash between the two renames left no live target. */
+  private def recoverPathOn(fs: FileSystem, targetPath: String): Unit = {
+    val tgt = new HPath(targetPath)
+    val old = new HPath(targetPath + ".__graft_old")
+    if (!fs.exists(tgt) && fs.exists(old)) fs.rename(old, tgt)
   }
 
   /** Crash recovery for [[upsertPath]]: if the target directory is missing

@@ -45,11 +45,18 @@ object Layout {
     * cluster together at the low edge, which is what a null-heavy scan
     * predicate wants pruned anyway). */
   def widthCode(c: Column, lo: Column, hi: Column, bits: Int): Column =
-    when(c.isNull, lit(0L)).otherwise(
-      // width_bucket yields 1..B inside the range (B+1 at c = hi); shift
-      // to 0-based and clamp the top edge back into the last code
-      least(width_bucket(c.cast("double"), lo.cast("double"),
-        hi.cast("double"), lit(1 << bits)) - 1, lit((1 << bits) - 1)))
+    // degenerate spans short-circuit to code 0: width_bucket with lo == hi
+    // yields NULL (and an all-null column has NULL lo/hi), which would
+    // NULL every row's Z-value and collapse the range partitioning on ALL
+    // columns — a constant column must instead contribute a constant bit
+    // pattern and leave the other columns' clustering intact
+    when(c.isNull || lo.isNull || hi.isNull ||
+         lo.cast("double") === hi.cast("double"), lit(0L))
+      .otherwise(
+        // width_bucket yields 1..B inside the range (B+1 at c = hi); shift
+        // to 0-based and clamp the top edge back into the last code
+        least(width_bucket(c.cast("double"), lo.cast("double"),
+          hi.cast("double"), lit(1 << bits)) - 1, lit((1 << bits) - 1)))
 
   /** The Z-value of `cols` for this frame: min/max of each column from one
     * tiny aggregate (a single driver row), then width codes interleaved. */
@@ -103,8 +110,15 @@ object Layout {
           df.agg(min(col(c)).cast("double").as(s"glo_$c"),
                  max(col(c)).cast("double").as(s"ghi_$c"))))
         .withColumn(s"span_$c",
-          (col(s"hi_$c") - col(s"lo_$c")).cast("double") /
-            (col(s"ghi_$c") - col(s"glo_$c")))
+          // a constant (or all-null) column has zero global span; its
+          // division would emit NaN/NULL — report 0.0 (a file trivially
+          // covers none of a zero-width span) and keep NULL only for the
+          // all-null case where no span exists at all
+          when(col(s"ghi_$c").isNull || col(s"glo_$c").isNull,
+            lit(null).cast("double"))
+          .when(col(s"ghi_$c") === col(s"glo_$c"), lit(0.0))
+          .otherwise((col(s"hi_$c") - col(s"lo_$c")).cast("double") /
+            (col(s"ghi_$c") - col(s"glo_$c"))))
         .drop(s"glo_$c", s"ghi_$c")
     }
     spans.select(col("__file").as("file") +: col("n_rows") +:

@@ -518,4 +518,66 @@ class IOSpec extends SparkSpec {
     assert(nFiles <= nBuckets * 2, s"small-file fanout regressed: $nFiles files")
     assert(IO.readPartitionedStore(spark, path).count() == 2048)
   }
+
+  test("merge fails fast on a dup-keyed source — SQL MERGE multi-match, " +
+       "never a silent fan-out") {
+    val target = Seq((1, "one", 10.0), (2, "two", 20.0)).toDF("id", "name", "price")
+    val dupSrc = Seq((2, "A", 1.0), (2, "B", 2.0)).toDF("id", "name", "price")
+    val e = intercept[Exception] {
+      IO.upsert(target, dupSrc, Seq("id"), Seq("price")).collect()
+    }
+    assert(e.getMessage.contains("multiple rows"), e.getMessage)
+    val e2 = intercept[Exception] {
+      IO.merge(target, dupSrc, Seq("id"),
+        IO.MergeClauses(updateCols = Seq("price"))).collect()
+    }
+    assert(e2.getMessage.contains("multiple rows"), e2.getMessage)
+    // dup keys among the INSERT side (no target match) are equally fatal:
+    // both copies would insert and break downstream key uniqueness
+    val dupNew = Seq((7, "X", 1.0), (7, "Y", 2.0)).toDF("id", "name", "price")
+    val e3 = intercept[Exception] {
+      IO.upsert(target, dupNew, Seq("id"), Seq("price")).collect()
+    }
+    assert(e3.getMessage.contains("multiple rows"), e3.getMessage)
+    // an explicitly deduped source (last-writer-wins chosen by the caller)
+    // sails through — the guard only rejects the ambiguous case
+    val out = IO.upsert(target, dupSrc.dropDuplicates("id"), Seq("id"), Seq("price"))
+      .as[(Int, String, Double)].collect().toSet
+    assert(out.map(_._1) == Set(1, 2) && out.size == 2)
+  }
+
+  test("partitioned store rejects NULL merge keys at the boundary " +
+       "(uniqueness can never hold for them)") {
+    val path = s"$tmp/nullkey_store"
+    IO.deletePath(path)
+    val ok = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    IO.writePartitionedStore(ok, path, Seq("id"), 4)
+    val withNull = Seq((Some(3L), 30.0), (None, 99.0)).toDF("id", "v")
+    val e = intercept[Exception] {
+      IO.upsertPartitionedStore(spark, path, withNull, Seq("id"), Seq("v"))
+    }
+    assert(e.getMessage.contains("NULL merge key"), e.getMessage)
+    val e2 = intercept[Exception] {
+      IO.appendPartitionedStore(spark, path, withNull, Seq("id"))
+    }
+    assert(e2.getMessage.contains("NULL merge key"), e2.getMessage)
+    // the failed attempts committed nothing
+    assert(IO.readPartitionedStore(spark, path).count() == 2)
+  }
+
+  test("applyChangeFeed removes NULL-key rows null-safely (a delete feed " +
+       "event matches a NULL-key mirror row)") {
+    // mirror/feed arrive from ARBITRARY frames (the public consumer API) —
+    // the store itself rejects NULL keys, but the apply must still honor
+    // the null-safe pairing rule the feed's own diff join uses
+    val mirror = Seq((Some(1L), "a"), (None, "stale")).toDF("id", "v")
+    val feed = Seq(
+      ("delete", None: Option[Long], "stale"),
+      ("insert", Some(2L): Option[Long], "b"))
+      .toDF("_change_type", "id", "v")
+    val out = IO.applyChangeFeed(mirror, feed, Seq("id"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(out == Set((Some(1L), "a"), (Some(2L), "b")),
+      s"NULL-key delete not applied: $out")
+  }
 }

@@ -55,4 +55,27 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zPath).as[(Long, Long)].collect().toSet ==
       grid.as[(Long, Long)].collect().toSet)
   }
+
+  test("constant Z column degrades gracefully: other columns keep their " +
+       "clustering; spans report 0.0, never NaN/NULL Z-values") {
+    // width_bucket with lo == hi yields NULL — unguarded, EVERY row's
+    // Z-value would be NULL (one range partition, clustering lost on ALL
+    // columns). The constant column must contribute a constant code and
+    // leave x's clustering intact.
+    val grid = spark.range(4096)
+      .select((col("id") % 64).as("x"), lit(7L).as("k"))
+    val path = s"$tmp/layout_const"
+    Layout.zorderWrite(grid, path, Seq("x", "k"), nFiles = 16, bits = 6)
+    val zvals = grid.select(Layout.zvalue(grid.toDF(), Seq("x", "k"), 6).as("z"))
+    assert(zvals.where(col("z").isNull).count() == 0, "constant column NULLed Z-values")
+    val sp = Layout.fileSpans(spark.read.parquet(path), Seq("x", "k"))
+      .agg(avg("span_x").as("sx"), avg("span_k").as("sk")).head()
+    assert(sp.getDouble(0) < 0.5, s"x clustering lost under a constant column: ${sp.getDouble(0)}")
+    assert(sp.getDouble(1) == 0.0, s"zero-span column must report 0.0: ${sp.get(1)}")
+    // all-null column: codes to 0 the same way (lo/hi are NULL)
+    val withNull = spark.range(64).select(col("id").as("x"),
+      lit(null).cast("long").as("k"))
+    val zn = withNull.select(Layout.zvalue(withNull, Seq("x", "k"), 6).as("z"))
+    assert(zn.where(col("z").isNull).count() == 0, "all-null column NULLed Z-values")
+  }
 }
