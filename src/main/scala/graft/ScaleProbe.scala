@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scale probe: inflate the sf0.1 fixtures ~`factor`× with
+  * content-perturbed copies and run the three scale-critical pipelines —
+  * the ER flagship, MinHash near-dup, and the IVF store build+serve —
+  * at 1× and at `factor`×, asserting the scaling CLAIMS the plan audits
+  * argue on paper:
+  *
+  *   - flagship LSH candidates grow ~linearly in distinct keys (the
+  *     distinct-key blocking property of Blocking.dedupedSimilarityJoin);
+  *   - near-dup candidate pairs grow ~linearly (banded LSH, never
+  *     all-pairs);
+  *   - IVF cells grow ~√n (autoCells) so per-probe candidate volume
+  *     stays flat and serve latency grows sub-linearly;
+  *   - every wall-clock ratio stays FAR below factor² — the quadratic
+  *     signature none of these pipelines is allowed to have.
+  *
+  * Inflation rule: copy `i` offsets every key by i·10,500,000 (divisible
+  * by 3, 7, 10, 20 — so the key-arithmetic derivations in Catalogs and
+  * the flagship's id%10 subset select the same rows in every copy) and
+  * renames every text/name token to md5(token + copy)[0..6]. Token
+  * renaming preserves each copy's INTERNAL similarity structure exactly
+  * (equal tokens stay equal within a copy, Catalogs' upper-case
+  * perturbation still applies on top) while making copies mutually
+  * dissimilar — so distinct keys and true near-dup groups grow ~factor×,
+  * the honest "bigger corpus" shape, not a duplication flood (which
+  * would measure output growth, not engine scaling). Embedding copies
+  * rotate the vector by i positions: norm-preserving, direction-changing.
+  *
+  *   sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 10"
+  *
+  * Prints one [scale] line per measurement and a final PASS/FAIL;
+  * exits 1 on any violated bound. Measured ratios are recorded in
+  * BASELINE.md.
+  */
+object ScaleProbe {
+
+  private val KeyOffset = 10500000L // divisible by 3, 4, 5, 7, 10, 20
+
+  private def tokenRename(c: org.apache.spark.sql.Column,
+                          cp: org.apache.spark.sql.Column) =
+    when(cp === 0, c).otherwise(
+      concat_ws(" ", transform(split(coalesce(c, lit("")), " "),
+        t => substring(md5(concat(t, lit("#"), cp.cast("string"))), 1, 6))))
+
+  /** Stage the inflated tables under a marker-guarded qtmp dir; returns
+    * the dir (re-staged only when the base fixture changes). */
+  def inflateDir(spark: SparkSession, base: String, factor: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val out = Paths.get("/root/repo/target/qtmp",
+      s"scale_${Integer.toHexString(base.hashCode)}_x$factor")
+    val marker = out.resolve("_graft_staged")
+    val sig = Seq("part", "documents", "embeddings").map { t =>
+      val p = Paths.get(base, s"$t.parquet")
+      s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    }.mkString(",")
+    if (Files.exists(marker) && Files.readString(marker).trim == sig)
+      return out.toString
+    val copies = spark.range(factor).select(col("id").cast("int").as("__cp"))
+    def inflated(table: String): DataFrame =
+      spark.read.parquet(s"$base/$table.parquet").crossJoin(broadcast(copies))
+    inflated("part")
+      .withColumn("p_partkey", col("p_partkey") + col("__cp") * KeyOffset)
+      .withColumn("p_name", tokenRename(col("p_name"), col("__cp")))
+      .withColumn("p_brand", tokenRename(col("p_brand"), col("__cp")))
+      .drop("__cp")
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    inflated("documents")
+      .withColumn("doc_id", col("doc_id") + col("__cp") * KeyOffset)
+      .withColumn("text", tokenRename(col("text"), col("__cp")))
+      .drop("__cp")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    inflated("embeddings")
+      .withColumn("vec_id", col("vec_id") + col("__cp") * KeyOffset)
+      .withColumn("embedding",
+        when(col("__cp") === 0 || col("embedding").isNull, col("embedding"))
+          .otherwise(concat(
+            expr("slice(embedding, __cp + 1, 1000000)"),
+            expr("slice(embedding, 1, __cp)"))))
+      .drop("__cp")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    Files.writeString(marker, sig)
+    out.toString
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  case class Point(flagshipS: Double, flagshipCands: Long,
+                   minhashS: Double, minhashCands: Long,
+                   annBuildS: Double, annCells: Long, annServeS: Double)
+
+  private def measure(spark: SparkSession, dir: String, tag: String): Point = {
+    // flagship: feature fit + LSH blocking + bounded-sample train + full
+    // candidate scoring + top-500 rank (candidate count reuses the
+    // memoized feature stage the flagship call just built)
+    val (_, tFlag) = timed {
+      graft.queries.MatchQueries.flagship(spark, dir).count()
+    }
+    val (nCands, _) = timed {
+      graft.queries.MatchQueries.flagshipCandidateCount(spark, dir)
+    }
+    println(f"[scale] $tag flagship: $tFlag%.1f s, $nCands candidates")
+    // near-dup: banded MinHash candidate generation + signature verify
+    val docs = Tables.documents(spark, dir)
+    val (nNear, tNear) = timed {
+      graft.llm.Dedup.minhashPairs(docs, threshold = 0.35).count()
+    }
+    println(f"[scale] $tag minhash: $tNear%.1f s, $nNear pairs")
+    // IVF store: auto-√n-cell build, then a fixed 24-query serve
+    val emb = Tables.embeddings(spark, dir)
+    val store = s"/root/repo/target/qtmp/scaleprobe_ivf_$tag"
+    graft.io.IO.deletePath(store)
+    val (_, tBuild) = timed {
+      graft.llm.Ann.writeIvfStore(emb, store, nCells = 0)
+    }
+    val nCells = graft.llm.Ann.readCentroids(spark, store).count()
+    val queries = emb.where(s"vec_id < 24") // copy-0 original vectors
+    val (_, tServe) = timed {
+      graft.llm.Ann.ivfStoreTopK(spark, store, queries, k = 10).count()
+    }
+    println(f"[scale] $tag ann: build $tBuild%.1f s ($nCells cells), " +
+      f"serve $tServe%.1f s")
+    Point(tFlag, nCands, tNear, nNear, tBuild, nCells, tServe)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val big = inflateDir(spark, base, factor)
+    println(s"[scale] inflated dir staged at $big (factor $factor)")
+
+    val p1 = measure(spark, base, "1x")
+    val pN = measure(spark, big, s"${factor}x")
+
+    def ratio(a: Double, b: Double) = b / math.max(a, 1e-9)
+    val checks = Seq(
+      ("flagship candidates ~linear in distinct keys",
+        ratio(p1.flagshipCands.toDouble, pN.flagshipCands.toDouble), 2.0 * factor),
+      ("flagship wall sub-quadratic",
+        ratio(p1.flagshipS, pN.flagshipS), 2.0 * factor),
+      ("minhash candidates ~linear",
+        ratio(p1.minhashCands.toDouble, pN.minhashCands.toDouble), 2.0 * factor),
+      ("minhash wall sub-quadratic",
+        ratio(p1.minhashS, pN.minhashS), 2.0 * factor),
+      ("ivf build wall ~linear",
+        ratio(p1.annBuildS, pN.annBuildS), 2.0 * factor),
+      ("ivf cells ~sqrt growth (no bucket flood)",
+        ratio(p1.annCells.toDouble, pN.annCells.toDouble), 2.0 * math.sqrt(factor)),
+      ("ivf serve sub-linear",
+        ratio(p1.annServeS, pN.annServeS), 1.0 * factor))
+    var ok = true
+    checks.foreach { case (name, r, bound) =>
+      val pass = r <= bound
+      ok &= pass
+      println(f"[scale] ${if (pass) "PASS" else "FAIL"} $name: " +
+        f"ratio $r%.2fx (bound $bound%.1fx at factor $factor)")
+    }
+    println(s"[scale] ${if (ok) "ALL PASS" else "FAILED"}")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

@@ -41,6 +41,10 @@ object MatchQueries {
       (PipelineModel, DataFrame)]()
   private val flagshipCache =
     scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
+  // the labeled/distance-featured/weighted frame m4 AND m5 both search
+  // over — derived once per (session, dir), not once per query
+  private val trainingFrameCache =
+    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
 
   // Weak references so THIS map never extends a session's lifetime. Note
   // the stage caches above still pin their sessions (their DataFrames hold
@@ -61,6 +65,7 @@ object MatchQueries {
     stageCache.filterInPlace((k, _) => live(k))
     matcherCache.filterInPlace((k, _) => live(k))
     flagshipCache.filterInPlace((k, _) => live(k))
+    trainingFrameCache.filterInPlace((k, _) => live(k))
     (org.apache.spark.sql.graftshim.Shim.sessionUuid(s), dir, keyFilter)
   }
 
@@ -118,6 +123,17 @@ object MatchQueries {
         val trained = EntityResolution.train(st.feats, labeled, flagshipCfg)
         (trained.model, labeled)
       })
+
+  /** Candidate-pair count of the flagship's LSH blocking stage — the
+    * probe surface [[graft.ScaleProbe]] uses to assert candidates grow
+    * ~linearly in distinct keys under corpus inflation. Reuses the
+    * memoized feature stage, so in a session that also runs the flagship
+    * the marginal cost is one blocking join. */
+  private[graft] def flagshipCandidateCount(s: SparkSession, dir: String,
+                                            keyFilter: String = "id % 10 = 0"): Long = {
+    val st = featureStage(s, dir, keyFilter)
+    EntityResolution.labeledCandidates(st.feats, st.golden, flagshipCfg).count()
+  }
 
   /** Full match flow on a key subset; returns the scored, ranked pairs
     * (materialized via cache so sibling queries reuse results, not plans). */
@@ -245,19 +261,27 @@ object MatchQueries {
   }
 
   /** Labeled, distance-featured, class-weighted pair frame the M4/M5
-    * training queries search over (shared by m4_halving_search and
+    * training queries search over — MEMOIZED and materialized per
+    * (session, dir), like the feature stage it builds on: m4 and m5 run
+    * back-to-back in a bench/verify session and would otherwise each pay
+    * the candidate-join + distance-join + weight derivation for the
+    * identical frame (shared by m4_halving_search, m5_train_eval, and
     * ProfileHalving). */
-  private[graft] def halvingTrainingFrame(s: SparkSession, dir: String): DataFrame = {
-    val st = featureStage(s, dir)
-    val (feats, golden) = (st.feats, st.golden)
-    val cands = Fixtures.candidatePairs(s, dir)
-      .join(feats.where("table='abt'").select(col("id").as("idA")), "idA")
-      .join(feats.where("table='buy'").select(col("id").as("idB")), "idB")
-    val labeled = Pairs.labelJoin(cands, golden)
-    val dists = Distances.pairDistances(labeled, feats.where("table='abt'"),
-      feats.where("table='buy'")).join(labeled, Seq("idA", "idB"))
-    Matcher.addClassWeights(dists)
-  }
+  private[graft] def halvingTrainingFrame(s: SparkSession, dir: String): DataFrame =
+    trainingFrameCache.getOrElseUpdate(cacheKey(s, dir, "id % 10 = 0"),
+      graft.Sweep.retainNew(s) {
+        val st = featureStage(s, dir)
+        val (feats, golden) = (st.feats, st.golden)
+        val cands = Fixtures.candidatePairs(s, dir)
+          .join(feats.where("table='abt'").select(col("id").as("idA")), "idA")
+          .join(feats.where("table='buy'").select(col("id").as("idB")), "idB")
+        val labeled = Pairs.labelJoin(cands, golden)
+        val dists = Distances.pairDistances(labeled, feats.where("table='abt'"),
+          feats.where("table='buy'")).join(labeled, Seq("idA", "idB"))
+        val w = Matcher.addClassWeights(dists).cache()
+        w.count() // materialize inside retainNew (see featureStage)
+        w
+      })
 
   val defs: Seq[(String, Q)] = Seq(
     // The flagship end-to-end match query (entry() runs the ranked frame at
@@ -368,15 +392,9 @@ object MatchQueries {
     // test split (metric value sanity-asserted in MatcherSpec).
     "m5_train_eval" -> ((s, dir) => {
       import s.implicits._
-      val st = featureStage(s, dir)
-      val (feats, golden) = (st.feats, st.golden)
-      val cands = Fixtures.candidatePairs(s, dir)
-        .join(feats.where("table='abt'").select(col("id").as("idA")), "idA")
-        .join(feats.where("table='buy'").select(col("id").as("idB")), "idB")
-      val labeled = Pairs.labelJoin(cands, golden)
-      val dists = Distances.pairDistances(labeled, feats.where("table='abt'"),
-        feats.where("table='buy'")).join(labeled, Seq("idA", "idB"))
-      val weighted = Matcher.addClassWeights(dists).cache()
+      // the memoized session-shared frame m4 searches over too — derived
+      // and materialized once, not once per training query
+      val weighted = halvingTrainingFrame(s, dir)
       val Seq(train, test) = Matcher.stratifiedSplit(weighted, Seq(0.8, 0.2))
       // boosted-tree iteration jobs drown in per-task overhead when a small
       // training set is spread over many shuffle partitions — size the
@@ -399,43 +417,42 @@ object MatchQueries {
       // The >0.5 quality bar applies only when there is enough data to
       // learn from — a sf0.001-sized corpus (a few hundred pairs, test
       // split of a handful of positives) legitimately lands below it.
-      val nPairs = labeled.count()
-      val out = Seq((nPairs, nPairs < 500L || aupr > 0.5, aupr <= 1.0))
+      val nPairs = weighted.count()
+      Seq((nPairs, nPairs < 500L || aupr > 0.5, aupr <= 1.0))
         .toDF("n_pairs", "aupr_ok", "aupr_valid")
-      weighted.unpersist(blocking = false)
-      out
     }),
 
     // M4 (adaptive) — successive-halving hyperparameter search: 16
-    // candidates × 3 budget rungs (24 evals — 6× the fits of the m5 TVS
+    // candidates pruned 16 → 4 → 1 (20 evals — 5× the fits of the m5 TVS
     // grid) for ~a quarter of the boosting rounds a full-budget 16-cell
     // grid would burn. Contract: exact pair/eval/budget counts (the
     // schedule is deterministic) + the AUPR quality invariant.
     "m4_halving_search" -> ((s, dir) => {
       import s.implicits._
-      val weighted = halvingTrainingFrame(s, dir).cache()
+      // session-shared memoized frame (same one m5 trains on)
+      val weighted = halvingTrainingFrame(s, dir)
       val nPairs = weighted.count()
       val parts = math.max(1, math.min(s.sparkContext.defaultParallelism,
         (nPairs / 50000L).toInt))
       // fixture-sized budget schedule: eta=4 prunes 16 → 4 → 1, rungs at
-      // 3/12 boosting rounds. At fixture scale the cost is pure per-round
+      // 2/8 boosting rounds. At fixture scale the cost is pure per-round
       // Spark-job overhead (the frame is a few hundred rows), so total
-      // scheduled rounds — 16·3 + 4·12 + 12-round refit = 108 — IS the
-      // cost; an eta=3 schedule (244 rounds) measured 2.3× slower for the
-      // same winner
+      // scheduled rounds — 16·2 + 4·8 + 8-round refit = 72 — IS the
+      // cost; the prior 3/12 schedule (108 rounds) measured 10.7–13.4 s
+      // vs 7.1–7.4 s for this one on an idle local[32] at sf0.1, with the
+      // IDENTICAL winner GbtCandidate(7, 0.1, 0.7) and AUPR 0.8303 vs
+      // 0.8319 (an eta=3 schedule at 244 rounds was 2.3× slower again)
       // parallelism 16 = one wave for the 16-candidate first rung: each
       // fixture-scale fit is a chain of tiny single-task jobs, so waves
       // serialize on scheduling latency, not cores (A/B on local[32],
       // isolated subset incl. the shared feature stage: 41.3 s at 8 →
       // 29.4 s at 16)
       val r = Matcher.trainHalving(weighted, parallelism = 16,
-        minIter = 3, maxIter = 48, eta = 4, coalesceTo = Some(parts))
-      val out = Seq((nPairs, r.evals.toLong, r.budget.toLong,
+        minIter = 2, maxIter = 32, eta = 4, coalesceTo = Some(parts))
+      Seq((nPairs, r.evals.toLong, r.budget.toLong,
           nPairs < 500L || r.validationMetric > 0.5,
           r.validationMetric <= 1.0))
         .toDF("n_pairs", "n_evals", "budget_final", "aupr_ok", "aupr_valid")
-      weighted.unpersist(blocking = false)
-      out
     }),
 
     // M7 — filesystem model registry lifecycle: save v1, re-register the
@@ -583,11 +600,11 @@ object MatchQueries {
          |  true AS aupr_ok, true AS aupr_valid
          |FROM cands WHERE idA % 10 = 0 AND idB % 10 = 0""".stripMargin,
     // successive-halving schedule is fully deterministic: 16 candidates,
-    // eta=4 → rungs of 16+4 = 20 evals, final budget 3·4 = 12 rounds
+    // eta=4 → rungs of 16+4 = 20 evals, final budget 2·4 = 8 rounds
     "m4_halving_search" ->
       s"""WITH ${Fixtures.candsCte}
          |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-         |  CAST(20 AS BIGINT) AS n_evals, CAST(12 AS BIGINT) AS budget_final,
+         |  CAST(20 AS BIGINT) AS n_evals, CAST(8 AS BIGINT) AS budget_final,
          |  true AS aupr_ok, true AS aupr_valid
          |FROM cands WHERE idA % 10 = 0 AND idB % 10 = 0""".stripMargin,
     "m2b_hash_split" ->
