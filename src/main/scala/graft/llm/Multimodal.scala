@@ -146,10 +146,17 @@ object Multimodal {
   def stageAssetFiles(docs: DataFrame, outDir: String, idCol: String = "doc_id",
                       textCol: String = "text"): String = {
     import java.nio.file.{Files, Paths}
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, length}
     graft.io.IO.deletePath(outDir)
     Files.createDirectories(Paths.get(outDir))
-    docs.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+    // NULL/empty text is SKIPPED, not staged as a zero-byte file: Spark's
+    // file index drops zero-length files from every file-based scan, so an
+    // empty payload can never come back through the binaryFile source —
+    // "no empty assets exist" is the source's own contract, and the
+    // mm_binary_ingest oracle applies the same octet_length > 0 filter
+    docs.select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")).as("__t"))
+      .where(length(col("__t")) > 0)
       .collect().foreach { r =>
         Files.write(Paths.get(outDir, s"${r.getLong(0)}.bin"),
           r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -815,7 +815,11 @@ object LlmQueries {
     // (how media actually enters the engine — whole files as binary rows).
     // A small doc sample stages as one payload file each; the read-back's
     // id (from the filename), byte length, and content all value-check
-    // against the source rows.
+    // against the source rows. NULL/empty-text docs are excluded on BOTH
+    // sides (octet_length > 0): Spark's file index drops zero-length
+    // files from every scan, so an empty asset cannot exist through the
+    // binaryFile source — staging one would silently lose the row on the
+    // Spark side only and split the engines on a null-bearing fixture.
     "mm_binary_ingest" -> ((s, dir) => {
       val staged = Multimodal.stageAssetFiles(
         Tables.documents(s, dir).where("doc_id < 50"),
@@ -824,6 +828,7 @@ object LlmQueries {
         .select(regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("asset_id"),
           col("length").cast("long").as("n_bytes"), col("content"))
       val expected = Tables.documents(s, dir).where("doc_id < 50")
+        .where(length(coalesce(col("text"), lit(""))) > 0)
         .select(col("doc_id").as("asset_id"),
           encode(coalesce(col("text"), lit("")), "UTF-8").as("expected"))
       assets.join(expected, Seq("asset_id"))
@@ -1714,13 +1719,16 @@ object LlmQueries {
         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(cosine) AS max_cosine
         |FROM s WHERE cosine >= 0.3 GROUP BY vec_id""".stripMargin,
     // full-value: filename-derived id, byte length, and a content-equality
-    // boolean the Spark side computes against the source rows
-    // coalesce mirrors stageAssetFiles' null→empty-payload staging
+    // boolean the Spark side computes against the source rows. The
+    // octet_length > 0 filter mirrors stageAssetFiles' skip of null/empty
+    // text: Spark's file index drops zero-length files, so an empty asset
+    // cannot exist through the binaryFile source on the Spark side either
     "mm_binary_ingest" ->
       """SELECT doc_id AS asset_id,
         |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
         |  true AS bytes_match
-        |FROM documents WHERE doc_id < 50""".stripMargin,
+        |FROM documents
+        |WHERE doc_id < 50 AND octet_length(encode(coalesce(text, ''))) > 0""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS asset_id, 'image' AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -519,6 +519,27 @@ class IOSpec extends SparkSpec {
     assert(IO.readPartitionedStore(spark, path).count() == 2048)
   }
 
+  test("raw-text sink roundtrip: a NULL text row survives the oracle " +
+       "compare (coalesced to '' symmetrically on both sides)") {
+    // the text source writes a NULL row as an empty line and reads it back
+    // as "" — the s10_text_roundtrip query coalesces BEFORE the sink and
+    // its DuckDB oracle projects coalesce(text, ''), so a null-bearing
+    // fixture regeneration cannot split the engines. This pins the rule
+    // with an actual null row (the current fixture is null-free).
+    val docs = Seq((1L, "alpha"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = s"$tmp/null_text_sink"
+    docs.select(coalesce(col("text"), lit("")).as("text"))
+      .write.mode("overwrite").text(out)
+    val back = spark.read.text(out).withColumnRenamed("value", "text")
+      .as[String].collect().sorted.toSeq
+    // what the oracle computes on the same rows
+    val oracle = docs.select(coalesce(col("text"), lit("")).as("text"))
+      .as[String].collect().sorted.toSeq
+    assert(back == oracle, s"roundtrip $back != oracle $oracle")
+    assert(back.count(_ == "") == 2, "null and empty must both read back as ''")
+  }
+
   test("merge fails fast on a dup-keyed source — SQL MERGE multi-match, " +
        "never a silent fan-out") {
     val target = Seq((1, "one", 10.0), (2, "two", 20.0)).toDF("id", "name", "price")

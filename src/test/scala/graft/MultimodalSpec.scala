@@ -47,6 +47,30 @@ class MultimodalSpec extends SparkSpec {
     graft.io.IO.deletePath(staged)
   }
 
+  test("stageAssetFiles: NULL/empty-text docs are skipped, matching the " +
+       "mm_binary_ingest oracle's octet_length > 0 filter") {
+    // Spark's file index drops zero-length files from every file-based
+    // scan, so a null-text doc staged as a 0-byte file would be read back
+    // by DuckDB's oracle but silently lost by the binaryFile source —
+    // discovered by staging one: the only engine-symmetric contract is
+    // "empty assets don't exist", applied on both sides
+    val docs = Seq((1L, "abc"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val staged = Multimodal.stageAssetFiles(docs,
+      "/root/repo/target/qtmp/mmspec_nulltext")
+    val got = Multimodal.readBinaryAssets(spark, staged)
+      .select(regexp_extract($"path", "(\\d+)\\.bin$", 1).cast("long").as("id"),
+        $"length".cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L), s"unexpected staged assets: $got")
+    // no orphaned zero-byte files on disk either
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+      .iterator().asScala.filter(_.toString.endsWith(".bin")).toSeq
+    assert(files.size == 1, s"empty payloads must not stage: $files")
+    graft.io.IO.deletePath(staged)
+  }
+
   test("decode stub: deterministic in payload bytes, batch loop runs") {
     def run() = Multimodal
       .decodeImageMeta(spark, assets, Multimodal.StubCodec)
