@@ -47,10 +47,46 @@ object ModelStore {
     }
   }
 
-  /** Promote a version to Production (archives the previous pointer
-    * implicitly — the pointer is the stage). */
-  def setProduction(root: String, name: String, version: Int): Unit =
+  /** Version stages, mirroring the MLflow registry lifecycle the reference
+    * drives (`03:326-343`): `None` (fresh save) → `Staging`/`Production` →
+    * `Archived`. The stage is a per-version file; every transition appends
+    * to `transitions.log` (the registry's audit trail). */
+  val Stages: Set[String] = Set("None", "Staging", "Production", "Archived")
+
+  def stage(root: String, name: String, version: Int): String = {
+    val p = Paths.get(root, name, s"v$version.stage")
+    if (Files.exists(p)) Files.readString(p).trim else "None"
+  }
+
+  /** All versions currently in `s` (e.g. the Archived history). */
+  def versionsInStage(root: String, name: String, s: String): Seq[Int] =
+    versions(root, name).filter(v => stage(root, name, v) == s).sorted
+
+  def setStage(root: String, name: String, version: Int, to: String): Unit = {
+    require(Stages.contains(to), s"unknown stage '$to' (valid: $Stages)")
+    require(versions(root, name).contains(version),
+      s"no version v$version under $root/$name")
+    val from = stage(root, name, version)
+    Files.writeString(Paths.get(root, name, s"v$version.stage"), to)
+    val log = Paths.get(root, name, "transitions.log")
+    Files.writeString(log, s"v$version: $from -> $to\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Promote a version to Production: the PREVIOUS Production version (if
+    * any) transitions to Archived first — the
+    * `archive_existing_versions=True` semantics of the reference's MLflow
+    * promote (`03:326-343`) — then the pointer moves. The pointer file
+    * stays the single serve-time read ([[productionPath]]); stages are
+    * the queryable lifecycle history around it. */
+  def setProduction(root: String, name: String, version: Int): Unit = {
+    productionVersion(root, name)
+      .filter(prev => prev != version && versions(root, name).contains(prev))
+      .foreach(prev => setStage(root, name, prev, "Archived"))
+    setStage(root, name, version, "Production")
     Files.writeString(Paths.get(root, name, "production"), version.toString)
+  }
 
   def productionVersion(root: String, name: String): Option[Int] = {
     val p = Paths.get(root, name, "production")

@@ -467,14 +467,21 @@ object MatchQueries {
       val root = "/root/repo/target/qtmp/registry"
       val name = "name_pipeline"
       val v1 = ModelStore.save(pipe, root, name)
+      ModelStore.setProduction(root, name, v1)
       val v2 = ModelStore.copyVersion(root, name, v1)
       ModelStore.setProduction(root, name, v2)
       val prod = PipelineModel.load(ModelStore.productionPath(root, name))
       val same = prod.transform(a).select("id", "name_features")
         .join(pipe.transform(a).select(col("id"), col("name_features").as("nf2")), "id")
         .where(col("name_features") =!= col("nf2")).count() == 0
-      Seq((v1 < v2, ModelStore.productionVersion(root, name).contains(v2), same))
-        .toDF("versions_increment", "production_points_at_v2", "prod_scores_match")
+      // the MLflow promote semantics the reference drives (03:326-343):
+      // promoting v2 ARCHIVES the previous Production version explicitly
+      val lifecycleOk = ModelStore.stage(root, name, v1) == "Archived" &&
+        ModelStore.stage(root, name, v2) == "Production"
+      Seq((v1 < v2, ModelStore.productionVersion(root, name).contains(v2),
+           lifecycleOk, same))
+        .toDF("versions_increment", "production_points_at_v2",
+          "old_version_archived", "prod_scores_match")
     }),
 
     // X2 — model scoring through native transform (no UDF boundary),
@@ -573,7 +580,7 @@ object MatchQueries {
         |FROM part WHERE p_partkey % 50 = 0""".stripMargin,
     "m7_model_store" ->
       """SELECT true AS versions_increment, true AS production_points_at_v2,
-        |  true AS prod_scores_match""".stripMargin,
+        |  true AS old_version_archived, true AS prod_scores_match""".stripMargin,
     "f13_pipeline_chain" ->
       s"""SELECT t."table", t.id, CAST(46656 AS INT) AS name_dim,
          |  CAST(50 AS INT) AS descript_dim, CAST(1 AS INT) AS price_dim

@@ -136,8 +136,25 @@ class MatcherSpec extends SparkSpec {
     // MLWriter round-trip; it must load and score identically
     val v3 = ModelStore.copyVersion(root, "m", v2)
     assert(v3 == v2 + 1)
+    // stage lifecycle: fresh saves are None; promote moves the version to
+    // Production; a SECOND promote archives the previous Production
+    // explicitly (MLflow archive_existing_versions semantics) and leaves
+    // untouched versions alone
+    assert(ModelStore.stage(root, "m", v1) == "None")
+    ModelStore.setProduction(root, "m", v2)
+    assert(ModelStore.stage(root, "m", v2) == "Production")
     ModelStore.setProduction(root, "m", v3)
     assert(ModelStore.productionVersion(root, "m").contains(v3))
+    assert(ModelStore.stage(root, "m", v3) == "Production")
+    assert(ModelStore.stage(root, "m", v2) == "Archived")
+    assert(ModelStore.stage(root, "m", v1) == "None")
+    assert(ModelStore.versionsInStage(root, "m", "Archived") == Seq(v2))
+    // re-promoting the CURRENT production must not archive it
+    ModelStore.setProduction(root, "m", v3)
+    assert(ModelStore.stage(root, "m", v3) == "Production")
+    intercept[IllegalArgumentException] {
+      ModelStore.setStage(root, "m", v3, "Retired") // not a stage
+    }
     val loaded = PipelineModel.load(ModelStore.productionPath(root, "m"))
     val a = Matcher.score(model, df).select("idA", "match_score")
       .as[(Int, Double)].collect().toMap
