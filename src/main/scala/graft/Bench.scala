@@ -15,6 +15,29 @@ object Bench {
     // the same way on every run
     // optional comma-separated filter for profiling a subset in isolation
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Per-query I/O attribution (stderr only — the stdout JSON contract is
+    // unchanged): cumulative task-metric counters snapshotted around each
+    // query separate "plan got worse" (shuffle/input bytes moved) from
+    // "host got slower" (same bytes, more seconds) when totals drift
+    // between rounds — the same role gcTotal plays for heap pressure.
+    val inB = new java.util.concurrent.atomic.AtomicLong
+    val srB = new java.util.concurrent.atomic.AtomicLong
+    val swB = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          inB.addAndGet(m.inputMetrics.bytesRead)
+          srB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          swB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    def ioSnapshot(): (Long, Long, Long) = {
+      org.apache.spark.sql.graftshim.Shim.drainListenerBus(spark.sparkContext)
+      (inB.get(), srB.get(), swB.get())
+    }
     // reproducibility: the round-5 builder/driver totals diverged ~2× on
     // identical code — record the knobs that differ between harnesses
     val rt = Runtime.getRuntime
@@ -37,9 +60,11 @@ object Bench {
         .queryExecution.toRdd.count()
       Sweep.drop(spark)
     }
+    val io = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val (in0, sr0, sw0) = ioSnapshot()
       val t0 = System.nanoTime()
       // toRdd.count() materializes every column of the result (a plain
       // count() would let Catalyst prune the projection away and undercount
@@ -48,6 +73,8 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      val (in1, sr1, sw1) = ioSnapshot()
+      io += ((name, in1 - in0, sr1 - sr0, sw1 - sw0))
       // between-query hygiene (OUTSIDE the timed region — the sweep is
       // harness bookkeeping, not query work): drop per-query checkpoint
       // blocks / stray caches and delete consumed per-run qtmp stores, so
@@ -55,6 +82,17 @@ object Bench {
       // stages survive (Sweep.retainNew).
       Sweep.drop(spark)
       name -> dt
+    }
+    locally { // drift-attribution report: totals + the heaviest shufflers
+      def mb(b: Long) = f"${b / 1048576.0}%.1f"
+      val (ti, tr, tw) = (io.map(_._2).sum, io.map(_._3).sum, io.map(_._4).sum)
+      System.err.println(s"[bench] io total: input=${mb(ti)}MiB " +
+        s"shuffleRead=${mb(tr)}MiB shuffleWrite=${mb(tw)}MiB")
+      io.sortBy { case (_, _, sr, sw) => -(sr + sw) }.take(12).foreach {
+        case (n, i, sr, sw) => System.err.println(
+          s"[bench] io $n: input=${mb(i)}MiB shuffleRead=${mb(sr)}MiB " +
+          s"shuffleWrite=${mb(sw)}MiB")
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

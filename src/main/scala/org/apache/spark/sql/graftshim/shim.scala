@@ -17,4 +17,11 @@ object Shim {
     * that, unlike `identityHashCode`, cannot collide across sessions. */
   def sessionUuid(s: org.apache.spark.sql.SparkSession): String =
     s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
+  /** Drain the listener bus (`listenerBus` is `private[spark]`) so a
+    * metrics snapshot taken right after a query's last job sees every
+    * task-end event — the Bench harness's per-query I/O attribution
+    * would otherwise race the async event delivery. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
