@@ -70,7 +70,15 @@ object Dedup {
       }
       import scala.jdk.CollectionConverters._
       out.asScala.toSeq
-    } else Seq(toks.mkString(" "))
+    }
+    // zero tokens (empty/whitespace-only text) → NO shingles: an empty
+    // doc has no similarity surface, and the Seq("") a bare mkString
+    // would emit pairs every empty doc with every other empty doc at
+    // J = 1.0 — while the SQL oracle's list_distinct drops its NULL
+    // element and emits nothing. Short docs (1 to n-1 tokens) keep the
+    // whole-text shingle on both sides.
+    else if (toks.isEmpty) Seq.empty
+    else Seq(toks.mkString(" "))
   }
 
   /** Exact n-gram (shingle) Jaccard near-dup pairs, formulated as a shingle
@@ -543,11 +551,13 @@ object Dedup {
     * join-back at scale; nothing here is ever all-pairs. */
   def boilerplateStats(df: DataFrame, textCol: String = "text", n: Int = 3,
                        minDf: Int = 3): DataFrame = {
-    // shingles() always yields >= 1 element for non-null text (short docs
-    // collapse to one whole-doc gram); null text is coalesced to '' — the
-    // same convention as DocStreams.dedupBatchAgainstStore — so EVERY input
-    // doc appears in the exploded frame (null would make shingles() null and
-    // explode() drop the doc) and the per-doc gram count is a plain row count
+    // shingles() yields >= 1 element for any text WITH tokens (short docs
+    // collapse to one whole-doc gram) and an empty array for empty/
+    // whitespace-only text — so a doc appears in the report iff it has a
+    // gram surface at all, the same rule the SQL oracle's list_distinct
+    // applies. Null text is coalesced to '' (same convention as
+    // DocStreams.dedupBatchAgainstStore) purely so the explode sees a
+    // typed empty set rather than NULL.
     val ex = df.select(col("doc_id"),
         explode(shingles(coalesce(col(textCol), lit("")), n)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))

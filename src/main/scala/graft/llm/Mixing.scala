@@ -222,7 +222,14 @@ object Mixing {
       .select(col(stratumCol), col("__k"), col("__rate"), col("__cutoff"))
     val keyed = df.withColumn("__ord",
       md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
-    val survivors = keyed.join(broadcast(rates), Seq(stratumCol))
+    // null-safe join: NULL is a stratum like any other (groupBy already
+    // counted it as one, and SQL window PARTITION BY groups it) — a plain
+    // equi-join would silently drop every NULL-stratum row between the
+    // quota computation and the selection
+    val survivors = keyed.as("d")
+      .join(broadcast(rates.as("r")),
+        col(s"d.$stratumCol") <=> col(s"r.$stratumCol"))
+      .drop(col(s"r.$stratumCol"))
       .where(col("__rate") >= 1.0 ||
         substring(col("__ord"), 1, 8) < col("__cutoff"))
     survivors.withColumn("__rk", row_number().over(

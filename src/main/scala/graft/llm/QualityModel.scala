@@ -33,7 +33,10 @@ object QualityModel {
   private[graft] def garble(t: org.apache.spark.sql.Column,
                           id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val toks = TextAnalysis.tokens(t)
-    val firstTok = coalesce(element_at(toks, 1), lit("x"))
+    // try_element_at, not element_at: ANSI mode THROWS on index 1 of an
+    // empty array, and an empty/whitespace-only document has zero tokens —
+    // the coalesce alone cannot catch an exception
+    val firstTok = coalesce(try_element_at(toks, lit(1)), lit("x"))
     when(pmod(id, lit(3)) === 0,
         array_join(array_repeat(firstTok, greatest(size(toks), lit(8))), " "))
       .when(pmod(id, lit(3)) === 1, array_join(toks, ""))

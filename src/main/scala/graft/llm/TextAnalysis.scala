@@ -496,7 +496,12 @@ object LangId {
             n: Int = 3, maxGramsPerLang: Int = 65536): NbModel = {
     import org.apache.spark.sql.expressions.Window
     val padded = concat(lit(" "), lower(coalesce(col(textCol), lit(""))), lit(" "))
-    val base = df.select(col(langCol).as("lang"), padded.as("p"))
+    // a NULL label row cannot train a supervised model: it would become a
+    // NULL "language" class (and NPE the deterministic lang sort below) —
+    // the standard fit rule is to drop unlabeled rows; PREDICTION still
+    // covers every doc (predictNb takes its own input frame)
+    val base = df.where(col(langCol).isNotNull)
+      .select(col(langCol).as("lang"), padded.as("p"))
     val grams = base.select(col("lang"),
         explode(transform(
           sequence(lit(1), greatest(length(col("p")) - (n - 1), lit(0))),

@@ -909,8 +909,11 @@ object LlmQueries {
     val hitCols = langs.map(l =>
       s"CAST(len(list_filter(tok, x -> x IN (${markerList(l)}))) AS INT) AS hits_$l").mkString(",\n  ")
     val maxExpr = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
-    val caseExpr = langs.dropRight(1).map(l =>
-      s"WHEN hits_$l = m THEN '$l'").mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    // NULL text → NULL prediction on BOTH sides: without the leading
+    // IS NULL arm, every WHEN compares NULL and the CASE silently falls
+    // through to the last language — the engine's null row would mismatch
+    val caseExpr = (s"WHEN m IS NULL THEN NULL" +: langs.dropRight(1).map(l =>
+      s"WHEN hits_$l = m THEN '$l'")).mkString("CASE ", " ", s" ELSE '${langs.last}' END")
     s"""WITH t AS (SELECT doc_id, ${tokSql("text")} AS tok FROM documents),
        |s AS (SELECT doc_id,
        |  $hitCols
@@ -1195,7 +1198,8 @@ object LlmQueries {
          |         THEN p.bin + 1 ELSE p.bin END,
          |    CASE WHEN p.fill + t.n_tok > $packCapacity
          |         THEN t.n_tok ELSE p.fill + t.n_tok END
-         |  FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1)
+         |  FROM p JOIN t ON t.source IS NOT DISTINCT FROM p.source
+         |                AND t.rn = p.rn + 1)
          |SELECT source, doc_id, n_tok, bin FROM p""".stripMargin,
     // full recomputation of the SimHash operator in SQL: per-token md5-based
     // 64-bit hash (two unsigned-32-bit halves), ±1 bit votes, sign →
@@ -1422,8 +1426,11 @@ object LlmQueries {
          |  true AS depth_full_or_exhausted,
          |  true AS counts_nonincreasing, true AS ranks_contiguous
          |FROM best""".stripMargin,
+    // coalesce: the engine counts a NULL text as zero words (token
+    // accounting over a coalesced corpus), so the oracle must not emit
+    // NULL for it
     "tx_bpe_encode" ->
-      s"""SELECT doc_id, CAST(len(${tokSql("text")}) AS INT) AS n_words,
+      s"""SELECT doc_id, CAST(len(${tokSql("coalesce(text, '')")}) AS INT) AS n_words,
          |  true AS tokens_bounded
          |FROM documents""".stripMargin,
     "tx_token_counts" ->
@@ -1523,7 +1530,8 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY md5(concat('temp42:', CAST(doc_id AS VARCHAR))), doc_id) AS rk
         |  FROM documents)
-        |SELECT sel.doc_id, sel.source FROM sel JOIN q USING (source)
+        |SELECT sel.doc_id, sel.source FROM sel
+        |JOIN q ON sel.source IS NOT DISTINCT FROM q.source
         |WHERE sel.rk <= q.k""".stripMargin,
     // length histogram: the same integer floor-log2 (binary-string length)
     // — no float log2 at bucket boundaries
@@ -1625,11 +1633,13 @@ object LlmQueries {
         |  SELECT doc_id, lang, substr(p, CAST(i AS INT), 3) AS gram
         |  FROM d, unnest(range(1, greatest(length(p) - 2, 0) + 1)) AS u(i)),
         |cnt AS (
-        |  SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2
+        |  SELECT lang, gram, count(*) AS c FROM g
+        |  WHERE lang IS NOT NULL GROUP BY 1, 2
         |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram) <= 65536),
         |tot AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS t FROM cnt GROUP BY 1),
         |v AS (SELECT CAST(count(DISTINCT gram) AS DOUBLE) AS v FROM cnt),
-        |pri AS (SELECT lang, CAST(count(*) AS DOUBLE) AS nd FROM d GROUP BY 1),
+        |pri AS (SELECT lang, CAST(count(*) AS DOUBLE) AS nd FROM d
+        |        WHERE lang IS NOT NULL GROUP BY 1),
         |tt AS (SELECT sum(nd) AS total FROM pri),
         |ids AS (SELECT doc_id, greatest(length(p) - 2, 0) AS n_grams FROM d),
         |dg AS (SELECT doc_id, gram, count(*) AS k FROM g GROUP BY 1, 2),
@@ -1667,10 +1677,11 @@ object LlmQueries {
          |FROM documents GROUP BY lang, source""".stripMargin,
     "tx_fingerprint" ->
       """SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN NULL ELSE
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(list_filter(regexp_split_to_array(text, ''), c -> c <> ''),
         |                   c -> CAST(ascii(c) AS BIGINT))),
-        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) END AS fingerprint
         |FROM documents""".stripMargin,
     // full-value: DuckDB's nfc_normalize + RE2 regexes mirror the engine's
     // codegen NfcNormalize + Java-regex pipeline step for step

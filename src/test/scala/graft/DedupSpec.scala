@@ -230,16 +230,21 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((1L, 0L, 0.0)))
   }
 
-  test("boilerplateStats: null-text docs still appear (coalesced to '')") {
+  test("boilerplateStats: token-less docs have no gram surface and are absent") {
     val d = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]),
-                (3L, "a b c d"), (4L, "a b c d")).toDF("doc_id", "text")
+                (3L, "a b c d"), (4L, "   "), (5L, "a b c d"))
+      .toDF("doc_id", "text")
     val out = Dedup.boilerplateStats(d, n = 3, minDf = 3)
       .as[(Long, Long, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    // every input doc has an output row; the null doc carries one
-    // (empty-string) gram shared with nothing
-    assert(out.keySet == Set(1L, 2L, 3L, 4L))
-    assert(out(2L) == ((1L, 0L, 0.0)))
+    // a doc appears iff it has at least one token: shingles() emits NO
+    // gram for empty/whitespace/null text (an empty doc has no similarity
+    // surface — and a synthetic '' gram would pair every empty doc with
+    // every other at J = 1.0, diverging from the SQL oracle whose
+    // list_distinct drops its NULL element). Same rule the null-fixture
+    // oracle sweep pins end-to-end for dd_boilerplate / dd_novelty.
+    assert(out.keySet == Set(1L, 3L, 5L))
+    assert(out(1L) == ((2L, 2L, 1.0)))  // both trigrams shared by 3 docs
   }
 
   test("semanticPairs: full recall and no false positives on clustered vectors") {
