@@ -214,6 +214,70 @@ object Bpe {
     FitResult(merges.toSeq, exhausted)
   }
 
+  /** Distributed-fallback fit for corpora whose TYPE count exceeds what
+    * the driver can hold: the type table stays a DataFrame end to end (no
+    * `topTypes` truncation, no collect), and each merge round is one
+    * map-side-combined pair-count shuffle + a 1-row argmax + a narrow
+    * rewrite of the affected arrays. Same tie-break as [[fit]] (count
+    * desc, left asc, right asc — ASCII-safe because symbols are lowercase
+    * alnum plus [[EndMark]]), so on any corpus where the driver trainer
+    * CAN run uncapped, both learn identical merges (pinned by BpeSpec on
+    * a >64k-type corpus).
+    *
+    * Cost: O(nMerges) jobs over the type table — the price of never
+    * truncating. The capped incremental [[fit]] stays the default; this
+    * is the explicit escape hatch when the Heaps'-law type table itself
+    * outgrows `topTypes` AND the tail types must contribute to pair
+    * statistics. Each round localCheckpoints the rewritten table: the
+    * rewrite is one narrow map, and checkpointing stops the plan tree
+    * from nesting round-over-round (the explainString blowup documented
+    * on [[fit]]). */
+  def fitDistributed(df: DataFrame, textCol: String = "text",
+                     nMerges: Int = 256,
+                     minPairCount: Long = 2L): Seq[Merge] =
+    fitDistributedVerbose(df, textCol, nMerges, minPairCount).merges
+
+  def fitDistributedVerbose(df: DataFrame, textCol: String = "text",
+                            nMerges: Int = 256,
+                            minPairCount: Long = 2L): FitResult = {
+    require(nMerges >= 1, s"nMerges must be >= 1; got $nMerges")
+    val toSyms = udf((w: String) => w.map(_.toString) :+ EndMark)
+    var types = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(toSyms(col("word")).as("syms"), col("freq"))
+      .localCheckpoint()
+    // adjacent symbol pairs; guarded because sequence(1, 0) DESCENDS in
+    // Spark rather than yielding an empty array, and a fully-merged word
+    // can collapse to a single symbol
+    val pairsExpr = when(size(col("syms")) >= 2,
+      expr("transform(sequence(1, size(syms) - 1)," +
+        " i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+      .otherwise(expr("array()"))
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val best = types
+        .select(explode(pairsExpr).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minPairCount) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(merges.length, l, r, c)
+        val applyU = udf((s: Seq[String]) => mergeOnce(s, l, r))
+        val next = types.select(applyU(col("syms")).as("syms"), col("freq"))
+          .localCheckpoint()
+        types.unpersist()
+        types = next
+      }
+    }
+    types.unpersist()
+    FitResult(merges.toSeq, exhausted)
+  }
+
   /** The fitted merge table as a DataFrame (rank, left, right,
     * pair_count) — nMerges rows, driver-local by construction. */
   def mergesDF(spark: SparkSession, merges: Seq[Merge]): DataFrame = {

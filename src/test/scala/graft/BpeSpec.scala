@@ -156,6 +156,26 @@ class BpeSpec extends SparkSpec {
     assert(got.merges.map(m => (m.left, m.right, m.pairCount)) === want)
   }
 
+  test("distributed fallback matches the uncapped driver trainer above the 64k type cap") {
+    // 41^3 = 68,921 distinct syllable-composed word types — past the
+    // 65,536 default cap, so the capped driver trainer WOULD truncate
+    // tail types here; the distributed trainer never collects the type
+    // table and must learn exactly what the driver trainer learns when
+    // the driver can still hold the table uncapped (it can: ~69k rows)
+    val syl = (for (c <- "bcdfghjklmnpqrstvwz"; v <- "aeiou")
+      yield s"$c$v").take(41)
+    val words = (0 until 41 * 41 * 41).map { i =>
+      syl(i % 41) + syl((i / 41) % 41) + syl((i / 1681) % 41)
+    }
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    assert(Bpe.wordTypes(df, topTypes = Int.MaxValue).count() > 65536L,
+      "corpus must exceed the default type cap for this test to bind")
+    val uncapped = Bpe.fit(df, nMerges = 6, topTypes = Int.MaxValue)
+    val dist = Bpe.fitDistributed(df, nMerges = 6)
+    assert(dist === uncapped)
+  }
+
   test("fitVerbose reports exhaustion only when the corpus genuinely runs dry") {
     val full = Bpe.fitVerbose(toyDf, nMerges = 1000)
     assert(full.exhausted, "toy corpus cannot sustain 1000 merges")
