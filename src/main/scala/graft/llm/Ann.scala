@@ -24,6 +24,16 @@ object Ann {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** A vector participates in cosine-space ops iff it is non-null AND has
+    * a nonzero norm. A zero vector has no direction: its cosine is 0/0 =
+    * NaN, and Spark's NaN-is-greatest ordering would rank it ABOVE every
+    * real neighbor (and pass every `>= threshold` filter) while the SQL
+    * oracle excludes it — the exact divergence the null-fixture sweep
+    * caught. `exists` short-circuits at the first nonzero component, so
+    * the filter is one cheap codegen pass at the scan. */
+  private[graft] def cosineUsable(vecCol: Column): Column =
+    vecCol.isNotNull && exists(vecCol, x => x =!= lit(0.0f))
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
 
@@ -41,8 +51,10 @@ object Ann {
     * ranking is reproducible across engines; ties break on corpus id. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.where(cosineUsable(col(vecCol)))
+      .select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.where(cosineUsable(col(vecCol)))
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
@@ -75,9 +87,9 @@ object Ann {
               lambda: Double = 0.7,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && m >= k && lambda >= 0.0 && lambda <= 1.0)
-    val c = corpus.where(col(vecCol).isNotNull)
+    val c = corpus.where(cosineUsable(col(vecCol)))
       .select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
-    val q = queries.where(col(vecCol).isNotNull)
+    val q = queries.where(cosineUsable(col(vecCol)))
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)
     val cands = c.crossJoin(broadcast(q))
@@ -166,9 +178,13 @@ object Ann {
               idCol: String = "vec_id", vecCol: String = "embedding",
               bucketLength: Double = 2.0, numHashTables: Int = 6,
               seed: Long = 42L): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("arr"))
+    // cosineUsable also guards the array_to_vector UDF, which NPEs on a
+    // NULL array (the hard-crash path the null-fixture sweep caught)
+    val c = corpus.where(cosineUsable(col(vecCol)))
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("arr"))
       .withColumn("v", array_to_vector(col("arr")))
-    val q = queries.select(col(idCol).as("id"), asDouble(col(vecCol)).as("arr"))
+    val q = queries.where(cosineUsable(col(vecCol)))
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("arr"))
       .withColumn("v", array_to_vector(col("arr")))
     val lsh = new BucketedRandomProjectionLSH().setInputCol("v").setOutputCol("h")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
@@ -218,9 +234,9 @@ object Ann {
     * boundary a 6-dp grid point in both engines. */
   def rangeSearch(corpus: DataFrame, queries: DataFrame, minCosine: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.where(col(vecCol).isNotNull)
+    val c = corpus.where(cosineUsable(col(vecCol)))
       .select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
-    val q = queries.where(col(vecCol).isNotNull)
+    val q = queries.where(cosineUsable(col(vecCol)))
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     c.crossJoin(broadcast(q))
       .where(col("nn_id") =!= col("query_id"))
@@ -250,7 +266,7 @@ object Ann {
                idCol: String = "vec_id", vecCol: String = "embedding",
                seed: Long = 42L, centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dense = corpus.where(col(vecCol).isNotNull)
+    val dense = corpus.where(cosineUsable(col(vecCol)))
     // nCells defaults to AUTO (√n sizing via fitCentroids): the within-cell
     // candidate volume n·nProbe·(n/nCells) is exactly what the √n rule
     // keeps flat per node as the corpus grows.
@@ -405,8 +421,8 @@ object Ann {
     // same sharing seam as [[ivfTopK]]: a caller holding this corpus's
     // fitted quantizer skips the redundant KMeans fit
     val centroids = precomputed.getOrElse(
-      fitCentroids(df.where(col(vecCol).isNotNull), nCells, vecCol))
-    val assigned = assignCells(df.where(col(vecCol).isNotNull), centroids,
+      fitCentroids(df.where(cosineUsable(col(vecCol))), nCells, vecCol))
+    val assigned = assignCells(df.where(cosineUsable(col(vecCol))), centroids,
       idCol, vecCol)
     assigned
       .join(broadcast(centroids), Seq("cell"))
@@ -426,7 +442,8 @@ object Ann {
                           queries: DataFrame, k: Int, nProbe: Int = 4,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val q = queries.where(cosineUsable(col(vecCol)))
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("cdist", aggregate(
         zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
@@ -436,7 +453,13 @@ object Ann {
       .where(col("rk") <= nProbe)
       .select("query_id", "qv", "cell")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)
+    // cosineUsable on the serve side: a zero-norm vector CAN be assigned
+    // to a cell (L2 argmin is well-defined) but can never be a cosine
+    // neighbor — without the guard its NaN cosine ranks first under
+    // Spark's NaN-is-greatest ordering. writeIvfStore drops such rows,
+    // so this also keeps batch-assigned and store-served paths identical.
     assigned
+      .where(cosineUsable(col("cv")))
       .join(broadcast(probes), Seq("cell"))
       .where(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
@@ -448,17 +471,18 @@ object Ann {
     * assign, write partitioned by cell (centroids ride along in an
     * underscore-prefixed subdir the store scan ignores).
     *
-    * Null embeddings are dropped at write time: a null vector assigns to a
-    * null cell, which Hive-partitioning would file under the default
-    * partition where the cell equi-join in [[ivfTopKFromAssigned]] can
-    * never serve it — an unservable row that would still inflate plain
-    * store-scan counts. Filtering here keeps the store's row count and its
-    * servable contents identical. */
+    * Null and zero-norm embeddings are dropped at write time: a null
+    * vector assigns to a null cell, which Hive-partitioning would file
+    * under the default partition where the cell equi-join in
+    * [[ivfTopKFromAssigned]] can never serve it, and a zero vector's NaN
+    * cosine would rank first at serve under Spark's NaN-is-greatest
+    * ordering ([[cosineUsable]]). Filtering here keeps the store's row
+    * count and its servable contents identical. */
   def writeIvfStore(corpus: DataFrame, path: String, nCells: Int = 16,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     seed: Long = 42L,
                     centroids: Option[DataFrame] = None): Unit = {
-    val dense = corpus.where(col(vecCol).isNotNull)
+    val dense = corpus.where(cosineUsable(col(vecCol)))
     // a caller holding an already-fitted quantizer for this corpus passes
     // it in (the cells are a routing key — any consistent centroid set
     // works, and the store persists whichever it was built with); without
@@ -485,7 +509,7 @@ object Ann {
     val spark = delta.sparkSession
     val cents = spark.read.parquet(centroidsPath(path))
     // same null-vector policy as writeIvfStore: never persist unservable rows
-    assignCells(delta.where(col(vecCol).isNotNull), cents, idCol, vecCol)
+    assignCells(delta.where(cosineUsable(col(vecCol))), cents, idCol, vecCol)
       .hint("rebalance", col("cell"))  // same small-files guard as the build
       .write.mode("append").partitionBy("cell").parquet(path)
   }
@@ -620,7 +644,7 @@ object Ann {
     // cached across the Lloyd iterations: every iteration re-scans this
     // frame, and without the persist each scan replays the source read +
     // cast lineage maxIter times
-    val dense = corpus.where(col(vecCol).isNotNull)
+    val dense = corpus.where(cosineUsable(col(vecCol)))
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("cv"))
       .persist()
     val dim = dense.select(size(col("cv"))).head().getInt(0)
@@ -713,7 +737,7 @@ object Ann {
         best
       }
     }
-    df.where(col(vecCol).isNotNull)
+    df.where(cosineUsable(col(vecCol)))
       .select(col(idCol).as("nn_id"),
         codesU(asDouble(col(vecCol))).as("codes"))
   }
@@ -756,7 +780,8 @@ object Ann {
       while (j < codes.length) { s += lut(j)(codes(j)); j += 1 }
       s
     }
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val q = queries.where(cosineUsable(col(vecCol)))
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("nn_id").asc)
     val shortlist = enc
       .crossJoin(broadcast(q.select(col("query_id"), lutU(col("qv")).as("lut"))))

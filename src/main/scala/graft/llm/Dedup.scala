@@ -716,7 +716,11 @@ object Dedup {
                     maxIter: Int = 5, fitSampleCap: Long = 10000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val v = df.select(col(idCol),
+    // Ann.cosineUsable: a NULL vector NPEs array_to_vector and a zero
+    // vector's NaN cosine would survive the >= threshold filter under
+    // Spark's NaN-is-greatest semantics — neither has a similarity surface
+    val v = df.where(Ann.cosineUsable(col(vecCol)))
+      .select(col(idCol),
         transform(col(vecCol), x => x.cast("double")).as("arr"))
       .withColumn("mlv", array_to_vector(col("arr")))
     // the KMeans FIT input is bounded (same guard as Ann.fitCentroids):
@@ -750,9 +754,10 @@ object Dedup {
     * results are engine-reproducible. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   blockKey: Column, threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"),
-      blockKey.as("blk"))
+    val v = df.where(Ann.cosineUsable(col(vecCol)))
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"),
+        blockKey.as("blk"))
     val a = v.select(col("id").as("idA"), col("v").as("vA"), col("blk"))
     val b = v.select(col("id").as("idB"), col("v").as("vB"), col("blk"))
     a.join(b, Seq("blk")).where(col("idA") < col("idB"))
@@ -838,10 +843,10 @@ object Dedup {
   def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
                             threshold: Double, idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.where(col(vecCol).isNotNull)
+    val c = corpus.where(Ann.cosineUsable(col(vecCol)))
       .select(col(idCol).as("vec_id"),
         transform(col(vecCol), x => x.cast("double")).as("cv"))
-    val b = benchmark.where(col(vecCol).isNotNull)
+    val b = benchmark.where(Ann.cosineUsable(col(vecCol)))
       .select(col(idCol).as("bench_id"),
         transform(col(vecCol), x => x.cast("double")).as("bv"))
     c.join(broadcast(b), col("vec_id") =!= col("bench_id"))

@@ -94,7 +94,11 @@ object BreadthQueries {
     // prior-or-equal purchase value (union+window form — one shuffle,
     // never a per-key cross join).
     "j7_asof_join" -> ((s, dir) => {
-      val ev = EventStreams.readEvents(s, dir)
+      // ts IS NOT NULL: an as-of join positions rows on the time axis; a
+      // timeless row has no "as of" (the oracle's ASOF condition also
+      // rejects NULL), and Spark's carry-window sorts NULL ts first while
+      // DuckDB sorts it last — keeping such rows diverges the carry chain
+      val ev = EventStreams.readEvents(s, dir).where(col("ts").isNotNull)
       val clicks = ev.where("event_type = 'click'")
         .select("event_id", "user_id", "ts")
       // unique (key, ts) on the right side — as-of contract
@@ -110,7 +114,8 @@ object BreadthQueries {
     // recent value. Grid = scan-side generator; fill = the as-of join's
     // single-shuffle union+window plan. Leading gaps stay NULL.
     "w3_resample" -> ((s, dir) => {
-      val ev = EventStreams.readEvents(s, dir).where("user_id < 100")
+      val ev = EventStreams.readEvents(s, dir)
+        .where(col("user_id") < 100 && col("ts").isNotNull)
         .select(col("user_id"), col("ts"), col("value"))
       Resample.resampleFfill(ev, "user_id", "ts", "value", "hour")
         .select(col("user_id"),
@@ -431,7 +436,7 @@ object BreadthQueries {
         |EXCEPT SELECT s_nationkey FROM supplier""".stripMargin,
     "j7_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS tsu,
-        |                  event_type, value FROM events),
+        |                  event_type, value FROM events WHERE ts IS NOT NULL),
         |a AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),
         |b AS (SELECT user_id, tsu, max(value) AS pval FROM e
         |      WHERE event_type = 'purchase' GROUP BY 1, 2)
@@ -442,7 +447,7 @@ object BreadthQueries {
     // trunc(min ts) to trunc(max ts), ASOF fill, leading gaps NULL
     "w3_resample" ->
       """WITH e AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, value
-        |           FROM events WHERE user_id < 100),
+        |           FROM events WHERE user_id < 100 AND ts IS NOT NULL),
         |u AS (SELECT user_id, ts, max(value) AS value FROM e
         |      WHERE value IS NOT NULL GROUP BY 1, 2),
         |s AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0,

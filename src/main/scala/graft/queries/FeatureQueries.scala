@@ -132,10 +132,15 @@ object FeatureQueries {
     "f10_l2_normalize" -> ((s, dir) => {
       val v = transform(col("embedding"), x => x.cast("double"))
       val nrm = sqrt(aggregate(v, lit(0.0d), (a, x) => a + x * x))
+      // a zero vector has no direction: its normalized components are
+      // NULL (ANSI division by zero THROWS, and inf/NaN would diverge
+      // between engines); the norm itself still reports 0
+      def unit(i: Int) = when(nrm > 0.0d,
+        round(element_at(v, i) / nrm, 6))
       Tables.embeddings(s, dir).select(
         col("vec_id"),
-        round(element_at(v, 1) / nrm, 6).as("c1"),
-        round(element_at(v, 2) / nrm, 6).as("c2"),
+        unit(1).as("c1"),
+        unit(2).as("c2"),
         round(nrm, 6).as("norm"))
     }),
 
@@ -183,7 +188,10 @@ object FeatureQueries {
     // against pure-SQL double arithmetic.
     "x1_sqdist" -> ((s, dir) => {
       graft.matching.Distances.register(s)
+      // array_to_vector NPEs on a NULL array; a NULL embedding has no
+      // distance to anything — filtered identically in the oracle
       val e = Tables.embeddings(s, dir)
+        .where(col("embedding").isNotNull)
         .select(col("vec_id"),
           array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("v"))
       e.as("a").join(e.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
@@ -245,7 +253,9 @@ object FeatureQueries {
         |FROM documents WHERE doc_id < 100""".stripMargin,
     "f10_l2_normalize" ->
       """SELECT vec_id,
-        |  round(v[1] / nrm, 6) AS c1, round(v[2] / nrm, 6) AS c2, round(nrm, 6) AS norm
+        |  CASE WHEN nrm > 0 THEN round(v[1] / nrm, 6) END AS c1,
+        |  CASE WHEN nrm > 0 THEN round(v[2] / nrm, 6) END AS c2,
+        |  round(nrm, 6) AS norm
         |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
         |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         |      FROM embeddings)""".stripMargin,
@@ -261,6 +271,7 @@ object FeatureQueries {
       """SELECT a.vec_id AS ida, b.vec_id AS idb,
         |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 5) AS sqdist
-        |FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id""".stripMargin
+        |FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+        |WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL""".stripMargin
   )
 }

@@ -189,8 +189,9 @@ object LlmQueries {
     // exact all-pairs baseline: one side broadcast (the embeddings table is
     // MBs even at sf0.1), so the cross product parallelizes over the left
     // side's partitions with no shuffle
-    val v = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val v = emb.where(Ann.cosineUsable(col("embedding")))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
     val exact = v.select(col("vec_id").as("idA"), col("v").as("vA"))
       .crossJoin(broadcast(v.select(col("vec_id").as("idB"), col("v").as("vB"))))
       .where(col("idA") < col("idB"))
@@ -462,7 +463,10 @@ object LlmQueries {
         .groupBy("query_id", "nn_id", "cosine", "rank")
         .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
       val nRows = s.read.parquet(path).count()
-      Seq((emb.count(), nRows == emb.count(), delta == 0L, reduced))
+      // the store holds exactly the cosine-servable rows (writeIvfStore
+      // drops null/zero-norm vectors); n_corpus still pins the raw fixture
+      val nServable = emb.where(Ann.cosineUsable(col("embedding"))).count()
+      Seq((emb.count(), nRows == nServable, delta == 0L, reduced))
         .toDF("n_corpus", "store_complete", "served_identical", "files_reduced")
     }),
 
@@ -959,6 +963,14 @@ object LlmQueries {
        |         CAST(count(*) AS BIGINT) AS n_windows
        |       FROM r GROUP BY doc_id, isl)""".stripMargin
 
+  /** SQL mirror of [[Ann.cosineUsable]]: a vector participates in
+    * cosine-space ops iff non-null with a nonzero norm. DuckDB's 0/0 is
+    * NULL (not NaN) so its threshold filters drop such pairs naturally,
+    * but the explicit predicate keeps the rule independent of either
+    * engine's NULL/NaN ordering defaults across fixture regenerations. */
+  private val usableVec: String =
+    "embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0"
+
   val oracles: Seq[(String, String)] = Seq(
     "dd_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
@@ -1261,7 +1273,7 @@ object LlmQueries {
     // contract: assignment totality is SQL-computable; cell-count bound and
     // cosine validity are centroid-state booleans the driver hash-gates
     "ann_cluster_report" ->
-      """SELECT CAST(count(CASE WHEN embedding IS NOT NULL THEN 1 END) AS BIGINT)
+      s"""SELECT CAST(count(CASE WHEN $usableVec THEN 1 END) AS BIGINT)
         |    AS n_assigned,
         |  true AS cells_bounded, true AS coherence_valid
         |FROM embeddings""".stripMargin,
@@ -1269,8 +1281,8 @@ object LlmQueries {
     // and the structural no-false-positives check are cluster-state
     // invariants the driver hash-gates
     "dd_semantic" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE $usableVec),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)
         |SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok,
         |  true AS no_false_positives
@@ -1278,8 +1290,9 @@ object LlmQueries {
         |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
         |  / (a.nrm * b.nrm) >= 0.3""".stripMargin,
     "dd_cosine" ->
-      """WITH v AS (SELECT vec_id, label, vec_id % 5 AS sub,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, label, vec_id % 5 AS sub,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE $usableVec),
         |n AS (SELECT vec_id, label, sub, v,
         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)
         |SELECT a.vec_id AS idA, b.vec_id AS idB,
@@ -1301,8 +1314,8 @@ object LlmQueries {
     // of the threshold cannot be included by one engine and excluded by
     // the other across fixture regenerations.
     "ann_range_search" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings WHERE embedding IS NOT NULL),
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE $usableVec),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)
         |SELECT * FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
@@ -1337,11 +1350,12 @@ object LlmQueries {
     // guarantees (first pick = exact top-1, k picks each, non-increasing
     // score sequence) surface as invariant booleans
     "ann_mmr_topk" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS k_each,
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS k_each,
         |  true AS first_is_top1, true AS scores_nonincreasing
-        |FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL""".stripMargin,
+        |FROM embeddings WHERE vec_id < 8 AND $usableVec""".stripMargin,
     "ann_brute_topk" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE $usableVec),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
         |scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
@@ -1379,8 +1393,9 @@ object LlmQueries {
     // quantized-store search, fully recomputed in SQL: quantize → dequant →
     // cosine vs full-precision queries → rank (self excluded)
     "ann_quant_topk" ->
-      """WITH v AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE $usableVec),
         |s AS (SELECT vec_id, v,
         |  CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
         |       ELSE list_max(list_transform(v, x -> abs(x))) END AS s FROM v),
@@ -1718,8 +1733,8 @@ object LlmQueries {
     // ann_range_search mirrors; both engines round to 6 dp BEFORE the
     // threshold and the max aggregate (boundary parity)
     "dd_semantic_decontam" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings WHERE embedding IS NOT NULL),
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE $usableVec),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
         |b AS (SELECT vec_id AS bench_id, v AS bv, nrm AS bnrm FROM n WHERE vec_id % 13 = 0),
         |c AS (SELECT vec_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 13 != 0),

@@ -315,7 +315,12 @@ object RelationalQueries {
     // W2 — analytic window functions (row_number + lag) over event time.
     "w2_event_lag" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // ts IS NOT NULL: a timeless event has no position in the lag
+      // chain — and Spark orders NULL ts first while DuckDB orders it
+      // last, so keeping such rows would shift every delta in the
+      // partition differently per engine
       val ev = graft.streaming.EventStreams.readEvents(s, dir)
+        .where(col("ts").isNotNull)
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       ev.select(col("user_id"), col("event_id"), col("value"),
           row_number().over(w).as("rn"),
@@ -507,7 +512,8 @@ object RelationalQueries {
         |  CAST(row_number() OVER w AS INT) AS rn,
         |  round(value - coalesce(lag(value, 1) OVER w, 0.0), 2) AS delta
         |FROM (SELECT user_id, event_id, value,
-        |        make_timestamp(epoch_us(ts)) AS tsu FROM events)
+        |        make_timestamp(epoch_us(ts)) AS tsu FROM events
+        |      WHERE ts IS NOT NULL)
         |WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)""".stripMargin,
     "w1_class_ratio" ->
       s"""WITH ${Fixtures.labeledCte},

@@ -126,8 +126,14 @@ object StreamQueries {
     // result. Aggregated per event_type after the sink (the count is the
     // deterministic surface).
     "st_dedup_wm" -> ((s, dir) => {
+      // keyed state cannot hold a NULL key (same rule as the partitioned
+      // store's merge keys) and a NULL event time has no watermark
+      // position; the oracle's count(DISTINCT user_id) also ignores NULL
+      // users — so key-dedup runs over fully-keyed, timestamped rows only
       val dd = EventStreams.dedupKeysWithinWatermark(
-        EventStreams.readEventStream(s, dir),
+        EventStreams.readEventStream(s, dir)
+          .where(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type").isNotNull),
         cols = Seq("user_id", "event_type"), watermark = "35 days")
       EventStreams.runToBatch(dd.select("user_id", "event_type"),
           s"st_dedup_wm_${runId.incrementAndGet()}", complete = false)
@@ -170,14 +176,23 @@ object StreamQueries {
     // on the grouping key, no custom state machine). Boundary semantics
     // match the custom sessionizer: exactly-at-gap merges, only a strictly
     // longer gap breaks (verified in StreamingSpec).
+    // Sessionization needs a session key and a time-axis position: rows
+    // with a NULL user or NULL ts are excluded on both sides (Spark's
+    // session_window drops timestamp-less rows anyway; the oracle's
+    // gaps-and-islands window would instead merge them arbitrarily).
     "st_session_window" -> ((s, dir) =>
-      EventStreams.sessionWindows(EventStreams.readEvents(s, dir))),
+      EventStreams.sessionWindows(EventStreams.readEvents(s, dir)
+        .where(col("ts").isNotNull && col("user_id").isNotNull))),
 
     // Custom sessionization state (flatMapGroupsWithState), batch execution
     // of the same code path the stream runs.
     "st_sessionize" -> ((s, dir) => {
       import s.implicits._
+      // NULL user/ts filtered BEFORE .as[Ev]: the case-class encoder
+      // asserts non-null primitive fields, and a sessionizer has no
+      // meaning for keyless or timeless rows (same rule as the oracle)
       val evs = EventStreams.readEvents(s, dir)
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
         .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .as[EventStreams.Ev]
@@ -209,7 +224,10 @@ object StreamQueries {
       // at this path (e.g. from a different sf dir) would be silently
       // upserted into, keeping stale keys the new batch never emits
       graft.io.IO.deletePath(store)
+      // the store upsert rejects NULL merge keys by design (uniqueness
+      // cannot hold for them) — a NULL event_type group must not reach it
       val agg = EventStreams.readEventStream(s, dir)
+        .where(col("event_type").isNotNull)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       EventStreams.withStreamShufflePartitions(s) {
@@ -296,7 +314,10 @@ object StreamQueries {
     // oracle mirrors exactly that emission rule.
     "st_session_stream" -> ((s, dir) => {
       import s.implicits._
+      // same non-null key/time rule as st_sessionize (encoder asserts
+      // non-null primitives; watermark state needs an event time)
       val evs = EventStreams.readEventStream(s, dir)
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[EventStreams.EvI]
@@ -307,10 +328,13 @@ object StreamQueries {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // ts IS NOT NULL: a row with no event time has no window — Spark's
+    // streaming window aggregate drops it; without the filter DuckDB
+    // would emit a NULL-window group
     "st_window_counts" ->
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin,
     // contract: the served-query count is SQL-exact (vec_id < 24 with a
     // non-null vector); stream≡batch equality and rank validity are
     // hash-gated booleans
@@ -328,7 +352,9 @@ object StreamQueries {
       "SELECT event_id, user_id, event_type FROM events",
     "st_dedup_wm" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM events GROUP BY event_type""".stripMargin,
+        |FROM events
+        |WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
     // the accepted-hash store's final state is the distinct content-hash
     // set — identical however the arrivals were batched (null text hashes
     // as the empty string on both sides, so the key is never NULL)
@@ -337,7 +363,7 @@ object StreamQueries {
     "st_foreach_upsert" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(value), 2) AS total_value
-        |FROM events GROUP BY event_type""".stripMargin,
+        |FROM events WHERE event_type IS NOT NULL GROUP BY event_type""".stripMargin,
     // contract: doc count is SQL-computable; completeness and the
     // first-split-all-novel invariant are signature-state booleans the
     // driver hash-gates (stream≡batch equivalence deep-checked in
@@ -367,7 +393,7 @@ object StreamQueries {
         |  SELECT user_id, ts, value,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |g AS (
         |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
         |                           ROWS UNBOUNDED PRECEDING) AS grp
@@ -393,7 +419,7 @@ object StreamQueries {
         |  SELECT user_id, ts, value,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |g AS (
         |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
         |                           ROWS UNBOUNDED PRECEDING) AS grp
@@ -408,7 +434,7 @@ object StreamQueries {
         |  SELECT user_id, ts, value,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |g AS (
         |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
         |                           ROWS UNBOUNDED PRECEDING) AS grp

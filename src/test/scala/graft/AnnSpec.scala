@@ -184,6 +184,38 @@ class AnnSpec extends SparkSpec {
     assert(ids == Set(1L, 3L))
   }
 
+  test("zero-norm vectors are excluded from every cosine-space op " +
+       "(NaN would rank first under Spark's NaN-is-greatest ordering)") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // zero vector: no direction
+      (4L, null.asInstanceOf[Array[Float]]),
+      (5L, Array(0.8f, 0.2f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = df.where("vec_id = 1")
+    // brute: without the cosineUsable guard the zero vector's 0/0 = NaN
+    // cosine sorts ABOVE every real neighbor and takes rank 1
+    val brute = Ann.bruteTopK(df, q, k = 10)
+      .select("nn_id").as[Long].collect().toSet
+    assert(brute == Set(2L, 5L))
+    // range search: NaN >= threshold is TRUE in Spark — the guard is the
+    // only thing keeping the zero vector out of the radius
+    val rng = Ann.rangeSearch(df, q, minCosine = 0.5)
+      .select("nn_id").as[Long].collect().toSet
+    assert(rng == Set(2L, 5L))
+    // a zero-vector QUERY has no answers at all (not a NaN-scored list)
+    assert(Ann.bruteTopK(df, df.where("vec_id = 3"), k = 10).count() == 0L)
+    // IVF serve: the store drops the zero vector at write; batch
+    // assignment serves identically because the serve side re-applies
+    // the same guard
+    val cents = Ann.fitCentroids(df.where("vec_id IN (1, 2, 5)"), nCells = 2)
+    val served = Ann.ivfTopKFromAssigned(
+      Ann.assignCells(df, cents), cents, q, k = 10, nProbe = 2)
+      .select("nn_id").as[Long].collect().toSet
+    assert(served == Set(2L, 5L))
+  }
+
   test("pqTopK recall vs brute; a larger refine shortlist improves recall") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where("vec_id < 5")
