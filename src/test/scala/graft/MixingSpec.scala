@@ -138,6 +138,28 @@ class MixingSpec extends SparkSpec {
     assert(out == out2)
   }
 
+  test("capPerStratum: NULL is an ordinary stratum — counted, quota'd, selected") {
+    // the quota join is null-safe (<=>): a plain equi-join would compute a
+    // quota for the NULL stratum and then silently drop every NULL row
+    // between the count and the selection (the divergence the adversarial
+    // fixture sweep caught end-to-end in tx_cap_sample)
+    val df = ((0L until 50L).map(i => (i, "a")) ++
+      (100L until 130L).map(i => (i, null.asInstanceOf[String])))
+      .toDF("doc_id", "src")
+    val out = Mixing.capPerStratum(df, "src", "doc_id", k = 8, seed = "s")
+      .select("doc_id", "src").as[(Long, String)].collect()
+    assert(out.count(_._2 == null) == 8, "NULL stratum must be capped, not dropped")
+    assert(out.count(_._2 == "a") == 8)
+    // same rows a global per-stratum window (which groups NULLs) selects
+    import org.apache.spark.sql.expressions.Window
+    val naive = df.withColumn("ord", md5(concat(lit("s:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("ord"), col("doc_id"))))
+      .where(col("rk") <= 8).select("doc_id", "src")
+      .as[(Long, String)].collect().toSet
+    assert(out.toSet == naive)
+  }
+
   test("temperatureSample: integer quotas flatten the mix; equals naive selection") {
     // skewed corpus: big=400, mid=100, tiny=25 → sqrt weights 20/10/5 (Σ35)
     // budget 70 → quotas 40/20/10: big:mid corpus ratio 4:1 flattens to 2:1
