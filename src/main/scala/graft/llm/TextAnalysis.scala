@@ -334,6 +334,56 @@ object TextAnalysis {
       .select("token", "cnt", "rank", "coverage")
   }
 
+  /** BM25 lexical retrieval scores for a fixed query-term set — the
+    * keyword-search complement of the embedding-space `Ann` family
+    * (Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework:
+    * BM25 and Beyond"), and the retrieval primitive behind lexical
+    * decontamination ("training docs that keyword-match an eval
+    * question") and targeted corpus slicing. Uses Lucene's
+    * always-positive idf form ln(1 + (N − df + ½)/(df + ½)).
+    *
+    * Scale shape: per-term tf is a SCAN-SIDE projection
+    * (size(filter(toks, = term)) per query term — |terms| is a small
+    * literal list), so there is no token explode and no (doc, term)
+    * shuffle at all; the corpus stats (N, avgdl, per-term df) partial-
+    * combine to ONE row that broadcasts back, and scoring is a second
+    * narrow projection. Two corpus scans total (stats, then score — the
+    * minimum for any idf-weighted scorer) and zero wide exchanges.
+    * round(4) masks per-doc term-summation-order float noise (same
+    * convention as [[unigramLogProb]]). Emits only docs with ≥ 1
+    * matching term. */
+  def bm25(df: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k1 >= 0.0 && b >= 0.0 && b <= 1.0, s"bad BM25 params ($k1, $b)")
+    val ts = queryTerms.zipWithIndex
+    val tfs = df.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id") +: size(col("toks")).cast("double").as("dl") +:
+        ts.map { case (t, i) =>
+          size(filter(col("toks"), x => x === lit(t))).cast("double").as(s"tf_$i")
+        }: _*)
+    val aggExprs = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      ts.map { case (_, i) =>
+        sum(when(col(s"tf_$i") > 0.0, 1.0).otherwise(0.0)).as(s"df_$i")
+      }
+    val stats = tfs.agg(aggExprs.head, aggExprs.tail: _*)
+    def w(i: Int) = {
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      idf * (col(s"tf_$i") * (k1 + 1.0)) /
+        (col(s"tf_$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }
+    val nHit = ts.map { case (_, i) =>
+      when(col(s"tf_$i") > 0.0, 1).otherwise(0) }.reduce(_ + _)
+    val score = ts.map { case (_, i) =>
+      when(col(s"tf_$i") > 0.0, w(i)).otherwise(lit(0.0)) }.reduce(_ + _)
+    tfs.crossJoin(broadcast(stats))
+      .select(col("doc_id"), nHit.cast("int").as("n_hit_terms"),
+        round(score, 4).as("bm25"))
+      .where(col("n_hit_terms") > 0)
+  }
+
   def unigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {
     val ex = df.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
     val vocab = ex.groupBy("tok").agg(count(lit(1)).as("tf"))

@@ -554,6 +554,14 @@ object LlmQueries {
     "tx_unigram_lp" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, dir))),
 
+    // BM25 lexical retrieval over a fixed query-term set — the keyword
+    // complement of the ann_* embedding family (lexical decontamination /
+    // targeted slicing). Fully deterministic arithmetic over integer
+    // counts, so the whole score column value-checks against the DuckDB
+    // recomputation.
+    "tx_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(Tables.documents(s, dir), bm25Terms)),
+
     // BPE tokenizer training on the corpus's own word-type table, at a
     // non-toy requested depth (256 merges). The merge sequence is
     // deterministic (argmax tie-break count desc, pair asc, mirrored by
@@ -962,6 +970,10 @@ object LlmQueries {
        |         CAST(max(pos) - min(pos) + 8 AS INT) AS span_len,
        |         CAST(count(*) AS BIGINT) AS n_windows
        |       FROM r GROUP BY doc_id, isl)""".stripMargin
+
+  /** tx_bm25's query terms: mid-frequency fixture vocabulary, chosen for
+    * df variance so the idf weighting is exercised. */
+  private val bm25Terms = Seq("vector", "stream", "hash", "spark")
 
   /** SQL mirror of [[Ann.cosineUsable]]: a vector participates in
     * cosine-space ops iff non-null with a nonzero norm. DuckDB's 0/0 is
@@ -1482,6 +1494,22 @@ object LlmQueries {
          |SELECT d.doc_id, CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
          |  sc.avg_logp
          |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // full BM25 recomputation: same tokenizer, same Lucene idf form, same
+    // k1=1.2 / b=0.75 constants; round(4) masks term-summation order
+    "tx_bm25" ->
+      s"""WITH d AS (SELECT doc_id, ${tokSql("text")} AS toks FROM documents),
+         |dl AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |h AS (SELECT doc_id, dl, t AS term, CAST(count(*) AS DOUBLE) AS tf
+         |      FROM (SELECT doc_id, dl, unnest(toks) AS t FROM dl)
+         |      WHERE t IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |      GROUP BY 1, 2, 3),
+         |f AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM h GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_hit_terms,
+         |  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |          * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+         |FROM h JOIN f USING (term), st
+         |GROUP BY doc_id""".stripMargin,
     // bigram LM recomputed from scratch: prev token by list indexing, the
     // same interpolation arithmetic in the same operation order; round(4)
     // masks summation-order float noise (convention of tx_unigram_lp)

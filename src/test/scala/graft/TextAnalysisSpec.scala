@@ -154,6 +154,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(klA > 0 && klB > 0) // KL is positive for differing distributions
   }
 
+  test("bm25: hand-computed scores; null/empty docs count toward N but never hit") {
+    val docs = Seq(
+      (1L, "cat dog cat"),
+      (2L, "dog fish"),
+      (3L, "bird"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq("cat", "fish"))
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // N = 4 docs; avgdl over the 3 token-bearing docs = (3+2+1)/3 = 2.0;
+    // df(cat) = df(fish) = 1 → idf = ln(1 + 3.5/1.5)
+    val idf = math.log(1.0 + 3.5 / 1.5)
+    def w(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0))
+    // HALF_UP: Spark's round() rule
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((1, r4(w(2.0, 3.0)))))  // "cat" twice in a 3-token doc
+    assert(out(2L) == ((1, r4(w(1.0, 2.0)))))
+    // two-term hit: both terms contribute
+    val multi = TextAnalysis.bm25(docs, Seq("cat", "dog"))
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(multi(1L) == 2 && multi(2L) == 1)
+  }
+
   test("unigramLogProb: hand-computed probabilities on a 3-doc corpus") {
     // corpus tokens: a a a b  → p(a)=3/4, p(b)=1/4
     val df = Seq((1L, "a a"), (2L, "a b"), (3L, ""))
