@@ -59,7 +59,8 @@ object Plans {
     "j11_jaro_winkler" -> "Jaro-Winkler via the native codegen expression inside the residue equi-join projection — no ScalaUDF, no cartesian",
     "j12_bucketed_range" -> "bucketed range join: grid EQUI-join with scan-side interval explode + residual bound filter — no broadcast nested loop",
     "dq_profile" -> "column profile: ONE aggregation pass, all metrics partial-combine; the documented exact-distinct Expand is the only widening",
-    "tx_bm25" -> "BM25: per-term tf is a scan-side projection (no token explode); N/avgdl/df partial-combine to ONE broadcast row — two scans, zero wide exchanges")
+    "tx_bm25" -> "BM25: per-term tf is a scan-side projection (no token explode); N/avgdl/df partial-combine to ONE broadcast row — two scans, zero wide exchanges",
+    "tx_rrf_fusion" -> "hybrid RRF: both rank lists are top-m bounded by their producers (TakeOrdered / per-query window), so the fusion exchange carries <= 2m tiny rows")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

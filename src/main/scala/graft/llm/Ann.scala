@@ -800,6 +800,32 @@ object Ann {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * N ranked candidate lists — the standard hybrid-retrieval combiner
+    * for a lexical (BM25) and a semantic (cosine) ranking, robust to the
+    * lists' incomparable score scales because only RANKS enter:
+    * rrf(d) = Σ_lists 1/(kRrf + rank_list(d)).
+    *
+    * Each input is (idCol, rankCol) with rank 1 = best; a doc absent
+    * from a list simply contributes nothing (the standard convention).
+    * Scale shape: inputs are already top-m bounded by their producers,
+    * so the union + id-keyed aggregation exchanges ≤ N·m tiny rows;
+    * fusion adds no scan of anything corpus-sized. Deterministic: the
+    * sum is over exact 1/(k+r) doubles from integer ranks, rounded 6dp;
+    * ties break on id downstream. Emits (id, n_lists, rrf). */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String = "doc_id",
+              rankCol: String = "rank", kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(kRrf >= 1, s"kRrf must be >= 1; got $kRrf")
+    lists.map(df => df.select(col(idCol),
+        (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol).cast("double")))
+          .as("__contrib")))
+      .reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_lists"),
+        round(sum("__contrib"), 6).as("rrf"))
+  }
+
   /** Quantize-then-dequantize (the value an int8 store actually serves at
     * query time): code_i × scale / 127, in one pass from the original. */
   private val dequantUdf = udf { (v: Seq[Double]) =>

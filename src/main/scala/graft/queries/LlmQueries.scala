@@ -562,6 +562,26 @@ object LlmQueries {
     "tx_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), bm25Terms)),
 
+    // Hybrid retrieval: BM25 lexical top-50 fused with cosine semantic
+    // top-50 (query = vec_id 0) via reciprocal-rank fusion — the standard
+    // combiner when score scales are incomparable. Both lists are top-m
+    // bounded by their producers (TakeOrdered / per-query window), so the
+    // global rank window runs over 50 rows, and fusion exchanges ≤ 100
+    // tiny rows however large the corpus.
+    "tx_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = 50
+      val lex = TextAnalysis.bm25(Tables.documents(s, dir), bm25Terms)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(m)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        .select("doc_id", "rank")
+      val emb = Tables.embeddings(s, dir)
+      val sem = Ann.bruteTopK(emb, emb.where("vec_id = 0"), k = m)
+        .select(col("nn_id").as("doc_id"), col("rank"))
+      Ann.rrfFuse(Seq(lex, sem))
+    }),
+
     // BPE tokenizer training on the corpus's own word-type table, at a
     // non-toy requested depth (256 merges). The merge sequence is
     // deterministic (argmax tie-break count desc, pair asc, mirrored by
@@ -974,6 +994,24 @@ object LlmQueries {
   /** tx_bm25's query terms: mid-frequency fixture vocabulary, chosen for
     * df variance so the idf weighting is exercised. */
   private val bm25Terms = Seq("vector", "stream", "hash", "spark")
+
+  /** Shared DuckDB CTE chain recomputing BM25 (same tokenizer, Lucene
+    * idf, k1=1.2 / b=0.75) — exposes `bm25s` (doc_id, n_hit_terms, bm25);
+    * embedded by the tx_bm25 and tx_rrf_fusion oracles. */
+  private lazy val bm25Cte: String =
+    s"""bmd AS (SELECT doc_id, ${Fixtures.tokSql("text")} AS toks FROM documents),
+       |bmdl AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM bmd),
+       |bmst AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM bmdl),
+       |bmh AS (SELECT doc_id, dl, t AS term, CAST(count(*) AS DOUBLE) AS tf
+       |      FROM (SELECT doc_id, dl, unnest(toks) AS t FROM bmdl)
+       |      WHERE t IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |      GROUP BY 1, 2, 3),
+       |bmf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM bmh GROUP BY 1),
+       |bm25s AS (SELECT doc_id, CAST(count(*) AS INT) AS n_hit_terms,
+       |  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+       |          * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+       |FROM bmh JOIN bmf USING (term), bmst
+       |GROUP BY doc_id)""".stripMargin
 
   /** SQL mirror of [[Ann.cosineUsable]]: a vector participates in
     * cosine-space ops iff non-null with a nonzero norm. DuckDB's 0/0 is
@@ -1497,19 +1535,32 @@ object LlmQueries {
     // full BM25 recomputation: same tokenizer, same Lucene idf form, same
     // k1=1.2 / b=0.75 constants; round(4) masks term-summation order
     "tx_bm25" ->
-      s"""WITH d AS (SELECT doc_id, ${tokSql("text")} AS toks FROM documents),
-         |dl AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
-         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
-         |h AS (SELECT doc_id, dl, t AS term, CAST(count(*) AS DOUBLE) AS tf
-         |      FROM (SELECT doc_id, dl, unnest(toks) AS t FROM dl)
-         |      WHERE t IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
-         |      GROUP BY 1, 2, 3),
-         |f AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM h GROUP BY 1)
-         |SELECT doc_id, CAST(count(*) AS INT) AS n_hit_terms,
-         |  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-         |          * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
-         |FROM h JOIN f USING (term), st
-         |GROUP BY doc_id""".stripMargin,
+      s"""WITH $bm25Cte
+         |SELECT doc_id, n_hit_terms, bm25 FROM bm25s""".stripMargin,
+    // hybrid retrieval: lexical top-50 (BM25 ranks) fused with semantic
+    // top-50 (cosine ranks vs the vec_id-0 query) by reciprocal-rank
+    // fusion, 1/(60 + rank) per list. Both rank lists recompute from
+    // scratch; the fused sum has <= 2 IEEE-exact addends, so round(6)
+    // is bit-stable across engines.
+    "tx_rrf_fusion" ->
+      s"""WITH $bm25Cte,
+         |lex AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM bm25s QUALIFY rank <= 50),
+         |rv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE $usableVec),
+         |rn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM rv),
+         |sem AS (SELECT c.vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY
+         |      round(list_sum(list_transform(list_zip(c.v, q.v), p -> p[1] * p[2]))
+         |        / (c.nrm * q.nrm), 4) DESC, c.vec_id) AS rank
+         |  FROM rn c, (SELECT * FROM rn WHERE vec_id = 0) q
+         |  WHERE c.vec_id != q.vec_id QUALIFY rank <= 50),
+         |u AS (SELECT doc_id, 1.0 / (60 + rank) AS c FROM lex
+         |      UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM sem)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_lists,
+         |  round(sum(c), 6) AS rrf
+         |FROM u GROUP BY doc_id""".stripMargin,
     // bigram LM recomputed from scratch: prev token by list indexing, the
     // same interpolation arithmetic in the same operation order; round(4)
     // masks summation-order float noise (convention of tx_unigram_lp)

@@ -216,6 +216,24 @@ class AnnSpec extends SparkSpec {
     assert(served == Set(2L, 5L))
   }
 
+  test("rrfFuse: hand-computed reciprocal-rank fusion of two lists") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val out = Ann.rrfFuse(Seq(lex, sem))
+      .as[(Long, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 20 appears in both lists (ranks 2 and 1); the rest in one
+    assert(out(20L) == ((2, r6(1.0 / 62 + 1.0 / 61))))
+    assert(out(10L) == ((1, r6(1.0 / 61))))
+    assert(out(30L) == ((1, r6(1.0 / 63))))
+    assert(out(40L) == ((1, r6(1.0 / 62))))
+    assert(out.size == 4)
+    // the overlap doc outranks every single-list doc — the fusion property
+    assert(out(20L)._2 > out.filterKeys(_ != 20L).values.map(_._2).max)
+  }
+
   test("pqTopK recall vs brute; a larger refine shortlist improves recall") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where("vec_id < 5")
