@@ -52,7 +52,7 @@ object Plans {
     "dd_segment" -> "segment dedup: window keyed on segment text + one doc-keyed reassembly agg — two linear exchanges, no cartesian",
     "dd_semantic_decontam" -> "semantic decontam: benchmark side broadcasts; corpus screened map-side through the codegen cosine kernel",
     "j9_edit_join" -> "edit-distance join: deletion-neighborhood EQUI-join on an 8-byte signature hash — never an all-pairs theta join",
-    "j10_sorted_neighborhood" -> "sorted-neighborhood blocking: ONE range exchange for the global rank (positions decode from monotonically_increasing_id — zero Window nodes), pairs via a position-bucket equi-join",
+    "j10_sorted_neighborhood" -> "sorted-neighborhood blocking: ONE checkpointed range exchange for the global rank (positions decode from monotonically_increasing_id — zero Window nodes; single materialization is REQUIRED, boundary samples are not reproducible across executions), pairs via a position-bucket equi-join",
     "w4_scd2" -> "SCD2 history: every window and the run collapse key on the entity — the whole build is ONE hash exchange",
     "s12_change_feed" -> "CDC diff: both sides scan ONLY the buckets whose manifest entry changed (file-list pruning before the plan); one key-keyed full-outer join, image structs compared null-safe, events explode scan-side",
     "s13_zorder_layout" -> "Z-order re-layout: width_bucket codes + Morton shift/mask interleave all codegen in one projection; the only exchange is the RangePartitioning on the Z-value",

@@ -12,15 +12,21 @@ import org.apache.spark.sql.functions._
   * the standard scalable recipe instead: range-repartition on the sort
   * key (the same machinery a global `orderBy` uses), rank WITHIN each
   * partition (a keyed window — parallel), then add per-partition row
-  * counts as broadcast offsets. Cost: the range exchange computed twice
-  * (once under the count job, once under the rank itself — the same
-  * two-pass shape as `RDD.zipWithIndex`) plus a tiny count aggregate;
-  * no stage ever sees more than its own partition. Cache the input
-  * upstream if the double scan matters more than memory.
+  * counts as broadcast offsets. The ranked frame is materialized ONCE
+  * (localCheckpoint) and both the count job and every downstream
+  * consumer read the same blocks; a tiny count aggregate is the only
+  * extra job. No stage ever sees more than its own partition.
   *
   * Determinism: the caller's sort key must be made total (pass a
   * tie-breaker column); with a total order the assigned ranks are
-  * independent of partition-boundary placement.
+  * independent of partition-boundary placement. The single
+  * materialization is REQUIRED for correctness, not a cache hint:
+  * RangePartitioner's boundary sample is seeded by the RDD id, so two
+  * separate executions of the same range exchange can place the
+  * boundaries differently — re-deriving the frame for the count and
+  * again for the consumer would apply one job's offsets to the other
+  * job's partition layout (observed: non-permutation ranks and a
+  * run-to-run-varying pair count at 4 shuffle partitions).
   */
 object Rank {
 
@@ -42,12 +48,15 @@ object Rank {
     val cols = sortCols.map(col)
     val n = if (nPartitions > 0) nPartitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
+    // ONE materialization (see class doc: the range boundaries are not
+    // reproducible across executions — the count job and the consumer
+    // MUST read the same physical partitioning)
     val indexed = df.repartitionByRange(n, cols: _*)
       .sortWithinPartitions(cols: _*)
       .withColumn("_mid", monotonically_increasing_id())
+      .localCheckpoint()
     // per-partition counts to the driver: bounded by the partition count,
-    // never by the data. Range-partitioner sampling is seeded per
-    // partition index, so both jobs over `indexed` see identical bounds.
+    // never by the data
     val counts = indexed
       .groupBy(shiftright(col("_mid"), 33).as("_pid")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)

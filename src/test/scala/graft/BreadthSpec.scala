@@ -209,16 +209,35 @@ class BreadthSpec extends SparkSpec {
     val df = Tables.customer(spark, sf).select($"c_custkey".as("id"), $"c_name".as("k"))
     val got = graft.ops.Rank.globalRowNumber(df, Seq("k", "id"), nPartitions = 7)
     // no Window at all (positions decode from monotonically_increasing_id)
-    // and exactly ONE exchange — the range partition; a keyed-window
-    // formulation would add a second full hash shuffle on the pid
+    // and no exchange downstream of the single checkpointed range
+    // partition — consumers read the materialized blocks directly
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window crept into the rank:\n$plan")
-    assert("Exchange".r.findAllIn(plan).length == 1, s"extra shuffle:\n$plan")
+    assert(!plan.contains("Exchange"), s"extra shuffle:\n$plan")
     // and the ranks must equal the single-partition formulation exactly
     val naive = df.withColumn("rn", row_number().over(
       org.apache.spark.sql.expressions.Window.orderBy($"k", $"id")).cast("long"))
     assert(got.select("id", "rn").except(naive.select("id", "rn")).count() == 0)
     assert(naive.select("id", "rn").except(got.select("id", "rn")).count() == 0)
+  }
+
+  test("globalRowNumber: ranks are a stable permutation at LOW partition " +
+       "counts (the boundary-resample regime)") {
+    // RangePartitioner seeds its boundary sample by RDD id, so separate
+    // executions of the same range exchange can place boundaries
+    // differently; before the single-materialization fix, 4-partition
+    // runs produced non-permutation ranks with a run-to-run-varying pair
+    // count. Three rebuilds must agree exactly.
+    val df = Tables.customer(spark, sf).select($"c_custkey".as("id"), $"c_name".as("k"))
+    val runs = (1 to 3).map { _ =>
+      val r = graft.ops.Rank.globalRowNumber(df, Seq("k", "id"), nPartitions = 4)
+      val n = r.count()
+      val stats = r.agg(min("rn"), max("rn"), countDistinct("rn")).head()
+      assert(stats.getLong(0) == 1L && stats.getLong(1) == n &&
+        stats.getLong(2) == n, s"ranks are not a permutation of 1..$n: $stats")
+      r.select("id", "rn").as[(Long, Long)].collect().toSet
+    }
+    assert(runs.distinct.size == 1, "rank assignment varied across rebuilds")
   }
 
   test("sortedNeighborhood pairs equal the naive window-of-w formulation") {
