@@ -297,6 +297,107 @@ object Matcher {
     }
   }
 
+  /** M4 variant — batch TPE (Bergstra et al., NeurIPS 2011 — the
+    * algorithm the reference's hyperopt search actually runs,
+    * `03_Train & Deploy Model.py:164-192,245-253`), adapted to
+    * batch-parallel evaluation. Each round CONDITIONS on every completed
+    * trial: trials split into the top-γ "good" set and the rest,
+    * per-dimension add-one-smoothed categorical densities l and g are
+    * fitted to each, and the next `batch` UNSEEN configs are picked by
+    * the density ratio Π l(v)/g(v) — the discrete-space
+    * expected-improvement surrogate. Unlike [[trainHalving]]'s
+    * pre-committed budget schedule, the candidate CHOICE here adapts
+    * trial-by-trial (the TPE-class sequential adaptivity), while each
+    * batch still fits thread-parallel like every other search here.
+    * Trials run at one FIXED budget `iters`: TPE explores the config
+    * space, not the budget axis — that is halving's job.
+    *
+    * Deterministic: seeded hash init order, stable (ratio desc, grid
+    * order) proposal selection, stable (metric desc, trial order)
+    * winner ranking; same exact-proportion [[stratifiedSplit]]. */
+  def trainTpe(train: DataFrame, seed: Long = 42L, parallelism: Int = 4,
+               candidates: Seq[GbtCandidate] = defaultHalvingCandidates,
+               nTrials: Int = 10, nInit: Int = 4, batch: Int = 3,
+               gamma: Double = 0.25, iters: Int = 8,
+               coalesceTo: Option[Int] = None): HalvingResult = {
+    require(candidates.nonEmpty && nTrials >= nInit && nInit >= 1 && batch >= 1)
+    require(gamma > 0.0 && gamma < 1.0 && iters >= 1)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val prepared = coalesceTo.map(n => train.coalesce(n)).getOrElse(train).cache()
+    val Seq(tr, va) = stratifiedSplit(prepared, Seq(0.8, 0.2), seed = seed)
+      .map(_.cache())
+    val asm = new VectorAssembler().setInputCols(FeatureCols)
+      .setOutputCol("features").setHandleInvalid("keep")
+    val eval = evaluator
+    def fit(c: GbtCandidate, on: DataFrame): PipelineModel = {
+      val gbt = new GBTClassifier().setLabelCol("label").setWeightCol("weight")
+        .setFeaturesCol("features").setSeed(seed)
+        .setMaxIter(iters).setMaxDepth(c.maxDepth)
+        .setStepSize(c.stepSize).setSubsamplingRate(c.subsamplingRate)
+      new Pipeline().setStages(Array(asm, gbt)).fit(on)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val grid = candidates.toIndexedSeq
+      val cap = math.min(nTrials, grid.size)
+      // seeded deterministic exploration order for the init trials
+      val initOrder = grid.indices
+        .sortBy(i => (scala.util.hashing.MurmurHash3.productHash((seed, i)), i))
+      val trials = scala.collection.mutable.ArrayBuffer[(GbtCandidate, Double)]()
+      def evalBatch(cs: Seq[GbtCandidate]): Unit = {
+        val scored = Await.result(
+          Future.sequence(cs.map(c =>
+            Future((c, eval.evaluate(fit(c, tr).transform(va)))))),
+          Duration.Inf)
+        trials ++= scored
+      }
+      evalBatch(initOrder.take(math.min(nInit, cap)).map(grid))
+      while (trials.size < cap) {
+        val done = trials.toIndexedSeq
+        val ranked = done.zipWithIndex
+          .sortBy { case ((_, m), i) => (-m, i) }.map(_._1)
+        val nGood = math.max(1, math.ceil(gamma * done.size).toInt)
+        val good = ranked.take(nGood).map(_._1)
+        val rest = ranked.drop(nGood).map(_._1)
+        def dens(sel: GbtCandidate => Any, dom: Seq[Any],
+                 of: Seq[GbtCandidate]): Map[Any, Double] = {
+          val counts = of.groupBy(sel).view.mapValues(_.size.toDouble).toMap
+          dom.map(v => v ->
+            ((counts.getOrElse(v, 0.0) + 1.0) / (of.size + dom.size))).toMap
+        }
+        val dims: Seq[(GbtCandidate => Any, Seq[Any])] = Seq(
+          ((c: GbtCandidate) => c.maxDepth, grid.map(_.maxDepth).distinct),
+          ((c: GbtCandidate) => c.stepSize, grid.map(_.stepSize).distinct),
+          ((c: GbtCandidate) => c.subsamplingRate,
+            grid.map(_.subsamplingRate).distinct))
+        val ratios = dims.map { case (sel, dom) =>
+          val l = dens(sel, dom, good)
+          val g = dens(sel, dom, rest)
+          (sel, dom.map(v => v -> l(v) / g(v)).toMap)
+        }
+        val seen = trials.map(_._1).toSet
+        val unseen = grid.zipWithIndex.filterNot { case (c, _) => seen(c) }
+        val next = unseen
+          .sortBy { case (c, i) =>
+            (-ratios.map { case (sel, r) => r(sel(c)) }.product, i) }
+          .take(math.min(batch, cap - trials.size)).map(_._1)
+        evalBatch(next)
+      }
+      val (winner, winnerMetric) = trials.zipWithIndex
+        .sortBy { case ((_, m), i) => (-m, i) }.head._1
+      // same refit-on-everything convention as trainHalving
+      HalvingResult(fit(winner, prepared), winner, iters, winnerMetric,
+        trials.size)
+    } finally {
+      pool.shutdown()
+      tr.unpersist(blocking = false)
+      va.unpersist(blocking = false)
+      prepared.unpersist(blocking = false)
+    }
+  }
+
   /** M4 variant — k-fold CrossValidator over the same grid (the other
     * distributed-search surface SURVEY §7.3 maps hyperopt to). Prefer
     * [[trainTuned]]'s single train/validation split when data is plentiful

@@ -455,6 +455,29 @@ object MatchQueries {
         .toDF("n_pairs", "n_evals", "budget_final", "aupr_ok", "aupr_valid")
     }),
 
+    // M4 variant — batch TPE over the same 16-candidate space and the
+    // same memoized training frame: the reference's actual hyperopt
+    // algorithm (sequential density-ratio conditioning on completed
+    // trials), batch-parallel per round. 10 trials at a fixed 8-round
+    // budget: 4 seeded-order init, then two adaptive batches of 3 chosen
+    // by the l/g density ratio. Contract pins the exact trial count, the
+    // fixed budget, and the same AUPR validity booleans as the halving
+    // search.
+    "m4_tpe_search" -> ((s, dir) => {
+      import s.implicits._
+      val weighted = halvingTrainingFrame(s, dir)
+      val nPairs = weighted.count()
+      val parts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+        (nPairs / 50000L).toInt))
+      val r = Matcher.trainTpe(weighted, parallelism = 16,
+        nTrials = 10, nInit = 4, batch = 3, iters = 8,
+        coalesceTo = Some(parts))
+      Seq((nPairs, r.evals.toLong, r.budget.toLong,
+          nPairs < 500L || r.validationMetric > 0.5,
+          r.validationMetric <= 1.0))
+        .toDF("n_pairs", "n_evals", "budget_final", "aupr_ok", "aupr_valid")
+    }),
+
     // M7 — filesystem model registry lifecycle: save v1, re-register the
     // artifact as v2 (file-level copy — the MLWriter round-trip for an
     // unchanged model costs a Spark write job per pipeline stage), promote
@@ -612,6 +635,12 @@ object MatchQueries {
       s"""WITH ${Fixtures.candsCte}
          |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
          |  CAST(20 AS BIGINT) AS n_evals, CAST(8 AS BIGINT) AS budget_final,
+         |  true AS aupr_ok, true AS aupr_valid
+         |FROM cands WHERE idA % 10 = 0 AND idB % 10 = 0""".stripMargin,
+    "m4_tpe_search" ->
+      s"""WITH ${Fixtures.candsCte}
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(10 AS BIGINT) AS n_evals, CAST(8 AS BIGINT) AS budget_final,
          |  true AS aupr_ok, true AS aupr_valid
          |FROM cands WHERE idA % 10 = 0 AND idB % 10 = 0""".stripMargin,
     "m2b_hash_split" ->

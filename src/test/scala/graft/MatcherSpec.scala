@@ -113,6 +113,27 @@ class MatcherSpec extends SparkSpec {
     assert(aupr > 0.95, s"separable data should stay near-perfect: $aupr")
   }
 
+  test("batch TPE: exact trial count, fixed budget, deterministic winner, " +
+       "searched model stays near-perfect on separable data") {
+    val df = Matcher.addClassWeights(syntheticPairs(400)).coalesce(2)
+    val Seq(train, test) = Matcher.stratifiedSplit(df, Seq(0.8, 0.2))
+    val r = Matcher.trainTpe(train, parallelism = 4,
+      nTrials = 10, nInit = 4, batch = 3, iters = 8)
+    // 4 init + two adaptive batches of 3 = exactly 10 trials, all at the
+    // fixed 8-round budget (TPE adapts the CHOICE, not the budget)
+    assert(r.evals == 10, s"trial count drifted: ${r.evals}")
+    assert(r.budget == 8)
+    assert(r.validationMetric >= 0.0 && r.validationMetric <= 1.0)
+    assert(Matcher.defaultHalvingCandidates.contains(r.candidate))
+    // determinism: the density-ratio proposals and tie-breaks are seeded
+    // and stable, so a rerun selects the identical winner and metric
+    val r2 = Matcher.trainTpe(train, parallelism = 4,
+      nTrials = 10, nInit = 4, batch = 3, iters = 8)
+    assert(r2.candidate == r.candidate && r2.validationMetric == r.validationMetric)
+    val aupr = Matcher.areaUnderPR(r.model, test)
+    assert(aupr > 0.95, s"separable data should stay near-perfect: $aupr")
+  }
+
   test("successive halving: single-candidate degenerate search fits once " +
        "at full budget") {
     val df = Matcher.addClassWeights(syntheticPairs(200)).coalesce(2)
