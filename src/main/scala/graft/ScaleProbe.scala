@@ -97,8 +97,9 @@ object ScaleProbe {
 
   private def measure(spark: SparkSession, dir: String, tag: String): Point = {
     // flagship: feature fit + LSH blocking + bounded-sample train + full
-    // candidate scoring + top-500 rank (candidate count reuses the
-    // memoized feature stage the flagship call just built)
+    // candidate scoring + top-500 rank (candidate count reads the matcher
+    // memo's cached labeled frame the flagship call just built — a cache
+    // read, so the blocking join is never charged twice)
     val (_, tFlag) = timed {
       graft.queries.MatchQueries.flagship(spark, dir).count()
     }
@@ -137,7 +138,10 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
+      // NOTE: spark.driver.memory is NOT set here — it is only read at
+      // JVM launch (spark-submit), so a builder config in an already-
+      // forked JVM is silently ignored; the heap comes from build.sbt's
+      // run / fork javaOptions
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val big = inflateDir(spark, base, factor)

@@ -410,11 +410,19 @@ object IO {
     * itself so the guard is evaluated exactly where the row is first
     * materialized (the delta's localCheckpoint) and can never be pruned. */
   private def guardedBucketExpr(keys: Seq[String], nBuckets: Int): Column =
+    nullKeyGuard(keys, bucketExpr(keys, nBuckets))
+
+  /** Raise on any NULL merge key, otherwise pass `bucket` through —
+    * shared by the derive-the-bucket path and the trusted-pre-bucketed
+    * path (which must still validate keys: trusting the caller's BUCKET
+    * arithmetic does not license admitting a NULL-key row the store can
+    * never match again). */
+  private def nullKeyGuard(keys: Seq[String], bucket: Column): Column =
     when(keys.map(col(_).isNull).reduce(_ || _),
       raise_error(lit(s"NULL merge key (${keys.mkString(", ")}) — the " +
         "partitioned store's key-uniqueness invariant cannot hold for NULL " +
         "keys; filter or coalesce them upstream")).cast("int"))
-    .otherwise(bucketExpr(keys, nBuckets))
+    .otherwise(bucket)
 
   /** Lay a store out partitioned by key-hash bucket under a generation
     * directory (`__graft_gen=1/__graft_bucket=N/…`) with a committed
@@ -821,7 +829,10 @@ object IO {
                              source: DataFrame, keys: Seq[String]): Unit = {
     val (fs, root) = hfs(spark, targetPath)
     val src =
-      if (source.columns.contains(BucketCol)) source
+      if (source.columns.contains(BucketCol))
+        // trusted bucket, validated keys: the NULL-key invariant holds
+        // regardless of who computed the bucket
+        source.withColumn(BucketCol, nullKeyGuard(keys, col(BucketCol)))
       else source.withColumn(BucketCol,
         guardedBucketExpr(keys, storeBuckets(targetPath)))
     // append data is base-independent (new pairs just ADD to whatever

@@ -322,6 +322,11 @@ object Matcher {
                coalesceTo: Option[Int] = None): HalvingResult = {
     require(candidates.nonEmpty && nTrials >= nInit && nInit >= 1 && batch >= 1)
     require(gamma > 0.0 && gamma < 1.0 && iters >= 1)
+    // `cap` counts grid ENTRIES while the proposal loop draws from the
+    // distinct UNSEEN set — a duplicated grid would drain the unseen set
+    // before trials reach cap and spin forever proposing nothing
+    require(candidates.distinct.size == candidates.size,
+      "TPE candidate grid must not contain duplicate configs")
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val prepared = coalesceTo.map(n => train.coalesce(n)).getOrElse(train).cache()
@@ -383,6 +388,11 @@ object Matcher {
           .sortBy { case (c, i) =>
             (-ratios.map { case (sel, r) => r(sel(c)) }.product, i) }
           .take(math.min(batch, cap - trials.size)).map(_._1)
+        // defense in depth alongside the distinct-grid require: never
+        // spin on an empty proposal batch
+        if (next.isEmpty)
+          throw new IllegalStateException(
+            s"TPE proposal drained: ${trials.size} trials < cap $cap")
         evalBatch(next)
       }
       val (winner, winnerMetric) = trials.zipWithIndex

@@ -1018,7 +1018,7 @@ object LlmQueries {
     * NULL (not NaN) so its threshold filters drop such pairs naturally,
     * but the explicit predicate keeps the rule independent of either
     * engine's NULL/NaN ordering defaults across fixture regenerations. */
-  private val usableVec: String =
+  private[queries] val usableVec: String =
     "embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0"
 
   val oracles: Seq[(String, String)] = Seq(

@@ -126,14 +126,15 @@ object MatchQueries {
 
   /** Candidate-pair count of the flagship's LSH blocking stage — the
     * probe surface [[graft.ScaleProbe]] uses to assert candidates grow
-    * ~linearly in distinct keys under corpus inflation. Reuses the
-    * memoized feature stage, so in a session that also runs the flagship
-    * the marginal cost is one blocking join. */
+    * ~linearly in distinct keys under corpus inflation. Reads the
+    * matcher memo's cached labeled frame (the identical
+    * labeledCandidates derivation), so in a session that also ran the
+    * flagship the count is a cache read — re-deriving the ~900k-pair
+    * blocking join here would double-charge the probe's flagship
+    * attribution. */
   private[graft] def flagshipCandidateCount(s: SparkSession, dir: String,
-                                            keyFilter: String = "id % 10 = 0"): Long = {
-    val st = featureStage(s, dir, keyFilter)
-    EntityResolution.labeledCandidates(st.feats, st.golden, flagshipCfg).count()
-  }
+                                            keyFilter: String = "id % 10 = 0"): Long =
+    trainedMatcher(s, dir, keyFilter)._2.count()
 
   /** Full match flow on a key subset; returns the scored, ranked pairs
     * (materialized via cache so sibling queries reuse results, not plans). */

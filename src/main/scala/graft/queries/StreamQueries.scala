@@ -336,12 +336,12 @@ object StreamQueries {
         |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
         |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin,
     // contract: the served-query count is SQL-exact (vec_id < 24 with a
-    // non-null vector); stream≡batch equality and rank validity are
-    // hash-gated booleans
+    // cosine-usable vector — the same rule the serve path applies);
+    // stream≡batch equality and rank validity are hash-gated booleans
     "st_ann_serve" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS stream_equals_batch,
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS stream_equals_batch,
         |  true AS ranks_valid
-        |FROM embeddings WHERE vec_id < 24 AND embedding IS NOT NULL""".stripMargin,
+        |FROM embeddings WHERE vec_id < 24 AND ${LlmQueries.usableVec}""".stripMargin,
     "st_sliding_counts" ->
       """SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - k.k * 300 AS w_start_s,
         |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
