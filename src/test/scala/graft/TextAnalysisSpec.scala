@@ -180,6 +180,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(multi(1L) == 2 && multi(2L) == 1)
   }
 
+  test("bm25 retrieval properties: tf saturation, length normalization, idf") {
+    // one query term "cat"; docs engineered to isolate each property
+    val docs = Seq(
+      (1L, "cat dog pig owl"),            // tf 1, dl 4
+      (2L, "cat cat dog pig"),            // tf 2, dl 4 — more hits, same length
+      (3L, "cat dog pig owl bat cow hen fox"), // tf 1, dl 8 — same hits, longer
+      (4L, "dog pig owl bat"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq("cat"))
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._3).toMap
+    // monotone in tf at equal length...
+    assert(out(2L) > out(1L), s"more occurrences must score higher: $out")
+    // ...but saturating: the second occurrence adds less than the first
+    assert(out(2L) < 2 * out(1L), s"tf must saturate, not scale linearly: $out")
+    // length normalization: same tf in a longer doc scores lower
+    assert(out(3L) < out(1L), s"longer doc with equal tf must score lower: $out")
+    // idf: the same corpus scored for a COMMON term ("dog", df 4) ranks
+    // any hit below the rare term's hit ("cat", df 3) at equal tf/dl
+    val common = TextAnalysis.bm25(docs, Seq("dog"))
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(common(1L) < out(1L),
+      s"common-term hit must weigh less than rare-term hit: $common vs $out")
+  }
+
   test("unigramLogProb: hand-computed probabilities on a 3-doc corpus") {
     // corpus tokens: a a a b  → p(a)=3/4, p(b)=1/4
     val df = Seq((1L, "a a"), (2L, "a b"), (3L, ""))

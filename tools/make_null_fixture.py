@@ -8,7 +8,8 @@ The copy symlinks every table except documents/embeddings/events, which
 are rewritten with adversarial rows appended:
   - documents: NULL text (the judge-flagged divergence class), empty
     text, whitespace-only text, plus NULL lang / NULL source on those
-    rows (grouping keys)
+    rows (grouping keys); and a non-ASCII row (accents, CJK, Cyrillic —
+    the tokenizer/lower/length seam between Java and DuckDB)
   - embeddings: NULL vector, zero vector (cosine denominator 0), NULL
     label
   - events: NULL ts (the round-6->7 breaker class), NULL event_type /
@@ -46,7 +47,9 @@ con.sql(f"""
     SELECT * FROM (VALUES
       ({base_max + 1}, NULL,        NULL, NULL,     0),
       ({base_max + 2}, '',          'en', NULL,     0),
-      ({base_max + 3}, '   ',       NULL, 'webcrawl', 3)
+      ({base_max + 3}, '   ',       NULL, 'webcrawl', 3),
+      ({base_max + 4}, 'Crème brûlée naïve CAFÉ 日本語テスト тест ÅÄÖ',
+       'de', 'books', 38)
     ) t(doc_id, text, lang, source, n_chars)
   ) TO '{out}/documents.parquet' (FORMAT PARQUET)
 """)
