@@ -201,6 +201,19 @@ object Matcher {
     * the standard mapping for tree ensembles. */
   case class GbtCandidate(maxDepth: Int, stepSize: Double, subsamplingRate: Double)
 
+  /** One candidate's assembler+GBT pipeline fit at the given boosting
+    * budget — the shared trainer body of the halving and TPE searches. */
+  private def fitCandidate(seed: Long, c: GbtCandidate, iters: Int,
+                           on: DataFrame): PipelineModel = {
+    val asm = new VectorAssembler().setInputCols(FeatureCols)
+      .setOutputCol("features").setHandleInvalid("keep")
+    val gbt = new GBTClassifier().setLabelCol("label").setWeightCol("weight")
+      .setFeaturesCol("features").setSeed(seed)
+      .setMaxIter(iters).setMaxDepth(c.maxDepth)
+      .setStepSize(c.stepSize).setSubsamplingRate(c.subsamplingRate)
+    new Pipeline().setStages(Array(asm, gbt)).fit(on)
+  }
+
   /** 16-point default candidate grid: 4× the 2×2 grid [[trainTuned]]
     * searches, spanning depth, shrinkage, and stochastic-GBT subsampling. */
   def defaultHalvingCandidates: Seq[GbtCandidate] =
@@ -247,16 +260,9 @@ object Matcher {
     // re-evaluated per boosting iteration
     val Seq(tr, va) = stratifiedSplit(prepared, Seq(0.8, 0.2), seed = seed)
       .map(_.cache())
-    val asm = new VectorAssembler().setInputCols(FeatureCols)
-      .setOutputCol("features").setHandleInvalid("keep")
     val eval = evaluator
-    def fit(c: GbtCandidate, iters: Int, on: DataFrame): PipelineModel = {
-      val gbt = new GBTClassifier().setLabelCol("label").setWeightCol("weight")
-        .setFeaturesCol("features").setSeed(seed)
-        .setMaxIter(iters).setMaxDepth(c.maxDepth)
-        .setStepSize(c.stepSize).setSubsamplingRate(c.subsamplingRate)
-      new Pipeline().setStages(Array(asm, gbt)).fit(on)
-    }
+    def fit(c: GbtCandidate, iters: Int, on: DataFrame): PipelineModel =
+      fitCandidate(seed, c, iters, on)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
@@ -332,16 +338,9 @@ object Matcher {
     val prepared = coalesceTo.map(n => train.coalesce(n)).getOrElse(train).cache()
     val Seq(tr, va) = stratifiedSplit(prepared, Seq(0.8, 0.2), seed = seed)
       .map(_.cache())
-    val asm = new VectorAssembler().setInputCols(FeatureCols)
-      .setOutputCol("features").setHandleInvalid("keep")
     val eval = evaluator
-    def fit(c: GbtCandidate, on: DataFrame): PipelineModel = {
-      val gbt = new GBTClassifier().setLabelCol("label").setWeightCol("weight")
-        .setFeaturesCol("features").setSeed(seed)
-        .setMaxIter(iters).setMaxDepth(c.maxDepth)
-        .setStepSize(c.stepSize).setSubsamplingRate(c.subsamplingRate)
-      new Pipeline().setStages(Array(asm, gbt)).fit(on)
-    }
+    def fit(c: GbtCandidate, on: DataFrame): PipelineModel =
+      fitCandidate(seed, c, iters, on)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {

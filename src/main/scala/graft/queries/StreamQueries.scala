@@ -15,6 +15,15 @@ object StreamQueries {
   type Q = (SparkSession, String) => DataFrame
   private val runId = new AtomicInteger(0)
 
+  /** Sessionization needs a session key and a time-axis position: rows
+    * with a NULL user or NULL ts are excluded on both engines (Spark's
+    * session_window drops timestamp-less rows and the Ev encoders assert
+    * non-null primitives; the oracle's gaps-and-islands window would
+    * instead merge them arbitrarily). Shared by all three session
+    * queries so the rule cannot drift between them. */
+  private def sessionable(df: DataFrame): DataFrame =
+    df.where(col("ts").isNotNull && col("user_id").isNotNull)
+
   val defs: Seq[(String, Q)] = Seq(
     // Watermarked tumbling-window aggregation through the streaming engine.
     "st_window_counts" -> ((s, dir) => {
@@ -176,23 +185,14 @@ object StreamQueries {
     // on the grouping key, no custom state machine). Boundary semantics
     // match the custom sessionizer: exactly-at-gap merges, only a strictly
     // longer gap breaks (verified in StreamingSpec).
-    // Sessionization needs a session key and a time-axis position: rows
-    // with a NULL user or NULL ts are excluded on both sides (Spark's
-    // session_window drops timestamp-less rows anyway; the oracle's
-    // gaps-and-islands window would instead merge them arbitrarily).
     "st_session_window" -> ((s, dir) =>
-      EventStreams.sessionWindows(EventStreams.readEvents(s, dir)
-        .where(col("ts").isNotNull && col("user_id").isNotNull))),
+      EventStreams.sessionWindows(sessionable(EventStreams.readEvents(s, dir)))),
 
     // Custom sessionization state (flatMapGroupsWithState), batch execution
     // of the same code path the stream runs.
     "st_sessionize" -> ((s, dir) => {
       import s.implicits._
-      // NULL user/ts filtered BEFORE .as[Ev]: the case-class encoder
-      // asserts non-null primitive fields, and a sessionizer has no
-      // meaning for keyless or timeless rows (same rule as the oracle)
-      val evs = EventStreams.readEvents(s, dir)
-        .where(col("ts").isNotNull && col("user_id").isNotNull)
+      val evs = sessionable(EventStreams.readEvents(s, dir))
         .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .as[EventStreams.Ev]
@@ -314,10 +314,7 @@ object StreamQueries {
     // oracle mirrors exactly that emission rule.
     "st_session_stream" -> ((s, dir) => {
       import s.implicits._
-      // same non-null key/time rule as st_sessionize (encoder asserts
-      // non-null primitives; watermark state needs an event time)
-      val evs = EventStreams.readEventStream(s, dir)
-        .where(col("ts").isNotNull && col("user_id").isNotNull)
+      val evs = sessionable(EventStreams.readEventStream(s, dir))
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[EventStreams.EvI]
