@@ -55,21 +55,31 @@ object IO {
     * the same keys the join shuffles on, and the delta side is the small
     * one by construction. Callers that want last-writer-wins semantics
     * dedupe explicitly (`dropDuplicates(keys)`) before calling — an
-    * explicit winner beats a silent fan-out. */
+    * explicit winner beats a silent fan-out.
+    *
+    * NULL-bearing keys are EXEMPT from the guard: SQL equality never
+    * matches a NULL, so two NULL-key source rows can never multi-match
+    * one target row — each is a plain insert (the window still groups
+    * them together, but the guarded count skips them). The error message
+    * renders the key via `to_json` — a plain string cast would fail
+    * analysis outright for array/struct-typed keys, even on dup-free
+    * sources. */
   private def requireUniqueSourceKeys(source: DataFrame,
                                       keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cnt = "__graft_src_keycnt"
     val k0 = keys.head
     val kType = source.schema(k0).dataType
+    val allKeysNonNull = keys.map(col(_).isNotNull).reduce(_ && _)
     source
-      .withColumn(cnt, count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .withColumn(cnt, count(when(allKeysNonNull, lit(1)))
+        .over(Window.partitionBy(keys.map(col): _*)))
       .withColumn(k0,
-        when(col(cnt) > 1,
+        when(col(cnt) > 1 && allKeysNonNull,
           raise_error(concat(
-            lit("MERGE source has multiple rows for key ("),
-            concat_ws(", ", keys.map(k => col(k).cast("string")): _*),
-            lit(") — SQL MERGE forbids multi-match; dropDuplicates(keys) " +
+            lit("MERGE source has multiple rows for key "),
+            to_json(struct(keys.map(col): _*)),
+            lit(" — SQL MERGE forbids multi-match; dropDuplicates(keys) " +
               "the source to pick an explicit winner"))).cast(kType))
         .otherwise(col(k0)))
       .drop(cnt)
@@ -429,7 +439,16 @@ object IO {
     * manifest, so merges can prune to touched buckets AND commit
     * atomically ([[upsertPartitionedStore]]). The bucket count is
     * persisted alongside the data ([[storeBuckets]]) — merges MUST hash
-    * with the writer's count, never the caller's. */
+    * with the writer's count, never the caller's.
+    *
+    * If `df` already carries [[BucketCol]] it is TRUSTED (same convention
+    * as [[appendPartitionedStore]]): stores whose pruning dimension is
+    * not the key hash — a term-bucketed inverted index, a cell-routed
+    * vector index — lay out by their own bounded routing column and
+    * still get the manifest commit/read machinery. The caller then owns
+    * the bucket arithmetic end to end; keyed merges (which hash with
+    * [[storeBuckets]]) are only valid when the caller's bucketing IS the
+    * key hash. Keys are null-guarded either way. */
   def writePartitionedStore(df: DataFrame, path: String, keys: Seq[String],
                             nBuckets: Int = 64): Unit = {
     val spark = df.sparkSession
@@ -443,7 +462,11 @@ object IO {
     // pays the file count again). With it AQE clusters rows by bucket into
     // a bounded task set — ~one file per bucket.
     val genPath = new HPath(root, s"$GenCol=$gen")
-    df.withColumn(BucketCol, guardedBucketExpr(keys, nBuckets))
+    val bucketed =
+      if (df.columns.contains(BucketCol))
+        df.withColumn(BucketCol, nullKeyGuard(keys, col(BucketCol)))
+      else df.withColumn(BucketCol, guardedBucketExpr(keys, nBuckets))
+    bucketed
       .hint("rebalance", col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
     writeSmallFile(fs, new HPath(root, "_graft_buckets"), nBuckets.toString)

@@ -24,15 +24,20 @@ object Ann {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** A vector participates in cosine-space ops iff it is non-null AND has
-    * a nonzero norm. A zero vector has no direction: its cosine is 0/0 =
-    * NaN, and Spark's NaN-is-greatest ordering would rank it ABOVE every
-    * real neighbor (and pass every `>= threshold` filter) while the SQL
-    * oracle excludes it — the exact divergence the null-fixture sweep
-    * caught. `exists` short-circuits at the first nonzero component, so
-    * the filter is one cheap codegen pass at the scan. */
+  /** A vector participates in cosine-space ops iff it is non-null, has a
+    * nonzero norm, AND carries no NaN component. A zero vector has no
+    * direction: its cosine is 0/0 = NaN, and Spark's NaN-is-greatest
+    * ordering would rank it ABOVE every real neighbor (and pass every
+    * `>= threshold` filter) while the SQL oracle excludes it — the exact
+    * divergence the null-fixture sweep caught. A NaN COMPONENT reaches
+    * the same divergence through a different door: NaN is non-null and
+    * `NaN =!= 0` is true, so without its own guard a NaN-bearing vector
+    * slips past both earlier conjuncts and its NaN cosine again ranks
+    * first. `exists` short-circuits (first nonzero / first NaN
+    * component), so the filter is one cheap codegen pass at the scan. */
   private[graft] def cosineUsable(vecCol: Column): Column =
-    vecCol.isNotNull && exists(vecCol, x => x =!= lit(0.0f))
+    vecCol.isNotNull && exists(vecCol, x => x =!= lit(0.0f)) &&
+      !exists(vecCol, x => isnan(x))
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
@@ -807,19 +812,26 @@ object Ann {
     * rrf(d) = Σ_lists 1/(kRrf + rank_list(d)).
     *
     * Each input is (idCol, rankCol) with rank 1 = best; a doc absent
-    * from a list simply contributes nothing (the standard convention).
-    * Scale shape: inputs are already top-m bounded by their producers,
-    * so the union + id-keyed aggregation exchanges ≤ N·m tiny rows;
-    * fusion adds no scan of anything corpus-sized. Deterministic: the
-    * sum is over exact 1/(k+r) doubles from integer ranks, rounded 6dp;
-    * ties break on id downstream. Emits (id, n_lists, rrf). */
+    * from a list simply contributes nothing (the standard convention),
+    * and a doc appearing MORE THAN ONCE within one list contributes only
+    * its best (lowest) rank — enforced by a per-list max-contribution
+    * aggregate, so a producer that emits duplicates cannot double-count
+    * a list or inflate `n_lists` (a plain union-then-sum would report
+    * the doc as present in two lists). Scale shape: inputs are already
+    * top-m bounded by their producers, so the per-list dedup + union +
+    * id-keyed aggregation exchange ≤ N·m tiny rows; fusion adds no scan
+    * of anything corpus-sized. Deterministic: the sum is over exact
+    * 1/(k+r) doubles from integer ranks, rounded 6dp; ties break on id
+    * downstream. Emits (id, n_lists, rrf). */
   def rrfFuse(lists: Seq[DataFrame], idCol: String = "doc_id",
               rankCol: String = "rank", kRrf: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     require(kRrf >= 1, s"kRrf must be >= 1; got $kRrf")
     lists.map(df => df.select(col(idCol),
         (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol).cast("double")))
-          .as("__contrib")))
+          .as("__contrib"))
+        // best-rank-wins within one list: max contribution = min rank
+        .groupBy(idCol).agg(max("__contrib").as("__contrib")))
       .reduce(_ unionByName _)
       .groupBy(idCol)
       .agg(count(lit(1)).cast("int").as("n_lists"),

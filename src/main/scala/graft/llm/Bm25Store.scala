@@ -1,0 +1,158 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.IO
+
+/** Persisted BM25 inverted index — the serve path of lexical retrieval,
+  * the retrieval analog of the IVF vector store: build the index once,
+  * maintain it by O(delta) appends, and answer a query by reading ONLY
+  * the query terms' posting buckets instead of rescanning the corpus and
+  * recomputing df/avgdl per call (what [[TextAnalysis.bm25]] does — the
+  * right shape for one-shot batch scoring, the wrong one for a
+  * hybrid-retrieval serving loop at 100 TB).
+  *
+  * Layout — one manifest-committed partitioned store
+  * ([[graft.io.IO.writePartitionedStore]] with a TRUSTED routing column):
+  *
+  *   - postings, bucketed by `pmod(xxhash64(term), termBuckets)`: one row
+  *     per (term, doc_id) with its term frequency and the doc's token
+  *     count (`dl`, denormalized so serve never joins a doc-length
+  *     table). All of a term's postings live in exactly one bucket, so
+  *     its document frequency is EXACT under a pruned read.
+  *   - corpus stats, in one RESERVED bucket (id = `termBuckets`): each
+  *     build/append writes a single delta row (docs added, docs with a
+  *     token surface, total token count). Serve sums the deltas — a few
+  *     tiny rows — into exact `n_docs`/`avgdl`. Riding in the SAME
+  *     committed generation as the postings makes postings+stats ATOMIC:
+  *     no crash window where one is visible without the other, and time
+  *     travel reads a consistent (postings, stats) pair at any version.
+  *
+  * Scale shape: the build is the standard inverted-index shuffle (one
+  * map-side-combined groupBy on (term, doc_id)); an append indexes only
+  * the delta and commits through the store's optimistic manifest loop;
+  * serve reads ≤ |query terms| + 1 bucket directories (file-list-level
+  * pruning through the manifest — plan-audited in TextAnalysisSpec),
+  * then one pivoted aggregation over just those postings.
+  *
+  * Score parity: serve rebuilds the per-doc `tf_<i>`/`dl` columns and the
+  * broadcast `n_docs`/`avgdl`/`df_<i>` stats frame and scores through the
+  * SAME [[TextAnalysis.bm25ScoreCols]] expression tree as the full scan.
+  * Every input is an integer-valued double (counts and count-sums, exact
+  * in IEEE double far beyond any real corpus size), so pruned-serve
+  * scores equal full-scan scores bit-for-bit — pinned by the
+  * `tx_bm25_store` oracle, which is the full-scan recomputation.
+  */
+object Bm25Store {
+
+  /** Sentinel term for corpus-stats delta rows. Cannot collide with a
+    * real posting: [[TextAnalysis.tokens]] terms are lowercase-alnum
+    * runs, so an uppercase/underscore string is outside the token
+    * alphabet. */
+  private[llm] val StatsTerm = "__STATS__"
+
+  private def termBucket(termBuckets: Int) =
+    pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int")
+
+  /** Postings + one stats-delta row for a document batch, carrying the
+    * store's trusted routing column. Shared by build and append. */
+  private def indexRows(docs: DataFrame, termBuckets: Int,
+                        textCol: String): DataFrame = {
+    val nullLong = lit(null).cast("long")
+    val base = docs.select(col("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      // ANSI size(null) = null: a null-text doc has no `dl` (it is skipped
+      // by the full scan's avg(dl) too) but still counts toward n_docs
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val posts = base.where(col("dl") > 0)
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl").cast("long").as("dl"),
+        nullLong.as("n_docs"), nullLong.as("n_dl"), nullLong.as("sum_dl"),
+        termBucket(termBuckets).as(IO.BucketCol))
+    val stats = base.agg(
+        count(lit(1)).as("n_docs"),          // every doc, null-text included
+        count(col("dl")).as("n_dl"),         // docs with a token surface
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
+      .select(lit(StatsTerm).as("term"), lit(-1L).as("doc_id"),
+        nullLong.as("tf"), nullLong.as("dl"),
+        col("n_docs"), col("n_dl"), col("sum_dl"),
+        lit(termBuckets).as(IO.BucketCol))
+    posts.unionByName(stats)
+  }
+
+  /** Build the index over `docs`. The persisted bucket-count marker is
+    * `termBuckets + 1` (term buckets [0, termBuckets) plus the reserved
+    * stats bucket) — serve derives `termBuckets` back from it. */
+  def write(docs: DataFrame, path: String, termBuckets: Int = 64,
+            textCol: String = "text"): Unit = {
+    require(termBuckets >= 1, s"termBuckets must be >= 1; got $termBuckets")
+    IO.writePartitionedStore(indexRows(docs, termBuckets, textCol), path,
+      keys = Seq("term", "doc_id"), nBuckets = termBuckets + 1)
+  }
+
+  /** Index a delta of NEW documents: O(delta) postings + one stats-delta
+    * row, committed atomically through the store's optimistic manifest
+    * append — no existing file is read or rewritten. Caller contract, as
+    * for every append-maintained index here: delta doc_ids are new (a
+    * re-indexed doc needs a delete+append or a rebuild). */
+  def append(delta: DataFrame, path: String, textCol: String = "text"): Unit = {
+    val spark = delta.sparkSession
+    val termBuckets = IO.storeBuckets(path) - 1
+    IO.appendPartitionedStore(spark, path,
+      indexRows(delta, termBuckets, textCol), keys = Seq("term", "doc_id"))
+  }
+
+  /** BM25 scores of every indexed doc matching ≥ 1 query term — the same
+    * (doc_id, n_hit_terms, bm25) surface and the same VALUES as
+    * [[TextAnalysis.bm25]] over the indexed corpus, computed from a read
+    * of only the query terms' buckets plus the stats bucket. */
+  def scores(spark: SparkSession, path: String, queryTerms: Seq[String],
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k1 >= 0.0 && b >= 0.0 && b <= 1.0, s"bad BM25 params ($k1, $b)")
+    val termBuckets = IO.storeBuckets(path) - 1
+    val ts = queryTerms.zipWithIndex
+    // the terms' buckets, computed with the WRITE side's own expression —
+    // |terms| rows through the same xxhash64/pmod, zero drift risk
+    import spark.implicits._
+    val probed = queryTerms.toDF("term")
+      .select(termBucket(termBuckets)).collect().map(_.getInt(0)).toSet
+    val pruned = IO.readStoreBuckets(spark, path, probed + termBuckets)
+      .drop(IO.BucketCol)
+    val posts = pruned.where(col("term").isin(queryTerms: _*))
+    // exact corpus stats from the summed delta rows (one per build/append)
+    val corpus = pruned.where(col("term") === StatsTerm)
+      .agg(sum("n_docs").cast("double").as("n_docs"),
+        (sum("sum_dl").cast("double") / sum("n_dl").cast("double")).as("avgdl"))
+    // per-term df: a term's postings all live in its (probed) bucket, so
+    // this pruned count is the exact corpus document frequency
+    val dfAggs = ts.map { case (t, i) =>
+      count(when(col("term") === t, 1)).cast("double").as(s"df_$i") }
+    val stats = posts.agg(dfAggs.head, dfAggs.tail: _*)
+      .crossJoin(corpus)
+    // pivot back to the full scan's per-doc (tf_0..tf_n, dl) row shape;
+    // an absent term scores tf 0.0 exactly like the scan's empty filter
+    val tfAggs = ts.map { case (t, i) =>
+      coalesce(max(when(col("term") === t, col("tf"))), lit(0L))
+        .cast("double").as(s"tf_$i") } :+ max("dl").cast("double").as("dl")
+    val perDoc = posts.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val (nHit, score) = TextAnalysis.bm25ScoreCols(queryTerms.size, k1, b)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), nHit.cast("int").as("n_hit_terms"),
+        round(score, 4).as("bm25"))
+      .where(col("n_hit_terms") > 0)
+  }
+
+  /** Top-k serve: [[scores]] bounded to the k best (score desc, doc_id
+    * asc — deterministic) — the shape a hybrid-retrieval loop feeds into
+    * [[Ann.rrfFuse]]. A TakeOrderedAndProject over the pruned score set,
+    * never a global sort. */
+  def topK(spark: SparkSession, path: String, queryTerms: Seq[String],
+           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    scores(spark, path, queryTerms, k1, b)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+  }
+}

@@ -368,20 +368,32 @@ object TextAnalysis {
         sum(when(col(s"tf_$i") > 0.0, 1.0).otherwise(0.0)).as(s"df_$i")
       }
     val stats = tfs.agg(aggExprs.head, aggExprs.tail: _*)
+    val (nHit, score) = bm25ScoreCols(queryTerms.size, k1, b)
+    tfs.crossJoin(broadcast(stats))
+      .select(col("doc_id"), nHit.cast("int").as("n_hit_terms"),
+        round(score, 4).as("bm25"))
+      .where(col("n_hit_terms") > 0)
+  }
+
+  /** The BM25 (n_hit_terms, score) Column pair over a frame carrying
+    * per-doc `tf_<i>`/`dl` and broadcast `n_docs`/`avgdl`/`df_<i>` —
+    * shared by the full-scan [[bm25]] and [[Bm25Store]]'s pruned serve so
+    * both build the IDENTICAL expression tree (same per-term addition
+    * order, same when-guards) and their scores agree bit-for-bit, not
+    * just approximately. */
+  private[llm] def bm25ScoreCols(nTerms: Int, k1: Double,
+                                 b: Double): (Column, Column) = {
     def w(i: Int) = {
       val idf = log(lit(1.0) +
         (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
       idf * (col(s"tf_$i") * (k1 + 1.0)) /
         (col(s"tf_$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
     }
-    val nHit = ts.map { case (_, i) =>
-      when(col(s"tf_$i") > 0.0, 1).otherwise(0) }.reduce(_ + _)
-    val score = ts.map { case (_, i) =>
-      when(col(s"tf_$i") > 0.0, w(i)).otherwise(lit(0.0)) }.reduce(_ + _)
-    tfs.crossJoin(broadcast(stats))
-      .select(col("doc_id"), nHit.cast("int").as("n_hit_terms"),
-        round(score, 4).as("bm25"))
-      .where(col("n_hit_terms") > 0)
+    val nHit = (0 until nTerms).map(i =>
+      when(col(s"tf_$i") > 0.0, 1).otherwise(0)).reduce(_ + _)
+    val score = (0 until nTerms).map(i =>
+      when(col(s"tf_$i") > 0.0, w(i)).otherwise(lit(0.0))).reduce(_ + _)
+    (nHit, score)
   }
 
   def unigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -53,9 +53,24 @@ object ModelStore {
     * to `transitions.log` (the registry's audit trail). */
   val Stages: Set[String] = Set("None", "Staging", "Production", "Archived")
 
+  /** The version's lifecycle stage. "Production" is DEFINED by the
+    * `production` pointer file, not the per-version stage file: the
+    * promote sequence ([[setProduction]]) is a multi-file transition
+    * (archive old stage file → write new stage file → log → move
+    * pointer) with no transactional boundary, so a crash or a racing
+    * promote can leave two stage files claiming Production or a stage
+    * file disagreeing with the pointer. Reading through the pointer
+    * reconciles every such state to ONE Production version: the pointer
+    * holder reads Production regardless of its stage file, and a stale
+    * "Production" stage file on any other version reads as Archived
+    * (what a completed promote would have written). */
   def stage(root: String, name: String, version: Int): String = {
     val p = Paths.get(root, name, s"v$version.stage")
-    if (Files.exists(p)) Files.readString(p).trim else "None"
+    val fromFile = if (Files.exists(p)) Files.readString(p).trim else "None"
+    val ptr = productionVersion(root, name)
+    if (ptr.contains(version)) "Production"
+    else if (fromFile == "Production") "Archived" // stale file: pointer moved
+    else fromFile
   }
 
   /** All versions currently in `s` (e.g. the Archived history). */

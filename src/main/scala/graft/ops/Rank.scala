@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   * again for the consumer would apply one job's offsets to the other
   * job's partition layout (observed: non-permutation ranks and a
   * run-to-run-varying pair count at 4 shuffle partitions).
+  *
+  * Reliability trade-off of `localCheckpoint`: its blocks are
+  * executor-local and non-replicated, and the lineage is truncated — on
+  * a real cluster an executor loss after the checkpoint fails every
+  * downstream consumer of the ranked frame unrecoverably (there is no
+  * plan left to recompute from). That is the price of the mandatory
+  * single materialization; a deployment that must survive executor loss
+  * swaps in a reliable `checkpoint()` (HDFS-replicated, same semantics,
+  * one extra write+read) or derives positions from
+  * `RDD.zipWithIndex`-style counting over a reliably-persisted sort.
   */
 object Rank {
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Ann, Bpe, Dedup, LangId, Mixing, Multimodal, QualityModel, TextAnalysis}
+import graft.llm.{Ann, Bm25Store, Bpe, Dedup, LangId, Mixing, Multimodal, QualityModel, TextAnalysis}
 
 /** The beyond-reference LLM-training-data-pipeline operators: dedup,
   * similarity search, text analysis, multimodal columns — each a
@@ -562,6 +562,23 @@ object LlmQueries {
     "tx_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), bm25Terms)),
 
+    // Persisted BM25 inverted index — the SERVE path of lexical retrieval
+    // (the retrieval analog of ann_ivf_store): term-bucketed postings +
+    // atomic stats sidecar rows, built on 2/3 of the corpus and
+    // maintained to full coverage by an O(delta) append, then scored from
+    // a read of ONLY the query terms' buckets. The oracle is the SAME
+    // full-scan BM25 recomputation as tx_bm25 — pruned-serve scores must
+    // equal full-scan scores exactly, df/avgdl/n_docs included.
+    "tx_bm25_store" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = graft.Sweep.ephemeral(
+        s"/root/repo/target/qtmp/bm25_store_${storeRunId.incrementAndGet()}")
+      graft.io.IO.deletePath(path)
+      Bm25Store.write(docs.where("doc_id % 3 != 2"), path)
+      Bm25Store.append(docs.where("doc_id % 3 = 2"), path)
+      Bm25Store.scores(s, path, bm25Terms)
+    }),
+
     // Hybrid retrieval: BM25 lexical top-50 fused with cosine semantic
     // top-50 (query = vec_id 0) via reciprocal-rank fusion — the standard
     // combiner when score scales are incomparable. Both lists are top-m
@@ -1014,12 +1031,16 @@ object LlmQueries {
        |GROUP BY doc_id)""".stripMargin
 
   /** SQL mirror of [[Ann.cosineUsable]]: a vector participates in
-    * cosine-space ops iff non-null with a nonzero norm. DuckDB's 0/0 is
-    * NULL (not NaN) so its threshold filters drop such pairs naturally,
-    * but the explicit predicate keeps the rule independent of either
-    * engine's NULL/NaN ordering defaults across fixture regenerations. */
+    * cosine-space ops iff non-null with a nonzero norm and no NaN
+    * component. DuckDB's 0/0 is NULL (not NaN) so its threshold filters
+    * drop zero vectors naturally, but the explicit predicate keeps the
+    * rule independent of either engine's NULL/NaN ordering defaults
+    * across fixture regenerations; the NaN conjunct mirrors the engine's
+    * guard against NaN components ranking first under Spark's
+    * NaN-is-greatest ordering. */
   private[queries] val usableVec: String =
-    "embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0"
+    "embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0" +
+      " AND len(list_filter(embedding, x -> isnan(x))) = 0"
 
   val oracles: Seq[(String, String)] = Seq(
     "dd_exact" ->
@@ -1535,6 +1556,12 @@ object LlmQueries {
     // full BM25 recomputation: same tokenizer, same Lucene idf form, same
     // k1=1.2 / b=0.75 constants; round(4) masks term-summation order
     "tx_bm25" ->
+      s"""WITH $bm25Cte
+         |SELECT doc_id, n_hit_terms, bm25 FROM bm25s""".stripMargin,
+    // the store-served scores must equal the full-scan recomputation —
+    // same oracle as tx_bm25, so the pruned serve is held to the exact
+    // corpus statistics (df, avgdl, n_docs), not an approximation
+    "tx_bm25_store" ->
       s"""WITH $bm25Cte
          |SELECT doc_id, n_hit_terms, bm25 FROM bm25s""".stripMargin,
     // hybrid retrieval: lexical top-50 (BM25 ranks) fused with semantic

@@ -216,6 +216,46 @@ class AnnSpec extends SparkSpec {
     assert(served == Set(2L, 5L))
   }
 
+  test("NaN-component vectors are excluded from every cosine-space op " +
+       "(NaN is non-null and NaN =!= 0 is true — the guard's third door)") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(Float.NaN, 1.0f, 0.0f, 0.0f)), // NaN component
+      (5L, Array(0.8f, 0.2f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = df.where("vec_id = 1")
+    // without the NaN conjunct the NaN cosine ranks FIRST (NaN-is-greatest)
+    val brute = Ann.bruteTopK(df, q, k = 10)
+      .select("nn_id").as[Long].collect().toSet
+    assert(brute == Set(2L, 5L))
+    val rng = Ann.rangeSearch(df, q, minCosine = 0.5)
+      .select("nn_id").as[Long].collect().toSet
+    assert(rng == Set(2L, 5L))
+    // a NaN-bearing QUERY has no answers at all
+    assert(Ann.bruteTopK(df, df.where("vec_id = 3"), k = 10).count() == 0L)
+    // IVF store build drops the NaN row like the null/zero rows
+    val store = "/root/repo/target/qtmp/annspec_nan_store"
+    graft.io.IO.deletePath(store)
+    Ann.writeIvfStore(df, store, nCells = 2)
+    assert(Ann.ivfStoreTopK(spark, store, q, k = 10)
+      .select("nn_id").as[Long].collect().toSet == Set(2L, 5L))
+  }
+
+  test("rrfFuse: a doc duplicated WITHIN one list counts once, best rank " +
+       "wins, and n_lists stays per-list") {
+    val lex = Seq((10L, 1), (20L, 2), (20L, 5), (30L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val out = Ann.rrfFuse(Seq(lex, sem))
+      .as[(Long, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 20: lex contributes its BEST rank (2) once, sem rank 1 — n_lists 2
+    assert(out(20L) == ((2, r6(1.0 / 62 + 1.0 / 61))))
+    assert(out(10L) == ((1, r6(1.0 / 61))))
+  }
+
   test("rrfFuse: hand-computed reciprocal-rank fusion of two lists") {
     val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
     val sem = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")

@@ -567,6 +567,33 @@ class IOSpec extends SparkSpec {
     assert(out.map(_._1) == Set(1, 2) && out.size == 2)
   }
 
+  test("plain upsert admits NULL-key source rows as inserts (SQL MERGE: " +
+       "NULL never matches), and the guard analyzes for array-typed keys") {
+    val target = Seq((Some(1L), 10.0)).toDF("id", "v")
+    // two NULL-key rows are NOT a multi-match — neither can pair with any
+    // target row; both insert (the uniqueness window exempts NULL keys)
+    val src = Seq((None: Option[Long], 1.0), (None: Option[Long], 2.0),
+      (Some(1L), 11.0)).toDF("id", "v")
+    val out = IO.upsert(target, src, Seq("id"), Seq("v"))
+      .as[(Option[Long], Double)].collect()
+    assert(out.length == 3 && out.count(_._1.isEmpty) == 2)
+    assert(out.find(_._1.contains(1L)).map(_._2).contains(11.0))
+    // an array-typed merge key must ANALYZE (the guard renders the key via
+    // to_json — a string cast of an array key fails analysis outright)
+    val t2 = Seq((Array(1L, 2L), "a")).toDF("k", "v")
+    val s2 = Seq((Array(1L, 2L), "b"), (Array(3L), "c")).toDF("k", "v")
+    val merged = IO.upsert(t2, s2, Seq("k"), Seq("v"), broadcastSource = false)
+      .as[(Array[Long], String)].collect()
+      .map { case (k, v) => k.toSeq -> v }.toMap
+    assert(merged == Map(Seq(1L, 2L) -> "b", Seq(3L) -> "c"))
+    // ... and still raises on a genuine array-key dup
+    val dup = Seq((Array(9L), "x"), (Array(9L), "y")).toDF("k", "v")
+    val e = intercept[Exception] {
+      IO.upsert(t2, dup, Seq("k"), Seq("v"), broadcastSource = false).collect()
+    }
+    assert(e.getMessage.contains("multiple rows"), e.getMessage)
+  }
+
   test("partitioned store rejects NULL merge keys at the boundary " +
        "(uniqueness can never hold for them)") {
     val path = s"$tmp/nullkey_store"

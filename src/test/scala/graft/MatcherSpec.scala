@@ -182,5 +182,16 @@ class MatcherSpec extends SparkSpec {
     val b = Matcher.score(loaded, df).select("idA", "match_score")
       .as[(Int, Double)].collect().toMap
     assert(a == b) // persisted model scores identically
+
+    // the pointer is the SOURCE OF TRUTH for Production: a crashed or
+    // racing promote that left a stale "Production" stage file on a
+    // non-pointer version reconciles to Archived on read — there is never
+    // more than one version reading Production
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "m", s"v$v1.stage"), "Production")
+    assert(ModelStore.stage(root, "m", v1) == "Archived")
+    assert(ModelStore.stage(root, "m", v3) == "Production")
+    assert(Seq(v1, v2, v3).count(v =>
+      ModelStore.stage(root, "m", v) == "Production") == 1)
   }
 }

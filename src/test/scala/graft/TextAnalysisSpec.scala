@@ -204,6 +204,49 @@ class TextAnalysisSpec extends SparkSpec {
       s"common-term hit must weigh less than rare-term hit: $common vs $out")
   }
 
+  test("Bm25Store: build + O(delta) append serve EXACTLY the full-scan " +
+       "scores (df/avgdl/n_docs included), reading only the query terms' " +
+       "buckets") {
+    import graft.llm.Bm25Store
+    val docs = Seq(
+      (1L, "cat dog cat"), (2L, "dog fish"), (3L, "bird"),
+      (4L, null.asInstanceOf[String]), (5L, ""), // stats-only docs
+      (6L, "cat fish fish dog"), (7L, "owl bat cat"))
+      .toDF("doc_id", "text")
+    val path = "/root/repo/target/qtmp/txspec_bm25_store"
+    graft.io.IO.deletePath(path)
+    // build on part of the corpus, append the rest — full coverage must
+    // come out of the atomic (postings + stats-delta) append commits
+    Bm25Store.write(docs.where("doc_id <= 4"), path, termBuckets = 16)
+    Bm25Store.append(docs.where("doc_id > 4"), path)
+    val terms = Seq("cat", "fish")
+    val served = Bm25Store.scores(spark, path, terms)
+      .as[(Long, Int, Double)].collect().toSet
+    val scanned = TextAnalysis.bm25(docs, terms)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(served == scanned, s"served=$served scanned=$scanned")
+    // pruned read: the serve plan's input files span at most
+    // |query terms| posting buckets plus the one stats bucket
+    val buckets = Bm25Store.scores(spark, path, terms).inputFiles
+      .flatMap("__graft_bucket=(\\d+)".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).toSet
+    assert(buckets.size <= terms.size + 1,
+      s"serve read ${buckets.size} buckets ($buckets) for ${terms.size} terms")
+    assert(buckets.contains(16), "the reserved stats bucket must be read")
+    // topK: deterministic (score desc, id asc) bound
+    val top = Bm25Store.topK(spark, path, terms, k = 2)
+      .as[(Long, Int, Double)].collect()
+    assert(top.length == 2)
+    assert(top.map(_._3).toSeq == top.map(_._3).sortBy(-_).toSeq)
+    // served history is versioned: the pre-append snapshot scores the
+    // BUILD corpus exactly (consistent postings+stats at that version)
+    val v1 = graft.io.IO.storeVersions(spark, path).head
+    val statsV1 = graft.io.IO.readPartitionedStoreAt(spark, path, v1)
+      .where(col("term") === "__STATS__")
+      .agg(sum("n_docs"), sum("sum_dl")).as[(Long, Long)].head()
+    assert(statsV1 == ((4L, 6L))) // 4 docs, 3+2+1 tokens at build time
+  }
+
   test("unigramLogProb: hand-computed probabilities on a 3-doc corpus") {
     // corpus tokens: a a a b  → p(a)=3/4, p(b)=1/4
     val df = Seq((1L, "a a"), (2L, "a b"), (3L, ""))

@@ -10,8 +10,10 @@ are rewritten with adversarial rows appended:
     text, whitespace-only text, plus NULL lang / NULL source on those
     rows (grouping keys); and a non-ASCII row (accents, CJK, Cyrillic —
     the tokenizer/lower/length seam between Java and DuckDB)
-  - embeddings: NULL vector, zero vector (cosine denominator 0), NULL
-    label
+  - embeddings: NULL vector, zero vector (cosine denominator 0), a
+    NaN-component vector (NaN is non-null and != 0, so it needs its own
+    guard conjunct — Spark orders NaN greatest, DuckDB's isnan filter
+    drops it), NULL label
   - events: NULL ts (the round-6->7 breaker class), NULL event_type /
     value / props / user_id
 
@@ -69,11 +71,16 @@ con.sql(f"""
     UNION ALL
     SELECT {vec_max + 2},
            CAST(list_transform(range({dim}), x -> 0.0) AS FLOAT[]), 0
+    UNION ALL
+    SELECT {vec_max + 3},
+           CAST(list_transform(range({dim}),
+                x -> CASE WHEN x = 0 THEN CAST('NaN' AS FLOAT)
+                          ELSE 0.5 END) AS FLOAT[]), 1
   ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """)
 n = con.sql(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
 print(f"wrote {out}/embeddings.parquet with {n} rows "
-      f"(NULL-vector and zero-vector rows appended)")
+      f"(NULL-vector, zero-vector and NaN-component rows appended)")
 
 ev_max = con.sql(
     f"SELECT max(event_id) FROM '{src}/events.parquet'").fetchone()[0]
