@@ -94,7 +94,12 @@ object Bench {
           s"shuffleWrite=${mb(sw)}MiB")
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The per-query map is emitted sorted CHEAPEST-FIRST: harness logs
+    // retain only the ~4 KB TAIL of this line, so ascending cost puts the
+    // expensive head (er_*/m4_*/ann_ivf_*) inside the retained window —
+    // the next load-vs-regression dispute is decidable from the recorded
+    // artifact alone instead of needing a judge re-run.
+    val qs = results.sortBy(_._2).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // GC share of the run — distinguishes "heap pressure" from "host
@@ -103,9 +108,25 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans)
       .asScala.map(_.getCollectionTime).sum
     System.err.println(s"[bench] gcTotal=${gcMs}ms of ${(total * 1000).toLong}ms")
-    // "metric"/"value" repeated AFTER the (long) per-query map: harness logs keep
-    // only the tail of the line, and the leading fields get truncated away.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
+    // Full attribution artifact (cost-descending, with gc + io totals) —
+    // survives however the stdout line gets truncated.
+    locally {
+      val ioByName = io.map(t => t._1 -> (t._2, t._3, t._4)).toMap
+      val perQuery = results.sortBy(-_._2).map { case (k, v) =>
+        val (i, sr, sw) = ioByName.getOrElse(k, (0L, 0L, 0L))
+        s"""  {"query":"$k","sec":$v,"input_bytes":$i,"shuffle_read_bytes":$sr,"shuffle_write_bytes":$sw}"""
+      }.mkString("[\n", ",\n", "\n]")
+      val body = s"""{"total_sec":$total,"gc_ms":$gcMs,"sf":"$sfDir","cpus":$cpus,
+"queries_cost_desc":$perQuery}"""
+      val out = java.nio.file.Paths.get("/root/repo/target/bench_per_query.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, body.getBytes("UTF-8"))
+      System.err.println(s"[bench] per-query artifact: $out")
+    }
+    // "metric"/"value"/"gc_ms" repeated AFTER the (long) per-query map:
+    // harness logs keep only the tail of the line, and the leading fields
+    // get truncated away.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","gc_ms":$gcMs,"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -434,6 +434,20 @@ object IO {
         "keys; filter or coalesce them upstream")).cast("int"))
     .otherwise(bucket)
 
+  /** Range validation for a TRUSTED caller-supplied [[BucketCol]]: a
+    * value outside [0, nBuckets) (or NULL) would not fail the write — it
+    * would silently file rows where manifest pruning and keyed merges
+    * (which hash with [[storeBuckets]]) can never find them again, or
+    * die later in directory-name parsing with an opaque cast error.
+    * Raised through the bucket column itself, same pattern as
+    * [[nullKeyGuard]], so the check can never be pruned away. */
+  private def bucketRangeGuard(nBuckets: Int, bucket: Column): Column =
+    when(bucket.isNull || bucket < 0 || bucket >= nBuckets,
+      raise_error(concat(
+        lit(s"trusted $BucketCol out of range [0, $nBuckets): "),
+        coalesce(bucket.cast("string"), lit("NULL")))).cast("int"))
+    .otherwise(bucket)
+
   /** Lay a store out partitioned by key-hash bucket under a generation
     * directory (`__graft_gen=1/__graft_bucket=N/…`) with a committed
     * manifest, so merges can prune to touched buckets AND commit
@@ -464,7 +478,8 @@ object IO {
     val genPath = new HPath(root, s"$GenCol=$gen")
     val bucketed =
       if (df.columns.contains(BucketCol))
-        df.withColumn(BucketCol, nullKeyGuard(keys, col(BucketCol)))
+        df.withColumn(BucketCol,
+          nullKeyGuard(keys, bucketRangeGuard(nBuckets, col(BucketCol))))
       else df.withColumn(BucketCol, guardedBucketExpr(keys, nBuckets))
     bucketed
       .hint("rebalance", col(BucketCol))
@@ -853,9 +868,12 @@ object IO {
     val (fs, root) = hfs(spark, targetPath)
     val src =
       if (source.columns.contains(BucketCol))
-        // trusted bucket, validated keys: the NULL-key invariant holds
-        // regardless of who computed the bucket
-        source.withColumn(BucketCol, nullKeyGuard(keys, col(BucketCol)))
+        // trusted bucket ARITHMETIC, validated keys AND range: the
+        // NULL-key invariant holds regardless of who computed the
+        // bucket, and an out-of-range bucket must fail at write time,
+        // not corrupt later pruned reads
+        source.withColumn(BucketCol, nullKeyGuard(keys,
+          bucketRangeGuard(storeBuckets(targetPath), col(BucketCol))))
       else source.withColumn(BucketCol,
         guardedBucketExpr(keys, storeBuckets(targetPath)))
     // append data is base-independent (new pairs just ADD to whatever

@@ -404,11 +404,16 @@ object Ann {
       .withColumn("cell", argminUdf(col("cv")))
   }
 
-  private def centroidsPath(path: String) = s"$path/_graft_centroids"
-
-  /** The centroid table a persisted IVF store was built with. */
-  def readCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(centroidsPath(path))
+  /** The centroid table a persisted IVF store was built with — decoded
+    * from the reserved routing bucket's `nn_id = -1 - cell` rows, read
+    * through the store's committed manifest (so a racing rebuild can
+    * never show a reader half-written centroids). */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val reserved = graft.io.IO.storeBuckets(path) - 1
+    graft.io.IO.readStoreBuckets(spark, path, Set(reserved))
+      .select((-col("nn_id") - 1).cast("int").as("cell"),
+        col("cv").as("centroid"))
+  }
 
   /** Corpus clustering report — the "what's in this embedding corpus"
     * structural summary (topic-ish cells): per KMeans cell, its size and
@@ -438,18 +443,17 @@ object Ann {
         round(avg(col("coh")), 4).as("mean_cosine"))
   }
 
-  /** Top-k over an already-assigned (nn_id, cv, cell) frame: nProbe cells
-    * per query via the given centroids, exact cosine re-rank. Shared by
-    * [[ivfStoreTopK]] (assigned = the persisted store) and any in-memory
-    * assignment (which is how AnnSpec and the ann_ivf_store contract prove
-    * append-maintained and batch-built indexes serve identical results). */
-  def ivfTopKFromAssigned(assigned: DataFrame, centroids: DataFrame,
-                          queries: DataFrame, k: Int, nProbe: Int = 4,
-                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The (query_id, qv, cell) probe set: each usable query's `nProbe`
+    * nearest cells by centroid L2 distance (ties to the lower cell id).
+    * Factored out of [[ivfTopKFromAssigned]] so [[ivfStoreTopK]] can
+    * derive the probed-cell union for its manifest-pruned store read
+    * from the same frame that drives the candidate join. */
+  private def probeFrame(queries: DataFrame, centroids: DataFrame,
+                         nProbe: Int, idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.where(cosineUsable(col(vecCol)))
+    queries.where(cosineUsable(col(vecCol)))
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val probes = q.crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(centroids))
       .withColumn("cdist", aggregate(
         zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
         lit(0.0d), (s, x) => s + x))
@@ -457,6 +461,12 @@ object Ann {
         Window.partitionBy("query_id").orderBy(col("cdist").asc, col("cell").asc)))
       .where(col("rk") <= nProbe)
       .select("query_id", "qv", "cell")
+  }
+
+  /** Exact cosine re-rank of an assigned candidate set against a probe
+    * frame — the shared serve tail. */
+  private def rankProbed(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)
     // cosineUsable on the serve side: a zero-norm vector CAN be assigned
     // to a cell (L2 argmin is well-defined) but can never be a cosine
@@ -472,14 +482,34 @@ object Ann {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Build a persisted IVF index: fit centroids on the initial corpus,
-    * assign, write partitioned by cell (centroids ride along in an
-    * underscore-prefixed subdir the store scan ignores).
+  /** Top-k over an already-assigned (nn_id, cv, cell) frame: nProbe cells
+    * per query via the given centroids, exact cosine re-rank. Shared by
+    * [[ivfStoreTopK]] (assigned = the persisted store) and any in-memory
+    * assignment (which is how AnnSpec and the ann_ivf_store contract prove
+    * append-maintained and batch-built indexes serve identical results). */
+  def ivfTopKFromAssigned(assigned: DataFrame, centroids: DataFrame,
+                          queries: DataFrame, k: Int, nProbe: Int = 4,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rankProbed(assigned, probeFrame(queries, centroids, nProbe, idCol, vecCol), k)
+
+  /** Build a persisted IVF index as a MANIFEST-COMMITTED partitioned
+    * store ([[graft.io.IO.writePartitionedStore]] with the cell as the
+    * trusted routing column) — the same commit/read machinery as every
+    * other store here: readers resolve a committed manifest pointer, so
+    * no reader can ever observe a build, append, or compaction
+    * mid-write, crashes leave the previous version current, and every
+    * committed version stays time-travel-readable until vacuum.
+    *
+    * The centroids ride IN the store, as rows of a reserved routing
+    * bucket (id = nCells, one past the real cells) encoded as
+    * `nn_id = -1 - cell, cv = centroid` — the same trick as
+    * [[Bm25Store]]'s stats bucket, and for the same reason: the
+    * quantizer and the postings it routes commit ATOMICALLY in one
+    * manifest, and a time-travel read gets the exact (centroids, cells)
+    * pair of that version.
     *
     * Null and zero-norm embeddings are dropped at write time: a null
-    * vector assigns to a null cell, which Hive-partitioning would file
-    * under the default partition where the cell equi-join in
-    * [[ivfTopKFromAssigned]] can never serve it, and a zero vector's NaN
+    * vector assigns to a null cell (unroutable), and a zero vector's NaN
     * cosine would rank first at serve under Spark's NaN-is-greatest
     * ordering ([[cosineUsable]]). Filtering here keeps the store's row
     * count and its servable contents identical. */
@@ -491,96 +521,146 @@ object Ann {
     // a caller holding an already-fitted quantizer for this corpus passes
     // it in (the cells are a routing key — any consistent centroid set
     // works, and the store persists whichever it was built with); without
-    // one, fit here
+    // one, fit here (nCells <= 0 auto-sizes by √n — see fitCentroids)
     val cents = centroids.getOrElse(fitCentroids(dense, nCells, vecCol, seed))
-    // REBALANCE on the partition column before a partitionBy write:
-    // without it every input task opens a file in every cell directory
-    // (tasks × nCells small files at scale); with it AQE sizes a small
-    // number of cell-clustered tasks, one file stream per cell each.
-    assignCells(dense, cents, idCol, vecCol)
-      .hint("rebalance", col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-    cents.coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+    // reserved bucket id = one past the highest real cell (auto-sizing
+    // means the fitted cell count, not the nCells argument, is the truth)
+    val reserved = collectedCentroids(cents).map(_._1).max + 1
+    val data = assignCells(dense, cents, idCol, vecCol)
+      .select(col("nn_id"), col("cv"), col("cell").as(graft.io.IO.BucketCol))
+    val centRows = cents.select(
+      (lit(-1L) - col("cell").cast("long")).as("nn_id"),
+      asDouble(col("centroid")).as("cv"),
+      lit(reserved).as(graft.io.IO.BucketCol))
+    // writePartitionedStore rebalances on the routing column before the
+    // partitionBy write (the small-files guard) and commits postings +
+    // centroids in one manifest version
+    graft.io.IO.writePartitionedStore(data.unionByName(centRows), path,
+      keys = Seq("nn_id"), nBuckets = reserved + 1)
   }
 
   /** Incremental index maintenance: route a delta of new vectors through
-    * the STORED centroids and append into the cell partitions — pure
-    * insert, no existing file is read or rewritten, so indexing a delta
-    * costs O(delta) however large the store has grown. (The trade, as for
-    * every IVF deployment: centroids age as the distribution drifts;
-    * refresh = writeIvfStore again.) */
+    * the STORED centroids and append — O(delta) data writes, no existing
+    * file read or rewritten, committed through the store's optimistic
+    * manifest loop so a racing reader sees the old version or the new
+    * one, never a torn middle. (The trade, as for every IVF deployment:
+    * centroids age as the distribution drifts; refresh = writeIvfStore
+    * again.) */
   def appendIvfStore(delta: DataFrame, path: String,
                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = delta.sparkSession
-    val cents = spark.read.parquet(centroidsPath(path))
+    val cents = readCentroids(spark, path)
     // same null-vector policy as writeIvfStore: never persist unservable rows
-    assignCells(delta.where(cosineUsable(col(vecCol))), cents, idCol, vecCol)
-      .hint("rebalance", col("cell"))  // same small-files guard as the build
-      .write.mode("append").partitionBy("cell").parquet(path)
+    val rows = assignCells(delta.where(cosineUsable(col(vecCol))), cents, idCol, vecCol)
+      .select(col("nn_id"), col("cv"), col("cell").as(graft.io.IO.BucketCol))
+    graft.io.IO.appendPartitionedStore(spark, path, rows, keys = Seq("nn_id"))
+  }
+
+  /** The data rows of a persisted IVF store — (nn_id, cv, cell) through
+    * the CURRENT committed manifest (superseded generations and the
+    * reserved centroid bucket excluded). */
+  def readIvfStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val reserved = graft.io.IO.storeBuckets(path) - 1
+    graft.io.IO.readStoreBuckets(spark, path, (0 until reserved).toSet)
+      .withColumnRenamed(graft.io.IO.BucketCol, "cell")
+      .select("nn_id", "cv", "cell")
   }
 
   /** Serve top-k from the persisted IVF index: nProbe cells per query via
-    * the stored centroids, store scan PRUNED to the union of probed cells
-    * (partition pruning on the cell directories), exact cosine re-rank of
-    * candidates. Same query plan as [[ivfTopK]], but against an index that
-    * was built once and maintained by appends. */
+    * the stored centroids, store read PRUNED to the union of probed cells
+    * (file-list-level pruning through the committed manifest — only the
+    * probed cells' directories are ever listed or scanned), exact cosine
+    * re-rank of candidates. Same query plan as [[ivfTopK]], but against
+    * an index that was built once and maintained by appends. The
+    * probed-cell union is a bounded driver-side collect (≤ nCells ints —
+    * cell count, not data, by construction). */
   def ivfStoreTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                    queries: DataFrame, k: Int, nProbe: Int = 4,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    ivfTopKFromAssigned(spark.read.parquet(path),
-      readCentroids(spark, path), queries, k, nProbe, idCol, vecCol)
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = probeFrame(queries, readCentroids(spark, path), nProbe, idCol, vecCol)
+    // deterministic under re-evaluation: the probe window's order
+    // (cdist asc, cell asc) is total per query, so the collect job and
+    // the join's recompute resolve identical probe sets
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val assigned = graft.io.IO.readStoreBuckets(spark, path, cells)
+      .withColumnRenamed(graft.io.IO.BucketCol, "cell")
+      .select("nn_id", "cv", "cell")
+    rankProbed(assigned, probes, k)
+  }
 
   /** Compact the IVF store's fragmented cells — the OPTIMIZE step every
     * append-maintained store needs: each [[appendIvfStore]] delta adds a
-    * file per touched cell, and a year of daily deltas makes every probed
-    * read open hundreds of small files per cell. Rewrites ONLY cells whose
-    * file count exceeds `maxFilesPerCell` (read pruned to those
-    * partitions, one output file per cell via a cell-keyed repartition,
-    * dynamic partition overwrite) — cost is O(fragmented cells' data),
-    * never O(store), and served results are byte-identical because row
-    * content never changes. Returns (cell, files_before, files_after) for
-    * the rewritten cells.
-    *
-    * Same durability note as the pruned merge in [[graft.io.IO]]: the
-    * dynamic overwrite commits per partition; an object-store deployment
-    * swaps a manifest pointer instead. */
+    * generation to every cell it touches, and a year of daily deltas
+    * makes every probed read list + open many small files per cell.
+    * Delegates to [[graft.io.IO.compactPartitionedStore]]: cells spread
+    * over more than `maxGensPerCell` generations are rewritten
+    * (content byte-identical, so served results cannot change) and the
+    * collapse commits through the SAME optimistic-concurrency manifest
+    * loop as every merge — a reader racing the compaction resolves the
+    * pre- or post-compaction manifest, never a half-rewritten cell, and
+    * a concurrent append serializes through the version claim. Cost is
+    * O(fragmented cells' data), never O(store). Returns
+    * (cell, files_before, files_after) for the rewritten cells. */
   def compactIvfStore(spark: org.apache.spark.sql.SparkSession, path: String,
-                      maxFilesPerCell: Int = 1): DataFrame = {
-    // file accounting goes through Hadoop FileSystem, not java.nio — the
-    // Spark read/write halves of this op are storage-agnostic, and the
-    // listing must be too (an object-store path would throw under
-    // java.nio.Files rather than degrade)
+                      maxGensPerCell: Int = 1): DataFrame = {
+    val (frag, before) = fragmentedCells(spark, path, maxGensPerCell)
+    if (frag.nonEmpty)
+      graft.io.IO.compactPartitionedStore(spark, path, maxGensPerCell)
+    val after = storeCellFiles(spark, path)
+    val spark2 = spark
+    import spark2.implicits._
+    frag.toSeq.sorted
+      .map(c => (c, before.getOrElse(c, 0), after.getOrElse(c, 0)))
+      .toDF("cell", "files_before", "files_after")
+  }
+
+  /** True iff some cell of the store is spread over more than `maxGens`
+    * generations — i.e. [[compactIvfStore]] would have work to do. */
+  def ivfStoreFragmented(spark: org.apache.spark.sql.SparkSession, path: String,
+                         maxGens: Int = 1): Boolean =
+    fragmentedCells(spark, path, maxGens)._1.nonEmpty
+
+  /** Per-cell parquet-file counts of the CURRENT manifest (all
+    * generations a cell's entry references), via Hadoop FileSystem so the
+    * accounting is storage-agnostic like the read path itself. */
+  private def storeCellFiles(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Map[Int, Int] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    def parquetFiles(d: Path): Int =
-      fs.listStatus(d).count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    def cellFiles(): Map[Int, Int] =
-      fs.listStatus(root)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-        .map(st => st.getPath.getName.stripPrefix("cell=").toInt
-          -> parquetFiles(st.getPath))
-        .toMap
-    val before = cellFiles()
-    val frag = before.filter(_._2 > maxFilesPerCell).keys.toSeq.sorted
-    if (frag.nonEmpty) {
-      // localCheckpoint: a path cannot be overwritten while the plan still
-      // scans it; the fragmented cells' rows are the op's working set
-      val rows = spark.read.parquet(path)
-        .where(col("cell").isin(frag: _*))
-        .localCheckpoint()
-      // cell-keyed repartition: all of a cell's rows land in one task, so
-      // the dynamic overwrite leaves exactly one file per rewritten cell
-      rows.repartition(frag.size, col("cell"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell").parquet(path)
-    }
-    val after = cellFiles()
-    val spark2 = spark
-    import spark2.implicits._
-    frag.map(c => (c, before(c), after.getOrElse(c, 0)))
-      .toDF("cell", "files_before", "files_after")
+    val v = graft.io.IO.currentManifestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no committed manifest — not an IVF store"))
+    graft.io.IO.readManifest(fs, root, v)
+      .groupBy(_._1).map { case (b, pairs) =>
+        b -> pairs.map { case (_, g) =>
+          val d = new Path(root, s"${graft.io.IO.GenCol}=$g/${graft.io.IO.BucketCol}=$b")
+          fs.listStatus(d).count(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet"))
+        }.sum
+      }
+  }
+
+  /** (fragmented cells, per-cell file counts) of the current manifest —
+    * a cell is fragmented when its manifest entry spans more than
+    * `maxGens` generations; the reserved centroid bucket is excluded
+    * (appends never touch it). */
+  private def fragmentedCells(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              maxGens: Int): (Set[Int], Map[Int, Int]) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val reserved = graft.io.IO.storeBuckets(path) - 1
+    val v = graft.io.IO.currentManifestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no committed manifest — not an IVF store"))
+    val gens = graft.io.IO.readManifest(fs, root, v)
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val frag = gens.collect {
+      case (b, n) if n > maxGens && b != reserved => b
+    }.toSet
+    (frag, storeCellFiles(spark, path))
   }
 
   /** One-pass int8 scalar quantization of a vector: symmetric per-vector

@@ -230,6 +230,48 @@ object Matcher {
   case class HalvingResult(model: PipelineModel, candidate: GbtCandidate,
                            budget: Int, validationMetric: Double, evals: Int)
 
+  /** Cross-search memo of fitted (candidate, budget) GBT pipelines and
+    * their held-out metrics. [[trainHalving]] and [[trainTpe]] search the
+    * SAME candidate space over the SAME training frame when a bench/verify
+    * session runs both back-to-back — without sharing, every fit the two
+    * searches have in common (TPE's fixed budget coincides with halving's
+    * final rung, and both refit the winner on the full input) is paid
+    * twice for bit-identical models.
+    *
+    * VALIDITY IS THE CALLER'S CONTRACT: a memo may only be shared between
+    * searches whose training input, seed, and split proportions are
+    * identical (MatchQueries keys its memo by (session, dir) over the one
+    * memoized training frame). Fits are deterministic given (data, seed),
+    * so a memo hit returns exactly the model a fresh fit would — winners
+    * and metrics unchanged, which is what lets the m4 contracts stay
+    * byte-identical with or without the memo.
+    *
+    * Thread-safe: both searches fit thread-parallel; `computeIfAbsent`
+    * guarantees one fit per key even under concurrent requests. */
+  final class FitMemo {
+    private val trials =
+      new java.util.concurrent.ConcurrentHashMap[(GbtCandidate, Int), (PipelineModel, Double)]()
+    private val refits =
+      new java.util.concurrent.ConcurrentHashMap[(GbtCandidate, Int), PipelineModel]()
+
+    /** Fitted model + held-out metric for a trial at `iters` budget. */
+    def trial(c: GbtCandidate, iters: Int)(compute: => (PipelineModel, Double)): (PipelineModel, Double) =
+      trials.computeIfAbsent((c, iters), _ => compute)
+
+    /** Winner refit on the FULL training input at `iters` budget (a
+      * distinct keyspace from [[trial]]: same candidate, more data). */
+    def refit(c: GbtCandidate, iters: Int)(compute: => PipelineModel): PipelineModel =
+      refits.computeIfAbsent((c, iters), _ => compute)
+
+    private[graft] def trialCount: Int = trials.size
+
+    private[graft] def trialKeys: Set[(GbtCandidate, Int)] = {
+      val b = Set.newBuilder[(GbtCandidate, Int)]
+      trials.keySet.forEach(k => b += k)
+      b.result()
+    }
+  }
+
   /** M4 variant — successive halving (Hyperband's inner loop; Jamieson &
     * Talwalkar, AISTATS 2016) over the GBT space: the adaptive-budget
     * answer to the reference's 1000-eval hyperopt TPE (`03_Train & Deploy
@@ -250,7 +292,8 @@ object Matcher {
   def trainHalving(train: DataFrame, seed: Long = 42L, parallelism: Int = 4,
                    candidates: Seq[GbtCandidate] = defaultHalvingCandidates,
                    minIter: Int = 5, maxIter: Int = 45, eta: Int = 3,
-                   coalesceTo: Option[Int] = None): HalvingResult = {
+                   coalesceTo: Option[Int] = None,
+                   memo: Option[FitMemo] = None): HalvingResult = {
     require(candidates.nonEmpty && eta >= 2 && minIter >= 1 && maxIter >= minIter)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -263,6 +306,20 @@ object Matcher {
     val eval = evaluator
     def fit(c: GbtCandidate, iters: Int, on: DataFrame): PipelineModel =
       fitCandidate(seed, c, iters, on)
+    def scoredTrial(c: GbtCandidate, iters: Int): (GbtCandidate, Double) = {
+      val (_, m) = memo match {
+        case Some(mm) => mm.trial(c, iters) {
+          val mod = fit(c, iters, tr); (mod, eval.evaluate(mod.transform(va)))
+        }
+        case None =>
+          val mod = fit(c, iters, tr); (mod, eval.evaluate(mod.transform(va)))
+      }
+      (c, m)
+    }
+    def refitFull(c: GbtCandidate, iters: Int): PipelineModel = memo match {
+      case Some(mm) => mm.refit(c, iters)(fit(c, iters, prepared))
+      case None => fit(c, iters, prepared)
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
@@ -273,7 +330,7 @@ object Matcher {
       while (alive.size > 1) {
         val b = budget
         val scored = Await.result(
-          Future.sequence(alive.map(c => Future((c, eval.evaluate(fit(c, b, tr).transform(va)))))),
+          Future.sequence(alive.map(c => Future(scoredTrial(c, b)))),
           Duration.Inf)
         evals += alive.size
         // stable sort: ties resolve to the earlier candidate, so the
@@ -286,14 +343,13 @@ object Matcher {
       }
       if (lastScores.isEmpty) { // degenerate 1-candidate "search"
         budget = maxIter
-        val c = alive.head
-        lastScores = Seq((c, eval.evaluate(fit(c, budget, tr).transform(va))))
+        lastScores = Seq(scoredTrial(alive.head, budget))
         evals += 1
       }
       val (winner, winnerMetric) = lastScores.head
       // like TrainValidationSplit: refit the selected config on ALL the
       // training input (train + validation) at the final budget
-      HalvingResult(fit(winner, budget, prepared), winner, budget,
+      HalvingResult(refitFull(winner, budget), winner, budget,
         winnerMetric, evals)
     } finally {
       pool.shutdown()
@@ -306,33 +362,45 @@ object Matcher {
   /** M4 variant — batch TPE (Bergstra et al., NeurIPS 2011 — the
     * algorithm the reference's hyperopt search actually runs,
     * `03_Train & Deploy Model.py:164-192,245-253`), adapted to
-    * batch-parallel evaluation. Each round CONDITIONS on every completed
-    * trial: trials split into the top-γ "good" set and the rest,
-    * per-dimension add-one-smoothed categorical densities l and g are
-    * fitted to each, and the next `batch` UNSEEN configs are picked by
-    * the density ratio Π l(v)/g(v) — the discrete-space
-    * expected-improvement surrogate. Unlike [[trainHalving]]'s
-    * pre-committed budget schedule, the candidate CHOICE here adapts
-    * trial-by-trial (the TPE-class sequential adaptivity), while each
-    * batch still fits thread-parallel like every other search here.
-    * Trials run at one FIXED budget `iters`: TPE explores the config
-    * space, not the budget axis — that is halving's job.
+    * batch-parallel evaluation over a CONTINUOUS space. Each round
+    * CONDITIONS on every completed trial: trials split into the top-γ
+    * "good" set and the rest, per-dimension densities l and g are fitted
+    * to each — add-one-smoothed categorical counts for `maxDepth`,
+    * 1-D Parzen (Gaussian-kernel mixture + uniform prior, adaptive
+    * bandwidth) estimators for the continuous `stepSize` and
+    * `subsamplingRate` dims, the reference search's actual space shape
+    * (`hp.uniform`, `03:173-178`) — and the next `batch` configs are
+    * picked by the density ratio Π l(v)/g(v), the expected-improvement
+    * surrogate. In place of TPE's random draws from l, candidates come
+    * from a DETERMINISTIC quantile-sliced pool (observed good values,
+    * midpoints between adjacent good values — genuinely off-grid — plus
+    * range endpoints and the seeding grid), so the search refines into
+    * promising continuous regions while staying bit-reproducible.
+    * Unlike [[trainHalving]]'s pre-committed budget schedule, the
+    * candidate CHOICE here adapts trial-by-trial (the TPE-class
+    * sequential adaptivity), while each batch still fits
+    * thread-parallel like every other search here. Trials run at one
+    * FIXED budget `iters`: TPE explores the config space, not the
+    * budget axis — that is halving's job.
     *
-    * Deterministic: seeded hash init order, stable (ratio desc, grid
+    * Deterministic: seeded hash init order, stable (ratio desc, config
     * order) proposal selection, stable (metric desc, trial order)
     * winner ranking; same exact-proportion [[stratifiedSplit]]. */
   def trainTpe(train: DataFrame, seed: Long = 42L, parallelism: Int = 4,
                candidates: Seq[GbtCandidate] = defaultHalvingCandidates,
                nTrials: Int = 10, nInit: Int = 4, batch: Int = 3,
                gamma: Double = 0.25, iters: Int = 8,
-               coalesceTo: Option[Int] = None): HalvingResult = {
+               coalesceTo: Option[Int] = None,
+               memo: Option[FitMemo] = None,
+               stepSizeRange: (Double, Double) = (0.05, 0.5),
+               subsampleRange: (Double, Double) = (0.5, 1.0)): HalvingResult = {
     require(candidates.nonEmpty && nTrials >= nInit && nInit >= 1 && batch >= 1)
     require(gamma > 0.0 && gamma < 1.0 && iters >= 1)
-    // `cap` counts grid ENTRIES while the proposal loop draws from the
-    // distinct UNSEEN set — a duplicated grid would drain the unseen set
-    // before trials reach cap and spin forever proposing nothing
     require(candidates.distinct.size == candidates.size,
       "TPE candidate grid must not contain duplicate configs")
+    require(stepSizeRange._1 > 0.0 && stepSizeRange._1 <= stepSizeRange._2)
+    require(subsampleRange._1 > 0.0 && subsampleRange._1 <= subsampleRange._2 &&
+      subsampleRange._2 <= 1.0)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val prepared = coalesceTo.map(n => train.coalesce(n)).getOrElse(train).cache()
@@ -345,19 +413,70 @@ object Matcher {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       val grid = candidates.toIndexedSeq
-      val cap = math.min(nTrials, grid.size)
+      // the grid seeds exploration (init trials come from it), but the
+      // SEARCH SPACE is continuous in stepSize/subsamplingRate — cap is
+      // the trial budget alone, never the grid size
+      val cap = nTrials
       // seeded deterministic exploration order for the init trials
       val initOrder = grid.indices
         .sortBy(i => (scala.util.hashing.MurmurHash3.productHash((seed, i)), i))
       val trials = scala.collection.mutable.ArrayBuffer[(GbtCandidate, Double)]()
       def evalBatch(cs: Seq[GbtCandidate]): Unit = {
         val scored = Await.result(
-          Future.sequence(cs.map(c =>
-            Future((c, eval.evaluate(fit(c, tr).transform(va)))))),
+          Future.sequence(cs.map(c => Future {
+            val (_, m) = memo match {
+              case Some(mm) => mm.trial(c, iters) {
+                val mod = fit(c, tr); (mod, eval.evaluate(mod.transform(va)))
+              }
+              case None =>
+                val mod = fit(c, tr); (mod, eval.evaluate(mod.transform(va)))
+            }
+            (c, m)
+          })),
           Duration.Inf)
         trials ++= scored
       }
       evalBatch(initOrder.take(math.min(nInit, cap)).map(grid))
+      // ---- density machinery ----------------------------------------
+      // categorical dim (maxDepth): add-one-smoothed counts, as in the
+      // discrete TPE. continuous dims (stepSize, subsamplingRate): a
+      // Parzen estimator — mixture of Gaussian kernels centered at the
+      // observed values with the adaptive bandwidth (hi-lo)/√(1+n), plus
+      // one uniform prior component over the range (Bergstra et al. 2011
+      // §4's 1-D Parzen shape). All driver-side arithmetic over a few
+      // dozen trial rows; no randomness anywhere — the candidate "draws"
+      // are a deterministic quantile-sliced pool (below).
+      def catDens(vs: Seq[Int], dom: Seq[Int]): Int => Double = {
+        val counts = vs.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+        v => (counts.getOrElse(v, 0.0) + 1.0) / (vs.size + dom.size)
+      }
+      def parzenDens(vs: Seq[Double], lo: Double, hi: Double): Double => Double = {
+        val width = math.max(hi - lo, 1e-12)
+        val h = width / math.sqrt(1.0 + vs.size)
+        val uniform = 1.0 / width
+        x => {
+          val kernels = vs.map { c =>
+            val z = (x - c) / h
+            math.exp(-0.5 * z * z) / (h * math.sqrt(2.0 * math.Pi))
+          }.sum
+          (uniform + kernels) / (1.0 + vs.size)
+        }
+      }
+      // deterministic continuous candidate pool in place of TPE's random
+      // draws from l: the observed good values, the midpoints between
+      // adjacent distinct good values (the quantile-sliced OFF-GRID
+      // points the density ratio can actually prefer), the range
+      // endpoints/midpoint, and the grid's own values — every entry a
+      // function of sorted trial history, so proposals are reproducible
+      def contPool(good: Seq[Double], gridVals: Seq[Double],
+                   lo: Double, hi: Double): Seq[Double] = {
+        val gs = good.distinct.sorted
+        val mids = gs.zip(gs.drop(1)).map { case (a, b) => (a + b) / 2.0 }
+        (gs ++ mids ++ gridVals ++ Seq(lo, hi, (lo + hi) / 2.0))
+          .map(v => math.min(hi, math.max(lo, v)))
+          .map(v => math.rint(v * 1e6) / 1e6) // canonical 1e-6 precision
+          .distinct.sorted
+      }
       while (trials.size < cap) {
         val done = trials.toIndexedSeq
         val ranked = done.zipWithIndex
@@ -365,30 +484,35 @@ object Matcher {
         val nGood = math.max(1, math.ceil(gamma * done.size).toInt)
         val good = ranked.take(nGood).map(_._1)
         val rest = ranked.drop(nGood).map(_._1)
-        def dens(sel: GbtCandidate => Any, dom: Seq[Any],
-                 of: Seq[GbtCandidate]): Map[Any, Double] = {
-          val counts = of.groupBy(sel).view.mapValues(_.size.toDouble).toMap
-          dom.map(v => v ->
-            ((counts.getOrElse(v, 0.0) + 1.0) / (of.size + dom.size))).toMap
-        }
-        val dims: Seq[(GbtCandidate => Any, Seq[Any])] = Seq(
-          ((c: GbtCandidate) => c.maxDepth, grid.map(_.maxDepth).distinct),
-          ((c: GbtCandidate) => c.stepSize, grid.map(_.stepSize).distinct),
-          ((c: GbtCandidate) => c.subsamplingRate,
-            grid.map(_.subsamplingRate).distinct))
-        val ratios = dims.map { case (sel, dom) =>
-          val l = dens(sel, dom, good)
-          val g = dens(sel, dom, rest)
-          (sel, dom.map(v => v -> l(v) / g(v)).toMap)
-        }
+        val depthDom = grid.map(_.maxDepth).distinct
+        val lDepth = catDens(good.map(_.maxDepth), depthDom)
+        val gDepth = catDens(rest.map(_.maxDepth), depthDom)
+        val (sLo, sHi) = stepSizeRange
+        val (ssLo, ssHi) = subsampleRange
+        val lStep = parzenDens(good.map(_.stepSize), sLo, sHi)
+        val gStep = parzenDens(rest.map(_.stepSize), sLo, sHi)
+        val lSub = parzenDens(good.map(_.subsamplingRate), ssLo, ssHi)
+        val gSub = parzenDens(rest.map(_.subsamplingRate), ssLo, ssHi)
+        val stepPool = contPool(good.map(_.stepSize), grid.map(_.stepSize), sLo, sHi)
+        val subPool = contPool(good.map(_.subsamplingRate),
+          grid.map(_.subsamplingRate), ssLo, ssHi)
         val seen = trials.map(_._1).toSet
-        val unseen = grid.zipWithIndex.filterNot { case (c, _) => seen(c) }
-        val next = unseen
-          .sortBy { case (c, i) =>
-            (-ratios.map { case (sel, r) => r(sel(c)) }.product, i) }
-          .take(math.min(batch, cap - trials.size)).map(_._1)
-        // defense in depth alongside the distinct-grid require: never
-        // spin on an empty proposal batch
+        val proposals = for {
+          d <- depthDom
+          s <- stepPool
+          ss <- subPool
+          c = GbtCandidate(d, s, ss)
+          if !seen(c)
+        } yield c
+        val next = proposals
+          .sortBy(c => (-(lDepth(c.maxDepth) / gDepth(c.maxDepth)) *
+              (lStep(c.stepSize) / gStep(c.stepSize)) *
+              (lSub(c.subsamplingRate) / gSub(c.subsamplingRate)),
+            c.maxDepth, c.stepSize, c.subsamplingRate))
+          .take(math.min(batch, cap - trials.size))
+        // the continuous pool always holds unseen points (midpoints
+        // refine between any two seen values); this guards the
+        // degenerate all-seen corner so the loop can never spin
         if (next.isEmpty)
           throw new IllegalStateException(
             s"TPE proposal drained: ${trials.size} trials < cap $cap")
@@ -397,8 +521,11 @@ object Matcher {
       val (winner, winnerMetric) = trials.zipWithIndex
         .sortBy { case ((_, m), i) => (-m, i) }.head._1
       // same refit-on-everything convention as trainHalving
-      HalvingResult(fit(winner, prepared), winner, iters, winnerMetric,
-        trials.size)
+      val refit = memo match {
+        case Some(mm) => mm.refit(winner, iters)(fit(winner, prepared))
+        case None => fit(winner, prepared)
+      }
+      HalvingResult(refit, winner, iters, winnerMetric, trials.size)
     } finally {
       pool.shutdown()
       tr.unpersist(blocking = false)

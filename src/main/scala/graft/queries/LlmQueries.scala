@@ -27,6 +27,34 @@ object LlmQueries {
         Tables.embeddings(s, dir).where(col("embedding").isNotNull))
     }
 
+  /** Build a fragmented IVF store at `path`: 2/3 of the corpus as the
+    * initial build, the remaining third appended through the STORED
+    * centroids — the maintenance lifecycle both store queries verify.
+    * Routing centroids come from the session's shared fitted quantizer
+    * (any consistent centroid set is valid — the contracts read centroids
+    * back from the store for both compared paths). */
+  private def buildSplitIvfStore(s: SparkSession, dir: String,
+                                 path: String): String = {
+    graft.io.IO.deletePath(path)
+    val emb = Tables.embeddings(s, dir)
+    Ann.writeIvfStore(emb.where("vec_id % 3 != 2"), path,
+      centroids = Some(corpusCentroids(s, dir)))
+    Ann.appendIvfStore(emb.where("vec_id % 3 = 2"), path)
+    path
+  }
+
+  /** ONE built IVF store per (session, dir), shared by ann_ivf_store and
+    * ann_ivf_compact: both queries verify the same build+append lifecycle
+    * and neither changes row content, so building the store twice bought
+    * two identical stores for double the cost. NOT Sweep-ephemeral — the
+    * path must survive the between-query sweep for the second consumer;
+    * it dies with the JVM's target/qtmp. */
+  private def sharedIvfStore(s: SparkSession, dir: String): String =
+    SessionMemo.value(s, s"ivf_shared_store:$dir") {
+      buildSplitIvfStore(s, dir,
+        s"/root/repo/target/qtmp/ivf_shared_${storeRunId.incrementAndGet()}")
+    }
+
   /** Seeded PQ codebooks over the full embedding corpus, fitted once per
     * (session, dir) — same sharing seam as [[corpusCentroids]]: the Lloyd
     * fit is the expensive step; encode/serve are deterministic given the
@@ -404,26 +432,20 @@ object LlmQueries {
         dir, ContractBounds.annIvfRecall)
     }),
 
-    // Incremental IVF index maintenance: build the cell-partitioned store
-    // on 2/3 of the corpus, append the remaining third through the STORED
-    // centroids (pure insert — no existing file read or rewritten), then
-    // serve top-k from the store. Contract: the append-maintained index
-    // returns EXACTLY what a batch assignment of the full corpus with the
-    // same centroids returns (the maintenance claim), every score is an
-    // exact re-ranked cosine, ranks are valid. n_corpus pins the fixture.
+    // Incremental IVF index maintenance: the SESSION-SHARED store (built
+    // on 2/3 of the corpus, remaining third appended through the STORED
+    // centroids — pure insert, no existing file read or rewritten, both
+    // commits through the OCC manifest), served top-k. Contract: the
+    // append-maintained index returns EXACTLY what a batch assignment of
+    // the full corpus with the same centroids returns (the maintenance
+    // claim — and it holds whether or not ann_ivf_compact has already
+    // collapsed the shared store's generations, since compaction never
+    // changes row content), every score is an exact re-ranked cosine,
+    // ranks are valid. n_corpus pins the fixture.
     "ann_ivf_store" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val path = graft.Sweep.ephemeral(
-        s"/root/repo/target/qtmp/ivf_store_${storeRunId.incrementAndGet()}")
-      graft.io.IO.deletePath(path)
-      // reuse the session's fitted quantizer as the store's routing
-      // centroids: the incremental-equals-batch check reads centroids back
-      // from the store for both paths, so any consistent centroid set is
-      // valid — refitting on the 2/3 build subset bought nothing
-      Ann.writeIvfStore(emb.where("vec_id % 3 != 2"), path,
-        centroids = Some(corpusCentroids(s, dir)))
-      Ann.appendIvfStore(emb.where("vec_id % 3 = 2"), path)
+      val path = sharedIvfStore(s, dir)
       val queries = emb.where("vec_id < 8")
       val fromStore = Ann.ivfStoreTopK(s, path, queries, k = 10).cache()
       val cents = Ann.readCentroids(s, path)
@@ -439,21 +461,30 @@ object LlmQueries {
     }),
 
     // Store compaction (the OPTIMIZE step an append-maintained index
-    // needs): build + append fragments every cell, compaction rewrites
-    // only fragmented cells, and the contract pins that served results are
-    // identical pre/post while the per-cell file count shrinks.
+    // needs): the shared store's build + append leave every cell spread
+    // over two generations; compaction collapses exactly those cells
+    // through the SAME optimistic manifest loop as every merge (no
+    // racing reader can see a cell mid-rewrite), and the contract pins
+    // that served results are identical pre/post while the per-cell file
+    // count shrinks. The pre-compaction manifest version stays
+    // time-travel-readable (pinned in AnnSpec).
     "ann_ivf_compact" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val path = graft.Sweep.ephemeral(
-        s"/root/repo/target/qtmp/ivf_compact_${storeRunId.incrementAndGet()}")
-      graft.io.IO.deletePath(path)
-      Ann.writeIvfStore(emb.where("vec_id % 3 != 2"), path,
-        centroids = Some(corpusCentroids(s, dir)))
-      Ann.appendIvfStore(emb.where("vec_id % 3 = 2"), path)
+      var path = sharedIvfStore(s, dir)
+      if (!Ann.ivfStoreFragmented(s, path)) {
+        // rerun corner (possible only outside the one-run-per-query
+        // bench/verify protocol): an earlier call already compacted the
+        // shared store — rebuild a private fragmented store so the
+        // contract still exercises a real compaction
+        path = buildSplitIvfStore(s, dir, graft.Sweep.ephemeral(
+          s"/root/repo/target/qtmp/ivf_compact_${storeRunId.incrementAndGet()}"))
+      }
       val queries = emb.where("vec_id < 8")
-      // materialize the pre-compaction serve — its files are about to be
-      // rewritten under it
+      // materialize the pre-compaction serve — not because files are
+      // rewritten under it (the manifest protects readers) but because
+      // the comparison below must not re-resolve to the POST-compaction
+      // manifest version
       val served = Ann.ivfStoreTopK(s, path, queries, k = 10).localCheckpoint()
       val stats = Ann.compactIvfStore(s, path)
       val reduced = (stats.where(col("files_after") >= col("files_before"))
@@ -462,7 +493,7 @@ object LlmQueries {
       val delta = served.unionByName(after)
         .groupBy("query_id", "nn_id", "cosine", "rank")
         .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
-      val nRows = s.read.parquet(path).count()
+      val nRows = Ann.readIvfStore(s, path).count()
       // the store holds exactly the cosine-servable rows (writeIvfStore
       // drops null/zero-norm vectors); n_corpus still pins the raw fixture
       val nServable = emb.where(Ann.cosineUsable(col("embedding"))).count()

@@ -268,6 +268,16 @@ object MatchQueries {
     * the candidate-join + distance-join + weight derivation for the
     * identical frame (shared by m4_halving_search, m5_train_eval, and
     * ProfileHalving). */
+  /** Session-shared fitted-model memo for the two M4 searches: both run
+    * on [[halvingTrainingFrame]] with the same seed/split, so a
+    * (candidate, budget) fit either search has already paid — TPE's
+    * fixed 8-round trials coincide with halving's final rung, and both
+    * refit their winner at 8 rounds on the full frame — is reused
+    * bit-identically instead of refit. Keyed (session, dir) like the
+    * frame itself, so the memo can never outlive or cross fixtures. */
+  private def m4FitMemo(s: SparkSession, dir: String): Matcher.FitMemo =
+    SessionMemo.value(s, s"m4_fit_memo:$dir")(new Matcher.FitMemo)
+
   private[graft] def halvingTrainingFrame(s: SparkSession, dir: String): DataFrame =
     trainingFrameCache.getOrElseUpdate(cacheKey(s, dir, "id % 10 = 0"),
       graft.Sweep.retainNew(s) {
@@ -449,7 +459,8 @@ object MatchQueries {
       // isolated subset incl. the shared feature stage: 41.3 s at 8 →
       // 29.4 s at 16)
       val r = Matcher.trainHalving(weighted, parallelism = 16,
-        minIter = 2, maxIter = 32, eta = 4, coalesceTo = Some(parts))
+        minIter = 2, maxIter = 32, eta = 4, coalesceTo = Some(parts),
+        memo = Some(m4FitMemo(s, dir)))
       Seq((nPairs, r.evals.toLong, r.budget.toLong,
           nPairs < 500L || r.validationMetric > 0.5,
           r.validationMetric <= 1.0))
@@ -472,7 +483,7 @@ object MatchQueries {
         (nPairs / 50000L).toInt))
       val r = Matcher.trainTpe(weighted, parallelism = 16,
         nTrials = 10, nInit = 4, batch = 3, iters = 8,
-        coalesceTo = Some(parts))
+        coalesceTo = Some(parts), memo = Some(m4FitMemo(s, dir)))
       Seq((nPairs, r.evals.toLong, r.budget.toLong,
           nPairs < 500L || r.validationMetric > 0.5,
           r.validationMetric <= 1.0))

@@ -120,10 +120,12 @@ class AnnSpec extends SparkSpec {
     Ann.appendIvfStore(emb.where("vec_id % 3 = 2"), path)
     val after = files()
     // pure insert: every pre-append file survives byte-identical in place
+    // (the delta lands in a NEW generation directory; only the manifest
+    // pointer moved)
     assert(before.forall { case (f, m) => after.get(f).contains(m) })
     assert(after.size > before.size)
     // the store now holds the whole corpus exactly once
-    assert(spark.read.parquet(path).count() == emb.count())
+    assert(Ann.readIvfStore(spark, path).count() == emb.count())
   }
 
   test("ivf store: null embeddings are never persisted (count == servable)") {
@@ -134,7 +136,7 @@ class AnnSpec extends SparkSpec {
       when(col("vec_id") % 10 === 0, lit(null)).otherwise(col("embedding")))
     Ann.writeIvfStore(withNulls.where("vec_id % 3 != 2"), path)
     Ann.appendIvfStore(withNulls.where("vec_id % 3 = 2"), path)
-    val store = spark.read.parquet(path)
+    val store = Ann.readIvfStore(spark, path)
     val expected = withNulls.where("embedding IS NOT NULL").count()
     // store count equals its servable contents: no default-Hive-partition
     // rows a cell equi-join can never reach
@@ -360,13 +362,13 @@ class AnnSpec extends SparkSpec {
     Ann.appendIvfStore(emb.where($"vec_id" % 3 === 2), path)
     val queries = emb.where("vec_id < 4")
     val before = Ann.ivfStoreTopK(spark, path, queries, k = 5).localCheckpoint()
-    val nBefore = spark.read.parquet(path).count()
+    val nBefore = Ann.readIvfStore(spark, path).count()
     val stats = Ann.compactIvfStore(spark, path)
       .as[(Int, Int, Int)].collect()
     assert(stats.nonEmpty, "append fragmented no cell? expected rewrites")
     assert(stats.forall { case (_, b, a) => a == 1 && b > 1 },
       s"expected 1 file per rewritten cell: ${stats.toSeq}")
-    assert(spark.read.parquet(path).count() == nBefore, "compaction changed row count")
+    assert(Ann.readIvfStore(spark, path).count() == nBefore, "compaction changed row count")
     val after = Ann.ivfStoreTopK(spark, path, queries, k = 5)
     val delta = before.unionByName(after)
       .groupBy("query_id", "nn_id", "cosine", "rank")
@@ -374,6 +376,71 @@ class AnnSpec extends SparkSpec {
     assert(delta == 0L, "serve changed across compaction")
     // idempotent: a second pass finds nothing fragmented
     assert(Ann.compactIvfStore(spark, path).count() == 0L)
+    graft.io.IO.deletePath(path)
+  }
+
+  test("ivf store: compaction commits through the OCC manifest — a racing " +
+       "append serializes and neither commit is lost") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = "/root/repo/target/qtmp/annspec_occ"
+    graft.io.IO.deletePath(path)
+    Ann.writeIvfStore(emb.where($"vec_id" % 3 =!= 2), path)          // v1
+    Ann.appendIvfStore(emb.where($"vec_id" % 3 === 2), path)         // v2
+    // a delta of NEW ids, routed through the stored centroids
+    val delta = emb.where("vec_id < 30")
+      .withColumn("vec_id", $"vec_id" + 100000L).localCheckpoint()
+    val nDelta = delta.where(Ann.cosineUsable($"embedding")).count()
+    // race the compaction (rewrites every fragmented cell) against an
+    // append (adds a generation to the delta's cells): both go through
+    // claimVersion, so they serialize — the loser recomputes/retries
+    // against the winner's manifest and BOTH rows-sets land
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fCompact = Future(Ann.compactIvfStore(spark, path).count())
+    val fAppend = Future(Ann.appendIvfStore(delta, path))
+    Await.result(fCompact, Duration.Inf)
+    Await.result(fAppend, Duration.Inf)
+    assert(Ann.readIvfStore(spark, path).count() == emb.count() + nDelta,
+      "a racing commit was lost")
+    // serve over the post-race store equals a batch assignment of the
+    // same rows — content integrity, not just counts
+    val queries = emb.where("vec_id < 4")
+    val cents = Ann.readCentroids(spark, path)
+    val full = emb.unionByName(delta)
+    val fromStore = Ann.ivfStoreTopK(spark, path, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val batch = Ann.ivfTopKFromAssigned(Ann.assignCells(full, cents), cents,
+        queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(fromStore == batch && fromStore.nonEmpty)
+    graft.io.IO.deletePath(path)
+  }
+
+  test("ivf store: pre-compaction versions stay time-travel-readable " +
+       "(manifest-pointer commits never touch live files)") {
+    val emb = Tables.embeddings(spark, sf).limit(120)
+    val path = "/root/repo/target/qtmp/annspec_timetravel"
+    graft.io.IO.deletePath(path)
+    Ann.writeIvfStore(emb.where($"vec_id" % 3 =!= 2), path)          // v1
+    Ann.appendIvfStore(emb.where($"vec_id" % 3 === 2), path)         // v2
+    assert(Ann.compactIvfStore(spark, path).count() > 0)             // v3
+    val versions = graft.io.IO.storeVersions(spark, path)
+    assert(versions == Seq(1, 2, 3), s"unexpected versions: $versions")
+    def dataRows(v: Int): Set[Long] =
+      graft.io.IO.readPartitionedStoreAt(spark, path, v)
+        .where($"nn_id" >= 0).select("nn_id").as[Long].collect().toSet
+    val buildIds = emb.where($"vec_id" % 3 =!= 2)
+      .select("vec_id").as[Long].collect().toSet
+    val allIds = emb.select("vec_id").as[Long].collect().toSet
+    assert(dataRows(1) == buildIds, "v1 is not the pre-append build")
+    assert(dataRows(2) == allIds, "v2 is not the pre-compaction full corpus")
+    assert(dataRows(3) == allIds, "compaction changed content")
+    // vacuum trims history to the current version — the standard
+    // retention trade — after which v3 still reads
+    graft.io.IO.vacuumPartitionedStore(spark, path, orphanGraceMs = 0L)
+    assert(graft.io.IO.storeVersions(spark, path) == Seq(3))
+    assert(dataRows(3) == allIds)
     graft.io.IO.deletePath(path)
   }
 

@@ -124,7 +124,12 @@ class MatcherSpec extends SparkSpec {
     assert(r.evals == 10, s"trial count drifted: ${r.evals}")
     assert(r.budget == 8)
     assert(r.validationMetric >= 0.0 && r.validationMetric <= 1.0)
-    assert(Matcher.defaultHalvingCandidates.contains(r.candidate))
+    // the winner lives in the declared CONTINUOUS space: depth from the
+    // grid's categorical domain, the continuous dims inside their ranges
+    // (not necessarily on the seeding grid)
+    assert(Matcher.defaultHalvingCandidates.map(_.maxDepth).contains(r.candidate.maxDepth))
+    assert(r.candidate.stepSize >= 0.05 && r.candidate.stepSize <= 0.5)
+    assert(r.candidate.subsamplingRate >= 0.5 && r.candidate.subsamplingRate <= 1.0)
     // determinism: the density-ratio proposals and tie-breaks are seeded
     // and stable, so a rerun selects the identical winner and metric
     val r2 = Matcher.trainTpe(train, parallelism = 4,
@@ -132,6 +137,66 @@ class MatcherSpec extends SparkSpec {
     assert(r2.candidate == r.candidate && r2.validationMetric == r.validationMetric)
     val aupr = Matcher.areaUnderPR(r.model, test)
     assert(aupr > 0.95, s"separable data should stay near-perfect: $aupr")
+  }
+
+  test("batch TPE: continuous dims — the adaptive proposals reach " +
+       "off-grid configs between observed good values") {
+    val df = Matcher.addClassWeights(syntheticPairs(400)).coalesce(2)
+    val Seq(train, _) = Matcher.stratifiedSplit(df, Seq(0.8, 0.2))
+    // run past the init phase so density-ratio proposal rounds happen;
+    // 4 init (grid points) + 8 adaptive proposals
+    val memo = new Matcher.FitMemo
+    val r = Matcher.trainTpe(train, parallelism = 4,
+      nTrials = 12, nInit = 4, batch = 4, iters = 4, memo = Some(memo))
+    // the memo records every DISTINCT fitted trial — recover the
+    // proposal set from it via a second identical run (all 12 hits)
+    val r2 = Matcher.trainTpe(train, parallelism = 4,
+      nTrials = 12, nInit = 4, batch = 4, iters = 4, memo = Some(memo))
+    assert(memo.trialCount == 12,
+      s"rerun with shared memo must refit nothing: ${memo.trialCount} distinct fits")
+    assert(r2.candidate == r.candidate && r2.validationMetric == r.validationMetric)
+    // at least one adaptive proposal must be OFF-GRID in a continuous
+    // dim — the quantile-sliced pool midpoints guarantee candidates
+    // between adjacent grid values, and 8 proposals over a 4-point
+    // stepSize×subsample grid region cannot all be grid points
+    val gridSteps = Matcher.defaultHalvingCandidates.map(_.stepSize).distinct.toSet
+    val gridSubs = Matcher.defaultHalvingCandidates.map(_.subsamplingRate).distinct.toSet
+    val offGrid = memo.trialKeys.map(_._1).exists(c =>
+      !gridSteps.contains(c.stepSize) || !gridSubs.contains(c.subsamplingRate))
+    assert(offGrid, "no off-grid config was ever proposed — search is still grid-restricted")
+  }
+
+  test("fit memo shared across halving and TPE: results identical to " +
+       "unshared searches, coinciding fits paid once") {
+    val df = Matcher.addClassWeights(syntheticPairs(400)).coalesce(2)
+    val Seq(train, _) = Matcher.stratifiedSplit(df, Seq(0.8, 0.2))
+    val plainH = Matcher.trainHalving(train, parallelism = 4,
+      minIter = 2, maxIter = 8, eta = 4)
+    val plainT = Matcher.trainTpe(train, parallelism = 4,
+      nTrials = 6, nInit = 4, batch = 2, iters = 8)
+    val memo = new Matcher.FitMemo
+    val h = Matcher.trainHalving(train, parallelism = 4,
+      minIter = 2, maxIter = 8, eta = 4, memo = Some(memo))
+    val t = Matcher.trainTpe(train, parallelism = 4,
+      nTrials = 6, nInit = 4, batch = 2, iters = 8, memo = Some(memo))
+    // sharing must not change ANY observable result of either search
+    assert(h.candidate == plainH.candidate && h.budget == plainH.budget &&
+      h.evals == plainH.evals && h.validationMetric == plainH.validationMetric)
+    assert(t.candidate == plainT.candidate && t.budget == plainT.budget &&
+      t.evals == plainT.evals && t.validationMetric == plainT.validationMetric)
+    // rerunning EITHER search against the shared memo must add zero
+    // distinct fits (deterministic schedules + full reuse); the cross-
+    // search overlap itself is opportunistic — whatever (candidate, 8)
+    // fits coincide between halving's final rung and TPE's fixed budget
+    // are paid once, which the rerun invariance is the proof mechanism for
+    val fitsAfterBoth = memo.trialCount
+    val h2 = Matcher.trainHalving(train, parallelism = 4,
+      minIter = 2, maxIter = 8, eta = 4, memo = Some(memo))
+    val t2 = Matcher.trainTpe(train, parallelism = 4,
+      nTrials = 6, nInit = 4, batch = 2, iters = 8, memo = Some(memo))
+    assert(memo.trialCount == fitsAfterBoth,
+      s"rerun refit something: ${memo.trialCount} != $fitsAfterBoth")
+    assert(h2.candidate == h.candidate && t2.candidate == t.candidate)
   }
 
   test("successive halving: single-candidate degenerate search fits once " +
