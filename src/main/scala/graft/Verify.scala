@@ -2,11 +2,35 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * ADVERSARIAL MODE (`--adversarial` as the first argument, or env
+  * `SPARK_GRAFT_ADVERSARIAL=1`): regenerates the null/NaN/empty-row
+  * fixture from the given sfDir via `tools/make_null_fixture.py`, dumps
+  * every registered query against THAT fixture, then runs the DuckDB
+  * oracle compare (`tools/local_check.py`) and exits nonzero on any
+  * mismatch — the one-command version of the sweep that pins the
+  * engine-wide NULL/NaN semantics (cosine ops exclude null/zero-norm/
+  * NaN/NULL-component vectors, time ops exclude NULL ts, keyed state
+  * excludes NULL keys, token-less docs have no gram surface):
+  *
+  *   sbt "runMain graft.Verify --adversarial /root/testdata/sf0.001 target/verify_null"
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val (Array(sfDir, outDir), onlyNames) = args.splitAt(2)
+    val adversarial = args.headOption.contains("--adversarial") ||
+      sys.env.get("SPARK_GRAFT_ADVERSARIAL").contains("1")
+    val rest = if (args.headOption.contains("--adversarial")) args.drop(1) else args
+    val (Array(srcDir, outDir), onlyNames) = rest.splitAt(2)
     val only = onlyNames.toSet // empty = all (the driver's invocation)
+    val sfDir = if (!adversarial) srcDir else {
+      val fixture = "/root/repo/target/sfnull_verify"
+      graft.io.IO.deletePath(fixture)
+      val gen = new ProcessBuilder("python3", "/root/repo/tools/make_null_fixture.py",
+          srcDir, fixture).inheritIO().start().waitFor()
+      if (gen != 0) { System.err.println(s"[verify] fixture generation failed ($gen)"); sys.exit(gen) }
+      fixture
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,5 +68,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (adversarial) {
+      // the oracle compare against the regenerated fixture IS the gate:
+      // exit nonzero on any hash/row/schema mismatch
+      val check = new ProcessBuilder(
+          (Seq("python3", "/root/repo/tools/local_check.py", sfDir, outDir)
+            ++ onlyNames): _*)
+        .inheritIO().start().waitFor()
+      sys.exit(check)
+    }
   }
 }

@@ -33,11 +33,17 @@ object Ann {
     * the same divergence through a different door: NaN is non-null and
     * `NaN =!= 0` is true, so without its own guard a NaN-bearing vector
     * slips past both earlier conjuncts and its NaN cosine again ranks
-    * first. `exists` short-circuits (first nonzero / first NaN
-    * component), so the filter is one cheap codegen pass at the scan. */
+    * first. A NULL COMPONENT is the third door: its products NULL out
+    * the whole dot-product aggregate, and a bare `isnan` conjunct would
+    * return NULL (not false) for such a vector — three-valued logic then
+    * leaves engine and oracle free to disagree on whether the row
+    * survives. The lambda `x.isNull || isnan(x)` is never NULL, so the
+    * exists is two-valued and both engines exclude identically. `exists`
+    * short-circuits (first nonzero / first bad component), so the filter
+    * is one cheap codegen pass at the scan. */
   private[graft] def cosineUsable(vecCol: Column): Column =
     vecCol.isNotNull && exists(vecCol, x => x =!= lit(0.0f)) &&
-      !exists(vecCol, x => isnan(x))
+      !exists(vecCol, x => x.isNull || isnan(x))
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
@@ -337,7 +343,15 @@ object Ann {
                    vecCol: String = "embedding", seed: Long = 42L,
                    maxIter: Int = 5, fitSampleCap: Long = 10000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
+    // non-finite rows are excluded from the FIT regardless of the
+    // caller's filter: MLlib KMeans raises on any NaN/Infinity input
+    // (and a NULL component cannot vectorize at all), and a poisoned
+    // vector is unroutable/unservable anyway — it must never decide
+    // where centroids sit. The lambda is never NULL, so the filter is
+    // two-valued like cosineUsable's.
     val v0 = corpus.select(asDouble(col(vecCol)).as("arr"))
+      .where(col("arr").isNotNull &&
+        !exists(col("arr"), x => x.isNull || isnan(x)))
     val n = v0.count()
     val k = if (nCells > 0) nCells
             else math.max(1, math.min(autoCells(n), math.min(n, Int.MaxValue.toLong).toInt))
@@ -684,9 +698,16 @@ object Ann {
     (scale, s, v.map(x => rnd(x / s * 127.0).toInt))
   }
 
-  private val quantUdf = udf { (v: Seq[Double]) =>
-    if (v == null) null
+  private val quantUdf = udf { (boxed: Seq[java.lang.Double]) =>
+    // boxed input: a primitive Seq[Double] signature makes Spark raise
+    // NOT_NULL_ASSERT_VIOLATION before the body ever runs when a vector
+    // carries a NULL component. NULL- and NaN-component vectors are
+    // UNQUANTIZABLE — int8 codes for NaN are garbage (and the oracle's
+    // CAST(NaN AS INT) is an outright error) — so both quantize to the
+    // same all-NULL row a NULL vector gets (mirrored in the oracle).
+    if (boxed == null || boxed.exists(d => d == null || d.doubleValue.isNaN)) null
     else {
+      val v: Seq[Double] = boxed.map(_.doubleValue)
       val (scale, s, q) = quantCodes(v)
       var dotVD = 0.0; var nv = 0.0; var nd = 0.0; var maxErr = 0.0
       var i = 0
@@ -920,10 +941,14 @@ object Ann {
 
   /** Quantize-then-dequantize (the value an int8 store actually serves at
     * query time): code_i × scale / 127, in one pass from the original. */
-  private val dequantUdf = udf { (v: Seq[Double]) =>
-    if (v == null) null
+  private val dequantUdf = udf { (boxed: Seq[java.lang.Double]) =>
+    // same unquantizable rule as quantUdf — critically for NaN: the NaN
+    // code would dequantize to 0.0, LAUNDERING the poisoned vector into
+    // one cosineUsable accepts, so the quantized store could serve a
+    // neighbor the exact oracle excludes
+    if (boxed == null || boxed.exists(d => d == null || d.doubleValue.isNaN)) null
     else {
-      val (_, s, q) = quantCodes(v)
+      val (_, s, q) = quantCodes(boxed.map(_.doubleValue))
       q.map(_ * s / 127.0)
     }
   }

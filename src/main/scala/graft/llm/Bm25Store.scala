@@ -54,6 +54,19 @@ object Bm25Store {
   private def termBucket(termBuckets: Int) =
     pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int")
 
+  /** Driver-side twin of [[termBucket]]: the same XxHash64 (Spark's
+    * default seed 42) over the term's UTF-8 bytes, then the same pmod —
+    * so the serve path can resolve its probe buckets without launching a
+    * Spark job per query. Driver/executor agreement is pinned by a
+    * TextAnalysisSpec case over ASCII and non-ASCII terms. */
+  private[graft] def termBucketLocal(term: String, termBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term),
+      org.apache.spark.sql.types.StringType, 42L)
+    val m = h % termBuckets
+    (if (m < 0) m + termBuckets else m).toInt
+  }
+
   /** Postings + one stats-delta row for a document batch, carrying the
     * store's trusted routing column. Shared by build and append. */
   private def indexRows(docs: DataFrame, termBuckets: Int,
@@ -114,11 +127,10 @@ object Bm25Store {
     require(k1 >= 0.0 && b >= 0.0 && b <= 1.0, s"bad BM25 params ($k1, $b)")
     val termBuckets = IO.storeBuckets(path) - 1
     val ts = queryTerms.zipWithIndex
-    // the terms' buckets, computed with the WRITE side's own expression —
-    // |terms| rows through the same xxhash64/pmod, zero drift risk
-    import spark.implicits._
-    val probed = queryTerms.toDF("term")
-      .select(termBucket(termBuckets)).collect().map(_.getInt(0)).toSet
+    // the terms' buckets, computed DRIVER-SIDE with the write side's hash
+    // (termBucketLocal ≡ termBucket, spec-pinned): |terms| integer hashes
+    // instead of a Spark job on the serve path
+    val probed = queryTerms.map(termBucketLocal(_, termBuckets)).toSet
     val pruned = IO.readStoreBuckets(spark, path, probed + termBuckets)
       .drop(IO.BucketCol)
     val posts = pruned.where(col("term").isin(queryTerms: _*))

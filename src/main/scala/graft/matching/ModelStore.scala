@@ -77,7 +77,23 @@ object ModelStore {
   def versionsInStage(root: String, name: String, s: String): Seq[Int] =
     versions(root, name).filter(v => stage(root, name, v) == s).sorted
 
+  /** Move a version between the non-Production stages. "Production" is
+    * REJECTED here: the pointer file is what defines Production
+    * ([[stage]] reconciles through it), so a direct
+    * setStage(..., "Production") that never moved the pointer would
+    * append `-> Production` to the audit log while reading back as
+    * Archived — log and read path contradicting each other.
+    * [[setProduction]] is the only Production writer. */
   def setStage(root: String, name: String, version: Int, to: String): Unit = {
+    require(to != "Production",
+      "Production is defined by the pointer file — promote via " +
+        "setProduction(root, name, version), which archives the previous " +
+        "holder and moves the pointer")
+    writeStage(root, name, version, to)
+  }
+
+  private def writeStage(root: String, name: String, version: Int,
+                         to: String): Unit = {
     require(Stages.contains(to), s"unknown stage '$to' (valid: $Stages)")
     require(versions(root, name).contains(version),
       s"no version v$version under $root/$name")
@@ -98,8 +114,8 @@ object ModelStore {
   def setProduction(root: String, name: String, version: Int): Unit = {
     productionVersion(root, name)
       .filter(prev => prev != version && versions(root, name).contains(prev))
-      .foreach(prev => setStage(root, name, prev, "Archived"))
-    setStage(root, name, version, "Production")
+      .foreach(prev => writeStage(root, name, prev, "Archived"))
+    writeStage(root, name, version, "Production")
     Files.writeString(Paths.get(root, name, "production"), version.toString)
   }
 

@@ -188,10 +188,14 @@ object FeatureQueries {
     // against pure-SQL double arithmetic.
     "x1_sqdist" -> ((s, dir) => {
       graft.matching.Distances.register(s)
-      // array_to_vector NPEs on a NULL array; a NULL embedding has no
-      // distance to anything — filtered identically in the oracle
+      // array_to_vector NPEs on a NULL array AND on a NULL element; a
+      // vector with a NULL component has no well-defined distance (the
+      // oracle's list_sum would silently SKIP the null pair and report a
+      // partial distance) — both are filtered identically in the oracle.
+      // The exists lambda is never NULL, so the filter is two-valued.
       val e = Tables.embeddings(s, dir)
-        .where(col("embedding").isNotNull)
+        .where(col("embedding").isNotNull &&
+          !exists(col("embedding"), x => x.isNull))
         .select(col("vec_id"),
           array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("v"))
       e.as("a").join(e.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
@@ -257,7 +261,9 @@ object FeatureQueries {
         |  CASE WHEN nrm > 0 THEN round(v[2] / nrm, 6) END AS c2,
         |  round(nrm, 6) AS norm
         |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-        |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |             CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN NULL
+        |                  ELSE sqrt(list_sum(list_transform(embedding,
+        |                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END AS nrm
         |      FROM embeddings)""".stripMargin,
     "f12_vector_assembler" ->
       s"""SELECT id, CAST(CAST(replace(price, '$$', '') AS REAL) AS DOUBLE) AS price_val
@@ -272,6 +278,8 @@ object FeatureQueries {
         |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 5) AS sqdist
         |FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
-        |WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL""".stripMargin
+        |WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+        |  AND len(list_filter(a.embedding, x -> x IS NULL)) = 0
+        |  AND len(list_filter(b.embedding, x -> x IS NULL)) = 0""".stripMargin
   )
 }

@@ -1066,12 +1066,16 @@ object LlmQueries {
     * component. DuckDB's 0/0 is NULL (not NaN) so its threshold filters
     * drop zero vectors naturally, but the explicit predicate keeps the
     * rule independent of either engine's NULL/NaN ordering defaults
-    * across fixture regenerations; the NaN conjunct mirrors the engine's
-    * guard against NaN components ranking first under Spark's
-    * NaN-is-greatest ordering. */
+    * across fixture regenerations; the NaN/NULL-component conjunct
+    * mirrors the engine's guard against NaN components ranking first
+    * under Spark's NaN-is-greatest ordering and against NULL components
+    * (which NULL the dot product out entirely). The predicate
+    * `x IS NULL OR isnan(x)` is never NULL, so list_filter's
+    * drop-NULL-results rule and Spark's three-valued `exists` cannot
+    * diverge on NULL-component vectors. */
   private[queries] val usableVec: String =
     "embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0" +
-      " AND len(list_filter(embedding, x -> isnan(x))) = 0"
+      " AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0"
 
   val oracles: Seq[(String, String)] = Seq(
     "dd_exact" ->
@@ -1473,7 +1477,9 @@ object LlmQueries {
     // half-away-from-zero, matching the operator's explicit rounding rule
     "ann_quantize" ->
       """WITH v AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |  CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x))) > 0 THEN NULL
+        |       ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+        |  FROM embeddings),
         |s AS (SELECT vec_id, v,
         |  list_max(list_transform(v, x -> abs(x))) AS scale,
         |  CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0

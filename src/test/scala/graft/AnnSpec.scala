@@ -244,6 +244,28 @@ class AnnSpec extends SparkSpec {
       .select("nn_id").as[Long].collect().toSet == Set(2L, 5L))
   }
 
+  test("NULL-component vectors are excluded two-valuedly (a bare isnan " +
+       "conjunct would return NULL and let engine and oracle diverge)") {
+    val df = Seq(
+      (1L, Array[java.lang.Float](1.0f, 0.0f, 0.0f)),
+      (2L, Array[java.lang.Float](0.9f, 0.1f, 0.0f)),
+      (3L, Array[java.lang.Float](0.7f, null, 0.0f)), // NULL component, no NaN
+      (5L, Array[java.lang.Float](0.8f, 0.2f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = df.where("vec_id = 1")
+    // the NULL-component vector's dot product is NULL — it can never be
+    // a neighbor, and the guard must evaluate FALSE (not NULL) for it
+    assert(Ann.bruteTopK(df, q, k = 10)
+      .select("nn_id").as[Long].collect().toSet == Set(2L, 5L))
+    // ... and the guard itself is two-valued over this row
+    val guarded = df.select(col("vec_id"),
+      Ann.cosineUsable(col("embedding")).as("ok"))
+    assert(guarded.where(col("ok").isNull).count() == 0L,
+      "cosineUsable returned NULL — three-valued logic leaked")
+    assert(guarded.where(col("ok")).select("vec_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 5L))
+  }
+
   test("rrfFuse: a doc duplicated WITHIN one list counts once, best rank " +
        "wins, and n_lists stays per-list") {
     val lex = Seq((10L, 1), (20L, 2), (20L, 5), (30L, 3)).toDF("doc_id", "rank")

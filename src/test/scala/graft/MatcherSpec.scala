@@ -241,6 +241,14 @@ class MatcherSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ModelStore.setStage(root, "m", v3, "Retired") // not a stage
     }
+    // Production is pointer-defined: a direct setStage to it would write
+    // an audit-log transition that the read path (pointer reconciliation)
+    // contradicts — only setProduction may write it
+    intercept[IllegalArgumentException] {
+      ModelStore.setStage(root, "m", v1, "Production")
+    }
+    assert(ModelStore.stage(root, "m", v1) == "None",
+      "rejected transition must leave the stage untouched")
     val loaded = PipelineModel.load(ModelStore.productionPath(root, "m"))
     val a = Matcher.score(model, df).select("idA", "match_score")
       .as[(Int, Double)].collect().toMap

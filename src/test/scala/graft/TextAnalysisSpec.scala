@@ -247,6 +247,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(statsV1 == ((4L, 6L))) // 4 docs, 3+2+1 tokens at build time
   }
 
+  test("Bm25Store: driver-side bucket hash equals the executor-side " +
+       "xxhash64/pmod expression (ASCII, non-ASCII, empty, long terms)") {
+    import graft.llm.Bm25Store
+    val terms = Seq("cat", "fish", "", "naïve", "日本語", "ümlaut",
+      "a" * 300, "MixedCase", "with space", "0123456789")
+    for (buckets <- Seq(1, 7, 64, 255)) {
+      val viaSpark = terms.toDF("term")
+        .select(col("term"),
+          pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int").as("b"))
+        .as[(String, Int)].collect().toMap
+      terms.foreach { t =>
+        assert(Bm25Store.termBucketLocal(t, buckets) == viaSpark(t),
+          s"driver/executor hash drift for '$t' at $buckets buckets")
+      }
+    }
+  }
+
   test("unigramLogProb: hand-computed probabilities on a 3-doc corpus") {
     // corpus tokens: a a a b  → p(a)=3/4, p(b)=1/4
     val df = Seq((1L, "a a"), (2L, "a b"), (3L, ""))

@@ -67,6 +67,11 @@ def main():
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, "
           f"{len(oracle)} oracle queries")
+    # gate semantics for callers (graft.Verify --adversarial): any
+    # mismatch — or an empty sweep, which would mask a dump failure —
+    # is a nonzero exit
+    if n_fail > 0 or n_pass == 0:
+        sys.exit(1)
 
 if __name__ == "__main__":
     main()

@@ -76,11 +76,21 @@ con.sql(f"""
            CAST(list_transform(range({dim}),
                 x -> CASE WHEN x = 0 THEN CAST('NaN' AS FLOAT)
                           ELSE 0.5 END) AS FLOAT[]), 1
+    UNION ALL
+    -- NULL COMPONENT (no NaN): a bare `isnan` conjunct is NULL (not
+    -- false) for this vector under Spark's three-valued exists, while
+    -- DuckDB's list_filter drops NULL predicate results — the engines
+    -- would silently disagree on whether the row survives unless the
+    -- guard's lambda (x IS NULL OR isnan(x)) is itself never NULL
+    SELECT {vec_max + 4},
+           CAST(list_transform(range({dim}),
+                x -> CASE WHEN x = 1 THEN NULL
+                          ELSE 0.25 END) AS FLOAT[]), 1
   ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """)
 n = con.sql(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
 print(f"wrote {out}/embeddings.parquet with {n} rows "
-      f"(NULL-vector, zero-vector and NaN-component rows appended)")
+      f"(NULL-vector, zero-vector, NaN-component and NULL-component rows appended)")
 
 ev_max = con.sql(
     f"SELECT max(event_id) FROM '{src}/events.parquet'").fetchone()[0]
