@@ -55,6 +55,24 @@ object LlmQueries {
         s"/root/repo/target/qtmp/ivf_shared_${storeRunId.incrementAndGet()}")
     }
 
+  /** ONE built BM25 inverted index per (session, dir) — the lexical twin
+    * of [[sharedIvfStore]]: built on 2/3 of the corpus and brought to
+    * full coverage by an O(delta) append (the maintenance lifecycle
+    * tx_bm25_store verifies), then reused as the SERVE arm of the hybrid
+    * fusion query — so the store the flagship hybrid workload reads is
+    * the one the lifecycle query just exercised, not a second build.
+    * Same non-ephemeral rule as the IVF memo: the path must survive the
+    * between-query sweep for the second consumer. */
+  private def sharedBm25Store(s: SparkSession, dir: String): String =
+    SessionMemo.value(s, s"bm25_shared_store:$dir") {
+      val docs = Tables.documents(s, dir)
+      val path = s"/root/repo/target/qtmp/bm25_shared_${storeRunId.incrementAndGet()}"
+      graft.io.IO.deletePath(path)
+      Bm25Store.write(docs.where("doc_id % 3 != 2"), path)
+      Bm25Store.append(docs.where("doc_id % 3 = 2"), path)
+      path
+    }
+
   /** Seeded PQ codebooks over the full embedding corpus, fitted once per
     * (session, dir) — same sharing seam as [[corpusCentroids]]: the Lloyd
     * fit is the expensive step; encode/serve are deterministic given the
@@ -600,27 +618,25 @@ object LlmQueries {
     // a read of ONLY the query terms' buckets. The oracle is the SAME
     // full-scan BM25 recomputation as tx_bm25 — pruned-serve scores must
     // equal full-scan scores exactly, df/avgdl/n_docs included.
-    "tx_bm25_store" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val path = graft.Sweep.ephemeral(
-        s"/root/repo/target/qtmp/bm25_store_${storeRunId.incrementAndGet()}")
-      graft.io.IO.deletePath(path)
-      Bm25Store.write(docs.where("doc_id % 3 != 2"), path)
-      Bm25Store.append(docs.where("doc_id % 3 = 2"), path)
-      Bm25Store.scores(s, path, bm25Terms)
-    }),
+    "tx_bm25_store" -> ((s, dir) =>
+      Bm25Store.scores(s, sharedBm25Store(s, dir), bm25Terms)),
 
     // Hybrid retrieval: BM25 lexical top-50 fused with cosine semantic
     // top-50 (query = vec_id 0) via reciprocal-rank fusion — the standard
-    // combiner when score scales are incomparable. Both lists are top-m
-    // bounded by their producers (TakeOrdered / per-query window), so the
-    // global rank window runs over 50 rows, and fusion exchanges ≤ 100
-    // tiny rows however large the corpus.
+    // combiner when score scales are incomparable. The LEXICAL arm is
+    // SERVED from the session's persisted BM25 store (the index
+    // tx_bm25_store just lifecycle-verified): a pruned read of the query
+    // terms' buckets, not a corpus rescan — the arm a hybrid serving
+    // loop actually runs at 100 TB. Store scores equal full-scan scores
+    // exactly (the tx_bm25_store contract), so the full-scan oracle is
+    // unchanged. Both lists are top-m bounded by their producers
+    // (TakeOrdered / per-query window), so the global rank window runs
+    // over 50 rows, and fusion exchanges ≤ 100 tiny rows however large
+    // the corpus.
     "tx_rrf_fusion" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val m = 50
-      val lex = TextAnalysis.bm25(Tables.documents(s, dir), bm25Terms)
-        .orderBy(col("bm25").desc, col("doc_id").asc).limit(m)
+      val lex = Bm25Store.topK(s, sharedBm25Store(s, dir), bm25Terms, k = m)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("bm25").desc, col("doc_id").asc)))
         .select("doc_id", "rank")
