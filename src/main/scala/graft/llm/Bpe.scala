@@ -234,13 +234,66 @@ object Bpe {
     * on [[fit]]). */
   def fitDistributed(df: DataFrame, textCol: String = "text",
                      nMerges: Int = 256,
-                     minPairCount: Long = 2L): Seq[Merge] =
-    fitDistributedVerbose(df, textCol, nMerges, minPairCount).merges
+                     minPairCount: Long = 2L,
+                     batchMerges: Int = 16): Seq[Merge] =
+    fitDistributedVerbose(df, textCol, nMerges, minPairCount, batchMerges).merges
 
+  /** Batched merge selection (`batchMerges` > 1, the default): each
+    * aggregation round collects a sorted WINDOW of top pairs and accepts
+    * a PREFIX of mutually independent merges instead of one — cutting
+    * the number of Spark jobs by the average batch size while learning
+    * EXACTLY the sequential merge sequence. The acceptance rule is
+    * provable, not heuristic. A candidate `(l₂, r₂)` CONFLICTS with an
+    * accepted merge `(l₁, r₁)` (fused `f₁ = l₁+r₁`) iff
+    *
+    *   r₂ = l₁  ∨  l₂ = r₁        (adjacency overlap: applying the
+    *                               accepted merge consumes occurrences
+    *                               of the candidate, or vice versa)
+    *   ∨ l₂ = f₁ ∨ r₂ = f₁        (the candidate reads a symbol the
+    *                               batch is about to create)
+    *   ∨ f₂ ∈ fusedEver           (the candidate's own fused string
+    *                               aliases a symbol that can exist —
+    *                               initial symbols are single chars +
+    *                               [[EndMark]], every other symbol is a
+    *                               previous merge's fused string, so the
+    *                               driver knows the complete universe)
+    *
+    * Note what is NOT a conflict: sharing a left symbol (`(b,a)` and
+    * `(b,e)`) or a right symbol (`(b,a)` and `(k,a)`) — a `b` followed
+    * by `a` is not followed by `e`, so those merges touch disjoint
+    * occurrence sites and leave each other's counts untouched. The walk
+    * accepts candidates in the sequential argmax's own total order
+    * (count desc, left, right) and STOPS at the first conflict. Then a
+    * strictness pass: let `gainBound` be the maximum count over (a) the
+    * remaining window rows that conflict with the accepted set and (b)
+    * the last window row when the window is full (the upper bound on
+    * every unseen pair). Keep the accepted prefix with count >
+    * `gainBound`; if that is empty keep the head alone (a singleton
+    * batch IS one sequential step, so progress is always exact — this
+    * also covers the head being an alias re-merge, which voids the gain
+    * bound for later members and forces a singleton).
+    *
+    * Why this equals sequential selection, step by step at kept merge j:
+    * the prefix's own counts are untouched (non-conflict, and a FRESH
+    * fused symbol equals no existing symbol, so no prefix pair can gain);
+    * seen non-conflicting rows keep their counts and their sort position
+    * after the prefix — ties included, because the order compared is the
+    * argmax's own; seen conflicting rows can only LOSE count (the gain
+    * classes `(x, f)` / `(f, y)` are empty pre-merge for fresh `f`), so
+    * they stay behind too; unseen rows are bounded by the full window's
+    * last count and sort after it on ties; and every pair CREATED by an
+    * accepted merge inherits at most the old count of a conflicting pair
+    * (`(x, f_i)` comes from occurrences `x l_i r_i`, so ≤ old
+    * `(x, l_i)`) — which is ≤ `gainBound` < the kept counts by the
+    * strictness pass, tie-breaks included since strict. Pinned
+    * empirically by BpeSpec: batched ≡ sequential merges with a
+    * job-count listener showing the ≥5× job reduction. */
   def fitDistributedVerbose(df: DataFrame, textCol: String = "text",
                             nMerges: Int = 256,
-                            minPairCount: Long = 2L): FitResult = {
+                            minPairCount: Long = 2L,
+                            batchMerges: Int = 16): FitResult = {
     require(nMerges >= 1, s"nMerges must be >= 1; got $nMerges")
+    require(batchMerges >= 1, s"batchMerges must be >= 1; got $batchMerges")
     val toSyms = udf((w: String) => w.map(_.toString) :+ EndMark)
     var types = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
@@ -255,19 +308,87 @@ object Bpe {
         " i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
       .otherwise(expr("array()"))
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    // every non-initial symbol ever created, batch-local additions
+    // included — the alias check's complete universe (initial symbols
+    // are single chars, length 1, which no length-≥2 fused string can
+    // equal; EndMark contains '<', outside the alnum token alphabet)
+    val fusedEver = scala.collection.mutable.HashSet[String]()
     var exhausted = false
     while (merges.length < nMerges && !exhausted) {
-      val best = types
+      // window well past the batch cap so the unseen-pair proxy (the last
+      // row's count) falls below the head tier on tie-heavy corpora
+      val scanN = math.max(4 * batchMerges, 64)
+      val window = types
         .select(explode(pairsExpr).as("p"), col("freq"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("freq").as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (best.isEmpty || best(0).getLong(2) < minPairCount) exhausted = true
+        .limit(scanN + 1).collect()
+      if (window.isEmpty || window(0).getLong(2) < minPairCount) exhausted = true
       else {
-        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += Merge(merges.length, l, r, c)
-        val applyU = udf((s: Seq[String]) => mergeOnce(s, l, r))
+        val leftSyms = scala.collection.mutable.HashSet[String]()
+        val rightSyms = scala.collection.mutable.HashSet[String]()
+        val fusedBatch = scala.collection.mutable.HashSet[String]()
+        var accepted = Vector.empty[(String, String, Long)]
+        // fused strings ADDED by this batch (rollback must never remove a
+        // previous round's entry — the head's fused string may legally
+        // re-form and already be present)
+        val addedFused = scala.collection.mutable.HashSet[String]()
+        var stopAt = -1 // window index of the first unacceptable row
+        var headAlias = false
+        def conflicts(l: String, r: String): Boolean =
+          headAlias ||
+            rightSyms.contains(l) || leftSyms.contains(r) || // adjacency overlap
+            fusedBatch.contains(l) || fusedBatch.contains(r) || // reads a new symbol
+            fusedEver.contains(l + r) // own fused string aliases
+        var i = 0
+        while (stopAt < 0 && i < window.length) {
+          val (l, r, c) =
+            (window(i).getString(0), window(i).getString(1), window(i).getLong(2))
+          // the HEAD is always acceptable — a singleton batch IS one
+          // sequential step, so the conflict/alias rules (which exist to
+          // protect merges 2..k of a batch) never apply to it. But if the
+          // head itself is an alias RE-merge (its fused string already
+          // exists — a legally re-formed pair), pairs over that existing
+          // symbol can gain count unboundedly when it applies, so the
+          // gain bound for later batch members is void: headAlias forces
+          // a singleton batch.
+          if (i == 0) headAlias = fusedEver.contains(l + r)
+          if (c < minPairCount || i == scanN || (i > 0 && conflicts(l, r)) ||
+              accepted.length == math.min(batchMerges, nMerges - merges.length))
+            stopAt = i
+          else {
+            accepted :+= ((l, r, c))
+            leftSyms += l; rightSyms += r; fusedBatch += (l + r)
+            if (fusedEver.add(l + r)) addedFused += (l + r)
+            i += 1
+          }
+        }
+        // strictness bound: the largest count an accepted merge's
+        // application could hand to a NEW pair — the max over remaining
+        // window rows that conflict with the accepted set, plus the last
+        // row of a full window standing in for every unseen pair
+        var gainBound = Long.MinValue
+        if (stopAt >= 0) {
+          var j = stopAt
+          while (j < window.length) {
+            val (l, r, c) =
+              (window(j).getString(0), window(j).getString(1), window(j).getLong(2))
+            if (conflicts(l, r) && c > gainBound) gainBound = c
+            j += 1
+          }
+          if (window.length > scanN) // full window ⇒ unseen pairs exist
+            gainBound = math.max(gainBound, window(scanN).getLong(2))
+        }
+        val kept0 = accepted.takeWhile(_._3 > gainBound) // counts desc ⇒ prefix
+        val kept = if (kept0.nonEmpty) kept0 else accepted.take(1)
+        // roll back batch-local alias state for merges not kept
+        accepted.drop(kept.length)
+          .foreach { case (l, r, _) => if (addedFused(l + r)) fusedEver -= (l + r) }
+        kept.foreach { case (l, r, c) => merges += Merge(merges.length, l, r, c) }
+        val batch = kept.map { case (l, r, _) => (l, r) }
+        val applyU = udf((s: Seq[String]) =>
+          batch.foldLeft(s)((acc, m) => mergeOnce(acc, m._1, m._2)))
         val next = types.select(applyU(col("syms")).as("syms"), col("freq"))
           .localCheckpoint()
         types.unpersist()

@@ -176,6 +176,48 @@ class BpeSpec extends SparkSpec {
     assert(dist === uncapped)
   }
 
+  test("batched distributed fit learns the sequential merge sequence " +
+       "with >= 5x fewer Spark jobs (job-count listener)") {
+    // the 512-merge corpus's 16-syllable generator at depth 64: deep
+    // enough that later rounds (longer, more-distinct symbols) batch
+    // well past the early single-char conflict regime
+    val syl = Vector("ba", "ce", "di", "fo", "gu", "ka", "le", "mi",
+      "no", "pu", "ra", "se", "ti", "vo", "wa", "ze")
+    val words = (0 until 1344).map { i =>
+      syl(i % 16) + syl((i / 16) % 16) + syl((i / 256) % 16)
+    }
+    val df = words.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill((i % 7) + 1)(w)
+    }.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    def countJobs(f: => Bpe.FitResult): (Bpe.FitResult, Int) = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      val sc = spark.sparkContext
+      sc.addSparkListener(l)
+      try {
+        val r = f
+        org.apache.spark.sql.graftshim.Shim.drainListenerBus(sc)
+        (r, n.get())
+      } finally sc.removeSparkListener(l)
+    }
+    val (seq, seqJobs) = countJobs(
+      Bpe.fitDistributedVerbose(df, nMerges = 64, batchMerges = 1))
+    val (bat, batJobs) = countJobs(
+      Bpe.fitDistributedVerbose(df, nMerges = 64, batchMerges = 16))
+    assert(seq.merges.length === 64 && !seq.exhausted)
+    assert(bat.merges === seq.merges,
+      "batched selection must learn EXACTLY the sequential merge table")
+    assert(bat.exhausted === seq.exhausted)
+    assert(seqJobs >= 5 * batJobs,
+      s"expected >= 5x fewer jobs batched; sequential ran $seqJobs, " +
+        s"batched ran $batJobs")
+  }
+
   test("fitVerbose reports exhaustion only when the corpus genuinely runs dry") {
     val full = Bpe.fitVerbose(toyDf, nMerges = 1000)
     assert(full.exhausted, "toy corpus cannot sustain 1000 merges")
