@@ -93,7 +93,9 @@ object ScaleProbe {
 
   case class Point(flagshipS: Double, flagshipCands: Long,
                    minhashS: Double, minhashCands: Long,
-                   annBuildS: Double, annCells: Long, annServeS: Double)
+                   annBuildS: Double, annCells: Long, annServeS: Double,
+                   bm25BuildS: Double, bm25ServeS: Double,
+                   nearDupDeltaS: Double)
 
   private def measure(spark: SparkSession, dir: String, tag: String): Point = {
     // flagship: feature fit + LSH blocking + bounded-sample train + full
@@ -127,7 +129,44 @@ object ScaleProbe {
     }
     println(f"[scale] $tag ann: build $tBuild%.1f s ($nCells cells), " +
       f"serve $tServe%.1f s")
-    Point(tFlag, nCands, tNear, nNear, tBuild, nCells, tServe)
+    // BM25 store: √n-auto-bucketed build, then a fixed 4-term serve — the
+    // lexical-retrieval analog of the IVF serve above. Query terms live in
+    // copy 0 only (token renaming), so the OUTPUT is scale-invariant and
+    // the measured growth is purely the pruned read's: ≤ |terms|+1 buckets
+    // of √n-growing posting volume, never the corpus.
+    val bmStore = s"/root/repo/target/qtmp/scaleprobe_bm25_$tag"
+    graft.io.IO.deletePath(bmStore)
+    val (_, tBmBuild) = timed {
+      graft.llm.Bm25Store.write(docs, bmStore, termBuckets = 0)
+    }
+    val (nBmHits, tBmServe) = timed {
+      graft.llm.Bm25Store.scores(spark, bmStore,
+        Seq("vector", "stream", "hash", "spark")).count()
+    }
+    println(f"[scale] $tag bm25: build $tBmBuild%.1f s, " +
+      f"serve $tBmServe%.1f s ($nBmHits hits)")
+    // incremental near-dup: seed the band-key store from the full corpus
+    // (cost ∝ corpus, not bounded here), then flag a FIXED 32-doc delta
+    // against it — the O(delta + touched buckets) claim of
+    // nearDupBatchAgainstStore. Buckets are sized ∝ corpus (~300 band
+    // rows per bucket) so the touched-bucket read volume tracks the
+    // DELTA's band keys, not the corpus.
+    val ndStore = s"/root/repo/target/qtmp/scaleprobe_neardup_$tag"
+    graft.io.IO.deletePath(ndStore)
+    val nDocs = docs.count()
+    val ndBuckets = math.max(64L, nDocs * 12 / 300).toInt
+    graft.streaming.DocStreams.nearDupBatchAgainstStore(
+      docs, ndStore, nBuckets = ndBuckets).count() // seed (all novel)
+    val delta = docs.where("doc_id % 20 = 3").limit(32)
+      .withColumn("doc_id", col("doc_id") + 900000000L)
+    val (nNovel, tDelta) = timed {
+      graft.streaming.DocStreams.nearDupBatchAgainstStore(delta, ndStore)
+        .where(col("is_novel")).count()
+    }
+    println(f"[scale] $tag neardup-delta: $tDelta%.1f s " +
+      f"($nNovel/32 novel, $ndBuckets buckets)")
+    Point(tFlag, nCands, tNear, nNear, tBuild, nCells, tServe,
+      tBmBuild, tBmServe, tDelta)
   }
 
   def main(args: Array[String]): Unit = {
@@ -165,7 +204,13 @@ object ScaleProbe {
       ("ivf cells ~sqrt growth (no bucket flood)",
         ratio(p1.annCells.toDouble, pN.annCells.toDouble), 2.0 * math.sqrt(factor)),
       ("ivf serve sub-linear",
-        ratio(p1.annServeS, pN.annServeS), 1.0 * factor))
+        ratio(p1.annServeS, pN.annServeS), 1.0 * factor),
+      ("bm25 store build ~linear",
+        ratio(p1.bm25BuildS, pN.bm25BuildS), 2.0 * factor),
+      ("bm25 store serve sub-linear (bucket-pruned read)",
+        ratio(p1.bm25ServeS, pN.bm25ServeS), 1.0 * factor),
+      ("near-dup fixed-delta batch sub-linear (O(delta + touched buckets))",
+        ratio(p1.nearDupDeltaS, pN.nearDupDeltaS), 0.5 * factor))
     var ok = true
     checks.foreach { case (name, r, bound) =>
       val pass = r <= bound

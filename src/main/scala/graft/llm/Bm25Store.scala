@@ -97,12 +97,23 @@ object Bm25Store {
 
   /** Build the index over `docs`. The persisted bucket-count marker is
     * `termBuckets + 1` (term buckets [0, termBuckets) plus the reserved
-    * stats bucket) — serve derives `termBuckets` back from it. */
+    * stats bucket) — serve derives `termBuckets` back from it.
+    *
+    * `termBuckets = 0` sizes the bucket count to the corpus:
+    * `max(64, ⌈√n_docs⌉)` — the same √n rule as the IVF store's
+    * autoCells, and for the same reason: with buckets ∝ √n both the
+    * bucket COUNT (manifest/listing metadata) and the per-bucket posting
+    * volume (what one serve actually reads per query term) grow √n, so
+    * neither side of the store degenerates as the corpus scales.
+    * ScaleProbe measures the resulting serve-wall ratio at 1×/10×. */
   def write(docs: DataFrame, path: String, termBuckets: Int = 64,
             textCol: String = "text"): Unit = {
-    require(termBuckets >= 1, s"termBuckets must be >= 1; got $termBuckets")
-    IO.writePartitionedStore(indexRows(docs, termBuckets, textCol), path,
-      keys = Seq("term", "doc_id"), nBuckets = termBuckets + 1)
+    require(termBuckets >= 0, s"termBuckets must be >= 0; got $termBuckets")
+    val nB = if (termBuckets > 0) termBuckets
+             else math.max(64L, math.ceil(math.sqrt(
+               docs.count().toDouble)).toLong).toInt
+    IO.writePartitionedStore(indexRows(docs, nB, textCol), path,
+      keys = Seq("term", "doc_id"), nBuckets = nB + 1)
   }
 
   /** Index a delta of NEW documents: O(delta) postings + one stats-delta
