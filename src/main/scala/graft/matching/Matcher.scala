@@ -246,22 +246,45 @@ object Matcher {
     * and metrics unchanged, which is what lets the m4 contracts stay
     * byte-identical with or without the memo.
     *
-    * Thread-safe: both searches fit thread-parallel; `computeIfAbsent`
-    * guarantees one fit per key even under concurrent requests. */
+    * Thread-safe, and — critically — non-serializing: the map holds a
+    * Promise per key, claimed with a CHEAP `putIfAbsent`, and the fit runs
+    * OUTSIDE any map lock. `computeIfAbsent` would hold the key's hash-bin
+    * lock for the whole multi-second fit, so two UNRELATED candidates
+    * whose keys share a bin would fit one-after-the-other — with 16
+    * thread-parallel trials over a 16-bin initial table that serialized
+    * much of halving's first rung (measured: the memo's introduction COST
+    * ~9 s on m4_halving_search before this was rewritten). Duplicate
+    * requests for one key await the claimant's Promise; a FAILED fit is
+    * evicted so it never poisons the memo for a retry. */
   final class FitMemo {
+    import scala.concurrent.{Await, Promise}
+    import scala.concurrent.duration.Duration
     private val trials =
-      new java.util.concurrent.ConcurrentHashMap[(GbtCandidate, Int), (PipelineModel, Double)]()
+      new java.util.concurrent.ConcurrentHashMap[(GbtCandidate, Int), Promise[(PipelineModel, Double)]]()
     private val refits =
-      new java.util.concurrent.ConcurrentHashMap[(GbtCandidate, Int), PipelineModel]()
+      new java.util.concurrent.ConcurrentHashMap[(GbtCandidate, Int), Promise[PipelineModel]]()
+
+    private def once[V](map: java.util.concurrent.ConcurrentHashMap[(GbtCandidate, Int), Promise[V]],
+                        key: (GbtCandidate, Int))(compute: => V): V = {
+      val fresh = Promise[V]()
+      val prior = map.putIfAbsent(key, fresh)
+      if (prior == null) {
+        try fresh.success(compute)
+        catch { case e: Throwable => map.remove(key, fresh); fresh.failure(e) }
+      }
+      // the claimant's Await returns immediately (its promise is complete);
+      // only genuine duplicate requests block, on exactly their own key
+      Await.result((if (prior == null) fresh else prior).future, Duration.Inf)
+    }
 
     /** Fitted model + held-out metric for a trial at `iters` budget. */
     def trial(c: GbtCandidate, iters: Int)(compute: => (PipelineModel, Double)): (PipelineModel, Double) =
-      trials.computeIfAbsent((c, iters), _ => compute)
+      once(trials, (c, iters))(compute)
 
     /** Winner refit on the FULL training input at `iters` budget (a
       * distinct keyspace from [[trial]]: same candidate, more data). */
     def refit(c: GbtCandidate, iters: Int)(compute: => PipelineModel): PipelineModel =
-      refits.computeIfAbsent((c, iters), _ => compute)
+      once(refits, (c, iters))(compute)
 
     private[graft] def trialCount: Int = trials.size
 

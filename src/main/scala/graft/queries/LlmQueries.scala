@@ -43,13 +43,16 @@ object LlmQueries {
     path
   }
 
-  /** ONE built IVF store per (session, dir), shared by ann_ivf_store and
-    * ann_ivf_compact: both queries verify the same build+append lifecycle
-    * and neither changes row content, so building the store twice bought
-    * two identical stores for double the cost. NOT Sweep-ephemeral — the
-    * path must survive the between-query sweep for the second consumer;
-    * it dies with the JVM's target/qtmp. */
-  private def sharedIvfStore(s: SparkSession, dir: String): String =
+  /** ONE built IVF store per (session, dir), shared by ann_ivf_store,
+    * ann_ivf_compact, and st_ann_serve: all three verify serve paths over
+    * the same corpus and none changes row content (compaction rewrites
+    * byte-identical rows), so building the store per consumer bought
+    * identical stores for multiplied cost. Contents equal a full-corpus
+    * build by construction — the split build + O(delta) append covers
+    * every cosine-servable row. NOT Sweep-ephemeral — the path must
+    * survive the between-query sweep for the later consumers; it dies
+    * with the JVM's target/qtmp. */
+  private[graft] def sharedIvfStore(s: SparkSession, dir: String): String =
     SessionMemo.value(s, s"ivf_shared_store:$dir") {
       buildSplitIvfStore(s, dir,
         s"/root/repo/target/qtmp/ivf_shared_${storeRunId.incrementAndGet()}")

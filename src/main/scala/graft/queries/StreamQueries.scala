@@ -72,10 +72,12 @@ object StreamQueries {
     "st_ann_serve" -> ((s, dir) => {
       import s.implicits._
       val emb = graft.Tables.embeddings(s, dir)
-      val store = s"/root/repo/target/qtmp/st_ann_store_${Integer.toHexString(dir.hashCode)}"
-      graft.io.IO.deletePath(store)
-      graft.llm.Ann.writeIvfStore(emb, store,
-        centroids = Some(graft.queries.LlmQueries.corpusCentroids(s, dir)))
+      // the session-shared store (build + append lifecycle exercised by
+      // ann_ivf_store/ann_ivf_compact) holds exactly the cosine-servable
+      // corpus, so serving the stream from it is both cheaper than a
+      // third full build AND the realistic topology: the online serve
+      // path reads the index the offline maintenance path owns
+      val store = graft.queries.LlmQueries.sharedIvfStore(s, dir)
       val resultsDir = s"/root/repo/target/qtmp/st_ann_serve_${runId.incrementAndGet()}"
       graft.io.IO.deletePath(resultsDir)
       // 2 micro-batches (see st_decontam_stream — batching-invariant result)
