@@ -267,4 +267,54 @@ class MatcherSpec extends SparkSpec {
     assert(Seq(v1, v2, v3).count(v =>
       ModelStore.stage(root, "m", v) == "Production") == 1)
   }
+
+  test("fit memo: concurrent computes on distinct keys never serialize " +
+       "or deadlock; duplicate keys compute once; a failure is evicted") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val memo = new Matcher.FitMemo
+    def key(i: Int) = Matcher.GbtCandidate(i, 0.1, 1.0)
+    // Cross-key dependency: key 0's compute BLOCKS until 64 other keys
+    // have all completed their own computes on other threads. Under a
+    // compute-inside-computeIfAbsent memo this deadlocks (64 keys over a
+    // 16-bin initial table guarantee bin collisions with the in-flight
+    // key-0 compute, and a collided computeIfAbsent blocks on the bin
+    // lock key 0 holds); the promise memo claims with putIfAbsent and
+    // computes outside any lock, so it must finish well inside the bound.
+    val others = new CountDownLatch(64)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(65)
+    try {
+      val blocked = pool.submit(new java.util.concurrent.Callable[Double] {
+        def call(): Double = memo.trial(key(0), 1) {
+          assert(others.await(30, TimeUnit.SECONDS),
+            "peer computes starved while key 0 was in flight — memo serializes")
+          (null, 0.0)
+        }._2
+      })
+      (1 to 64).foreach { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = { memo.trial(key(i), 1)((null, i.toDouble)); others.countDown() }
+        })
+      }
+      assert(blocked.get(60, TimeUnit.SECONDS) == 0.0)
+      assert(memo.trialCount == 65)
+
+      // duplicate requests for ONE key: exactly one compute runs; every
+      // caller (claimant and waiters alike) sees its result
+      val computes = new java.util.concurrent.atomic.AtomicInteger
+      val results = (1 to 16).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Double] {
+          def call(): Double =
+            memo.trial(key(100), 2) { computes.incrementAndGet(); (null, 7.0) }._2
+        })
+      }.map(_.get(30, TimeUnit.SECONDS))
+      assert(computes.get() == 1 && results.forall(_ == 7.0))
+
+      // a FAILED compute must not poison the key: the failure propagates
+      // to its caller, and a retry recomputes successfully
+      intercept[RuntimeException] {
+        memo.trial(key(200), 3)(throw new RuntimeException("boom"))
+      }
+      assert(memo.trial(key(200), 3)((null, 9.0))._2 == 9.0)
+    } finally pool.shutdownNow()
+  }
 }
