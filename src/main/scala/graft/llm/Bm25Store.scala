@@ -33,15 +33,17 @@ import graft.io.IO
   * the delta and commits through the store's optimistic manifest loop;
   * serve reads ≤ |query terms| + 1 bucket directories (file-list-level
   * pruning through the manifest — plan-audited in TextAnalysisSpec),
-  * then one pivoted aggregation over just those postings.
+  * then one WIDTH-CONSTANT per-doc aggregation over just those postings
+  * (per-posting contributions folded in query-term order — see
+  * [[scores]]), so the serve plan is independent of query length.
   *
-  * Score parity: serve rebuilds the per-doc `tf_<i>`/`dl` columns and the
-  * broadcast `n_docs`/`avgdl`/`df_<i>` stats frame and scores through the
-  * SAME [[TextAnalysis.bm25ScoreCols]] expression tree as the full scan.
-  * Every input is an integer-valued double (counts and count-sums, exact
-  * in IEEE double far beyond any real corpus size), so pruned-serve
-  * scores equal full-scan scores bit-for-bit — pinned by the
-  * `tx_bm25_store` oracle, which is the full-scan recomputation.
+  * Score parity: each posting's contribution is the identical scalar
+  * arithmetic as [[TextAnalysis.bm25ScoreCols]]' per-term `w(i)`, on the
+  * same double-cast inputs, and the per-doc fold reproduces the wide
+  * tree's left-assoc sum exactly (absent terms add exact +0.0 there,
+  * invisible to IEEE addition), so pruned-serve scores equal full-scan
+  * scores bit-for-bit — pinned by the `tx_bm25_store` oracle, which is
+  * the full-scan recomputation.
   */
 object Bm25Store {
 
@@ -131,19 +133,33 @@ object Bm25Store {
   /** BM25 scores of every indexed doc matching ≥ 1 query term — the same
     * (doc_id, n_hit_terms, bm25) surface and the same VALUES as
     * [[TextAnalysis.bm25]] over the indexed corpus, computed from a read
-    * of only the query terms' buckets plus the stats bucket. */
+    * of only the query terms' buckets plus the stats bucket.
+    *
+    * WIDTH-CONSTANT: the full scan pivots to per-doc `tf_0..tf_n`
+    * columns — fine for its one-shot batch shape, but an aggregation
+    * whose width grows with the query would cap the serve path at
+    * retrieval-sized queries (a decontamination-style probe carries
+    * thousands of terms). Serve instead scores each (doc, term
+    * occurrence) posting ROW with the identical per-term arithmetic and
+    * folds the contributions per doc in query-term order. Bit-for-bit
+    * parity with [[TextAnalysis.bm25ScoreCols]]'s left-assoc sum is by
+    * construction: the fold runs over `sort_array`-ordered (index,
+    * contribution) pairs from 0.0, and the wide tree's absent-term
+    * addends are exact +0.0, which IEEE addition cannot observe —
+    * pinned by the `tx_bm25_store` oracle (the full-scan recomputation)
+    * and TextAnalysisSpec's duplicate/long-query cases. */
   def scores(spark: SparkSession, path: String, queryTerms: Seq[String],
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k1 >= 0.0 && b >= 0.0 && b <= 1.0, s"bad BM25 params ($k1, $b)")
     val termBuckets = IO.storeBuckets(path) - 1
-    val ts = queryTerms.zipWithIndex
     // the terms' buckets, computed DRIVER-SIDE with the write side's hash
     // (termBucketLocal ≡ termBucket, spec-pinned): |terms| integer hashes
     // instead of a Spark job on the serve path
     val probed = queryTerms.map(termBucketLocal(_, termBuckets)).toSet
     val pruned = IO.readStoreBuckets(spark, path, probed + termBuckets)
       .drop(IO.BucketCol)
+    // the isin literal pushes into the pruned buckets' parquet scan
     val posts = pruned.where(col("term").isin(queryTerms: _*))
     // exact corpus stats from the summed delta rows (one per build/append)
     val corpus = pruned.where(col("term") === StatsTerm)
@@ -151,20 +167,32 @@ object Bm25Store {
         (sum("sum_dl").cast("double") / sum("n_dl").cast("double")).as("avgdl"))
     // per-term df: a term's postings all live in its (probed) bucket, so
     // this pruned count is the exact corpus document frequency
-    val dfAggs = ts.map { case (t, i) =>
-      count(when(col("term") === t, 1)).cast("double").as(s"df_$i") }
-    val stats = posts.agg(dfAggs.head, dfAggs.tail: _*)
-      .crossJoin(corpus)
-    // pivot back to the full scan's per-doc (tf_0..tf_n, dl) row shape;
-    // an absent term scores tf 0.0 exactly like the scan's empty filter
-    val tfAggs = ts.map { case (t, i) =>
-      coalesce(max(when(col("term") === t, col("tf"))), lit(0L))
-        .cast("double").as(s"tf_$i") } :+ max("dl").cast("double").as("dl")
-    val perDoc = posts.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
-    val (nHit, score) = TextAnalysis.bm25ScoreCols(queryTerms.size, k1, b)
-    perDoc.crossJoin(broadcast(stats))
-      .select(col("doc_id"), nHit.cast("int").as("n_hit_terms"),
-        round(score, 4).as("bm25"))
+    val dfByTerm = posts.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    // one row per query-term OCCURRENCE: a duplicated query term joins its
+    // posting twice and scores twice, exactly like the full scan's
+    // per-index tf_i columns
+    import spark.implicits._
+    val termsDf = queryTerms.zipWithIndex.toDF("term", "ti")
+    // per-occurrence contribution — the same scalar arithmetic, on the
+    // same double-cast inputs, as bm25ScoreCols' w(i)
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val w = idf * (tfd * (k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * dld / col("avgdl")))
+    // project away the postings' null stats columns BEFORE the stats
+    // crossJoin — n_docs/n_dl/sum_dl live in both schemas
+    val contribs = posts.select("term", "doc_id", "tf", "dl")
+      .join(broadcast(termsDf), Seq("term"))
+      .join(broadcast(dfByTerm), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("ti"), w.as("c"))
+    contribs.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_hit_terms"),
+        round(aggregate(sort_array(collect_list(struct(col("ti"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")), 4).as("bm25"))
       .where(col("n_hit_terms") > 0)
   }
 

@@ -247,6 +247,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(statsV1 == ((4L, 6L))) // 4 docs, 3+2+1 tokens at build time
   }
 
+  test("Bm25Store: width-constant serve — duplicate query terms " +
+       "double-score like the full scan's per-index columns, and a " +
+       "multi-hundred-term query serves with no per-term plan columns") {
+    import graft.llm.Bm25Store
+    val docs = Seq(
+      (1L, "cat dog cat"), (2L, "dog fish"), (3L, "bird owl"),
+      (6L, "cat fish fish dog"), (7L, "owl bat cat"))
+      .toDF("doc_id", "text")
+    val path = "/root/repo/target/qtmp/txspec_bm25_wide"
+    graft.io.IO.deletePath(path)
+    Bm25Store.write(docs, path, termBuckets = 8)
+    // a term listed twice contributes twice to score and n_hit_terms in
+    // the full scan's per-index tf_i shape; the row-wise serve must
+    // replicate the posting per occurrence to agree
+    val dup = Seq("cat", "fish", "cat")
+    val servedDup = Bm25Store.scores(spark, path, dup)
+      .as[(Long, Int, Double)].collect().toSet
+    val scannedDup = TextAnalysis.bm25(docs, dup)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(servedDup == scannedDup, s"dup-term drift: $servedDup vs $scannedDup")
+    // long query (the decontamination-probe shape): parity holds, and the
+    // serve plan carries NO per-term pivot columns — its aggregation
+    // width is independent of query length, unlike the full scan's
+    val longQ = (1 to 300).map(i => s"filler$i") ++ Seq("cat", "dog", "fish", "owl")
+    val servedL = Bm25Store.scores(spark, path, longQ)
+    assert(!servedL.queryExecution.optimizedPlan.toString.contains("tf_"),
+      "serve plan regrew per-term pivot columns")
+    val scannedL = TextAnalysis.bm25(docs, longQ)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(servedL.as[(Long, Int, Double)].collect().toSet == scannedL)
+  }
+
   test("Bm25Store: driver-side bucket hash equals the executor-side " +
        "xxhash64/pmod expression (ASCII, non-ASCII, empty, long terms)") {
     import graft.llm.Bm25Store
