@@ -111,10 +111,27 @@ object TextFeatures {
       .withColumn("description", coalesce(col("description"), lit("")))
       .withColumn("price_f", regexp_replace(col("price"), "\\$", "").cast("float"))
       .cache()
-    val nameM = namePipeline().fit(base)
-    val descM = descriptW2VPipeline(maxIter = w2vMaxIter, minCount = w2vMinCount,
-      seed = seed).fit(base)
-    val priceM = pricePipeline().fit(base)
+    // materialize the cache once, then fit the three INDEPENDENT
+    // pipelines concurrently: each fit is deterministic given (data,
+    // seed), and none reads another's output, so thread-parallel
+    // scheduling changes nothing but the wall clock — fit wall is
+    // max(name, descript, price) instead of their sum. At fixture scale
+    // the seeded W2V fit dominates all three (measured: no wall change),
+    // so this buys nothing there; it pays when the name/price corpora
+    // carry real weight, which is exactly when the sum would hurt.
+    base.count()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val (nameM, descM, priceM) = try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val nameF = Future(namePipeline().fit(base))
+      val descF = Future(descriptW2VPipeline(maxIter = w2vMaxIter,
+        minCount = w2vMinCount, seed = seed).fit(base))
+      val priceF = Future(pricePipeline().fit(base))
+      (Await.result(nameF, Duration.Inf), Await.result(descF, Duration.Inf),
+        Await.result(priceF, Duration.Inf))
+    } finally pool.shutdown()
     // name/description come along as blocking keys (a deduped LSH join
     // needs a key that *determines* the corresponding feature vector)
     val feats = priceM.transform(descM.transform(nameM.transform(base)))
