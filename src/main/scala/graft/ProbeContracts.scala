@@ -41,6 +41,19 @@ object ProbeContracts {
       Ann.pqTopK(emb, emb.where("vec_id < 8"), k = 10,
         codebooks = Some(Ann.fitPqCodebooks(emb, maxIter = 3))), dir)
     p(f"ann_pq: recall=${pqAnn.recall}%.4f mismatches=${pqAnn.mismatches} rankBad=${pqAnn.rankBad}")
+    locally {
+      val path = graft.Sweep.ephemeral("/root/repo/target/qtmp/probe_ivfpq")
+      graft.io.IO.deletePath(path)
+      Ann.writeIvfPqStore(emb.where("vec_id % 3 != 2"), path,
+        centroids = Some(Ann.fitCentroids(
+          emb.where(Ann.cosineUsable(org.apache.spark.sql.functions.col("embedding"))))),
+        codebooks = Some(Ann.fitPqCodebooks(emb, maxIter = 3)))
+      Ann.appendIvfPqStore(emb.where("vec_id % 3 = 2"), path)
+      val st = LlmQueries.annStats(spark,
+        Ann.ivfPqStoreTopK(spark, path, emb.where("vec_id < 8"), k = 10,
+          refineFrom = Some(emb)), dir)
+      p(f"ann_ivfpq_store: recall=${st.recall}%.4f mismatches=${st.mismatches} rankBad=${st.rankBad}")
+    }
     if (sys.env.contains("SPARK_GRAFT_PQ_SWEEP"))
       for (m <- Seq(4, 8); ks <- Seq(16, 32); rf <- Seq(4, 8)) {
         val st = LlmQueries.annStats(spark,

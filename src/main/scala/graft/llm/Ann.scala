@@ -821,28 +821,54 @@ object Ann {
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3))
 
+  /** Map-side PQ encode kernel: vector → its m nearest-codeword codes
+    * against the collected codebooks. Shared by [[pqEncode]] and the
+    * persisted [[writeIvfPqStore]]/[[appendIvfPqStore]] build passes. */
+  private def pqCodesUdf(cb: Array[Array[Array[Double]]]) = udf { (v: Seq[Double]) =>
+    (0 until cb.length).map { j =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb(j).length) {
+        val cent = cb(j)(c); var d = 0.0; var i = 0
+        while (i < cent.length) {
+          val x = v(j * cent.length + i) - cent(i); d += x * x; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** Per-query ADC lookup table: partial squared distances from the query
+    * to every codeword (m × ksub doubles — tiny). Shared by [[pqTopK]]
+    * and [[ivfPqStoreTopK]]. */
+  private def pqLutUdf(cb: Array[Array[Array[Double]]]) = udf { (qv: Seq[Double]) =>
+    cb.zipWithIndex.map { case (sub, j) =>
+      sub.map { cent =>
+        var d = 0.0; var i = 0
+        while (i < cent.length) {
+          val x = qv(j * cent.length + i) - cent(i); d += x * x; i += 1
+        }
+        d
+      }.toSeq
+    }.toSeq
+  }
+
+  /** Summed-LUT asymmetric distance of a code row. */
+  private val pqAdcUdf = udf { (codes: Seq[Int], lut: Seq[Seq[Double]]) =>
+    var s = 0.0; var j = 0
+    while (j < codes.length) { s += lut(j)(codes(j)); j += 1 }
+    s
+  }
+
   /** PQ-encode a corpus: each vector → its m nearest-centroid codes.
     * GENUINELY map-side (broadcast codebooks, tight argmin loop per row;
     * zero shuffles) — the build pass of a PQ index. Null vectors are
     * dropped: a null has no codes and could never be served. */
   def pqEncode(df: DataFrame, codebooks: DataFrame,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cb = collectCodebooks(codebooks)
-    val codesU = udf { (v: Seq[Double]) =>
-      (0 until cb.length).map { j =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cb(j).length) {
-          val cent = cb(j)(c); var d = 0.0; var i = 0
-          while (i < cent.length) {
-            val x = v(j * cent.length + i) - cent(i); d += x * x; i += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        best
-      }
-    }
+    val codesU = pqCodesUdf(collectCodebooks(codebooks))
     df.where(cosineUsable(col(vecCol)))
       .select(col(idCol).as("nn_id"),
         codesU(asDouble(col(vecCol))).as("codes"))
@@ -870,22 +896,8 @@ object Ann {
       fitPqCodebooks(corpus, m, ksub, idCol, vecCol, seed))
     val cb = collectCodebooks(cbDf)
     val enc = pqEncode(corpus, cbDf, idCol, vecCol)
-    val lutU = udf { (qv: Seq[Double]) =>
-      cb.zipWithIndex.map { case (sub, j) =>
-        sub.map { cent =>
-          var d = 0.0; var i = 0
-          while (i < cent.length) {
-            val x = qv(j * cent.length + i) - cent(i); d += x * x; i += 1
-          }
-          d
-        }.toSeq
-      }.toSeq
-    }
-    val adcU = udf { (codes: Seq[Int], lut: Seq[Seq[Double]]) =>
-      var s = 0.0; var j = 0
-      while (j < codes.length) { s += lut(j)(codes(j)); j += 1 }
-      s
-    }
+    val lutU = pqLutUdf(cb)
+    val adcU = pqAdcUdf
     val q = queries.where(cosineUsable(col(vecCol)))
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("nn_id").asc)
@@ -904,6 +916,173 @@ object Ann {
       .select(col("query_id"), col("nn_id"),
         round(cosine(col("cv"), col("qv")), 4).as("cosine"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  // ------------------------------------------------- persisted IVF-PQ store
+
+  /** Persisted IVF-PQ index — the composition a 100 TB vector corpus is
+    * actually served from (Jégou, Douze & Schmid, TPAMI 2011; the FAISS
+    * `IVFPQ` layout): corpus vectors persist as m PQ CODES (bytes at
+    * rest — m=8 ints here vs 64 doubles, the 32×-smaller tier below
+    * int8), routed into IVF cells so a serve reads only the probed
+    * cells' code rows, committed through the SAME manifest-pointer store
+    * as every other index here (atomic commits, racing readers resolve a
+    * committed version, time travel until vacuum).
+    *
+    * Both quantizers ride IN the store, each in its own reserved
+    * routing bucket of the SAME manifest version — coarse centroids at
+    * bucket `nCells` (`nn_id = -1 - cell, cv = centroid`, the
+    * [[writeIvfStore]] encoding) and PQ codebooks at bucket `nCells + 1`
+    * (`codes = [subspace, code], cv = codeword`) — so routing, encoding,
+    * and the codes they produced commit ATOMICALLY: no version can pair
+    * codes with the wrong codebooks, which would silently corrupt every
+    * ADC distance.
+    *
+    * Null/zero-norm/NaN vectors are dropped at write time (unroutable
+    * and unservable — same policy as [[writeIvfStore]]). */
+  def writeIvfPqStore(corpus: DataFrame, path: String, nCells: Int = 0,
+                      m: Int = 8, ksub: Int = 32,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      seed: Long = 42L,
+                      centroids: Option[DataFrame] = None,
+                      codebooks: Option[DataFrame] = None): Unit = {
+    val dense = corpus.where(cosineUsable(col(vecCol)))
+    val cents = centroids.getOrElse(fitCentroids(dense, nCells, vecCol, seed))
+    val cbDf = codebooks.getOrElse(
+      fitPqCodebooks(dense, m, ksub, idCol, vecCol, seed))
+    val cb = collectCodebooks(cbDf)
+    val codesU = pqCodesUdf(cb)
+    val reserved = collectedCentroids(cents).map(_._1).max + 1
+    val nullCodes = lit(null).cast("array<int>")
+    val nullVec = lit(null).cast("array<double>")
+    // data rows: codes only — the full-precision vector does NOT persist
+    // here (that is the point of the layout; exact refinement reads a
+    // flat store, see ivfPqStoreTopK's refineFrom)
+    val data = assignCells(dense, cents, idCol, vecCol)
+      .select(col("nn_id"), codesU(col("cv")).as("codes"), nullVec.as("cv"),
+        col("cell").as(graft.io.IO.BucketCol))
+    val centRows = cents.select(
+      (lit(-1L) - col("cell").cast("long")).as("nn_id"), nullCodes.as("codes"),
+      asDouble(col("centroid")).as("cv"), lit(reserved).as(graft.io.IO.BucketCol))
+    // codebook rows: identity IS the (subspace, code) pair, carried in
+    // `codes`; nn_id only needs to be non-null and unique for the store's
+    // key guard
+    val cbRows = cbDf.select(
+      (lit(-1L) - (col("subspace").cast("long") * ksub + col("code"))).as("nn_id"),
+      array(col("subspace"), col("code")).as("codes"),
+      asDouble(col("centroid")).as("cv"),
+      lit(reserved + 1).as(graft.io.IO.BucketCol))
+    graft.io.IO.writePartitionedStore(data.unionByName(centRows).unionByName(cbRows),
+      path, keys = Seq("nn_id"), nBuckets = reserved + 2)
+  }
+
+  /** The coarse centroid table of a persisted IVF-PQ store (reserved
+    * bucket `nCells`), through the committed manifest. */
+  def readIvfPqCentroids(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    val reserved = graft.io.IO.storeBuckets(path) - 2
+    graft.io.IO.readStoreBuckets(spark, path, Set(reserved))
+      .select((-col("nn_id") - 1).cast("int").as("cell"),
+        col("cv").as("centroid"))
+  }
+
+  /** The PQ codebooks of a persisted IVF-PQ store (reserved bucket
+    * `nCells + 1`), decoded back to the (subspace, code, centroid) shape
+    * [[fitPqCodebooks]] emits. */
+  def readIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    val reserved = graft.io.IO.storeBuckets(path) - 1
+    graft.io.IO.readStoreBuckets(spark, path, Set(reserved))
+      .select(element_at(col("codes"), 1).as("subspace"),
+        element_at(col("codes"), 2).as("code"), col("cv").as("centroid"))
+  }
+
+  /** The code rows of a persisted IVF-PQ store — (nn_id, codes, cell)
+    * through the CURRENT committed manifest, reserved buckets excluded. */
+  def readIvfPqStore(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val nCells = graft.io.IO.storeBuckets(path) - 2
+    graft.io.IO.readStoreBuckets(spark, path, (0 until nCells).toSet)
+      .withColumnRenamed(graft.io.IO.BucketCol, "cell")
+      .select("nn_id", "codes", "cell")
+  }
+
+  /** Incremental maintenance: route + encode a delta of new vectors
+    * through the STORED centroids and codebooks and append — O(delta)
+    * writes through the optimistic manifest loop, no existing file read
+    * or rewritten. Same aging trade as [[appendIvfStore]], doubled: both
+    * the coarse cells and the codebooks drift as the distribution moves;
+    * refresh = rebuild. */
+  def appendIvfPqStore(delta: DataFrame, path: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    val cents = readIvfPqCentroids(spark, path)
+    val codesU = pqCodesUdf(collectCodebooks(readIvfPqCodebooks(spark, path)))
+    val nullVec = lit(null).cast("array<double>")
+    val rows = assignCells(delta.where(cosineUsable(col(vecCol))), cents, idCol, vecCol)
+      .select(col("nn_id"), codesU(col("cv")).as("codes"), nullVec.as("cv"),
+        col("cell").as(graft.io.IO.BucketCol))
+    graft.io.IO.appendPartitionedStore(spark, path, rows, keys = Seq("nn_id"))
+  }
+
+  /** Serve top-k from the persisted IVF-PQ index: nProbe cells per query
+    * via the stored centroids, store read PRUNED to the probed cells'
+    * code rows (file-list-level manifest pruning — the scan never touches
+    * a float of the corpus), ADC-ranked shortlist of `refine`·k per query
+    * via the stored codebooks' LUTs, then
+    *
+    *  - `refineFrom = Some(flat)`: exact-cosine re-rank of the shortlist
+    *    against the given full-precision store — the standard
+    *    "IVFPQ shortlist + flat refine" serving topology; emits the
+    *    engine's (query_id, nn_id, cosine, rank) surface. The flat read
+    *    attaches ≤ refine·k rows per query by id.
+    *  - `refineFrom = None`: pure code-domain serve (what a deployment
+    *    without a flat tier does); emits (query_id, nn_id, adc_dist,
+    *    rank) ranked by ADC distance asc.
+    */
+  def ivfPqStoreTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nProbe: Int = 4, refine: Int = 8,
+                     refineFrom: Option[DataFrame] = None,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = probeFrame(queries, readIvfPqCentroids(spark, path),
+      nProbe, idCol, vecCol)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val codes = graft.io.IO.readStoreBuckets(spark, path, cells)
+      .withColumnRenamed(graft.io.IO.BucketCol, "cell")
+      .select("nn_id", "codes", "cell")
+    val lutU = pqLutUdf(collectCodebooks(readIvfPqCodebooks(spark, path)))
+    val q = queries.where(cosineUsable(col(vecCol)))
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("nn_id").asc)
+    val shortlist = codes
+      .join(broadcast(probes.select("query_id", "cell")), Seq("cell"))
+      .join(broadcast(q.select(col("query_id"), lutU(col("qv")).as("lut"))),
+        Seq("query_id"))
+      .where(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        pqAdcUdf(col("codes"), col("lut")).as("adc"))
+      .withColumn("crk", row_number().over(wAdc))
+      .where(col("crk") <= refine * k)
+    refineFrom match {
+      case Some(flat) =>
+        val c = flat.where(cosineUsable(col(vecCol)))
+          .select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("nn_id").asc)
+        shortlist.select("query_id", "nn_id")
+          .join(c, Seq("nn_id"))
+          .join(broadcast(q), Seq("query_id"))
+          .select(col("query_id"), col("nn_id"),
+            round(cosine(col("cv"), col("qv")), 4).as("cosine"))
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      case None =>
+        shortlist
+          .select(col("query_id"), col("nn_id"), round(col("adc"), 4).as("adc_dist"))
+          .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("adc_dist").asc, col("nn_id").asc)))
+          .where(col("rank") <= k)
+    }
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of

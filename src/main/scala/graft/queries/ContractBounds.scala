@@ -41,6 +41,16 @@ object ContractBounds {
     * random-shortlist floor refine·k/n ≈ 0.04–0.16, far under the bound. */
   val annPqRecall = 0.5
 
+  /** Persisted IVF-PQ store (16 shared cells, nProbe=4, PQ 8×32,
+    * refine=8, exact flat refine) recall@10 of the brute top-10 —
+    * compounds the IVF probe loss ON TOP of PQ's shortlist loss, so the
+    * bound sits under both parents' floors. Measured (ProbeContracts at
+    * sf0.001/0.01/0.1): 0.5125 / 0.5250 / 0.5500; a routing bug (codes
+    * paired with the wrong codebooks, or probe reading the wrong cells)
+    * collapses recall toward the random floor ≈ refine·k/n, far under
+    * the bound. */
+  val annIvfPqRecall = 0.3
+
   /** J4 LSH similarity join (10 tables, bucketLength 1.0, threshold 1.3)
     * recall of the exact cross-join < 1.3 pair set on the id%20 subsets.
     * Measured: 1.00 / 1.00 / 1.00 (false positives and distance

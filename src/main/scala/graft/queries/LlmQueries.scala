@@ -58,6 +58,24 @@ object LlmQueries {
         s"/root/repo/target/qtmp/ivf_shared_${storeRunId.incrementAndGet()}")
     }
 
+  /** ONE built IVF-PQ store per (session, dir) — the codes-at-rest
+    * serving tier below [[sharedIvfStore]]'s full-precision layout. Built
+    * on 2/3 + O(delta) append (the lifecycle the query verifies), with
+    * the session's shared coarse quantizer and PQ codebooks passed in
+    * explicitly so the two expensive fits are paid once per session
+    * (same seam as ann_ivf_topk / ann_pq_topk). */
+  private def sharedIvfPqStore(s: SparkSession, dir: String): String =
+    SessionMemo.value(s, s"ivfpq_shared_store:$dir") {
+      val path = s"/root/repo/target/qtmp/ivfpq_shared_${storeRunId.incrementAndGet()}"
+      graft.io.IO.deletePath(path)
+      val emb = Tables.embeddings(s, dir)
+      Ann.writeIvfPqStore(emb.where("vec_id % 3 != 2"), path,
+        centroids = Some(corpusCentroids(s, dir)),
+        codebooks = Some(pqCodebooks(s, dir)))
+      Ann.appendIvfPqStore(emb.where("vec_id % 3 = 2"), path)
+      path
+    }
+
   /** ONE built BM25 inverted index per (session, dir) — the lexical twin
     * of [[sharedIvfStore]]: built on 2/3 of the corpus and brought to
     * full coverage by an O(delta) append (the maintenance lifecycle
@@ -479,6 +497,31 @@ object LlmQueries {
       fromStore.unpersist(blocking = false)
       Seq((emb.count(), delta == 0L, st.mismatches == 0L, st.rankBad == 0L))
         .toDF("n_corpus", "incremental_equals_batch", "rescore_exact", "ranks_valid")
+    }),
+
+    // Persisted IVF-PQ index (Jégou et al., TPAMI 2011 — the FAISS IVFPQ
+    // layout): corpus persists as PQ CODES routed into IVF cells, both
+    // quantizers riding in reserved buckets of the same manifest version.
+    // Build 2/3 + O(delta) append, then serve = manifest-pruned code
+    // read → ADC shortlist → exact refine against the flat fixture (the
+    // standard IVFPQ + flat-refine topology). Contract: store holds one
+    // code row per servable vector, recall vs brute over the bound,
+    // refined cosines exactly reproduce the independent recompute, ranks
+    // contiguous.
+    "ann_ivfpq_store" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val path = sharedIvfPqStore(s, dir)
+      val served = Ann.ivfPqStoreTopK(s, path, emb.where("vec_id < 8"),
+        k = 10, refineFrom = Some(emb))
+      val st = annStats(s, served, dir)
+      val nRows = Ann.readIvfPqStore(s, path).count()
+      val nServable = emb.where(Ann.cosineUsable(col("embedding"))).count()
+      Seq((emb.count(), nRows == nServable,
+           st.recall >= ContractBounds.annIvfPqRecall,
+           st.mismatches == 0L, st.rankBad == 0L))
+        .toDF("n_corpus", "store_complete", "recall_ok", "rescore_exact",
+          "ranks_valid")
     }),
 
     // Store compaction (the OPTIMIZE step an append-maintained index
@@ -1393,6 +1436,14 @@ object LlmQueries {
     "ann_ivf_store" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_corpus,
         |  true AS incremental_equals_batch, true AS rescore_exact,
+        |  true AS ranks_valid
+        |FROM embeddings""".stripMargin,
+    // contract: corpus total is SQL-computable; store completeness,
+    // recall-vs-brute, exact-refine parity, and rank integrity are
+    // quantizer-state booleans the driver hash-gates
+    "ann_ivfpq_store" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+        |  true AS store_complete, true AS recall_ok, true AS rescore_exact,
         |  true AS ranks_valid
         |FROM embeddings""".stripMargin,
     // contract: assignment totality is SQL-computable; cell-count bound and

@@ -355,6 +355,95 @@ class AnnSpec extends SparkSpec {
       s"ADC window still carries vectors: ${adcWindow.get.output.map(_.name)}")
   }
 
+  test("ivfpq store: codes-only at rest, append-maintained equals one-shot " +
+       "build under the same quantizers, serve reads only probed + " +
+       "reserved buckets, versions time-travel") {
+    val path = "/root/repo/target/test_tmp/ivfpq_store"
+    val path2 = "/root/repo/target/test_tmp/ivfpq_store_oneshot"
+    Seq(path, path2).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val emb = Tables.embeddings(spark, sf)
+    // lifecycle: build on 2/3 (quantizers fit there), O(delta) append of
+    // the rest through the STORED centroids + codebooks
+    Ann.writeIvfPqStore(emb.where("vec_id % 3 != 2"), path, nCells = 16,
+      m = 4, ksub = 8)
+    Ann.appendIvfPqStore(emb.where("vec_id % 3 = 2"), path)
+    // completeness: one code row per servable vector, and NO corpus float
+    // persists in a cell bucket (codes-only at rest is the point)
+    val servable = emb.where(Ann.cosineUsable(col("embedding"))).count()
+    assert(Ann.readIvfPqStore(spark, path).count() == servable)
+    val rawCells = graft.io.IO.readStoreBuckets(spark, path, (0 until 16).toSet)
+    assert(rawCells.where(col("cv").isNotNull).count() == 0L,
+      "a cell bucket persisted full-precision vectors")
+    // append-maintained == one-shot batch build under the SAME quantizers:
+    // identical codes, identical serve
+    Ann.writeIvfPqStore(emb, path2, nCells = 16, m = 4, ksub = 8,
+      centroids = Some(Ann.readIvfPqCentroids(spark, path)),
+      codebooks = Some(Ann.readIvfPqCodebooks(spark, path)))
+    val queries = emb.where("vec_id < 4")
+    val served = Ann.ivfPqStoreTopK(spark, path, queries, k = 5,
+      refineFrom = Some(emb))
+    val oneShot = Ann.ivfPqStoreTopK(spark, path2, queries, k = 5,
+        refineFrom = Some(emb))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served.as[(Long, Long, Double, Int)].collect().toSet == oneShot)
+    assert(oneShot.nonEmpty)
+    // refined scores are exact cosines: recompute independently per pair
+    val asD = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
+    val exact = served
+      .join(emb.select(col("vec_id").as("nn_id"), col("embedding").as("ev")), "nn_id")
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .where(col("cosine") =!= round(Ann.cosine(asD(col("ev")), asD(col("qv"))), 4))
+    assert(exact.count() == 0L, "refined cosine drifted from the exact recompute")
+    // pruned read: the serve scan touches at most nProbe cells per query
+    // plus the two reserved quantizer buckets — never the whole store
+    val buckets = served.inputFiles
+      .flatMap("__graft_bucket=(\\d+)".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).toSet
+    assert(buckets.intersect(Set(16, 17)).nonEmpty, "reserved buckets unread")
+    assert((buckets -- Set(16, 17)).size <= 4 * 4,
+      s"serve read ${buckets.size} buckets — pruning lost: $buckets")
+    // ADC-only serve (no flat tier): valid contiguous ranks, ascending adc
+    val adcOnly = Ann.ivfPqStoreTopK(spark, path, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(adcOnly.nonEmpty)
+    adcOnly.groupBy(_._1).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to rs.length))
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sorted.toSeq)
+    }
+    // the pre-append version stays readable: exactly the build corpus'
+    // servable rows plus the two quantizer buckets' rows at v1
+    val v1 = graft.io.IO.storeVersions(spark, path).head
+    val buildServable = emb.where("vec_id % 3 != 2")
+      .where(Ann.cosineUsable(col("embedding"))).count()
+    val v1Rows = graft.io.IO.readPartitionedStoreAt(spark, path, v1)
+      .where(col("nn_id") >= 0).count()
+    assert(v1Rows == buildServable)
+  }
+
+  test("ivfpq store: planted clusters served exactly through the persisted " +
+       "codes (ADC shortlist + flat refine reproduces brute)") {
+    val path = "/root/repo/target/test_tmp/ivfpq_planted"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val df = (0 until 12).map { i =>
+      (i.toLong, mk(if (i < 6) c1 else c2, 0.01f * (i % 4)))
+    }.toDF("vec_id", "embedding")
+    Ann.writeIvfPqStore(df, path, nCells = 2, m = 2, ksub = 4)
+    val out = Ann.ivfPqStoreTopK(spark, path, df.where("vec_id = 0"), k = 5,
+      nProbe = 1, refine = 2, refineFrom = Some(df))
+    val nn = out.select("nn_id").as[Long].collect().toSet
+    assert(nn == Set(1L, 2L, 3L, 4L, 5L), s"cross-cluster leak: $nn")
+    val brute = Ann.bruteTopK(df, df.where("vec_id = 0"), k = 5)
+      .select("nn_id", "cosine").as[(Long, Double)].collect().toMap
+    val got = out.select("nn_id", "cosine").as[(Long, Double)].collect().toMap
+    assert(got == brute)
+  }
+
   test("clusterReport: planted clusters are recovered with high coherence") {
     // two tight orthogonal clusters; nulls excluded from assignment
     val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
