@@ -94,6 +94,7 @@ object ScaleProbe {
   case class Point(flagshipS: Double, flagshipCands: Long,
                    minhashS: Double, minhashCands: Long,
                    annBuildS: Double, annCells: Long, annServeS: Double,
+                   ivfPqServeS: Double,
                    bm25BuildS: Double, bm25ServeS: Double,
                    nearDupDeltaS: Double)
 
@@ -129,6 +130,21 @@ object ScaleProbe {
     }
     println(f"[scale] $tag ann: build $tBuild%.1f s ($nCells cells), " +
       f"serve $tServe%.1f s")
+    // IVF-PQ store: codes-at-rest tier, same √n cells (reuse the IVF
+    // store's fitted centroids — the probe measures the SERVE shape, not
+    // quantizer training), fixed 24-query serve with exact flat refine.
+    // The probed read is code rows of nProbe cells per query, so serve
+    // must stay ~flat like the full-precision IVF serve above.
+    val pqStore = s"/root/repo/target/qtmp/scaleprobe_ivfpq_$tag"
+    graft.io.IO.deletePath(pqStore)
+    graft.llm.Ann.writeIvfPqStore(emb, pqStore,
+      centroids = Some(graft.llm.Ann.readCentroids(spark, store)),
+      codebooks = Some(graft.llm.Ann.fitPqCodebooks(emb, maxIter = 3)))
+    val (_, tPqServe) = timed {
+      graft.llm.Ann.ivfPqStoreTopK(spark, pqStore, queries, k = 10,
+        refineFrom = Some(emb)).count()
+    }
+    println(f"[scale] $tag ivfpq: serve $tPqServe%.1f s")
     // BM25 store: √n-auto-bucketed build, then a fixed 4-term serve — the
     // lexical-retrieval analog of the IVF serve above. Query terms live in
     // copy 0 only (token renaming), so the OUTPUT is scale-invariant and
@@ -165,7 +181,7 @@ object ScaleProbe {
     }
     println(f"[scale] $tag neardup-delta: $tDelta%.1f s " +
       f"($nNovel/32 novel, $ndBuckets buckets)")
-    Point(tFlag, nCands, tNear, nNear, tBuild, nCells, tServe,
+    Point(tFlag, nCands, tNear, nNear, tBuild, nCells, tServe, tPqServe,
       tBmBuild, tBmServe, tDelta)
   }
 
@@ -205,6 +221,8 @@ object ScaleProbe {
         ratio(p1.annCells.toDouble, pN.annCells.toDouble), 2.0 * math.sqrt(factor)),
       ("ivf serve sub-linear",
         ratio(p1.annServeS, pN.annServeS), 1.0 * factor),
+      ("ivfpq serve sub-linear (pruned code read + flat refine)",
+        ratio(p1.ivfPqServeS, pN.ivfPqServeS), 1.0 * factor),
       ("bm25 store build ~linear",
         ratio(p1.bm25BuildS, pN.bm25BuildS), 2.0 * factor),
       ("bm25 store serve sub-linear (bucket-pruned read)",
