@@ -997,6 +997,35 @@ object Ann {
         element_at(col("codes"), 2).as("code"), col("cv").as("centroid"))
   }
 
+  /** Both quantizers in ONE pruned scan of the two reserved buckets,
+    * assembled driver-side — serve/append pay one read job instead of
+    * two, and the collect is bounded by construction (nCells + m·ksub
+    * tiny rows, never data). Returns the centroid frame [[probeFrame]]
+    * broadcasts and the collected codebooks the encode/LUT kernels
+    * loop over. */
+  private def loadIvfPqQuantizers(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): (DataFrame, Array[Array[Array[Double]]]) = {
+    val nCells = graft.io.IO.storeBuckets(path) - 2
+    val rows = graft.io.IO.readStoreBuckets(spark, path, Set(nCells, nCells + 1))
+      .collect()
+    import spark.implicits._
+    // collection.Seq + toVector: Spark hands back a MUTABLE ArraySeq, and
+    // both a `getAs[Seq[_]]` checkcast (2.13 Seq = immutable.Seq) and the
+    // local-seq encoder reject it
+    val cents = rows.filter(_.getAs[Int](graft.io.IO.BucketCol) == nCells)
+      .map(r => ((-r.getAs[Long]("nn_id") - 1).toInt,
+        r.getAs[scala.collection.Seq[Double]]("cv").toVector))
+      .toSeq.toDF("cell", "centroid")
+    val cb = rows.filter(_.getAs[Int](graft.io.IO.BucketCol) == nCells + 1)
+      .map { r =>
+        val sc = r.getAs[scala.collection.Seq[Int]]("codes")
+        (sc(0), sc(1), r.getAs[scala.collection.Seq[Double]]("cv").toArray)
+      }
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    (cents, cb)
+  }
+
   /** The code rows of a persisted IVF-PQ store — (nn_id, codes, cell)
     * through the CURRENT committed manifest, reserved buckets excluded. */
   def readIvfPqStore(spark: org.apache.spark.sql.SparkSession,
@@ -1016,8 +1045,8 @@ object Ann {
   def appendIvfPqStore(delta: DataFrame, path: String,
                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = delta.sparkSession
-    val cents = readIvfPqCentroids(spark, path)
-    val codesU = pqCodesUdf(collectCodebooks(readIvfPqCodebooks(spark, path)))
+    val (cents, cb) = loadIvfPqQuantizers(spark, path)
+    val codesU = pqCodesUdf(cb)
     val nullVec = lit(null).cast("array<double>")
     val rows = assignCells(delta.where(cosineUsable(col(vecCol))), cents, idCol, vecCol)
       .select(col("nn_id"), codesU(col("cv")).as("codes"), nullVec.as("cv"),
@@ -1045,13 +1074,13 @@ object Ann {
                      refineFrom: Option[DataFrame] = None,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val probes = probeFrame(queries, readIvfPqCentroids(spark, path),
-      nProbe, idCol, vecCol)
+    val (cents, cb) = loadIvfPqQuantizers(spark, path)
+    val probes = probeFrame(queries, cents, nProbe, idCol, vecCol)
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSet
     val codes = graft.io.IO.readStoreBuckets(spark, path, cells)
       .withColumnRenamed(graft.io.IO.BucketCol, "cell")
       .select("nn_id", "codes", "cell")
-    val lutU = pqLutUdf(collectCodebooks(readIvfPqCodebooks(spark, path)))
+    val lutU = pqLutUdf(cb)
     val q = queries.where(cosineUsable(col(vecCol)))
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("nn_id").asc)

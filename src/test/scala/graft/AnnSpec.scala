@@ -395,13 +395,15 @@ class AnnSpec extends SparkSpec {
       .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
       .where(col("cosine") =!= round(Ann.cosine(asD(col("ev")), asD(col("qv"))), 4))
     assert(exact.count() == 0L, "refined cosine drifted from the exact recompute")
-    // pruned read: the serve scan touches at most nProbe cells per query
-    // plus the two reserved quantizer buckets — never the whole store
+    // pruned read: the serve SCAN touches at most nProbe cells per query
+    // and no reserved bucket (the quantizers load once through a bounded
+    // driver-side collect, not the per-batch scan plan)
     val buckets = served.inputFiles
       .flatMap("__graft_bucket=(\\d+)".r.findFirstMatchIn(_))
       .map(_.group(1).toInt).toSet
-    assert(buckets.intersect(Set(16, 17)).nonEmpty, "reserved buckets unread")
-    assert((buckets -- Set(16, 17)).size <= 4 * 4,
+    assert(buckets.nonEmpty && buckets.intersect(Set(16, 17)).isEmpty,
+      s"reserved quantizer buckets leaked into the serve scan: $buckets")
+    assert(buckets.size <= 4 * 4,
       s"serve read ${buckets.size} buckets — pruning lost: $buckets")
     // ADC-only serve (no flat tier): valid contiguous ranks, ascending adc
     val adcOnly = Ann.ivfPqStoreTopK(spark, path, queries, k = 5)
