@@ -31,6 +31,7 @@ object Plans {
     "ann_quantize" -> "quantization is a one-pass projection — no shuffle, 4× smaller at rest",
     "dd_boilerplate" -> "gram df aggregates on an 8-byte hash; hot set joins back, no all-pairs",
     "ann_ivf_store" -> "IVF store scan prunes to probed cell partitions; centroids/probes broadcast",
+    "ann_ivfpq_store" -> "IVF-PQ serve: scan reads ONLY probed cells' code rows (quantizers load via one bounded collect, never in the per-batch plan); ADC shortlist windows on codes, full-precision floats join back to refine*k survivors only",
     "tx_pii_scrub" -> "PII redaction is a scan-side codegen projection — zero shuffle, zero UDF",
     "tx_unigram_lp" -> "vocab agg partial-combines on token; scoring re-join broadcasts the vocab",
     "tx_shuffle_shard" -> "export shuffle = ONE hash Exchange on shard + per-shard sort; no global sort",
@@ -98,6 +99,14 @@ object Plans {
         graft.io.IO.deletePath(path)
         graft.llm.Ann.writeIvfStore(emb, path)
         graft.llm.Ann.ivfStoreTopK(s, path, emb.where("vec_id < 8"), k = 10)
+      }),
+      "ann_ivfpq_store" -> ((s, d) => {
+        val emb = graft.Tables.embeddings(s, d)
+        val path = "/root/repo/target/qtmp/plans_ivfpq_store"
+        graft.io.IO.deletePath(path)
+        graft.llm.Ann.writeIvfPqStore(emb, path)
+        graft.llm.Ann.ivfPqStoreTopK(s, path, emb.where("vec_id < 8"), k = 10,
+          refineFrom = Some(emb))
       }),
       "ann_knn_graph" -> ((s, d) =>
         graft.llm.Ann.knnGraph(graft.Tables.embeddings(s, d), k = 10)),
