@@ -613,6 +613,31 @@ class IOSpec extends SparkSpec {
     assert(IO.readPartitionedStore(spark, path).count() == 2)
   }
 
+  test("trusted routing column: an out-of-range or NULL caller-supplied " +
+       "__graft_bucket fails the write instead of poisoning reads") {
+    // a bad trusted bucket would not fail on its own — it would land rows
+    // where no keyed merge or pruned read ever looks (silent data loss),
+    // so the range guard must turn it into a write-time error
+    val path = s"$tmp/trusted_bucket_store"
+    IO.deletePath(path)
+    val ok = Seq((1L, 1.0, 0), (2L, 2.0, 3)).toDF("id", "v", IO.BucketCol)
+    IO.writePartitionedStore(ok, path, Seq("id"), nBuckets = 4)
+    assert(IO.readPartitionedStore(spark, path).count() == 2)
+    val tooBig = Seq((3L, 3.0, 4)).toDF("id", "v", IO.BucketCol)
+    val e = intercept[Exception] {
+      IO.appendPartitionedStore(spark, path, tooBig, Seq("id"))
+    }
+    assert(e.getMessage.contains("out of range"), e.getMessage)
+    val nullBucket = Seq((Some(4L), 4.0, None: Option[Int]))
+      .toDF("id", "v", IO.BucketCol)
+    val e2 = intercept[Exception] {
+      IO.appendPartitionedStore(spark, path, nullBucket, Seq("id"))
+    }
+    assert(e2.getMessage.contains("out of range"), e2.getMessage)
+    // failed appends committed nothing
+    assert(IO.readPartitionedStore(spark, path).count() == 2)
+  }
+
   test("applyChangeFeed removes NULL-key rows null-safely (a delete feed " +
        "event matches a NULL-key mirror row)") {
     // mirror/feed arrive from ARBITRARY frames (the public consumer API) —
