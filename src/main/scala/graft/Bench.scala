@@ -41,8 +41,16 @@ object Bench {
     // reproducibility: the round-5 builder/driver totals diverged ~2× on
     // identical code — record the knobs that differ between harnesses
     val rt = Runtime.getRuntime
+    // 1-minute system loadavg (-1.0 where unsupported): co-tenant load is
+    // the recorded 1.2-2x dilation factor between otherwise-identical
+    // runs, so the artifact carries the host state at start and end —
+    // the load-vs-regression dispute becomes decidable from the numbers
+    def loadAvg(): Double = math.rint(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage * 100) / 100
+    val load0 = loadAvg()
     System.err.println(s"[bench] config: heapMax=${rt.maxMemory() / (1 << 20)}MiB " +
-      s"cores=$cpus sf=$sfDir javaVersion=${System.getProperty("java.version")}")
+      s"cores=$cpus sf=$sfDir javaVersion=${System.getProperty("java.version")} " +
+      s"loadavg=$load0")
     // One-time session warmup, OUTSIDE any timed region: whichever query
     // sorts first otherwise absorbs JVM classloading, the codegen
     // compiler's first compile, shuffle/broadcast machinery init, and the
@@ -107,7 +115,9 @@ object Bench {
     val gcMs = scala.jdk.CollectionConverters.ListHasAsScala(
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans)
       .asScala.map(_.getCollectionTime).sum
-    System.err.println(s"[bench] gcTotal=${gcMs}ms of ${(total * 1000).toLong}ms")
+    val load1 = loadAvg()
+    System.err.println(s"[bench] gcTotal=${gcMs}ms of ${(total * 1000).toLong}ms " +
+      s"loadavg=$load0->$load1")
     // Full attribution artifact (cost-descending, with gc + io totals) —
     // survives however the stdout line gets truncated.
     locally {
@@ -117,6 +127,7 @@ object Bench {
         s"""  {"query":"$k","sec":$v,"input_bytes":$i,"shuffle_read_bytes":$sr,"shuffle_write_bytes":$sw}"""
       }.mkString("[\n", ",\n", "\n]")
       val body = s"""{"total_sec":$total,"gc_ms":$gcMs,"sf":"$sfDir","cpus":$cpus,
+"loadavg_start":$load0,"loadavg_end":$load1,
 "queries_cost_desc":$perQuery}"""
       val out = java.nio.file.Paths.get("/root/repo/target/bench_per_query.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -126,7 +137,7 @@ object Bench {
     // "metric"/"value"/"gc_ms" repeated AFTER the (long) per-query map:
     // harness logs keep only the tail of the line, and the leading fields
     // get truncated away.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","gc_ms":$gcMs,"metric":"total","value":$total,"unit":"sec"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","gc_ms":$gcMs,"loadavg_start":$load0,"loadavg_end":$load1,"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }
