@@ -197,7 +197,7 @@ object Plans {
         |
         |## Streaming state backend (st_* family)
         |
-        |The eleven `st_*` queries run on Structured Streaming's default
+        |The `st_*` streaming queries run on Structured Streaming's default
         |HDFS-backed state store, which keeps every key's state on the
         |executor HEAP — at 100× the stream cardinality that heap becomes
         |the bottleneck before any shuffle does. The engine's seam is
