@@ -27,25 +27,11 @@ object ProfileEr {
     val a = Catalogs.sideA(spark, dir).where("id % 10 = 0").withColumn("table", lit("abt"))
     val b = Catalogs.sideB(spark, dir).where("id % 10 = 0").withColumn("table", lit("buy"))
     val all = a.unionByName(b).select("table", "id", "name", "description", "price")
-    locally { // stage-level breakdown of the feature build (fits vs transform)
-      import graft.features.TextFeatures
-      val base = all
-        .withColumn("description", coalesce(col("description"), lit("")))
-        .withColumn("price_f", regexp_replace(col("price"), "\\$", "").cast("float"))
-        .cache()
-      base.count()
-      val nameM = timed("  name pipeline fit") { TextFeatures.namePipeline().fit(base) }
-      val descM = timed("  descript W2V fit") {
-        TextFeatures.descriptW2VPipeline(maxIter = cfg.w2vMaxIter, minCount = 1,
-          seed = cfg.seed).fit(base) }
-      val priceM = timed("  price pipeline fit") { TextFeatures.pricePipeline().fit(base) }
-      timed("  transform+materialize") {
-        priceM.transform(descM.transform(nameM.transform(base)))
-          .select("table", "id", "name_features", "descript_features", "price_features")
-          .queryExecution.toRdd.count()
-      }
-      base.unpersist(blocking = false)
-    }
+    // NOTE: this first timed block absorbs JVM/codegen warmup (ProfileEr
+    // has no warmup phase, unlike Bench) — measured 2026-08-15: the warm
+    // per-stage truth is name fit ~2.5 s, W2V fit ~1.1 s, price fit
+    // ~0.01 s, transform+materialize ~0.75 s, so read a large number here
+    // as warmup before blaming the feature build.
     val feats = timed("fitFeatures (3 pipelines)") {
       val f = EntityResolution.fitFeatures(all, cfg).cache(); f.count(); f
     }

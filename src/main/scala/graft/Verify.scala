@@ -40,15 +40,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var dumpFailures = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // delete the previous run's dump FIRST: a query that now throws at
+      // analysis time (before the overwrite ever starts) must not leave a
+      // stale parquet dir for the oracle compare to silently PASS on
+      graft.io.IO.deletePath(s"$outDir/$name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        dumpFailures += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // same between-query hygiene as Bench: 129 queries in one session
+      // same between-query hygiene as Bench: 173 queries in one session
       // otherwise accrete checkpoint blocks until the block manager fills
       Sweep.drop(spark)
     }
@@ -70,11 +76,18 @@ object Verify {
     spark.stop()
     if (adversarial) {
       // the oracle compare against the regenerated fixture IS the gate:
-      // exit nonzero on any hash/row/schema mismatch
+      // exit nonzero on any hash/row/schema mismatch — and on any DUMP
+      // failure, which leaves no parquet dir for the compare to flag
+      // (the per-query pre-delete above guarantees no stale dir can
+      // stand in for a query that threw)
       val check = new ProcessBuilder(
           (Seq("python3", "/root/repo/tools/local_check.py", sfDir, outDir)
             ++ onlyNames): _*)
         .inheritIO().start().waitFor()
+      if (dumpFailures > 0) {
+        System.err.println(s"[verify] $dumpFailures quer(ies) failed to dump")
+        sys.exit(if (check != 0) check else 1)
+      }
       sys.exit(check)
     }
   }

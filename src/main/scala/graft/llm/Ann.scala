@@ -37,13 +37,19 @@ object Ann {
     * the whole dot-product aggregate, and a bare `isnan` conjunct would
     * return NULL (not false) for such a vector — three-valued logic then
     * leaves engine and oracle free to disagree on whether the row
-    * survives. The lambda `x.isNull || isnan(x)` is never NULL, so the
-    * exists is two-valued and both engines exclude identically. `exists`
-    * short-circuits (first nonzero / first bad component), so the filter
-    * is one cheap codegen pass at the scan. */
+    * survives. An INFINITE component is the fourth door: ±Inf is
+    * non-null, nonzero, and NOT NaN, so it slips all three earlier
+    * conjuncts — but its cosine is Inf/Inf = NaN (the same
+    * NaN-is-greatest divergence), and it must never reach a KMeans fit
+    * or an int8 quantizer; the oracle mirrors it as `isinf(x)`. The
+    * lambda `x.isNull || isnan(x) || abs(x) = +Inf` is never NULL, so
+    * the exists is two-valued and both engines exclude identically.
+    * `exists` short-circuits (first nonzero / first bad component), so
+    * the filter is one cheap codegen pass at the scan. */
   private[graft] def cosineUsable(vecCol: Column): Column =
     vecCol.isNotNull && exists(vecCol, x => x =!= lit(0.0f)) &&
-      !exists(vecCol, x => x.isNull || isnan(x))
+      !exists(vecCol, x => x.isNull || isnan(x) ||
+        abs(x.cast("double")) === lit(Double.PositiveInfinity))
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
@@ -351,7 +357,8 @@ object Ann {
     // two-valued like cosineUsable's.
     val v0 = corpus.select(asDouble(col(vecCol)).as("arr"))
       .where(col("arr").isNotNull &&
-        !exists(col("arr"), x => x.isNull || isnan(x)))
+        !exists(col("arr"), x => x.isNull || isnan(x) ||
+          abs(x) === lit(Double.PositiveInfinity)))
     val n = v0.count()
     val k = if (nCells > 0) nCells
             else math.max(1, math.min(autoCells(n), math.min(n, Int.MaxValue.toLong).toInt))
@@ -617,7 +624,12 @@ object Ann {
     * (cell, files_before, files_after) for the rewritten cells. */
   def compactIvfStore(spark: org.apache.spark.sql.SparkSession, path: String,
                       maxGensPerCell: Int = 1): DataFrame = {
-    val (frag, before) = fragmentedCells(spark, path, maxGensPerCell)
+    val frag = fragmentedCells(spark, path, maxGensPerCell)
+    // per-cell parquet-file listings only bracket an ACTUAL rewrite —
+    // they are O(buckets × gens) filesystem round-trips, charged to the
+    // OPTIMIZE action that needs the before/after report, never to the
+    // has-work check
+    val before = storeCellFiles(spark, path)
     if (frag.nonEmpty)
       graft.io.IO.compactPartitionedStore(spark, path, maxGensPerCell)
     val after = storeCellFiles(spark, path)
@@ -629,10 +641,11 @@ object Ann {
   }
 
   /** True iff some cell of the store is spread over more than `maxGens`
-    * generations — i.e. [[compactIvfStore]] would have work to do. */
+    * generations — i.e. [[compactIvfStore]] would have work to do. A
+    * manifest-only check: no data directory is ever listed. */
   def ivfStoreFragmented(spark: org.apache.spark.sql.SparkSession, path: String,
                          maxGens: Int = 1): Boolean =
-    fragmentedCells(spark, path, maxGens)._1.nonEmpty
+    fragmentedCells(spark, path, maxGens).nonEmpty
 
   /** Per-cell parquet-file counts of the CURRENT manifest (all
     * generations a cell's entry references), via Hadoop FileSystem so the
@@ -655,13 +668,15 @@ object Ann {
       }
   }
 
-  /** (fragmented cells, per-cell file counts) of the current manifest —
-    * a cell is fragmented when its manifest entry spans more than
-    * `maxGens` generations; the reserved centroid bucket is excluded
-    * (appends never touch it). */
+  /** Fragmented cells of the current manifest — a cell is fragmented
+    * when its manifest entry spans more than `maxGens` generations; the
+    * reserved centroid bucket is excluded (appends never touch it).
+    * MANIFEST-ONLY: derived from the committed bucket→generation map, so
+    * the check never lists a data directory (file counts are
+    * [[storeCellFiles]]' separate, rewrite-bracketing concern). */
   private def fragmentedCells(spark: org.apache.spark.sql.SparkSession,
                               path: String,
-                              maxGens: Int): (Set[Int], Map[Int, Int]) = {
+                              maxGens: Int): Set[Int] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -671,10 +686,9 @@ object Ann {
         s"$path has no committed manifest — not an IVF store"))
     val gens = graft.io.IO.readManifest(fs, root, v)
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
-    val frag = gens.collect {
+    gens.collect {
       case (b, n) if n > maxGens && b != reserved => b
     }.toSet
-    (frag, storeCellFiles(spark, path))
   }
 
   /** One-pass int8 scalar quantization of a vector: symmetric per-vector
@@ -705,7 +719,8 @@ object Ann {
     // UNQUANTIZABLE — int8 codes for NaN are garbage (and the oracle's
     // CAST(NaN AS INT) is an outright error) — so both quantize to the
     // same all-NULL row a NULL vector gets (mirrored in the oracle).
-    if (boxed == null || boxed.exists(d => d == null || d.doubleValue.isNaN)) null
+    if (boxed == null ||
+        boxed.exists(d => d == null || d.doubleValue.isNaN || d.doubleValue.isInfinite)) null
     else {
       val v: Seq[Double] = boxed.map(_.doubleValue)
       val (scale, s, q) = quantCodes(v)
@@ -1154,7 +1169,8 @@ object Ann {
     // code would dequantize to 0.0, LAUNDERING the poisoned vector into
     // one cosineUsable accepts, so the quantized store could serve a
     // neighbor the exact oracle excludes
-    if (boxed == null || boxed.exists(d => d == null || d.doubleValue.isNaN)) null
+    if (boxed == null ||
+        boxed.exists(d => d == null || d.doubleValue.isNaN || d.doubleValue.isInfinite)) null
     else {
       val (_, s, q) = quantCodes(boxed.map(_.doubleValue))
       q.map(_ * s / 127.0)

@@ -259,8 +259,13 @@ object Matcher {
   final class FitMemo {
     import scala.concurrent.{Await, Promise}
     import scala.concurrent.duration.Duration
+    // trials memoize the held-out METRIC only: no caller reads a trial's
+    // fitted pipeline back (searches destructure the metric and discard
+    // the model), so pinning ~30 fitted GBTs per (session, dir) in a
+    // session-scoped memo would be pure heap pressure. Winner refits keep
+    // their models — those ARE read back.
     private val trials =
-      new java.util.concurrent.ConcurrentHashMap[(GbtCandidate, Int), Promise[(PipelineModel, Double)]]()
+      new java.util.concurrent.ConcurrentHashMap[(GbtCandidate, Int), Promise[Double]]()
     private val refits =
       new java.util.concurrent.ConcurrentHashMap[(GbtCandidate, Int), Promise[PipelineModel]]()
 
@@ -277,8 +282,9 @@ object Matcher {
       Await.result((if (prior == null) fresh else prior).future, Duration.Inf)
     }
 
-    /** Fitted model + held-out metric for a trial at `iters` budget. */
-    def trial(c: GbtCandidate, iters: Int)(compute: => (PipelineModel, Double)): (PipelineModel, Double) =
+    /** Held-out metric for a trial at `iters` budget; `compute` fits and
+      * evaluates only on a memo miss. */
+    def trial(c: GbtCandidate, iters: Int)(compute: => Double): Double =
       once(trials, (c, iters))(compute)
 
     /** Winner refit on the FULL training input at `iters` budget (a
@@ -330,14 +336,13 @@ object Matcher {
     def fit(c: GbtCandidate, iters: Int, on: DataFrame): PipelineModel =
       fitCandidate(seed, c, iters, on)
     def scoredTrial(c: GbtCandidate, iters: Int): (GbtCandidate, Double) = {
-      val (_, m) = memo match {
-        case Some(mm) => mm.trial(c, iters) {
-          val mod = fit(c, iters, tr); (mod, eval.evaluate(mod.transform(va)))
-        }
-        case None =>
-          val mod = fit(c, iters, tr); (mod, eval.evaluate(mod.transform(va)))
+      def compute: Double = {
+        val mod = fit(c, iters, tr); eval.evaluate(mod.transform(va))
       }
-      (c, m)
+      (c, memo match {
+        case Some(mm) => mm.trial(c, iters)(compute)
+        case None => compute
+      })
     }
     def refitFull(c: GbtCandidate, iters: Int): PipelineModel = memo match {
       case Some(mm) => mm.refit(c, iters)(fit(c, iters, prepared))
@@ -447,14 +452,13 @@ object Matcher {
       def evalBatch(cs: Seq[GbtCandidate]): Unit = {
         val scored = Await.result(
           Future.sequence(cs.map(c => Future {
-            val (_, m) = memo match {
-              case Some(mm) => mm.trial(c, iters) {
-                val mod = fit(c, tr); (mod, eval.evaluate(mod.transform(va)))
-              }
-              case None =>
-                val mod = fit(c, tr); (mod, eval.evaluate(mod.transform(va)))
+            def compute: Double = {
+              val mod = fit(c, tr); eval.evaluate(mod.transform(va))
             }
-            (c, m)
+            (c, memo match {
+              case Some(mm) => mm.trial(c, iters)(compute)
+              case None => compute
+            })
           })),
           Duration.Inf)
         trials ++= scored

@@ -1137,7 +1137,7 @@ object LlmQueries {
     * diverge on NULL-component vectors. */
   private[queries] val usableVec: String =
     "embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0" +
-      " AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0"
+      " AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
 
   val oracles: Seq[(String, String)] = Seq(
     "dd_exact" ->
@@ -1547,7 +1547,7 @@ object LlmQueries {
     // half-away-from-zero, matching the operator's explicit rounding rule
     "ann_quantize" ->
       """WITH v AS (SELECT vec_id,
-        |  CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x))) > 0 THEN NULL
+        |  CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL
         |       ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
         |  FROM embeddings),
         |s AS (SELECT vec_id, v,

@@ -261,13 +261,6 @@ object MatchQueries {
     InferenceStats(newRows.count(), storeRows, foreignIds, scoresBad, nScored)
   }
 
-  /** Labeled, distance-featured, class-weighted pair frame the M4/M5
-    * training queries search over — MEMOIZED and materialized per
-    * (session, dir), like the feature stage it builds on: m4 and m5 run
-    * back-to-back in a bench/verify session and would otherwise each pay
-    * the candidate-join + distance-join + weight derivation for the
-    * identical frame (shared by m4_halving_search, m5_train_eval, and
-    * ProfileHalving). */
   /** Session-shared fitted-model memo for the two M4 searches: both run
     * on [[halvingTrainingFrame]] with the same seed/split, so a
     * (candidate, budget) fit either search has already paid — TPE's
@@ -278,6 +271,13 @@ object MatchQueries {
   private def m4FitMemo(s: SparkSession, dir: String): Matcher.FitMemo =
     SessionMemo.value(s, s"m4_fit_memo:$dir")(new Matcher.FitMemo)
 
+  /** Labeled, distance-featured, class-weighted pair frame the M4/M5
+    * training queries search over — MEMOIZED and materialized per
+    * (session, dir), like the feature stage it builds on: m4 and m5 run
+    * back-to-back in a bench/verify session and would otherwise each pay
+    * the candidate-join + distance-join + weight derivation for the
+    * identical frame (shared by m4_halving_search, m5_train_eval, and
+    * ProfileHalving). */
   private[graft] def halvingTrainingFrame(s: SparkSession, dir: String): DataFrame =
     trainingFrameCache.getOrElseUpdate(cacheKey(s, dir, "id % 10 = 0"),
       graft.Sweep.retainNew(s) {

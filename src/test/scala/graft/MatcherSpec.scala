@@ -287,12 +287,12 @@ class MatcherSpec extends SparkSpec {
         def call(): Double = memo.trial(key(0), 1) {
           assert(others.await(30, TimeUnit.SECONDS),
             "peer computes starved while key 0 was in flight — memo serializes")
-          (null, 0.0)
-        }._2
+          0.0
+        }
       })
       (1 to 64).foreach { i =>
         pool.submit(new Runnable {
-          def run(): Unit = { memo.trial(key(i), 1)((null, i.toDouble)); others.countDown() }
+          def run(): Unit = { memo.trial(key(i), 1)(i.toDouble); others.countDown() }
         })
       }
       assert(blocked.get(60, TimeUnit.SECONDS) == 0.0)
@@ -304,7 +304,7 @@ class MatcherSpec extends SparkSpec {
       val results = (1 to 16).map { _ =>
         pool.submit(new java.util.concurrent.Callable[Double] {
           def call(): Double =
-            memo.trial(key(100), 2) { computes.incrementAndGet(); (null, 7.0) }._2
+            memo.trial(key(100), 2) { computes.incrementAndGet(); 7.0 }
         })
       }.map(_.get(30, TimeUnit.SECONDS))
       assert(computes.get() == 1 && results.forall(_ == 7.0))
@@ -314,7 +314,7 @@ class MatcherSpec extends SparkSpec {
       intercept[RuntimeException] {
         memo.trial(key(200), 3)(throw new RuntimeException("boom"))
       }
-      assert(memo.trial(key(200), 3)((null, 9.0))._2 == 9.0)
+      assert(memo.trial(key(200), 3)(9.0) == 9.0)
     } finally pool.shutdownNow()
   }
 }

@@ -86,11 +86,21 @@ con.sql(f"""
            CAST(list_transform(range({dim}),
                 x -> CASE WHEN x = 1 THEN NULL
                           ELSE 0.25 END) AS FLOAT[]), 1
+    UNION ALL
+    -- INFINITY COMPONENT: Inf is non-null, nonzero, and NOT NaN, so it
+    -- slips every earlier conjunct; its cosine is Inf/Inf = NaN (the
+    -- NaN-is-greatest divergence again) and it must never reach a KMeans
+    -- fit or an int8 quantizer — guarded engine-side by an
+    -- abs(x) = +Inf conjunct and oracle-side by isinf(x)
+    SELECT {vec_max + 5},
+           CAST(list_transform(range({dim}),
+                x -> CASE WHEN x = 2 THEN CAST('Infinity' AS FLOAT)
+                          ELSE 0.75 END) AS FLOAT[]), 1
   ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """)
 n = con.sql(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
 print(f"wrote {out}/embeddings.parquet with {n} rows "
-      f"(NULL-vector, zero-vector, NaN-component and NULL-component rows appended)")
+      f"(NULL-vector, zero-vector, NaN-, NULL-, and Inf-component rows appended)")
 
 ev_max = con.sql(
     f"SELECT max(event_id) FROM '{src}/events.parquet'").fetchone()[0]
