@@ -407,11 +407,29 @@ object Ann {
       .sortBy(_._1)
 
   def assignCells(df: DataFrame, centroids: DataFrame,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents: Array[(Int, Array[Double])] = collectedCentroids(centroids)
-    val argminUdf = udf { (v: Seq[Double]) =>
-      if (v == null) null.asInstanceOf[java.lang.Integer]
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignCellsCollected(df, collectedCentroids(centroids), idCol, vecCol)
+
+  /** [[assignCells]] over an already-collected centroid table — the build
+    * paths collect the tiny frame ONCE and route everything (assignment,
+    * the reserved-bucket id, the persisted centroid rows) through the
+    * same array instead of re-evaluating the frame per consumer. */
+  private def assignCellsCollected(df: DataFrame,
+                                   cents: Array[(Int, Array[Double])],
+                                   idCol: String, vecCol: String): DataFrame = {
+    // BOXED element type: a primitive Seq[Double] signature raises
+    // NOT_NULL_ASSERT_VIOLATION during deserialization when a vector
+    // carries a NULL component — whether such a row reaches this UDF
+    // would then depend on whether the optimizer pushed the caller's
+    // usability filter below the projection (quantUdf documents the same
+    // trap). A NULL/NaN/Inf component assigns to a NULL cell instead:
+    // unroutable, same policy as the fit filter.
+    val argminUdf = udf { (boxed: Seq[java.lang.Double]) =>
+      if (boxed == null ||
+          boxed.exists(d => d == null || d.doubleValue.isNaN || d.doubleValue.isInfinite))
+        null.asInstanceOf[java.lang.Integer]
       else {
+        val v: Seq[Double] = boxed.map(_.doubleValue)
         var best = -1; var bestD = Double.MaxValue
         cents.foreach { case (cell, c) =>
           var d = 0.0; var i = 0
@@ -430,6 +448,7 @@ object Ann {
     * through the store's committed manifest (so a racing rebuild can
     * never show a reader half-written centroids). */
   def readCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    requireStoreKind(spark, path, "ivf")
     val reserved = graft.io.IO.storeBuckets(path) - 1
     graft.io.IO.readStoreBuckets(spark, path, Set(reserved))
       .select((-col("nn_id") - 1).cast("int").as("cell"),
@@ -543,21 +562,29 @@ object Ann {
     // it in (the cells are a routing key — any consistent centroid set
     // works, and the store persists whichever it was built with); without
     // one, fit here (nCells <= 0 auto-sizes by √n — see fitCentroids)
-    val cents = centroids.getOrElse(fitCentroids(dense, nCells, vecCol, seed))
+    // collected ONCE: the reserved-bucket id, the row routing, and the
+    // persisted centroid rows all derive from this array — a frame-backed
+    // centroid source (e.g. readCentroids of another store) would
+    // otherwise be scanned three times per build
+    val cents = collectedCentroids(
+      centroids.getOrElse(fitCentroids(dense, nCells, vecCol, seed)))
     // reserved bucket id = one past the highest real cell (auto-sizing
     // means the fitted cell count, not the nCells argument, is the truth)
-    val reserved = collectedCentroids(cents).map(_._1).max + 1
-    val data = assignCells(dense, cents, idCol, vecCol)
+    val reserved = cents.map(_._1).max + 1
+    val data = assignCellsCollected(dense, cents, idCol, vecCol)
       .select(col("nn_id"), col("cv"), col("cell").as(graft.io.IO.BucketCol))
-    val centRows = cents.select(
-      (lit(-1L) - col("cell").cast("long")).as("nn_id"),
-      asDouble(col("centroid")).as("cv"),
-      lit(reserved).as(graft.io.IO.BucketCol))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centRows = cents.toSeq
+      .map { case (cell, c) => (-1L - cell, c.toSeq) }
+      .toDF("nn_id", "cv")
+      .withColumn(graft.io.IO.BucketCol, lit(reserved))
     // writePartitionedStore rebalances on the routing column before the
     // partitionBy write (the small-files guard) and commits postings +
     // centroids in one manifest version
     graft.io.IO.writePartitionedStore(data.unionByName(centRows), path,
       keys = Seq("nn_id"), nBuckets = reserved + 1)
+    writeStoreKind(spark, path, "ivf")
   }
 
   /** Incremental index maintenance: route a delta of new vectors through
@@ -581,6 +608,7 @@ object Ann {
     * the CURRENT committed manifest (superseded generations and the
     * reserved centroid bucket excluded). */
   def readIvfStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    requireStoreKind(spark, path, "ivf")
     val reserved = graft.io.IO.storeBuckets(path) - 1
     graft.io.IO.readStoreBuckets(spark, path, (0 until reserved).toSet)
       .withColumnRenamed(graft.io.IO.BucketCol, "cell")
@@ -598,10 +626,13 @@ object Ann {
   def ivfStoreTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                    queries: DataFrame, k: Int, nProbe: Int = 4,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val probes = probeFrame(queries, readCentroids(spark, path), nProbe, idCol, vecCol)
-    // deterministic under re-evaluation: the probe window's order
-    // (cdist asc, cell asc) is total per query, so the collect job and
-    // the join's recompute resolve identical probe sets
+    // PINNED (localCheckpoint) before the driver-side cell collect: the
+    // pruned store read and the candidate join must see the SAME probe
+    // set even when the caller's queries frame has nondeterministic
+    // lineage (sample/limit) — and the probe window then runs once, not
+    // once per consumer. Bounded: nProbe rows per usable query.
+    val probes = probeFrame(queries, readCentroids(spark, path), nProbe,
+      idCol, vecCol).localCheckpoint()
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSet
     val assigned = graft.io.IO.readStoreBuckets(spark, path, cells)
       .withColumnRenamed(graft.io.IO.BucketCol, "cell")
@@ -625,16 +656,17 @@ object Ann {
   def compactIvfStore(spark: org.apache.spark.sql.SparkSession, path: String,
                       maxGensPerCell: Int = 1): DataFrame = {
     val frag = fragmentedCells(spark, path, maxGensPerCell)
-    // per-cell parquet-file listings only bracket an ACTUAL rewrite —
-    // they are O(buckets × gens) filesystem round-trips, charged to the
-    // OPTIMIZE action that needs the before/after report, never to the
-    // has-work check
-    val before = storeCellFiles(spark, path)
-    if (frag.nonEmpty)
-      graft.io.IO.compactPartitionedStore(spark, path, maxGensPerCell)
-    val after = storeCellFiles(spark, path)
     val spark2 = spark
     import spark2.implicits._
+    if (frag.isEmpty)
+      return Seq.empty[(Int, Int, Int)].toDF("cell", "files_before", "files_after")
+    // per-cell parquet-file listings only bracket an ACTUAL rewrite —
+    // they are O(buckets × gens) filesystem round-trips, charged to the
+    // OPTIMIZE action that needs the before/after report, never to a
+    // no-op call (which stays manifest-only, like ivfStoreFragmented)
+    val before = storeCellFiles(spark, path)
+    graft.io.IO.compactPartitionedStore(spark, path, maxGensPerCell)
+    val after = storeCellFiles(spark, path)
     frag.toSeq.sorted
       .map(c => (c, before.getOrElse(c, 0), after.getOrElse(c, 0)))
       .toDF("cell", "files_before", "files_after")
@@ -962,39 +994,79 @@ object Ann {
                       centroids: Option[DataFrame] = None,
                       codebooks: Option[DataFrame] = None): Unit = {
     val dense = corpus.where(cosineUsable(col(vecCol)))
-    val cents = centroids.getOrElse(fitCentroids(dense, nCells, vecCol, seed))
-    val cbDf = codebooks.getOrElse(
-      fitPqCodebooks(dense, m, ksub, idCol, vecCol, seed))
-    val cb = collectCodebooks(cbDf)
+    // both quantizers collected ONCE (same rationale as writeIvfStore);
+    // the codebooks also surface their ACTUAL code domain — nn_id
+    // encoding must use it, not the ksub argument, or caller-supplied
+    // codebooks with a larger ksub would collide codebook-row keys
+    val cents = collectedCentroids(
+      centroids.getOrElse(fitCentroids(dense, nCells, vecCol, seed)))
+    val cb = collectCodebooks(codebooks.getOrElse(
+      fitPqCodebooks(dense, m, ksub, idCol, vecCol, seed)))
+    val ksubActual = cb.map(_.length).max
     val codesU = pqCodesUdf(cb)
-    val reserved = collectedCentroids(cents).map(_._1).max + 1
+    val reserved = cents.map(_._1).max + 1
     val nullCodes = lit(null).cast("array<int>")
     val nullVec = lit(null).cast("array<double>")
     // data rows: codes only — the full-precision vector does NOT persist
     // here (that is the point of the layout; exact refinement reads a
     // flat store, see ivfPqStoreTopK's refineFrom)
-    val data = assignCells(dense, cents, idCol, vecCol)
+    val data = assignCellsCollected(dense, cents, idCol, vecCol)
       .select(col("nn_id"), codesU(col("cv")).as("codes"), nullVec.as("cv"),
         col("cell").as(graft.io.IO.BucketCol))
-    val centRows = cents.select(
-      (lit(-1L) - col("cell").cast("long")).as("nn_id"), nullCodes.as("codes"),
-      asDouble(col("centroid")).as("cv"), lit(reserved).as(graft.io.IO.BucketCol))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centRows = cents.toSeq
+      .map { case (cell, c) => (-1L - cell, c.toSeq) }
+      .toDF("nn_id", "cv")
+      .select(col("nn_id"), nullCodes.as("codes"), col("cv"),
+        lit(reserved).as(graft.io.IO.BucketCol))
     // codebook rows: identity IS the (subspace, code) pair, carried in
     // `codes`; nn_id only needs to be non-null and unique for the store's
-    // key guard
-    val cbRows = cbDf.select(
-      (lit(-1L) - (col("subspace").cast("long") * ksub + col("code"))).as("nn_id"),
-      array(col("subspace"), col("code")).as("codes"),
-      asDouble(col("centroid")).as("cv"),
-      lit(reserved + 1).as(graft.io.IO.BucketCol))
+    // key guard — unique because `code < ksubActual` by construction
+    val cbRows = cb.zipWithIndex.toSeq
+      .flatMap { case (sub, j) => sub.zipWithIndex.map { case (cent, c) =>
+        (-1L - (j.toLong * ksubActual + c), Seq(j, c), cent.toSeq) } }
+      .toDF("nn_id", "codes", "cv")
+      .withColumn(graft.io.IO.BucketCol, lit(reserved + 1))
     graft.io.IO.writePartitionedStore(data.unionByName(centRows).unionByName(cbRows),
       path, keys = Seq("nn_id"), nBuckets = reserved + 2)
+    writeStoreKind(spark, path, "ivfpq")
+  }
+
+  /** One-word layout marker distinguishing the IVF layout (cells + ONE
+    * reserved bucket) from the IVF-PQ layout (cells + TWO) — nothing
+    * else on disk does, so e.g. [[readCentroids]] pointed at an IVF-PQ
+    * path would silently decode the CODEBOOK bucket as centroids and
+    * route every subsequent append by garbage distances. Readers require
+    * a match and fail loudly instead. */
+  private def storeKindPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_store_kind")
+  private def writeStoreKind(spark: org.apache.spark.sql.SparkSession,
+                             path: String, kind: String): Unit = {
+    val p = storeKindPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(kind.getBytes("UTF-8")) finally out.close()
+  }
+  private def requireStoreKind(spark: org.apache.spark.sql.SparkSession,
+                               path: String, kind: String): Unit = {
+    val p = storeKindPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"$path has no _graft_store_kind marker — not a graft vector store")
+    val in = fs.open(p)
+    val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+    require(got == kind,
+      s"$path is a '$got' store, not '$kind' — its reserved buckets would " +
+        "decode as garbage quantizers")
   }
 
   /** The coarse centroid table of a persisted IVF-PQ store (reserved
     * bucket `nCells`), through the committed manifest. */
   def readIvfPqCentroids(spark: org.apache.spark.sql.SparkSession,
                          path: String): DataFrame = {
+    requireStoreKind(spark, path, "ivfpq")
     val reserved = graft.io.IO.storeBuckets(path) - 2
     graft.io.IO.readStoreBuckets(spark, path, Set(reserved))
       .select((-col("nn_id") - 1).cast("int").as("cell"),
@@ -1006,6 +1078,7 @@ object Ann {
     * [[fitPqCodebooks]] emits. */
   def readIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,
                          path: String): DataFrame = {
+    requireStoreKind(spark, path, "ivfpq")
     val reserved = graft.io.IO.storeBuckets(path) - 1
     graft.io.IO.readStoreBuckets(spark, path, Set(reserved))
       .select(element_at(col("codes"), 1).as("subspace"),
@@ -1020,6 +1093,7 @@ object Ann {
     * loop over. */
   private def loadIvfPqQuantizers(spark: org.apache.spark.sql.SparkSession,
                                   path: String): (DataFrame, Array[Array[Array[Double]]]) = {
+    requireStoreKind(spark, path, "ivfpq")
     val nCells = graft.io.IO.storeBuckets(path) - 2
     val rows = graft.io.IO.readStoreBuckets(spark, path, Set(nCells, nCells + 1))
       .collect()
@@ -1045,6 +1119,7 @@ object Ann {
     * through the CURRENT committed manifest, reserved buckets excluded. */
   def readIvfPqStore(spark: org.apache.spark.sql.SparkSession,
                      path: String): DataFrame = {
+    requireStoreKind(spark, path, "ivfpq")
     val nCells = graft.io.IO.storeBuckets(path) - 2
     graft.io.IO.readStoreBuckets(spark, path, (0 until nCells).toSet)
       .withColumnRenamed(graft.io.IO.BucketCol, "cell")
@@ -1090,7 +1165,9 @@ object Ann {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (cents, cb) = loadIvfPqQuantizers(spark, path)
+    // pinned before the cell collect — same rationale as ivfStoreTopK
     val probes = probeFrame(queries, cents, nProbe, idCol, vecCol)
+      .localCheckpoint()
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSet
     val codes = graft.io.IO.readStoreBuckets(spark, path, cells)
       .withColumnRenamed(graft.io.IO.BucketCol, "cell")

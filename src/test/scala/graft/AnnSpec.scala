@@ -111,8 +111,7 @@ class AnnSpec extends SparkSpec {
     def files() = {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") &&
-          !p.toString.contains("_graft_centroids"))
+        .filter(p => p.toString.endsWith(".parquet"))
         .map(p => p.toString ->
           java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
     }
