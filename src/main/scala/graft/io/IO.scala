@@ -464,7 +464,8 @@ object IO {
     * [[storeBuckets]]) are only valid when the caller's bucketing IS the
     * key hash. Keys are null-guarded either way. */
   def writePartitionedStore(df: DataFrame, path: String, keys: Seq[String],
-                            nBuckets: Int = 64): Unit = {
+                            nBuckets: Int = 64,
+                            layoutTag: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val (fs, root) = hfs(spark, path)
     fs.delete(root, true) // fresh-store overwrite semantics
@@ -485,6 +486,13 @@ object IO {
       .hint("rebalance", col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
     writeSmallFile(fs, new HPath(root, "_graft_buckets"), nBuckets.toString)
+    // optional caller-declared layout tag (e.g. which reserved-bucket
+    // scheme the routing column encodes), written like _graft_buckets
+    // BEFORE the commit marker so the pair is atomic with the data: a
+    // crash in between leaves an uncommitted store, never a committed
+    // one whose readers reject it
+    layoutTag.foreach(k =>
+      writeSmallFile(fs, new HPath(root, "_graft_store_kind"), k))
     val buckets = listPartDirs(fs, genPath, BucketCol)
     writeManifestVersion(fs, root, 1, buckets.map(_ -> gen))
     commitManifestVersion(fs, root, 1)

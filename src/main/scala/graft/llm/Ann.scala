@@ -425,11 +425,22 @@ object Ann {
     // trap). A NULL/NaN/Inf component assigns to a NULL cell instead:
     // unroutable, same policy as the fit filter.
     val argminUdf = udf { (boxed: Seq[java.lang.Double]) =>
-      if (boxed == null ||
-          boxed.exists(d => d == null || d.doubleValue.isNaN || d.doubleValue.isInfinite))
-        null.asInstanceOf[java.lang.Integer]
+      // single validate+unbox pass into a primitive array, then the tight
+      // argmin loop — no boxed intermediate, no second scan per row
+      val v: Array[Double] = if (boxed == null) null else {
+        val a = new Array[Double](boxed.length)
+        var i = 0
+        var ok = true
+        val it = boxed.iterator
+        while (ok && it.hasNext) {
+          val d = it.next()
+          if (d == null || d.doubleValue.isNaN || d.doubleValue.isInfinite) ok = false
+          else { a(i) = d.doubleValue; i += 1 }
+        }
+        if (ok) a else null
+      }
+      if (v == null) null.asInstanceOf[java.lang.Integer]
       else {
-        val v: Seq[Double] = boxed.map(_.doubleValue)
         var best = -1; var bestD = Double.MaxValue
         cents.foreach { case (cell, c) =>
           var d = 0.0; var i = 0
@@ -582,9 +593,12 @@ object Ann {
     // writePartitionedStore rebalances on the routing column before the
     // partitionBy write (the small-files guard) and commits postings +
     // centroids in one manifest version
+    // the layout tag rides the SAME v1 commit as the data (IO writes it
+    // beside _graft_buckets before the commit marker), so no crash can
+    // leave a committed store whose readers reject it for a missing tag
     graft.io.IO.writePartitionedStore(data.unionByName(centRows), path,
-      keys = Seq("nn_id"), nBuckets = reserved + 1)
-    writeStoreKind(spark, path, "ivf")
+      keys = Seq("nn_id"), nBuckets = reserved + 1,
+      layoutTag = Some("ivf"))
   }
 
   /** Incremental index maintenance: route a delta of new vectors through
@@ -630,7 +644,12 @@ object Ann {
     // pruned store read and the candidate join must see the SAME probe
     // set even when the caller's queries frame has nondeterministic
     // lineage (sample/limit) — and the probe window then runs once, not
-    // once per consumer. Bounded: nProbe rows per usable query.
+    // once per consumer. Bounded: nProbe rows per usable query; blocks
+    // are freed by the context cleaner once the serve frame is dropped.
+    // The trade is deliberate: checkpoint blocks are non-reliable (an
+    // executor loss fails the serve instead of recomputing), which is
+    // the right failure mode — a silent partial recompute here would
+    // DROP results, not degrade gracefully.
     val probes = probeFrame(queries, readCentroids(spark, path), nProbe,
       idCol, vecCol).localCheckpoint()
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSet
@@ -709,6 +728,9 @@ object Ann {
   private def fragmentedCells(spark: org.apache.spark.sql.SparkSession,
                               path: String,
                               maxGens: Int): Set[Int] = {
+    // the maintenance surface hardcodes the IVF layout (ONE reserved
+    // bucket) — same fail-loudly rule as the read paths
+    requireStoreKind(spark, path, "ivf")
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1002,6 +1024,8 @@ object Ann {
       centroids.getOrElse(fitCentroids(dense, nCells, vecCol, seed)))
     val cb = collectCodebooks(codebooks.getOrElse(
       fitPqCodebooks(dense, m, ksub, idCol, vecCol, seed)))
+    require(cb.nonEmpty && cb.forall(_.nonEmpty),
+      "codebooks frame is empty — nothing to encode with")
     val ksubActual = cb.map(_.length).max
     val codesU = pqCodesUdf(cb)
     val reserved = cents.map(_._1).max + 1
@@ -1028,9 +1052,10 @@ object Ann {
         (-1L - (j.toLong * ksubActual + c), Seq(j, c), cent.toSeq) } }
       .toDF("nn_id", "codes", "cv")
       .withColumn(graft.io.IO.BucketCol, lit(reserved + 1))
+    // layout tag committed atomically with the data — see writeIvfStore
     graft.io.IO.writePartitionedStore(data.unionByName(centRows).unionByName(cbRows),
-      path, keys = Seq("nn_id"), nBuckets = reserved + 2)
-    writeStoreKind(spark, path, "ivfpq")
+      path, keys = Seq("nn_id"), nBuckets = reserved + 2,
+      layoutTag = Some("ivfpq"))
   }
 
   /** One-word layout marker distinguishing the IVF layout (cells + ONE
@@ -1041,8 +1066,11 @@ object Ann {
     * a match and fail loudly instead. */
   private def storeKindPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_store_kind")
-  private def writeStoreKind(spark: org.apache.spark.sql.SparkSession,
-                             path: String, kind: String): Unit = {
+  /** private[graft]: a store persisted BEFORE the marker existed needs a
+    * one-time `writeStoreKind(spark, path, "ivf")` migration touch —
+    * tooling-level, deliberate, never guessed by a reader. */
+  private[graft] def writeStoreKind(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, kind: String): Unit = {
     val p = storeKindPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
@@ -1053,7 +1081,9 @@ object Ann {
     val p = storeKindPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p),
-      s"$path has no _graft_store_kind marker — not a graft vector store")
+      s"$path has no _graft_store_kind marker — not a graft vector store " +
+        "(a store persisted before the marker existed needs the one-time " +
+        "writeStoreKind migration touch)")
     val in = fs.open(p)
     val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
               finally in.close()
