@@ -44,10 +44,11 @@ object ProbeContracts {
     locally {
       val path = graft.Sweep.ephemeral("/root/repo/target/qtmp/probe_ivfpq")
       graft.io.IO.deletePath(path)
+      // residual-space codebooks fit inside the build (3 bounded Lloyd
+      // iterations) — mirrors the registered query's store exactly
       Ann.writeIvfPqStore(emb.where("vec_id % 3 != 2"), path,
         centroids = Some(Ann.fitCentroids(
-          emb.where(Ann.cosineUsable(org.apache.spark.sql.functions.col("embedding"))))),
-        codebooks = Some(Ann.fitPqCodebooks(emb, maxIter = 3)))
+          emb.where(Ann.cosineUsable(org.apache.spark.sql.functions.col("embedding"))))))
       Ann.appendIvfPqStore(emb.where("vec_id % 3 = 2"), path)
       val st = LlmQueries.annStats(spark,
         Ann.ivfPqStoreTopK(spark, path, emb.where("vec_id < 8"), k = 10,

@@ -132,14 +132,15 @@ object ScaleProbe {
       f"serve $tServe%.1f s")
     // IVF-PQ store: codes-at-rest tier, same √n cells (reuse the IVF
     // store's fitted centroids — the probe measures the SERVE shape, not
-    // quantizer training), fixed 24-query serve with exact flat refine.
-    // The probed read is code rows of nProbe cells per query, so serve
-    // must stay ~flat like the full-precision IVF serve above.
+    // quantizer training; the residual codebook fit inside the build is
+    // hash-sample-capped, so it stays bounded at any factor), fixed
+    // 24-query serve with exact flat refine. The probed read is code
+    // rows of nProbe cells per query, so serve must stay ~flat like the
+    // full-precision IVF serve above.
     val pqStore = s"/root/repo/target/qtmp/scaleprobe_ivfpq_$tag"
     graft.io.IO.deletePath(pqStore)
     graft.llm.Ann.writeIvfPqStore(emb, pqStore,
-      centroids = Some(graft.llm.Ann.readCentroids(spark, store)),
-      codebooks = Some(graft.llm.Ann.fitPqCodebooks(emb, maxIter = 3)))
+      centroids = Some(graft.llm.Ann.readCentroids(spark, store)))
     val (_, tPqServe) = timed {
       graft.llm.Ann.ivfPqStoreTopK(spark, pqStore, queries, k = 10,
         refineFrom = Some(emb)).count()

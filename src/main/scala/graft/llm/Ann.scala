@@ -414,31 +414,35 @@ object Ann {
     * paths collect the tiny frame ONCE and route everything (assignment,
     * the reserved-bucket id, the persisted centroid rows) through the
     * same array instead of re-evaluating the frame per consumer. */
+  /** Single validate+unbox pass: boxed Seq → primitive array, or null if
+    * the input is null or carries a NULL/NaN/Inf component. The shared
+    * front door of every vector-kernel UDF here — a primitive
+    * `Seq[Double]` UDF signature raises NOT_NULL_ASSERT_VIOLATION during
+    * deserialization when a vector carries a NULL component, and whether
+    * such a row reaches the UDF at all would then depend on where the
+    * optimizer placed the caller's usability filter relative to the
+    * projection (quantUdf documents the same trap). */
+  private def unboxFinite(boxed: Seq[java.lang.Double]): Array[Double] = {
+    if (boxed == null) return null
+    val a = new Array[Double](boxed.length)
+    var i = 0
+    val it = boxed.iterator
+    while (it.hasNext) {
+      val d = it.next()
+      if (d == null || d.doubleValue.isNaN || d.doubleValue.isInfinite) return null
+      a(i) = d.doubleValue; i += 1
+    }
+    a
+  }
+
   private def assignCellsCollected(df: DataFrame,
                                    cents: Array[(Int, Array[Double])],
                                    idCol: String, vecCol: String): DataFrame = {
-    // BOXED element type: a primitive Seq[Double] signature raises
-    // NOT_NULL_ASSERT_VIOLATION during deserialization when a vector
-    // carries a NULL component — whether such a row reaches this UDF
-    // would then depend on whether the optimizer pushed the caller's
-    // usability filter below the projection (quantUdf documents the same
-    // trap). A NULL/NaN/Inf component assigns to a NULL cell instead:
-    // unroutable, same policy as the fit filter.
+    // BOXED element type via unboxFinite. A NULL/NaN/Inf component
+    // assigns to a NULL cell instead: unroutable, same policy as the
+    // fit filter.
     val argminUdf = udf { (boxed: Seq[java.lang.Double]) =>
-      // single validate+unbox pass into a primitive array, then the tight
-      // argmin loop — no boxed intermediate, no second scan per row
-      val v: Array[Double] = if (boxed == null) null else {
-        val a = new Array[Double](boxed.length)
-        var i = 0
-        var ok = true
-        val it = boxed.iterator
-        while (ok && it.hasNext) {
-          val d = it.next()
-          if (d == null || d.doubleValue.isNaN || d.doubleValue.isInfinite) ok = false
-          else { a(i) = d.doubleValue; i += 1 }
-        }
-        if (ok) a else null
-      }
+      val v: Array[Double] = unboxFinite(boxed)
       if (v == null) null.asInstanceOf[java.lang.Integer]
       else {
         var best = -1; var bestD = Double.MaxValue
@@ -891,10 +895,16 @@ object Ann {
       .map(_._2.sortBy(_._2).map(_._3))
 
   /** Map-side PQ encode kernel: vector → its m nearest-codeword codes
-    * against the collected codebooks. Shared by [[pqEncode]] and the
-    * persisted [[writeIvfPqStore]]/[[appendIvfPqStore]] build passes. */
-  private def pqCodesUdf(cb: Array[Array[Array[Double]]]) = udf { (v: Seq[Double]) =>
-    (0 until cb.length).map { j =>
+    * against the collected codebooks. Shared by [[pqEncode]] (raw
+    * vectors) and the persisted [[writeIvfPqStore]]/[[appendIvfPqStore]]
+    * build passes (residuals). Boxed element type via [[unboxFinite]],
+    * same trap as assignCells' argmin; an unusable vector encodes to
+    * NULL codes (unservable — every call site sits behind cosineUsable,
+    * so this is defense in depth, not a live path). */
+  private def pqCodesUdf(cb: Array[Array[Array[Double]]]) = udf { (boxed: Seq[java.lang.Double]) =>
+    val v = unboxFinite(boxed)
+    if (v == null) null
+    else (0 until cb.length).map { j =>
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < cb(j).length) {
@@ -910,10 +920,14 @@ object Ann {
   }
 
   /** Per-query ADC lookup table: partial squared distances from the query
-    * to every codeword (m × ksub doubles — tiny). Shared by [[pqTopK]]
-    * and [[ivfPqStoreTopK]]. */
-  private def pqLutUdf(cb: Array[Array[Array[Double]]]) = udf { (qv: Seq[Double]) =>
-    cb.zipWithIndex.map { case (sub, j) =>
+    * (for [[pqTopK]]'s global-codebook layout) or the query's RESIDUAL
+    * against a probed cell's centroid (for [[ivfPqStoreTopK]]'s residual
+    * layout) to every codeword — m × ksub doubles, tiny. Boxed input,
+    * same rationale as [[pqCodesUdf]]. */
+  private def pqLutUdf(cb: Array[Array[Array[Double]]]) = udf { (boxed: Seq[java.lang.Double]) =>
+    val qv = unboxFinite(boxed)
+    if (qv == null) null
+    else cb.zipWithIndex.map { case (sub, j) =>
       sub.map { cent =>
         var d = 0.0; var i = 0
         while (i < cent.length) {
@@ -924,11 +938,37 @@ object Ann {
     }.toSeq
   }
 
-  /** Summed-LUT asymmetric distance of a code row. */
+  /** Summed-LUT asymmetric distance of a code row. NULL-propagating on
+    * either side (a NULL never survives the upstream usability filters;
+    * the guard keeps the kernel total rather than NPE-ing if one did). */
   private val pqAdcUdf = udf { (codes: Seq[Int], lut: Seq[Seq[Double]]) =>
-    var s = 0.0; var j = 0
-    while (j < codes.length) { s += lut(j)(codes(j)); j += 1 }
-    s
+    if (codes == null || lut == null) null.asInstanceOf[java.lang.Double]
+    else {
+      var s = 0.0; var j = 0
+      while (j < codes.length) { s += lut(j)(codes(j)); j += 1 }
+      java.lang.Double.valueOf(s)
+    }
+  }
+
+  /** Map-side residual kernel: `v − centroid(cell)` against a collected
+    * centroid table — the FAISS-IVFPQ residual the persisted store
+    * encodes and serves in ([[writeIvfPqStore]]). An unusable vector or
+    * an unknown/NULL cell yields NULL (unroutable, same policy as
+    * assignCells). */
+  private def residUdf(cents: Array[(Int, Array[Double])]) = {
+    val byCell = cents.toMap
+    udf { (boxed: Seq[java.lang.Double], cell: java.lang.Integer) =>
+      val v = unboxFinite(boxed)
+      if (v == null || cell == null) null
+      else byCell.get(cell.intValue) match {
+        case None => null
+        case Some(c) =>
+          val out = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { out(i) = v(i) - c(i); i += 1 }
+          out.toSeq
+      }
+    }
   }
 
   /** PQ-encode a corpus: each vector → its m nearest-centroid codes.
@@ -998,14 +1038,38 @@ object Ann {
     * as every other index here (atomic commits, racing readers resolve a
     * committed version, time travel until vacuum).
     *
+    * RESIDUAL encoding (the standard FAISS IVFPQ layout): each vector
+    * encodes as `v − centroid(cell)` against codebooks FIT ON RESIDUALS,
+    * not as the raw vector against one global codebook set. The residual
+    * distribution is re-centered at the origin for every cell, so the
+    * ksub codewords per subspace spend their whole budget on WITHIN-cell
+    * detail instead of re-describing the between-cell spread the coarse
+    * quantizer already removed — at a fixed code budget the ADC
+    * shortlist's recall is strictly higher (AnnSpec pins this against a
+    * global-codebook encode on the planted-cluster fixture). The serve
+    * LUT is therefore per (query, probed cell): partial distances of
+    * `q − centroid(cell)` to the codewords, so the summed ADC distance
+    * approximates ‖q − (centroid + codeword)‖² exactly as in the flat
+    * layout.
+    *
+    * The residual codebooks fit on a deterministic hash-sample above
+    * `fitSampleCap` rows (same rationale and rule as [[fitCentroids]]):
+    * the Lloyd loop must never scan a 100 TB corpus per iteration, and
+    * PQ codebooks — like coarse cells — are trained on a sample in every
+    * production deployment.
+    *
     * Both quantizers ride IN the store, each in its own reserved
     * routing bucket of the SAME manifest version — coarse centroids at
     * bucket `nCells` (`nn_id = -1 - cell, cv = centroid`, the
-    * [[writeIvfStore]] encoding) and PQ codebooks at bucket `nCells + 1`
-    * (`codes = [subspace, code], cv = codeword`) — so routing, encoding,
-    * and the codes they produced commit ATOMICALLY: no version can pair
-    * codes with the wrong codebooks, which would silently corrupt every
-    * ADC distance.
+    * [[writeIvfStore]] encoding) and RESIDUAL-SPACE PQ codebooks at
+    * bucket `nCells + 1` (`codes = [subspace, code], cv = codeword`) —
+    * so routing, encoding, and the codes they produced commit
+    * ATOMICALLY: no version can pair codes with the wrong codebooks,
+    * which would silently corrupt every ADC distance. A caller-supplied
+    * `codebooks` frame MUST be residual-space (e.g. read back from
+    * another store built on the same centroids via
+    * [[readIvfPqCodebooks]]); raw-vector codebooks would encode, but
+    * with exactly the recall loss this layout exists to remove.
     *
     * Null/zero-norm/NaN vectors are dropped at write time (unroutable
     * and unservable — same policy as [[writeIvfStore]]). */
@@ -1014,7 +1078,9 @@ object Ann {
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       seed: Long = 42L,
                       centroids: Option[DataFrame] = None,
-                      codebooks: Option[DataFrame] = None): Unit = {
+                      codebooks: Option[DataFrame] = None,
+                      codebookIters: Int = 3,
+                      fitSampleCap: Long = 10000L): Unit = {
     val dense = corpus.where(cosineUsable(col(vecCol)))
     // both quantizers collected ONCE (same rationale as writeIvfStore);
     // the codebooks also surface their ACTUAL code domain — nn_id
@@ -1022,8 +1088,27 @@ object Ann {
     // codebooks with a larger ksub would collide codebook-row keys
     val cents = collectedCentroids(
       centroids.getOrElse(fitCentroids(dense, nCells, vecCol, seed)))
-    val cb = collectCodebooks(codebooks.getOrElse(
-      fitPqCodebooks(dense, m, ksub, idCol, vecCol, seed)))
+    // the assigned frame feeds BOTH the residual-codebook fit (maxIter
+    // scans inside fitPqCodebooks) and the encode pass — persist it so
+    // the source read + argmin run once, not once per consumer
+    val assigned = assignCellsCollected(dense, cents, idCol, vecCol).persist()
+    val n = assigned.count()
+    val rU = residUdf(cents)
+    val resid = assigned.select(col("nn_id"), rU(col("cv"), col("cell")).as("rv"),
+      col("cell"))
+    val cb = collectCodebooks(codebooks.getOrElse {
+      // bounded fit input: deterministic seeded hash-sample above the cap
+      // (keep-one-in-s residue classes — no RNG, same rows every run),
+      // exactly fitCentroids' rule. Below the cap the full residual frame
+      // fits, so fixture-scale codes are sample-invariant.
+      val fitInput =
+        if (n <= fitSampleCap) resid
+        else {
+          val keepOneIn = math.max(2L, (n + fitSampleCap - 1) / fitSampleCap)
+          resid.where(pmod(xxhash64(col("nn_id"), lit(seed)), lit(keepOneIn)) === 0)
+        }
+      fitPqCodebooks(fitInput, m, ksub, "nn_id", "rv", seed, codebookIters)
+    })
     require(cb.nonEmpty && cb.forall(_.nonEmpty),
       "codebooks frame is empty — nothing to encode with")
     val ksubActual = cb.map(_.length).max
@@ -1031,11 +1116,11 @@ object Ann {
     val reserved = cents.map(_._1).max + 1
     val nullCodes = lit(null).cast("array<int>")
     val nullVec = lit(null).cast("array<double>")
-    // data rows: codes only — the full-precision vector does NOT persist
-    // here (that is the point of the layout; exact refinement reads a
-    // flat store, see ivfPqStoreTopK's refineFrom)
-    val data = assignCellsCollected(dense, cents, idCol, vecCol)
-      .select(col("nn_id"), codesU(col("cv")).as("codes"), nullVec.as("cv"),
+    // data rows: RESIDUAL codes only — the full-precision vector does NOT
+    // persist here (that is the point of the layout; exact refinement
+    // reads a flat store, see ivfPqStoreTopK's refineFrom)
+    val data = resid
+      .select(col("nn_id"), codesU(col("rv")).as("codes"), nullVec.as("cv"),
         col("cell").as(graft.io.IO.BucketCol))
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1045,17 +1130,22 @@ object Ann {
       .select(col("nn_id"), nullCodes.as("codes"), col("cv"),
         lit(reserved).as(graft.io.IO.BucketCol))
     // codebook rows: identity IS the (subspace, code) pair, carried in
-    // `codes`; nn_id only needs to be non-null and unique for the store's
-    // key guard — unique because `code < ksubActual` by construction
+    // `codes`; the nn_id key space sits BELOW the centroid rows' range
+    // [-reserved, -1] (offset by the cell count), so no centroid row and
+    // no codebook row can ever collide on the store's key column —
+    // unique within the codebook rows because `code < ksubActual` by
+    // construction
     val cbRows = cb.zipWithIndex.toSeq
       .flatMap { case (sub, j) => sub.zipWithIndex.map { case (cent, c) =>
-        (-1L - (j.toLong * ksubActual + c), Seq(j, c), cent.toSeq) } }
+        (-1L - reserved - (j.toLong * ksubActual + c), Seq(j, c), cent.toSeq) } }
       .toDF("nn_id", "codes", "cv")
       .withColumn(graft.io.IO.BucketCol, lit(reserved + 1))
     // layout tag committed atomically with the data — see writeIvfStore
-    graft.io.IO.writePartitionedStore(data.unionByName(centRows).unionByName(cbRows),
-      path, keys = Seq("nn_id"), nBuckets = reserved + 2,
-      layoutTag = Some("ivfpq"))
+    try
+      graft.io.IO.writePartitionedStore(data.unionByName(centRows).unionByName(cbRows),
+        path, keys = Seq("nn_id"), nBuckets = reserved + 2,
+        layoutTag = Some("ivfpq"))
+    finally assigned.unpersist(blocking = false)
   }
 
   /** One-word layout marker distinguishing the IVF layout (cells + ONE
@@ -1068,7 +1158,13 @@ object Ann {
     new org.apache.hadoop.fs.Path(path, "_graft_store_kind")
   /** private[graft]: a store persisted BEFORE the marker existed needs a
     * one-time `writeStoreKind(spark, path, "ivf")` migration touch —
-    * tooling-level, deliberate, never guessed by a reader. */
+    * tooling-level, deliberate, never guessed by a reader. Recorded
+    * decision: NO silent legacy fallback (a missing marker does NOT read
+    * as 'ivf') — the only pre-marker stores ever written were ephemeral
+    * target/qtmp paths that die with the JVM, so there is no durable
+    * population to migrate, and guessing would reintroduce exactly the
+    * decode-codebooks-as-centroids corruption the marker exists to stop;
+    * the requireStoreKind error message carries the migration recipe. */
   private[graft] def writeStoreKind(spark: org.apache.spark.sql.SparkSession,
                                     path: String, kind: String): Unit = {
     val p = storeKindPath(path)
@@ -1103,9 +1199,12 @@ object Ann {
         col("cv").as("centroid"))
   }
 
-  /** The PQ codebooks of a persisted IVF-PQ store (reserved bucket
-    * `nCells + 1`), decoded back to the (subspace, code, centroid) shape
-    * [[fitPqCodebooks]] emits. */
+  /** The RESIDUAL-SPACE PQ codebooks of a persisted IVF-PQ store
+    * (reserved bucket `nCells + 1`), decoded back to the
+    * (subspace, code, centroid) shape [[fitPqCodebooks]] emits.
+    * Residual-space: codewords quantize `v − centroid(cell)`, so they
+    * are only meaningful together with the SAME store's coarse
+    * centroids ([[readIvfPqCentroids]]). */
   def readIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,
                          path: String): DataFrame = {
     requireStoreKind(spark, path, "ivfpq")
@@ -1122,7 +1221,8 @@ object Ann {
     * broadcasts and the collected codebooks the encode/LUT kernels
     * loop over. */
   private def loadIvfPqQuantizers(spark: org.apache.spark.sql.SparkSession,
-                                  path: String): (DataFrame, Array[Array[Array[Double]]]) = {
+                                  path: String):
+      (DataFrame, Array[(Int, Array[Double])], Array[Array[Array[Double]]]) = {
     requireStoreKind(spark, path, "ivfpq")
     val nCells = graft.io.IO.storeBuckets(path) - 2
     val rows = graft.io.IO.readStoreBuckets(spark, path, Set(nCells, nCells + 1))
@@ -1131,10 +1231,12 @@ object Ann {
     // collection.Seq + toVector: Spark hands back a MUTABLE ArraySeq, and
     // both a `getAs[Seq[_]]` checkcast (2.13 Seq = immutable.Seq) and the
     // local-seq encoder reject it
-    val cents = rows.filter(_.getAs[Int](graft.io.IO.BucketCol) == nCells)
+    val centArr = rows.filter(_.getAs[Int](graft.io.IO.BucketCol) == nCells)
       .map(r => ((-r.getAs[Long]("nn_id") - 1).toInt,
-        r.getAs[scala.collection.Seq[Double]]("cv").toVector))
-      .toSeq.toDF("cell", "centroid")
+        r.getAs[scala.collection.Seq[Double]]("cv").toArray))
+      .sortBy(_._1)
+    val cents = centArr.toSeq.map { case (c, v) => (c, v.toVector) }
+      .toDF("cell", "centroid")
     val cb = rows.filter(_.getAs[Int](graft.io.IO.BucketCol) == nCells + 1)
       .map { r =>
         val sc = r.getAs[scala.collection.Seq[Int]]("codes")
@@ -1142,7 +1244,7 @@ object Ann {
       }
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3))
-    (cents, cb)
+    (cents, centArr, cb)
   }
 
   /** The code rows of a persisted IVF-PQ store — (nn_id, codes, cell)
@@ -1156,21 +1258,23 @@ object Ann {
       .select("nn_id", "codes", "cell")
   }
 
-  /** Incremental maintenance: route + encode a delta of new vectors
-    * through the STORED centroids and codebooks and append — O(delta)
-    * writes through the optimistic manifest loop, no existing file read
-    * or rewritten. Same aging trade as [[appendIvfStore]], doubled: both
-    * the coarse cells and the codebooks drift as the distribution moves;
-    * refresh = rebuild. */
+  /** Incremental maintenance: route a delta of new vectors through the
+    * STORED centroids, RESIDUAL-encode through the stored residual
+    * codebooks, and append — O(delta) writes through the optimistic
+    * manifest loop, no existing file read or rewritten. Same aging trade
+    * as [[appendIvfStore]], doubled: both the coarse cells and the
+    * codebooks drift as the distribution moves; refresh = rebuild. */
   def appendIvfPqStore(delta: DataFrame, path: String,
                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = delta.sparkSession
-    val (cents, cb) = loadIvfPqQuantizers(spark, path)
+    val (_, centArr, cb) = loadIvfPqQuantizers(spark, path)
     val codesU = pqCodesUdf(cb)
+    val rU = residUdf(centArr)
     val nullVec = lit(null).cast("array<double>")
-    val rows = assignCells(delta.where(cosineUsable(col(vecCol))), cents, idCol, vecCol)
-      .select(col("nn_id"), codesU(col("cv")).as("codes"), nullVec.as("cv"),
-        col("cell").as(graft.io.IO.BucketCol))
+    val rows = assignCellsCollected(delta.where(cosineUsable(col(vecCol))),
+        centArr, idCol, vecCol)
+      .select(col("nn_id"), codesU(rU(col("cv"), col("cell"))).as("codes"),
+        nullVec.as("cv"), col("cell").as(graft.io.IO.BucketCol))
     graft.io.IO.appendPartitionedStore(spark, path, rows, keys = Seq("nn_id"))
   }
 
@@ -1194,22 +1298,35 @@ object Ann {
                      refineFrom: Option[DataFrame] = None,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (cents, cb) = loadIvfPqQuantizers(spark, path)
-    // pinned before the cell collect — same rationale as ivfStoreTopK
+    val (cents, centArr, cb) = loadIvfPqQuantizers(spark, path)
+    // pinned before the cell collect — same rationale as ivfStoreTopK.
+    // EVERYTHING query-side downstream (the per-probe residual LUTs and
+    // the refine join's (query_id, qv) set) derives from this pinned
+    // frame, never from the caller's `queries`: under nondeterministic
+    // query lineage (sample/limit) a re-derivation could resolve a
+    // DIFFERENT query set — dropping queries from the result, or
+    // building a LUT from a different vector than the one that routed
+    // its probes.
     val probes = probeFrame(queries, cents, nProbe, idCol, vecCol)
       .localCheckpoint()
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSet
     val codes = graft.io.IO.readStoreBuckets(spark, path, cells)
       .withColumnRenamed(graft.io.IO.BucketCol, "cell")
       .select("nn_id", "codes", "cell")
+    // residual layout ⇒ the LUT is per (query, PROBED CELL): partial
+    // distances of (qv − centroid(cell)) to the residual codewords, so
+    // summed ADC ≈ ‖q − (centroid + codeword)‖² — comparable across the
+    // probed cells exactly like flat-layout ADC
     val lutU = pqLutUdf(cb)
-    val q = queries.where(cosineUsable(col(vecCol)))
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val rU = residUdf(centArr)
+    val probeLuts = probes
+      .withColumn("lut", lutU(rU(col("qv"), col("cell"))))
+      .select("query_id", "cell", "lut")
+    val qPinned = probes.select(col("query_id"), col("qv"))
+      .dropDuplicates("query_id")
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("nn_id").asc)
     val shortlist = codes
-      .join(broadcast(probes.select("query_id", "cell")), Seq("cell"))
-      .join(broadcast(q.select(col("query_id"), lutU(col("qv")).as("lut"))),
-        Seq("query_id"))
+      .join(broadcast(probeLuts), Seq("cell"))
       .where(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
         pqAdcUdf(col("codes"), col("lut")).as("adc"))
@@ -1223,7 +1340,7 @@ object Ann {
           .orderBy(col("cosine").desc, col("nn_id").asc)
         shortlist.select("query_id", "nn_id")
           .join(c, Seq("nn_id"))
-          .join(broadcast(q), Seq("query_id"))
+          .join(broadcast(qPinned), Seq("query_id"))
           .select(col("query_id"), col("nn_id"),
             round(cosine(col("cv"), col("qv")), 4).as("cosine"))
           .withColumn("rank", row_number().over(w)).where(col("rank") <= k)

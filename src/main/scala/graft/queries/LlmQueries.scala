@@ -61,17 +61,19 @@ object LlmQueries {
   /** ONE built IVF-PQ store per (session, dir) — the codes-at-rest
     * serving tier below [[sharedIvfStore]]'s full-precision layout. Built
     * on 2/3 + O(delta) append (the lifecycle the query verifies), with
-    * the session's shared coarse quantizer and PQ codebooks passed in
-    * explicitly so the two expensive fits are paid once per session
-    * (same seam as ann_ivf_topk / ann_pq_topk). */
+    * the session's shared coarse quantizer passed in explicitly. The PQ
+    * codebooks are NOT shared with ann_pq_topk's raw-vector fit: the
+    * store encodes RESIDUALS (v − centroid(cell), the FAISS IVFPQ
+    * layout), so the build fits its own residual-space codebooks —
+    * a different quantizer by construction, 3 bounded Lloyd iterations
+    * over the hash-capped residual sample. */
   private def sharedIvfPqStore(s: SparkSession, dir: String): String =
     SessionMemo.value(s, s"ivfpq_shared_store:$dir") {
       val path = s"/root/repo/target/qtmp/ivfpq_shared_${storeRunId.incrementAndGet()}"
       graft.io.IO.deletePath(path)
       val emb = Tables.embeddings(s, dir)
       Ann.writeIvfPqStore(emb.where("vec_id % 3 != 2"), path,
-        centroids = Some(corpusCentroids(s, dir)),
-        codebooks = Some(pqCodebooks(s, dir)))
+        centroids = Some(corpusCentroids(s, dir)))
       Ann.appendIvfPqStore(emb.where("vec_id % 3 = 2"), path)
       path
     }

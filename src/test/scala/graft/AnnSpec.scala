@@ -445,6 +445,73 @@ class AnnSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("ivfpq store: residual encoding strictly beats a raw global-codebook " +
+       "encode on ADC-shortlist recall at the same code budget") {
+    val path = "/root/repo/target/test_tmp/ivfpq_residual"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    // 4 clusters whose projections are far apart in BOTH subspaces
+    // (m=2, dsub=2), 6 members each with a SHARED graded offset pattern
+    // 0.5j·(1,1,1,1). A raw global codebook at ksub=4 must spend its 4
+    // codewords per subspace on the 4 cluster locations (any other
+    // arrangement has vastly higher quantization cost), so every member
+    // of one cluster encodes identically and within-cell ADC collapses
+    // to the nn_id tie-break. Residual codewords see only the graded
+    // offsets (identical across cells after re-centering) and resolve
+    // them. Ids are assigned in REVERSE of the true cosine order inside
+    // each cluster, so a tie-broken ranking is measurably wrong instead
+    // of accidentally right.
+    val centers = Seq(
+      Array(40f, 0f, 40f, 0f), Array(0f, 40f, 0f, 40f),
+      Array(-40f, 0f, -40f, 0f), Array(0f, -40f, 0f, -40f))
+    val df = (for {
+      i <- 0 until 4
+      j <- 0 until 6
+    } yield {
+      val v = centers(i).map(identity)
+      val off = 0.5f * j
+      (i * 10L + (5 - j), v.map(_ + off))
+    }).toDF("vec_id", "embedding")
+    Ann.writeIvfPqStore(df, path, nCells = 4, m = 2, ksub = 4)
+    // query = cluster-0 member j=0 (id 5); true top-3 = j=1,2,3 = ids 4,3,2
+    val query = df.where("vec_id = 5")
+    val bruteSet = Ann.bruteTopK(df, query, k = 3)
+      .select("nn_id").as[Long].collect().toSet
+    // residual ADC shortlist (refine tier deliberately OFF — this measures
+    // the shortlist the refine factor would see)
+    val resid = Ann.ivfPqStoreTopK(spark, path, query, k = 3, nProbe = 1)
+      .select("nn_id").as[Long].collect().toSet
+    val residRecall = resid.intersect(bruteSet).size / 3.0
+    // raw global-codebook ADC over the same cell's candidates, computed
+    // from the public raw-PQ surface (fitPqCodebooks + pqEncode are the
+    // pre-residual layout): LUT from the query vector, summed lookups,
+    // (adc asc, id asc) ranking — exactly the store's serve rule
+    val rawCb = Ann.fitPqCodebooks(df, m = 2, ksub = 4)
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toArray))
+    val rawCodes = Ann.pqEncode(df, Ann.fitPqCodebooks(df, m = 2, ksub = 4))
+      .as[(Long, Seq[Int])].collect().toMap
+    val qv = df.where("vec_id = 5").select("embedding")
+      .as[Array[Float]].head().map(_.toDouble)
+    val lut = rawCb.zipWithIndex.map { case (sub, j) =>
+      sub.map { cw =>
+        var d = 0.0; var i = 0
+        while (i < cw.length) { val x = qv(j * cw.length + i) - cw(i); d += x * x; i += 1 }
+        d
+      }
+    }
+    val cellIds = (0L to 4L) // cluster-0 members, query excluded
+    val rawTop = cellIds.map { id =>
+      val cs = rawCodes(id)
+      (cs.zipWithIndex.map { case (c, j) => lut(j)(c) }.sum, id)
+    }.sortBy(identity).take(3).map(_._2).toSet
+    val rawRecall = rawTop.intersect(bruteSet).size / 3.0
+    assert(residRecall > rawRecall,
+      s"residual ADC recall $residRecall not above raw $rawRecall " +
+        s"(brute=$bruteSet resid=$resid raw=$rawTop)")
+    assert(residRecall == 1.0, s"residual shortlist missed: $resid vs $bruteSet")
+  }
+
   test("clusterReport: planted clusters are recovered with high coherence") {
     // two tight orthogonal clusters; nulls excluded from assignment
     val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
