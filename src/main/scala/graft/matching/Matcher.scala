@@ -196,32 +196,71 @@ object Matcher {
   }
 
   /** A point in the boosted-tree hyperparameter space searched by
-    * [[trainHalving]]. The iteration count is NOT a dimension — it is the
-    * successive-halving BUDGET axis (more boosting rounds = more budget),
-    * the standard mapping for tree ensembles. */
-  case class GbtCandidate(maxDepth: Int, stepSize: Double, subsamplingRate: Double)
+    * [[trainHalving]]/[[trainTpe]], covering the GBT analogues of the
+    * reference's 9-dimensional hyperopt space (`03_Train & Deploy
+    * Model.py:173-178`): maxDepth ≈ max_depth, stepSize ≈ learning_rate,
+    * subsamplingRate ≈ subsample, minInstancesPerNode ≈ min_child_weight,
+    * featureSubsetStrategy ≈ colsample_bytree, weightScale ≈
+    * scale_pos_weight (a multiplier on the positive class's balanced
+    * weight). The iteration count (≈ n_estimators) is NOT a dimension —
+    * it is the successive-halving BUDGET axis (more boosting rounds =
+    * more budget), the standard mapping for tree ensembles. The new dims
+    * default to the GBT library defaults so a bare
+    * `GbtCandidate(d, s, ss)` means exactly what it did before. */
+  case class GbtCandidate(maxDepth: Int, stepSize: Double, subsamplingRate: Double,
+                          minInstancesPerNode: Int = 1,
+                          featureSubsetStrategy: String = "all",
+                          weightScale: Double = 1.0)
 
   /** One candidate's assembler+GBT pipeline fit at the given boosting
-    * budget — the shared trainer body of the halving and TPE searches. */
+    * budget — the shared trainer body of the halving, TPE, and
+    * memoized-grid searches. `weightScale` applies as a narrow derived
+    * column (positive-class weights × scale — the scale_pos_weight
+    * semantics); at the default 1.0 the input frame passes through
+    * untouched, so pre-existing candidates fit bit-identically. */
   private def fitCandidate(seed: Long, c: GbtCandidate, iters: Int,
                            on: DataFrame): PipelineModel = {
+    val train =
+      if (c.weightScale == 1.0) on
+      else on.withColumn("weight",
+        when(col("label") === 1, col("weight") * c.weightScale)
+          .otherwise(col("weight")))
     val asm = new VectorAssembler().setInputCols(FeatureCols)
       .setOutputCol("features").setHandleInvalid("keep")
     val gbt = new GBTClassifier().setLabelCol("label").setWeightCol("weight")
       .setFeaturesCol("features").setSeed(seed)
       .setMaxIter(iters).setMaxDepth(c.maxDepth)
       .setStepSize(c.stepSize).setSubsamplingRate(c.subsamplingRate)
-    new Pipeline().setStages(Array(asm, gbt)).fit(on)
+      .setMinInstancesPerNode(c.minInstancesPerNode)
+      .setFeatureSubsetStrategy(c.featureSubsetStrategy)
+    new Pipeline().setStages(Array(asm, gbt)).fit(train)
   }
 
-  /** 16-point default candidate grid: 4× the 2×2 grid [[trainTuned]]
-    * searches, spanning depth, shrinkage, and stochastic-GBT subsampling. */
-  def defaultHalvingCandidates: Seq[GbtCandidate] =
-    for {
+  /** 16-point default candidate grid: the 4×2×2 depth/shrinkage/
+    * subsampling grid, with the three round-12 dimensions
+    * (minInstancesPerNode, featureSubsetStrategy, weightScale) cycled
+    * across the 16 points at staggered periods so every value of every
+    * dim appears 8 times — a Latin-hypercube-style seeding that keeps
+    * the candidate COUNT (and so every deterministic search schedule
+    * and eval-count contract) unchanged while populating the TPE
+    * densities' categorical domains and the weight-scale Parzen. The
+    * cycle phases are chosen so the grid point (3, 0.1, 1.0) carries
+    * ALL library-default new dims — that exact (candidate, budget)
+    * keyspace is what m5's memoized grid search shares with the m4
+    * searches. */
+  def defaultHalvingCandidates: Seq[GbtCandidate] = {
+    val base = for {
       d <- Seq(2, 3, 5, 7)
       s <- Seq(0.1, 0.3)
       ss <- Seq(0.7, 1.0)
-    } yield GbtCandidate(d, s, ss)
+    } yield (d, s, ss)
+    base.zipWithIndex.map { case ((d, s, ss), i) =>
+      GbtCandidate(d, s, ss,
+        minInstancesPerNode = if ((i + 1) % 2 == 0) 1 else 5,
+        featureSubsetStrategy = if (((i + 1) / 2) % 2 == 1) "all" else "sqrt",
+        weightScale = if (((i + 1) / 4) % 2 == 1) 1.0 else 1.5)
+    }
+  }
 
   /** Outcome of a [[trainHalving]] search: the winner refit on the full
     * training input at the final budget, its held-out validation AUPR
@@ -394,10 +433,13 @@ object Matcher {
     * CONDITIONS on every completed trial: trials split into the top-γ
     * "good" set and the rest, per-dimension densities l and g are fitted
     * to each — add-one-smoothed categorical counts for `maxDepth`,
-    * 1-D Parzen (Gaussian-kernel mixture + uniform prior, adaptive
-    * bandwidth) estimators for the continuous `stepSize` and
-    * `subsamplingRate` dims, the reference search's actual space shape
-    * (`hp.uniform`, `03:173-178`) — and the next `batch` configs are
+    * `minInstancesPerNode`, and `featureSubsetStrategy`, 1-D Parzen
+    * (Gaussian-kernel mixture + uniform prior, adaptive bandwidth)
+    * estimators for the continuous `stepSize`, `subsamplingRate`, and
+    * `weightScale` dims, the reference search's actual space shape
+    * (`hp.uniform`/`hp.quniform`/`hp.choice`, `03:173-178` — six of its
+    * nine dims have direct GBT analogues here; iterations ride the
+    * budget axis) — and the next `batch` configs are
     * picked by the density ratio Π l(v)/g(v), the expected-improvement
     * surrogate. In place of TPE's random draws from l, candidates come
     * from a DETERMINISTIC quantile-sliced pool (observed good values,
@@ -421,7 +463,8 @@ object Matcher {
                coalesceTo: Option[Int] = None,
                memo: Option[FitMemo] = None,
                stepSizeRange: (Double, Double) = (0.05, 0.5),
-               subsampleRange: (Double, Double) = (0.5, 1.0)): HalvingResult = {
+               subsampleRange: (Double, Double) = (0.5, 1.0),
+               weightScaleRange: (Double, Double) = (0.5, 2.0)): HalvingResult = {
     require(candidates.nonEmpty && nTrials >= nInit && nInit >= 1 && batch >= 1)
     require(gamma > 0.0 && gamma < 1.0 && iters >= 1)
     require(candidates.distinct.size == candidates.size,
@@ -429,6 +472,7 @@ object Matcher {
     require(stepSizeRange._1 > 0.0 && stepSizeRange._1 <= stepSizeRange._2)
     require(subsampleRange._1 > 0.0 && subsampleRange._1 <= subsampleRange._2 &&
       subsampleRange._2 <= 1.0)
+    require(weightScaleRange._1 > 0.0 && weightScaleRange._1 <= weightScaleRange._2)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val prepared = coalesceTo.map(n => train.coalesce(n)).getOrElse(train).cache()
@@ -465,15 +509,17 @@ object Matcher {
       }
       evalBatch(initOrder.take(math.min(nInit, cap)).map(grid))
       // ---- density machinery ----------------------------------------
-      // categorical dim (maxDepth): add-one-smoothed counts, as in the
-      // discrete TPE. continuous dims (stepSize, subsamplingRate): a
-      // Parzen estimator — mixture of Gaussian kernels centered at the
-      // observed values with the adaptive bandwidth (hi-lo)/√(1+n), plus
-      // one uniform prior component over the range (Bergstra et al. 2011
-      // §4's 1-D Parzen shape). All driver-side arithmetic over a few
-      // dozen trial rows; no randomness anywhere — the candidate "draws"
-      // are a deterministic quantile-sliced pool (below).
-      def catDens(vs: Seq[Int], dom: Seq[Int]): Int => Double = {
+      // categorical dims (maxDepth, minInstancesPerNode,
+      // featureSubsetStrategy): add-one-smoothed counts, as in the
+      // discrete TPE. continuous dims (stepSize, subsamplingRate,
+      // weightScale): a Parzen estimator — mixture of Gaussian kernels
+      // centered at the observed values with the adaptive bandwidth
+      // (hi-lo)/√(1+n), plus one uniform prior component over the range
+      // (Bergstra et al. 2011 §4's 1-D Parzen shape). All driver-side
+      // arithmetic over a few dozen trial rows; no randomness anywhere —
+      // the candidate "draws" are a deterministic quantile-sliced pool
+      // (below).
+      def catDens[T](vs: Seq[T], dom: Seq[T]): T => Double = {
         val counts = vs.groupBy(identity).view.mapValues(_.size.toDouble).toMap
         v => (counts.getOrElse(v, 0.0) + 1.0) / (vs.size + dom.size)
       }
@@ -514,28 +560,46 @@ object Matcher {
         val depthDom = grid.map(_.maxDepth).distinct
         val lDepth = catDens(good.map(_.maxDepth), depthDom)
         val gDepth = catDens(rest.map(_.maxDepth), depthDom)
+        val minInstDom = grid.map(_.minInstancesPerNode).distinct
+        val lMinInst = catDens(good.map(_.minInstancesPerNode), minInstDom)
+        val gMinInst = catDens(rest.map(_.minInstancesPerNode), minInstDom)
+        val fssDom = grid.map(_.featureSubsetStrategy).distinct
+        val lFss = catDens(good.map(_.featureSubsetStrategy), fssDom)
+        val gFss = catDens(rest.map(_.featureSubsetStrategy), fssDom)
         val (sLo, sHi) = stepSizeRange
         val (ssLo, ssHi) = subsampleRange
+        val (wLo, wHi) = weightScaleRange
         val lStep = parzenDens(good.map(_.stepSize), sLo, sHi)
         val gStep = parzenDens(rest.map(_.stepSize), sLo, sHi)
         val lSub = parzenDens(good.map(_.subsamplingRate), ssLo, ssHi)
         val gSub = parzenDens(rest.map(_.subsamplingRate), ssLo, ssHi)
+        val lW = parzenDens(good.map(_.weightScale), wLo, wHi)
+        val gW = parzenDens(rest.map(_.weightScale), wLo, wHi)
         val stepPool = contPool(good.map(_.stepSize), grid.map(_.stepSize), sLo, sHi)
         val subPool = contPool(good.map(_.subsamplingRate),
           grid.map(_.subsamplingRate), ssLo, ssHi)
+        val wPool = contPool(good.map(_.weightScale),
+          grid.map(_.weightScale), wLo, wHi)
         val seen = trials.map(_._1).toSet
         val proposals = for {
           d <- depthDom
+          mi <- minInstDom
+          fs <- fssDom
           s <- stepPool
           ss <- subPool
-          c = GbtCandidate(d, s, ss)
+          w <- wPool
+          c = GbtCandidate(d, s, ss, mi, fs, w)
           if !seen(c)
         } yield c
         val next = proposals
           .sortBy(c => (-(lDepth(c.maxDepth) / gDepth(c.maxDepth)) *
+              (lMinInst(c.minInstancesPerNode) / gMinInst(c.minInstancesPerNode)) *
+              (lFss(c.featureSubsetStrategy) / gFss(c.featureSubsetStrategy)) *
               (lStep(c.stepSize) / gStep(c.stepSize)) *
-              (lSub(c.subsamplingRate) / gSub(c.subsamplingRate)),
-            c.maxDepth, c.stepSize, c.subsamplingRate))
+              (lSub(c.subsamplingRate) / gSub(c.subsamplingRate)) *
+              (lW(c.weightScale) / gW(c.weightScale)),
+            c.maxDepth, c.stepSize, c.subsamplingRate,
+            c.minInstancesPerNode, c.featureSubsetStrategy, c.weightScale))
           .take(math.min(batch, cap - trials.size))
         // the continuous pool always holds unseen points (midpoints
         // refine between any two seen values); this guards the
@@ -553,6 +617,66 @@ object Matcher {
         case None => fit(winner, prepared)
       }
       HalvingResult(refit, winner, iters, winnerMetric, trials.size)
+    } finally {
+      pool.shutdown()
+      tr.unpersist(blocking = false)
+      va.unpersist(blocking = false)
+      prepared.unpersist(blocking = false)
+    }
+  }
+
+  /** M4/M5 shared surface — memoized grid search over EXPLICIT
+    * (candidate, budget) points through the SAME exact-proportion
+    * stratified split and [[FitMemo]] keyspace as
+    * [[trainHalving]]/[[trainTpe]]: fit each point on the 80% stratum,
+    * evaluate held-out AUPR on the 20%, pick the winner by
+    * (metric desc, point order), refit it on the FULL input at its
+    * budget. This is the TrainValidationSplit replacement for a tiny
+    * grid once a session runs several searches over one training frame —
+    * routing m5's {5,10}-iteration grid through here puts all three
+    * training queries in ONE candidate space and split, so any
+    * (candidate, budget) fit that coincides across the searches is paid
+    * once, bit-identically (the FitMemo validity contract: same input,
+    * seed, split — which is also why the caller must pass the SAME
+    * `coalesceTo` as the sibling searches; the stratified split's
+    * per-row draw is partitioning-dependent). */
+  def trainGridMemo(train: DataFrame, points: Seq[(GbtCandidate, Int)],
+                    seed: Long = 42L, parallelism: Int = 4,
+                    coalesceTo: Option[Int] = None,
+                    memo: Option[FitMemo] = None): HalvingResult = {
+    require(points.nonEmpty && points.distinct.size == points.size,
+      "grid points must be non-empty and distinct")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val prepared = coalesceTo.map(n => train.coalesce(n)).getOrElse(train).cache()
+    val Seq(tr, va) = stratifiedSplit(prepared, Seq(0.8, 0.2), seed = seed)
+      .map(_.cache())
+    val eval = evaluator
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val scored = Await.result(Future.sequence(points.map { case (c, iters) =>
+        Future {
+          def compute: Double = {
+            val mod = fitCandidate(seed, c, iters, tr)
+            eval.evaluate(mod.transform(va))
+          }
+          ((c, iters), memo match {
+            case Some(mm) => mm.trial(c, iters)(compute)
+            case None => compute
+          })
+        }
+      }), Duration.Inf)
+      // stable winner: ties resolve to the earlier point, like every
+      // other search here
+      val ((winner, budget), metric) = scored.zipWithIndex
+        .sortBy { case ((_, m), i) => (-m, i) }.head._1
+      val refit = memo match {
+        case Some(mm) =>
+          mm.refit(winner, budget)(fitCandidate(seed, winner, budget, prepared))
+        case None => fitCandidate(seed, winner, budget, prepared)
+      }
+      HalvingResult(refit, winner, budget, metric, points.size)
     } finally {
       pool.shutdown()
       tr.unpersist(blocking = false)

@@ -199,6 +199,59 @@ class MatcherSpec extends SparkSpec {
     assert(h2.candidate == h.candidate && t2.candidate == t.candidate)
   }
 
+  test("extended search space: TPE proposals reach off-grid weight scales " +
+       "and the trial history covers both values of each new categorical dim") {
+    val df = Matcher.addClassWeights(syntheticPairs(400)).coalesce(2)
+    val Seq(train, _) = Matcher.stratifiedSplit(df, Seq(0.8, 0.2))
+    val memo = new Matcher.FitMemo
+    Matcher.trainTpe(train, parallelism = 4,
+      nTrials = 16, nInit = 8, batch = 4, iters = 4, memo = Some(memo))
+    val cands = memo.trialKeys.map(_._1)
+    // categorical dims (≈ min_child_weight / colsample_bytree): the
+    // staggered default grid seeds both values of each into the history,
+    // so their add-one densities condition on real observations
+    assert(cands.map(_.minInstancesPerNode) == Set(1, 5),
+      s"minInstancesPerNode not fully explored: ${cands.map(_.minInstancesPerNode)}")
+    assert(cands.map(_.featureSubsetStrategy) == Set("all", "sqrt"),
+      s"featureSubsetStrategy not fully explored: ${cands.map(_.featureSubsetStrategy)}")
+    // continuous dim (≈ scale_pos_weight): the quantile-sliced pool must
+    // produce at least one genuinely OFF-GRID weight scale among the 8
+    // adaptive proposals — the same guarantee the stepSize/subsample
+    // dims already carry
+    val gridW = Matcher.defaultHalvingCandidates.map(_.weightScale).toSet
+    assert(cands.exists(c => !gridW.contains(c.weightScale)),
+      s"no off-grid weightScale proposed: ${cands.map(_.weightScale)}")
+    // every explored scale stays inside the declared range
+    assert(cands.forall(c => c.weightScale >= 0.5 && c.weightScale <= 2.0))
+  }
+
+  test("memoized grid search (m5 surface): winner deterministic, shared " +
+       "memo reuses a coinciding halving fit, refit at the winner's budget") {
+    val df = Matcher.addClassWeights(syntheticPairs(400)).coalesce(2)
+    val Seq(train, _) = Matcher.stratifiedSplit(df, Seq(0.8, 0.2))
+    val memo = new Matcher.FitMemo
+    // halving first: its 16-candidate first rung at minIter=5 fits the
+    // all-default (3, 0.1, 1.0) point at budget 5 — exactly the m5
+    // grid's first trial key
+    Matcher.trainHalving(train, parallelism = 4,
+      minIter = 5, maxIter = 20, eta = 4, memo = Some(memo))
+    val before = memo.trialCount
+    val base = Matcher.GbtCandidate(3, 0.1, 1.0)
+    val g = Matcher.trainGridMemo(train, Seq((base, 5), (base, 10)),
+      parallelism = 2, memo = Some(memo))
+    assert(memo.trialCount == before + 1,
+      s"(base, 5) should memo-hit halving's first rung: $before -> ${memo.trialCount}")
+    assert(g.evals == 2 && Seq(5, 10).contains(g.budget))
+    assert(g.candidate == base)
+    assert(g.validationMetric >= 0.0 && g.validationMetric <= 1.0)
+    // memo-free rerun: identical winner, budget, and metric (the memo
+    // never changes an observable result)
+    val g2 = Matcher.trainGridMemo(train, Seq((base, 5), (base, 10)),
+      parallelism = 2)
+    assert(g2.candidate == g.candidate && g2.budget == g.budget &&
+      g2.validationMetric == g.validationMetric)
+  }
+
   test("successive halving: single-candidate degenerate search fits once " +
        "at full budget") {
     val df = Matcher.addClassWeights(syntheticPairs(200)).coalesce(2)
