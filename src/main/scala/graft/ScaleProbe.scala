@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions._
   *     distinct-key blocking property of Blocking.dedupedSimilarityJoin);
   *   - near-dup candidate pairs grow ~linearly (banded LSH, never
   *     all-pairs);
+  *   - connected-component rounds stay ~log of the longest chain (flat
+  *     under structure-preserving inflation) while per-round work grows
+  *     ~linearly in edges — the iterative operator's bound;
   *   - IVF cells grow ~√n (autoCells) so per-probe candidate volume
   *     stays flat and serve latency grows sub-linearly;
   *   - every wall-clock ratio stays FAR below factor² — the quadratic
@@ -96,7 +99,8 @@ object ScaleProbe {
                    annBuildS: Double, annCells: Long, annServeS: Double,
                    ivfPqServeS: Double,
                    bm25BuildS: Double, bm25ServeS: Double,
-                   nearDupDeltaS: Double)
+                   nearDupDeltaS: Double,
+                   ccS: Double, ccRounds: Int)
 
   private def measure(spark: SparkSession, dir: String, tag: String): Point = {
     // flagship: feature fit + LSH blocking + bounded-sample train + full
@@ -116,6 +120,22 @@ object ScaleProbe {
       graft.llm.Dedup.minhashPairs(docs, threshold = 0.35).count()
     }
     println(f"[scale] $tag minhash: $tNear%.1f s, $nNear pairs")
+    // connected components over the banded pair graph — the one ITERATIVE
+    // operator (dd_clusters' min-label propagation with pointer doubling).
+    // The pair frame is pinned first so the timing isolates the CC loop
+    // from candidate generation (measured separately above). Claims:
+    // rounds grow ~log of the longest chain — the inflation preserves each
+    // copy's internal similarity structure exactly, so chain lengths (and
+    // hence rounds) should stay FLAT while edges grow ~factor× — and wall
+    // grows ~linearly in edges·rounds.
+    val ccPairs = graft.llm.Dedup.minhashPairs(docs, threshold = 0.35)
+      .localCheckpoint()
+    val (cc, tCc) = timed {
+      val (labels, rounds) = graft.llm.Dedup.dupClustersCounted(ccPairs)
+      (labels.select("cluster_id").distinct().count(), rounds)
+    }
+    ccPairs.unpersist(blocking = false)
+    println(f"[scale] $tag cc: $tCc%.1f s (${cc._1} clusters, ${cc._2} rounds)")
     // IVF store: auto-√n-cell build, then a fixed 24-query serve
     val emb = Tables.embeddings(spark, dir)
     val store = s"/root/repo/target/qtmp/scaleprobe_ivf_$tag"
@@ -183,7 +203,7 @@ object ScaleProbe {
     println(f"[scale] $tag neardup-delta: $tDelta%.1f s " +
       f"($nNovel/32 novel, $ndBuckets buckets)")
     Point(tFlag, nCands, tNear, nNear, tBuild, nCells, tServe, tPqServe,
-      tBmBuild, tBmServe, tDelta)
+      tBmBuild, tBmServe, tDelta, tCc, cc._2)
   }
 
   def main(args: Array[String]): Unit = {
@@ -229,7 +249,13 @@ object ScaleProbe {
       ("bm25 store serve sub-linear (bucket-pruned read)",
         ratio(p1.bm25ServeS, pN.bm25ServeS), 1.0 * factor),
       ("near-dup fixed-delta batch sub-linear (O(delta + touched buckets))",
-        ratio(p1.nearDupDeltaS, pN.nearDupDeltaS), 0.5 * factor))
+        ratio(p1.nearDupDeltaS, pN.nearDupDeltaS), 0.5 * factor),
+      // structure-preserving inflation ⇒ chain lengths (and so rounds)
+      // flat; 2.0 allows one extra propagation round of slack
+      ("cc rounds ~log of longest chain (flat under copy inflation)",
+        ratio(p1.ccRounds.toDouble, pN.ccRounds.toDouble), 2.0),
+      ("cc wall ~linear in edges·rounds",
+        ratio(p1.ccS, pN.ccS), 2.0 * factor))
     var ok = true
     checks.foreach { case (name, r, bound) =>
       val pass = r <= bound

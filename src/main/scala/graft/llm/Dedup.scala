@@ -327,7 +327,15 @@ object Dedup {
     * regardless of round count. Convergence = no label sank below its
     * round-start `old` value, counted with a scan of the already-
     * checkpointed round result — no extra join. */
-  def dupClusters(pairs: DataFrame, idA: String = "idA", idB: String = "idB"): DataFrame = {
+  def dupClusters(pairs: DataFrame, idA: String = "idA", idB: String = "idB"): DataFrame =
+    dupClustersCounted(pairs, idA, idB)._1
+
+  /** [[dupClusters]] plus the number of propagation rounds it ran — the
+    * observable graft.ScaleProbe bounds (rounds must grow ~log of the
+    * longest chain while the per-round work grows ~linearly in edges;
+    * a rounds blow-up is the iterative operator's quadratic signature). */
+  private[graft] def dupClustersCounted(pairs: DataFrame, idA: String = "idA",
+                                        idB: String = "idB"): (DataFrame, Int) = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .localCheckpoint()
@@ -335,7 +343,9 @@ object Dedup {
       .withColumn("cluster", col("id")).localCheckpoint()
     var toRelease: Seq[DataFrame] = Seq.empty
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("nc").as("min_nbr"))
@@ -361,7 +371,7 @@ object Dedup {
     // the final round's checkpoint stays live behind the returned frame
     // (callers memoize/checkpoint it); everything else releases now
     (toRelease :+ edges).foreach(_.unpersist(blocking = false))
-    labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+    (labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id")), rounds)
   }
 
   /** Priority-aware survivor selection: keep the best member of each
