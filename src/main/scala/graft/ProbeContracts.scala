@@ -55,6 +55,24 @@ object ProbeContracts {
           refineFrom = Some(emb)), dir)
       p(f"ann_ivfpq_store: recall=${st.recall}%.4f mismatches=${st.mismatches} rankBad=${st.rankBad}")
     }
+    locally {
+      import org.apache.spark.sql.functions.{col, sum, when, lit}
+      // staleness drift flags under the in-distribution 2/3 + 1/3
+      // lifecycle of the session-shared stores (the registered query's
+      // exact inputs) — the raw count behind annStalenessDriftCells
+      def drifted(rep: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = rep.agg(
+          sum(when(col("drifted") && col("n_build") > 0, 1).otherwise(0)),
+          sum(when(col("drifted"), 1).otherwise(0))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val ivf = drifted(Ann.ivfStoreStaleness(spark,
+        LlmQueries.sharedIvfStore(spark, dir)))
+      val pq = drifted(Ann.ivfPqStoreStaleness(spark,
+        LlmQueries.sharedIvfPqStore(spark, dir)))
+      p(s"ann_store_staleness: ivf driftedWithBaseline=${ivf._1} driftedAny=${ivf._2} " +
+        s"ivfpq driftedWithBaseline=${pq._1} driftedAny=${pq._2}")
+    }
     if (sys.env.contains("SPARK_GRAFT_PQ_SWEEP"))
       for (m <- Seq(4, 8); ks <- Seq(16, 32); rf <- Seq(4, 8)) {
         val st = LlmQueries.annStats(spark,

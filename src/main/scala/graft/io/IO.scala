@@ -558,6 +558,20 @@ object IO {
     readBuckets(spark, path, readManifest(fs, root, version)).drop(BucketCol)
   }
 
+  /** [[readPartitionedStoreAt]] variant that KEEPS [[BucketCol]] — for
+    * maintenance reports that compare a layout's routing column across
+    * versions (e.g. the IVF staleness report's per-cell build-vs-now
+    * aggregation), where dropping the column would force re-deriving
+    * the routing from data. */
+  def readPartitionedStoreAtTagged(spark: SparkSession, path: String,
+                                   version: Int): DataFrame = {
+    val (fs, root) = hfs(spark, path)
+    require(fs.exists(new HPath(manifestDir(root), s"v$version.committed")),
+      s"$path has no committed manifest v$version (retained versions: " +
+        s"${storeVersions(spark, path).mkString(",")})")
+    readBuckets(spark, path, readManifest(fs, root, version))
+  }
+
   /** Pruned read of only the given buckets (all their generations),
     * resolved through the manifest — file-list-level pruning for an
     * incremental pipeline's existence checks. Keeps [[BucketCol]]. */

@@ -702,6 +702,77 @@ object Ann {
                          maxGens: Int = 1): Boolean =
     fragmentedCells(spark, path, maxGens).nonEmpty
 
+  /** Shared tail of the two staleness reports: per-cell (n, p50 dist)
+    * aggregates of the build-version rows vs the current rows, joined
+    * into the drift frame. Inputs carry exactly (cell, dist). Appends
+    * only ever ADD rows, so current ⊇ build cell-wise — a left join from
+    * the current side covers every cell, and a cell absent at build
+    * (created entirely by appends) reports n_build = 0, NULL build
+    * quantile, drifted = true (a cell the quantizer fit never saw has no
+    * baseline to be "close" to). */
+  private def stalenessReport(build: DataFrame, now: DataFrame,
+                              maxDriftRatio: Double): DataFrame = {
+    require(maxDriftRatio > 0.0)
+    def perCell(df: DataFrame, nCol: String, pCol: String): DataFrame =
+      df.groupBy("cell").agg(
+        count(lit(1)).as(nCol),
+        percentile_approx(col("dist"), lit(0.5), lit(10000)).as(pCol))
+    perCell(now, "n_now", "p50_now")
+      .join(perCell(build, "n_build", "p50_build"), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_build"), lit(0L)).as("n_build"),
+        col("n_now"),
+        round((col("n_now") - coalesce(col("n_build"), lit(0L)))
+          / col("n_now").cast("double"), 6).as("appended_frac"),
+        round(col("p50_build"), 6).as("p50_dist_build"),
+        round(col("p50_now"), 6).as("p50_dist_now"),
+        round(col("p50_now") / greatest(col("p50_build"), lit(1e-12)), 6)
+          .as("drift_ratio"))
+      .withColumn("drifted",
+        coalesce(col("drift_ratio") > maxDriftRatio, lit(true)))
+  }
+
+  /** Staleness report for an append-maintained IVF store — the queryable
+    * form of the trade [[appendIvfStore]] documents ("centroids age as
+    * the distribution drifts; refresh = rebuild"). Per cell, comparing
+    * the store's FIRST committed version (the build — the corpus its
+    * quantizer was actually fit on; time-travel-readable by construction
+    * until vacuum) against the CURRENT version:
+    *
+    *  - `n_build`, `n_now`, `appended_frac` — how much of the cell the
+    *    quantizer fit never saw;
+    *  - `p50_dist_build`, `p50_dist_now` — median member L2 distance to
+    *    the routing centroid then and now (approx percentile, 1e4
+    *    accuracy). The build median is the cell's own baseline, so the
+    *    report needs no distributional assumptions;
+    *  - `drift_ratio` = p50_now / p50_build and `drifted` per
+    *    `maxDriftRatio` — a ratio ≫ 1 means appended vectors sit far
+    *    from the centroid that routes them: probes start missing true
+    *    neighbors, and the documented refresh (rebuild) is due.
+    *
+    * Cost: O(store) — one pass per side into a partial-combining
+    * per-cell aggregate (the exchange carries nCells rows); an OFFLINE
+    * maintenance report, never on the serve path, same cost class as
+    * [[compactIvfStore]]. */
+  def ivfStoreStaleness(spark: org.apache.spark.sql.SparkSession, path: String,
+                        maxDriftRatio: Double = 2.0): DataFrame = {
+    requireStoreKind(spark, path, "ivf")
+    val reserved = graft.io.IO.storeBuckets(path) - 1
+    val v1 = graft.io.IO.storeVersions(spark, path).head
+    val cents = broadcast(readCentroids(spark, path))
+    def withDist(df: DataFrame): DataFrame = df
+      .withColumnRenamed(graft.io.IO.BucketCol, "cell")
+      .where(col("cell") =!= reserved)
+      .join(cents, Seq("cell"))
+      .select(col("cell"), sqrt(aggregate(
+        zip_with(col("cv"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (s, x) => s + x)).as("dist"))
+    stalenessReport(
+      withDist(graft.io.IO.readPartitionedStoreAtTagged(spark, path, v1)),
+      withDist(graft.io.IO.readStoreBuckets(spark, path, (0 until reserved).toSet)),
+      maxDriftRatio)
+  }
+
   /** Per-cell parquet-file counts of the CURRENT manifest (all
     * generations a cell's entry references), via Hadoop FileSystem so the
     * accounting is storage-agnostic like the read path itself. */
@@ -1351,6 +1422,43 @@ object Ann {
             .orderBy(col("adc_dist").asc, col("nn_id").asc)))
           .where(col("rank") <= k)
     }
+  }
+
+  /** [[ivfStoreStaleness]] for the codes-at-rest IVF-PQ layout. No
+    * corpus float persists here, so the member-to-centroid distance is
+    * estimated from the CODES: the decoded residual's norm —
+    * ‖decode(codes)‖ = √Σ_j ‖codeword_{j,c_j}‖², computed by summing a
+    * LUT built from the ZERO vector (‖0 − codeword‖² per entry is
+    * exactly the codeword's squared norm) — which approximates
+    * ‖v − centroid(cell)‖ to within the PQ quantization error, the same
+    * fidelity the ADC serve itself runs at. Same columns, costs, and
+    * drift semantics as the IVF report.
+    *
+    * HONESTY BOUND: the decoded distance SATURATES at the codebook
+    * envelope — a vector far outside the residual distribution the
+    * codebooks were fit on still encodes to the nearest (small-norm)
+    * codeword, so its decoded distance under-reports and the ratio here
+    * is a LOWER bound on true drift. That is inherent to codes-at-rest
+    * (the floats are gone). The standard IVFPQ + flat-refine topology
+    * this store serves in ([[ivfPqStoreTopK]]'s `refineFrom`) keeps a
+    * full-precision flat tier — run [[ivfStoreStaleness]] against that
+    * tier's store for the exact report; this one is the cheap
+    * codes-only signal. */
+  def ivfPqStoreStaleness(spark: org.apache.spark.sql.SparkSession, path: String,
+                          maxDriftRatio: Double = 2.0): DataFrame = {
+    val (_, _, cb) = loadIvfPqQuantizers(spark, path)
+    val nCells = graft.io.IO.storeBuckets(path) - 2
+    val v1 = graft.io.IO.storeVersions(spark, path).head
+    val lut0: Seq[Seq[Double]] = cb.toSeq.map(_.toSeq.map(_.map(x => x * x).sum))
+    def withDist(df: DataFrame): DataFrame = df
+      .withColumnRenamed(graft.io.IO.BucketCol, "cell")
+      .where(col("cell") < nCells)
+      .select(col("cell"),
+        sqrt(pqAdcUdf(col("codes"), typedLit(lut0))).as("dist"))
+    stalenessReport(
+      withDist(graft.io.IO.readPartitionedStoreAtTagged(spark, path, v1)),
+      withDist(graft.io.IO.readStoreBuckets(spark, path, (0 until nCells).toSet)),
+      maxDriftRatio)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of

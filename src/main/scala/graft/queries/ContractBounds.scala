@@ -51,6 +51,18 @@ object ContractBounds {
     * the bound. */
   val annIvfPqRecall = 0.3
 
+  /** Staleness report over the shared stores' in-distribution append
+    * (build 2/3, append 1/3 of ONE corpus): cells with a build baseline
+    * that still trip the 2× median-distance drift flag. A genuinely
+    * drifted append trips MANY cells (AnnSpec's planted case); the
+    * in-distribution lifecycle should trip almost none — the residual
+    * tolerance is tiny cells whose build median is near zero (a
+    * singleton lands on its centroid), where any appended member
+    * explodes the ratio. Measured (ProbeContracts at sf0.001/0.01/0.1):
+    * ivf 0/0/0, ivfpq 0/0/0; the adversarial-fixture sweep passes the
+    * bounded boolean. */
+  val annStalenessDriftCells = 3L
+
   /** J4 LSH similarity join (10 tables, bucketLength 1.0, threshold 1.3)
     * recall of the exact cross-join < 1.3 pair set on the id%20 subsets.
     * Measured: 1.00 / 1.00 / 1.00 (false positives and distance

@@ -67,7 +67,7 @@ object LlmQueries {
     * layout), so the build fits its own residual-space codebooks —
     * a different quantizer by construction, 3 bounded Lloyd iterations
     * over the hash-capped residual sample. */
-  private def sharedIvfPqStore(s: SparkSession, dir: String): String =
+  private[graft] def sharedIvfPqStore(s: SparkSession, dir: String): String =
     SessionMemo.value(s, s"ivfpq_shared_store:$dir") {
       val path = s"/root/repo/target/qtmp/ivfpq_shared_${storeRunId.incrementAndGet()}"
       graft.io.IO.deletePath(path)
@@ -524,6 +524,43 @@ object LlmQueries {
            st.mismatches == 0L, st.rankBad == 0L))
         .toDF("n_corpus", "store_complete", "recall_ok", "rescore_exact",
           "ranks_valid")
+    }),
+
+    // Staleness report for the append-maintained vector indexes — the
+    // "centroids age; refresh = rebuild" trade surfaced as a queryable
+    // signal (appended fraction + per-cell distance-to-centroid drift
+    // vs the build version, through manifest time travel). Runs over
+    // BOTH session-shared stores (full-precision IVF and codes-at-rest
+    // IVF-PQ, whose distances decode from the residual codes). The
+    // lifecycle is known exactly — build = the servable 2/3, append =
+    // the rest — so the row accounting is pinned; the in-distribution
+    // append must trip at most the probed number of small-cell drift
+    // flags (ContractBounds), and heavy REAL drift tripping the flag is
+    // pinned in AnnSpec.
+    "ann_store_staleness" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val usable = emb.where(Ann.cosineUsable(col("embedding"))).cache()
+      val nBuild = usable.where("vec_id % 3 != 2").count()
+      val nAll = usable.count()
+      usable.unpersist(blocking = false)
+      def summarize(report: org.apache.spark.sql.DataFrame) = report
+        .agg(sum("n_build"), sum("n_now"),
+          sum(when(col("drifted") && col("n_build") > 0, 1).otherwise(0)),
+          sum(when(col("appended_frac") < 0 || col("appended_frac") > 1, 1)
+            .otherwise(0)))
+        .as[(Long, Long, Long, Long)].head()
+      val ivf = summarize(Ann.ivfStoreStaleness(s, sharedIvfStore(s, dir)))
+      val pq = summarize(Ann.ivfPqStoreStaleness(s, sharedIvfPqStore(s, dir)))
+      Seq((nAll,
+           ivf._1 == nBuild && ivf._2 == nAll,
+           pq._1 == nBuild && pq._2 == nAll,
+           ivf._4 == 0L && pq._4 == 0L,
+           ivf._3 <= ContractBounds.annStalenessDriftCells &&
+             pq._3 <= ContractBounds.annStalenessDriftCells))
+        .toDF("n_servable", "ivf_rows_match_lifecycle",
+          "pq_rows_match_lifecycle", "fracs_in_unit_interval",
+          "in_distribution_drift_bounded")
     }),
 
     // Store compaction (the OPTIMIZE step an append-maintained index
@@ -1447,6 +1484,16 @@ object LlmQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_corpus,
         |  true AS store_complete, true AS recall_ok, true AS rescore_exact,
         |  true AS ranks_valid
+        |FROM embeddings""".stripMargin,
+    // contract: the servable-corpus count is SQL-computable; the
+    // lifecycle row accounting, frac validity, and drift bound are
+    // store/quantizer-state booleans the driver hash-gates
+    "ann_store_staleness" ->
+      s"""SELECT CAST(count(CASE WHEN $usableVec THEN 1 END) AS BIGINT)
+        |    AS n_servable,
+        |  true AS ivf_rows_match_lifecycle, true AS pq_rows_match_lifecycle,
+        |  true AS fracs_in_unit_interval,
+        |  true AS in_distribution_drift_bounded
         |FROM embeddings""".stripMargin,
     // contract: assignment totality is SQL-computable; cell-count bound and
     // cosine validity are centroid-state booleans the driver hash-gates

@@ -533,6 +533,58 @@ class AnnSpec extends SparkSpec {
     assert(rep.forall(_._3 >= 0.99), s"low coherence: ${rep.toSeq}")
   }
 
+  test("staleness report: fresh build reports zero appended and no drift; " +
+       "a far-distribution append trips the flag; PQ accounting matches") {
+    val path = "/root/repo/target/test_tmp/annspec_stale"
+    graft.io.IO.deletePath(path)
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val df = (0 until 12).map { i =>
+      (i.toLong, mk(if (i < 6) c1 else c2, 0.01f * (i % 4)))
+    }.toDF("vec_id", "embedding")
+    Ann.writeIvfStore(df, path, nCells = 2)
+    val fresh = Ann.ivfStoreStaleness(spark, path)
+      .select("cell", "n_build", "n_now", "appended_frac", "drift_ratio", "drifted")
+      .as[(Int, Long, Long, Double, Double, Boolean)].collect()
+    assert(fresh.nonEmpty)
+    fresh.foreach { case (_, nb, nn, frac, ratio, drifted) =>
+      assert(nb == nn && frac == 0.0, s"fresh build claims appends: $fresh")
+      assert(ratio == 1.0 && !drifted, s"fresh build claims drift: $fresh")
+    }
+    // heavy REAL drift: append vectors far outside the build distribution
+    // (routed through the stored centroids like any delta) — the touched
+    // cell's median distance explodes and the flag must trip
+    val far = (100 until 108).map { i =>
+      (i.toLong, Array(5f, 5f, 5f, 5f).map(_ * (1 + (i % 3))))
+    }.toDF("vec_id", "embedding")
+    Ann.appendIvfStore(far, path)
+    val drifted = Ann.ivfStoreStaleness(spark, path)
+      .where(col("drifted") && col("n_build") > 0)
+    assert(drifted.count() > 0, "a far-distribution append tripped no drift flag")
+    assert(Ann.ivfStoreStaleness(spark, path)
+      .agg(max("appended_frac")).as[Double].head() > 0.3)
+    // IVF-PQ variant: lifecycle row accounting from the codes-at-rest
+    // tier (2/3 build + 1/3 append of the fixture corpus); the
+    // in-distribution append must not trip the drift flag
+    val emb = Tables.embeddings(spark, sf)
+    val pqPath = "/root/repo/target/test_tmp/annspec_stale_pq"
+    graft.io.IO.deletePath(pqPath)
+    Ann.writeIvfPqStore(emb.where("vec_id % 3 != 2"), pqPath, nCells = 16,
+      m = 4, ksub = 8)
+    Ann.appendIvfPqStore(emb.where("vec_id % 3 = 2"), pqPath)
+    val usable = emb.where(Ann.cosineUsable(col("embedding")))
+    val pqSums = Ann.ivfPqStoreStaleness(spark, pqPath)
+      .agg(sum("n_build"), sum("n_now"),
+        sum(when(col("drifted") && col("n_build") > 0, 1).otherwise(0)))
+      .as[(Long, Long, Long)].head()
+    assert(pqSums._1 == usable.where("vec_id % 3 != 2").count())
+    assert(pqSums._2 == usable.count())
+    assert(pqSums._3 == 0L,
+      s"in-distribution PQ append tripped ${pqSums._3} drift flags")
+  }
+
   test("compactIvfStore: rewrites only fragmented cells; content and serve unchanged") {
     val emb = Tables.embeddings(spark, sf)
     val path = "/root/repo/target/qtmp/annspec_compact"
