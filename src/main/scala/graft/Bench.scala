@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The 72 queries registered at the round-2 run that set the 177.9 s
+    * BASELINE.md contract figure (CORRECTNESS_r02.json's key set; one
+    * rename since: mm_decode_stub became mm_decode when the real codec
+    * replaced the stub). The 2× bench gate compares a growing suite to
+    * this fixed subset's baseline, so the artifact records the subset's
+    * own subtotal per run — like-for-like however many queries the
+    * suite has gained since. */
+  val ContractSubset: Set[String] = Set(
+    "a1_collect_list", "a2_grouped_count", "a3_global_count", "a4_corpus_idf",
+    "a5_pricing_summary", "a6_rollup", "a7_percentiles", "ann_brute_topk",
+    "ann_ivf_topk", "ann_lsh_topk", "dd_cosine", "dd_exact", "dd_minhash",
+    "dd_ngram_jaccard", "dd_simhash", "er_flagship_match", "er_inference",
+    "f10_l2_normalize", "f11_word2vec", "f12_vector_assembler",
+    "f13_pipeline_chain", "f1_tokenize", "f2_stopwords", "f3_explode_melt",
+    "f4_char_trigrams", "f5_regroup_collapse", "f6_word_bigrams",
+    "f7_hashing_tf", "f8_hashing_tf_counts", "f9_idf", "j1_threeway_join",
+    "j2_leftouter", "j3_aliased_join", "j4_lsh_join", "j5_crossjoin_exact",
+    "j6_semi_anti", "m2_stratified_split", "m3_class_weights",
+    "m5_train_eval", "m7_model_store", "mm_binary_meta", "mm_decode",
+    "mm_frame_sample", "o1_ranked", "p1_clean_cast", "p2_lit_provenance",
+    "p3_coalesce", "p4_projection", "p5_filter", "p6_label_default",
+    "p7_sample", "p8_cache", "p9_limit", "s2_csv_scan", "s3_parquet_sink",
+    "s4_table_scan", "s5_upsert", "s6_artifact_roundtrip", "st_dedup",
+    "st_sessionize", "st_window_counts", "tx_fingerprint", "tx_langid",
+    "tx_quality", "tx_token_counts", "u1_union_all", "u2_union_distinct",
+    "w1_class_ratio", "w2_event_lag", "x1_sqdist", "x2_model_score",
+    "x3_posexplode")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -120,6 +147,14 @@ object Bench {
       s"loadavg=$load0->$load1")
     // Full attribution artifact (cost-descending, with gc + io totals) —
     // survives however the stdout line gets truncated.
+    // the 72-query round-2 contract subset's own subtotal — the
+    // like-for-like number against the 177.9 s baseline as the suite
+    // grows (directive: the 2x gate's denominator is this subset, so
+    // record its numerator per run)
+    val subsetRows = results.filter { case (k, _) => ContractSubset(k) }
+    val subsetSec = subsetRows.map(_._2).sum
+    System.err.println(f"[bench] contract subset: ${subsetRows.size} of " +
+      f"${ContractSubset.size} baseline queries present, $subsetSec%.1f s")
     locally {
       val ioByName = io.map(t => t._1 -> (t._2, t._3, t._4)).toMap
       val perQuery = results.sortBy(-_._2).map { case (k, v) =>
@@ -128,6 +163,7 @@ object Bench {
       }.mkString("[\n", ",\n", "\n]")
       val body = s"""{"total_sec":$total,"gc_ms":$gcMs,"sf":"$sfDir","cpus":$cpus,
 "loadavg_start":$load0,"loadavg_end":$load1,
+"contract_subset_sec":$subsetSec,"contract_subset_n":${subsetRows.size},
 "queries_cost_desc":$perQuery}"""
       val out = java.nio.file.Paths.get("/root/repo/target/bench_per_query.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -137,7 +173,7 @@ object Bench {
     // "metric"/"value"/"gc_ms" repeated AFTER the (long) per-query map:
     // harness logs keep only the tail of the line, and the leading fields
     // get truncated away.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","gc_ms":$gcMs,"loadavg_start":$load0,"loadavg_end":$load1,"metric":"total","value":$total,"unit":"sec"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","gc_ms":$gcMs,"loadavg_start":$load0,"loadavg_end":$load1,"contract_subset_sec":$subsetSec,"contract_subset_n":${subsetRows.size},"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }
