@@ -196,21 +196,27 @@ object Matcher {
   }
 
   /** A point in the boosted-tree hyperparameter space searched by
-    * [[trainHalving]]/[[trainTpe]], covering the GBT analogues of the
-    * reference's 9-dimensional hyperopt space (`03_Train & Deploy
-    * Model.py:173-178`): maxDepth ≈ max_depth, stepSize ≈ learning_rate,
-    * subsamplingRate ≈ subsample, minInstancesPerNode ≈ min_child_weight,
-    * featureSubsetStrategy ≈ colsample_bytree, weightScale ≈
-    * scale_pos_weight (a multiplier on the positive class's balanced
+    * [[trainHalving]]/[[trainTpe]], covering the reference's
+    * 9-dimensional hyperopt space (`03_Train & Deploy Model.py:164-174`)
+    * dim for dim: maxDepth ≈ max_depth, stepSize ≈ learning_rate,
+    * minInfoGain ≈ gamma (minimum loss reduction to split — the same
+    * knob under Spark's name), minInstancesPerNode ≈ min_child_weight,
+    * subsamplingRate ≈ subsample, featureSubsetStrategy ≈ the three
+    * colsample_by{tree,level,node} dims COLLAPSED into one — Spark's
+    * tree learner has exactly one column-sampling granularity (features
+    * considered per split node), so the reference's three-granularity
+    * ladder structurally maps onto a single knob here — and weightScale
+    * ≈ scale_pos_weight (a multiplier on the positive class's balanced
     * weight). The iteration count (≈ n_estimators) is NOT a dimension —
     * it is the successive-halving BUDGET axis (more boosting rounds =
-    * more budget), the standard mapping for tree ensembles. The new dims
-    * default to the GBT library defaults so a bare
+    * more budget), the standard mapping for tree ensembles. The
+    * post-round-11 dims default to the GBT library defaults so a bare
     * `GbtCandidate(d, s, ss)` means exactly what it did before. */
   case class GbtCandidate(maxDepth: Int, stepSize: Double, subsamplingRate: Double,
                           minInstancesPerNode: Int = 1,
                           featureSubsetStrategy: String = "all",
-                          weightScale: Double = 1.0)
+                          weightScale: Double = 1.0,
+                          minInfoGain: Double = 0.0)
 
   /** One candidate's assembler+GBT pipeline fit at the given boosting
     * budget — the shared trainer body of the halving, TPE, and
@@ -233,6 +239,7 @@ object Matcher {
       .setStepSize(c.stepSize).setSubsamplingRate(c.subsamplingRate)
       .setMinInstancesPerNode(c.minInstancesPerNode)
       .setFeatureSubsetStrategy(c.featureSubsetStrategy)
+      .setMinInfoGain(c.minInfoGain)
     new Pipeline().setStages(Array(asm, gbt)).fit(train)
   }
 
@@ -258,7 +265,8 @@ object Matcher {
       GbtCandidate(d, s, ss,
         minInstancesPerNode = if ((i + 1) % 2 == 0) 1 else 5,
         featureSubsetStrategy = if (((i + 1) / 2) % 2 == 1) "all" else "sqrt",
-        weightScale = if (((i + 1) / 4) % 2 == 1) 1.0 else 1.5)
+        weightScale = if (((i + 1) / 4) % 2 == 1) 1.0 else 1.5,
+        minInfoGain = if (((i + 3) / 8) % 2 == 1) 0.0 else 0.05)
     }
   }
 
@@ -464,7 +472,8 @@ object Matcher {
                memo: Option[FitMemo] = None,
                stepSizeRange: (Double, Double) = (0.05, 0.5),
                subsampleRange: (Double, Double) = (0.5, 1.0),
-               weightScaleRange: (Double, Double) = (0.5, 2.0)): HalvingResult = {
+               weightScaleRange: (Double, Double) = (0.5, 2.0),
+               minInfoGainRange: (Double, Double) = (0.0, 0.2)): HalvingResult = {
     require(candidates.nonEmpty && nTrials >= nInit && nInit >= 1 && batch >= 1)
     require(gamma > 0.0 && gamma < 1.0 && iters >= 1)
     require(candidates.distinct.size == candidates.size,
@@ -473,6 +482,7 @@ object Matcher {
     require(subsampleRange._1 > 0.0 && subsampleRange._1 <= subsampleRange._2 &&
       subsampleRange._2 <= 1.0)
     require(weightScaleRange._1 > 0.0 && weightScaleRange._1 <= weightScaleRange._2)
+    require(minInfoGainRange._1 >= 0.0 && minInfoGainRange._1 <= minInfoGainRange._2)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val prepared = coalesceTo.map(n => train.coalesce(n)).getOrElse(train).cache()
@@ -569,17 +579,22 @@ object Matcher {
         val (sLo, sHi) = stepSizeRange
         val (ssLo, ssHi) = subsampleRange
         val (wLo, wHi) = weightScaleRange
+        val (gLo, gHi) = minInfoGainRange
         val lStep = parzenDens(good.map(_.stepSize), sLo, sHi)
         val gStep = parzenDens(rest.map(_.stepSize), sLo, sHi)
         val lSub = parzenDens(good.map(_.subsamplingRate), ssLo, ssHi)
         val gSub = parzenDens(rest.map(_.subsamplingRate), ssLo, ssHi)
         val lW = parzenDens(good.map(_.weightScale), wLo, wHi)
         val gW = parzenDens(rest.map(_.weightScale), wLo, wHi)
+        val lGain = parzenDens(good.map(_.minInfoGain), gLo, gHi)
+        val gGain = parzenDens(rest.map(_.minInfoGain), gLo, gHi)
         val stepPool = contPool(good.map(_.stepSize), grid.map(_.stepSize), sLo, sHi)
         val subPool = contPool(good.map(_.subsamplingRate),
           grid.map(_.subsamplingRate), ssLo, ssHi)
         val wPool = contPool(good.map(_.weightScale),
           grid.map(_.weightScale), wLo, wHi)
+        val gainPool = contPool(good.map(_.minInfoGain),
+          grid.map(_.minInfoGain), gLo, gHi)
         val seen = trials.map(_._1).toSet
         val proposals = for {
           d <- depthDom
@@ -588,7 +603,8 @@ object Matcher {
           s <- stepPool
           ss <- subPool
           w <- wPool
-          c = GbtCandidate(d, s, ss, mi, fs, w)
+          g <- gainPool
+          c = GbtCandidate(d, s, ss, mi, fs, w, g)
           if !seen(c)
         } yield c
         val next = proposals
@@ -597,9 +613,11 @@ object Matcher {
               (lFss(c.featureSubsetStrategy) / gFss(c.featureSubsetStrategy)) *
               (lStep(c.stepSize) / gStep(c.stepSize)) *
               (lSub(c.subsamplingRate) / gSub(c.subsamplingRate)) *
-              (lW(c.weightScale) / gW(c.weightScale)),
+              (lW(c.weightScale) / gW(c.weightScale)) *
+              (lGain(c.minInfoGain) / gGain(c.minInfoGain)),
             c.maxDepth, c.stepSize, c.subsamplingRate,
-            c.minInstancesPerNode, c.featureSubsetStrategy, c.weightScale))
+            c.minInstancesPerNode, c.featureSubsetStrategy, c.weightScale,
+            c.minInfoGain))
           .take(math.min(batch, cap - trials.size))
         // the continuous pool always holds unseen points (midpoints
         // refine between any two seen values); this guards the

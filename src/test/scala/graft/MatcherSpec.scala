@@ -223,6 +223,10 @@ class MatcherSpec extends SparkSpec {
       s"no off-grid weightScale proposed: ${cands.map(_.weightScale)}")
     // every explored scale stays inside the declared range
     assert(cands.forall(c => c.weightScale >= 0.5 && c.weightScale <= 2.0))
+    // minInfoGain (≈ gamma): both seeded values explored, range respected
+    assert(cands.map(_.minInfoGain).size >= 2,
+      s"minInfoGain not explored: ${cands.map(_.minInfoGain)}")
+    assert(cands.forall(c => c.minInfoGain >= 0.0 && c.minInfoGain <= 0.2))
   }
 
   test("memoized grid search (m5 surface): winner deterministic, shared " +
