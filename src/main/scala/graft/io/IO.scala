@@ -572,6 +572,35 @@ object IO {
     readBuckets(spark, path, readManifest(fs, root, version))
   }
 
+  /** [[readStoreBuckets]] at a specific committed version — the pruned
+    * time-travel read a maintenance report needs to compare one bucket's
+    * build-time contents against the present without scanning the whole
+    * historical store. Keeps [[BucketCol]]. */
+  def readStoreBucketsAt(spark: SparkSession, path: String, version: Int,
+                         buckets: Set[Int]): DataFrame = {
+    val (fs, root) = hfs(spark, path)
+    require(fs.exists(new HPath(manifestDir(root), s"v$version.committed")),
+      s"$path has no committed manifest v$version (retained versions: " +
+        s"${storeVersions(spark, path).mkString(",")})")
+    val man = readManifest(fs, root, version)
+    val pairs = man.filter { case (b, _) => buckets(b) }
+    if (pairs.nonEmpty) readBuckets(spark, path, pairs)
+    else readBuckets(spark, path, Seq(man.head)).limit(0)
+  }
+
+  /** Bucket → distinct-generation count of the CURRENT manifest — the
+    * fragmentation signal an append-maintained store's OPTIMIZE decision
+    * reads (every append adds a generation to each bucket it touches).
+    * MANIFEST-ONLY: no data directory is listed. */
+  def storeBucketGenerations(spark: SparkSession, path: String): Map[Int, Int] = {
+    val (fs, root) = hfs(spark, path)
+    val v = currentManifestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no committed manifest — not a partitioned store"))
+    readManifest(fs, root, v)
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+  }
+
   /** Pruned read of only the given buckets (all their generations),
     * resolved through the manifest — file-list-level pruning for an
     * incremental pipeline's existence checks. Keeps [[BucketCol]]. */

@@ -663,10 +663,14 @@ object Ann {
     rankProbed(assigned, probes, k)
   }
 
-  /** Compact the IVF store's fragmented cells — the OPTIMIZE step every
-    * append-maintained store needs: each [[appendIvfStore]] delta adds a
-    * generation to every cell it touches, and a year of daily deltas
+  /** Compact a vector store's fragmented cells — the OPTIMIZE step every
+    * append-maintained store needs: each [[appendIvfStore]] /
+    * [[appendIvfPqStore]] delta adds a generation to every cell it
+    * touches, and a year of daily deltas
     * makes every probed read list + open many small files per cell.
+    * Serves BOTH layouts (the store-kind marker resolves which buckets
+    * are reserved quantizers and must never count as fragmented data
+    * cells).
     * Delegates to [[graft.io.IO.compactPartitionedStore]]: cells spread
     * over more than `maxGensPerCell` generations are rewritten
     * (content byte-identical, so served results cannot change) and the
@@ -796,27 +800,26 @@ object Ann {
 
   /** Fragmented cells of the current manifest — a cell is fragmented
     * when its manifest entry spans more than `maxGens` generations; the
-    * reserved centroid bucket is excluded (appends never touch it).
-    * MANIFEST-ONLY: derived from the committed bucket→generation map, so
-    * the check never lists a data directory (file counts are
-    * [[storeCellFiles]]' separate, rewrite-bracketing concern). */
+    * reserved quantizer bucket(s) are excluded (appends never touch
+    * them), resolved per layout through the store-kind marker so the
+    * check serves BOTH the IVF and IVF-PQ layouts. MANIFEST-ONLY:
+    * derived from the committed bucket→generation map, so the check
+    * never lists a data directory (file counts are [[storeCellFiles]]'
+    * separate, rewrite-bracketing concern). */
   private def fragmentedCells(spark: org.apache.spark.sql.SparkSession,
                               path: String,
                               maxGens: Int): Set[Int] = {
-    // the maintenance surface hardcodes the IVF layout (ONE reserved
-    // bucket) — same fail-loudly rule as the read paths
-    requireStoreKind(spark, path, "ivf")
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val reserved = graft.io.IO.storeBuckets(path) - 1
+    val reserved = reservedStoreBuckets(spark, path)
     val v = graft.io.IO.currentManifestVersion(fs, root).getOrElse(
       throw new IllegalArgumentException(
-        s"$path has no committed manifest — not an IVF store"))
+        s"$path has no committed manifest — not a vector store"))
     val gens = graft.io.IO.readManifest(fs, root, v)
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
     gens.collect {
-      case (b, n) if n > maxGens && b != reserved => b
+      case (b, n) if n > maxGens && !reserved(b) => b
     }.toSet
   }
 
@@ -1243,8 +1246,11 @@ object Ann {
     val out = fs.create(p, true)
     try out.write(kind.getBytes("UTF-8")) finally out.close()
   }
-  private def requireStoreKind(spark: org.apache.spark.sql.SparkSession,
-                               path: String, kind: String): Unit = {
+  /** The store's layout kind ('ivf' | 'ivfpq') from its marker; fails
+    * loudly on a missing marker (see [[writeStoreKind]] for the recorded
+    * no-legacy-fallback decision). */
+  private def readStoreKind(spark: org.apache.spark.sql.SparkSession,
+                            path: String): String = {
     val p = storeKindPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p),
@@ -1252,11 +1258,32 @@ object Ann {
         "(a store persisted before the marker existed needs the one-time " +
         "writeStoreKind migration touch)")
     val in = fs.open(p)
-    val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              finally in.close()
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  private def requireStoreKind(spark: org.apache.spark.sql.SparkSession,
+                               path: String, kind: String): Unit = {
+    val got = readStoreKind(spark, path)
     require(got == kind,
       s"$path is a '$got' store, not '$kind' — its reserved buckets would " +
         "decode as garbage quantizers")
+  }
+
+  /** The reserved quantizer bucket ids of a store, by its marker: the
+    * IVF layout reserves ONE bucket (centroids), IVF-PQ reserves TWO
+    * (centroids + codebooks). The kind-agnostic maintenance surface
+    * (fragmentation check, compaction, staleness) routes through this
+    * so it can never mistake a quantizer bucket for a data cell. */
+  private def reservedStoreBuckets(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Set[Int] = {
+    val n = graft.io.IO.storeBuckets(path)
+    readStoreKind(spark, path) match {
+      case "ivf"   => Set(n - 1)
+      case "ivfpq" => Set(n - 2, n - 1)
+      case other => throw new IllegalArgumentException(
+        s"$path has unknown store kind '$other'")
+    }
   }
 
   /** The coarse centroid table of a persisted IVF-PQ store (reserved

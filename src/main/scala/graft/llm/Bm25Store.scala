@@ -206,4 +206,47 @@ object Bm25Store {
     scores(spark, path, queryTerms, k1, b)
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
   }
+
+  /** Staleness report for an append-maintained BM25 index — the lexical
+    * sibling of [[Ann.ivfStoreStaleness]], with one structural
+    * difference: BM25 scores DO NOT age under append (the serve derives
+    * idf and avgdl from the SUMMED stats-delta rows, so appended docs
+    * score exactly as a rebuild would — pinned by the tx_bm25_store
+    * oracle). What ages is the LAYOUT: every append adds a generation to
+    * each touched term bucket, so probed reads list and open ever more
+    * small files. The report therefore carries the growth accounting
+    * (docs at build vs now, from the stats rows) and the fragmentation
+    * pressure (buckets over one generation, worst generation count) —
+    * the inputs to the compaction decision, not a quality alarm.
+    *
+    * One row: (n_docs_build, n_docs_now, appended_frac,
+    * fragmented_buckets, max_gens). Cost: two PRUNED stats-bucket reads
+    * (one row per build/append each) + a manifest scan — O(appends),
+    * never O(postings). */
+  def staleness(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val termBuckets = IO.storeBuckets(path) - 1
+    val v1 = IO.storeVersions(spark, path).head
+    def nDocs(df: DataFrame): Long = df
+      .where(col("term") === StatsTerm)
+      .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+    val build = nDocs(IO.readStoreBucketsAt(spark, path, v1, Set(termBuckets)))
+    val now = nDocs(IO.readStoreBuckets(spark, path, Set(termBuckets)))
+    val gens = IO.storeBucketGenerations(spark, path)
+      .filter { case (b, _) => b != termBuckets } // stats bucket's own
+                                                  // gens are the append
+                                                  // count, not posting
+                                                  // fragmentation
+    val fragmented = gens.count(_._2 > 1)
+    val maxGens = if (gens.isEmpty) 0 else gens.values.max
+    // HALF_UP like SQL ROUND (and Spark's round()), so the emitted frac
+    // is oracle-comparable — math.rint's half-even would diverge on an
+    // exact .5e-6 boundary
+    val frac = if (now == 0L) 0.0
+      else BigDecimal((now - build).toDouble / now)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((build, now, frac, fragmented.toLong, maxGens.toLong))
+      .toDF("n_docs_build", "n_docs_now", "appended_frac",
+        "fragmented_buckets", "max_gens")
+  }
 }

@@ -596,6 +596,22 @@ object Matcher {
         val gainPool = contPool(good.map(_.minInfoGain),
           grid.map(_.minInfoGain), gLo, gHi)
         val seen = trials.map(_._1).toSet
+        // per-VALUE density ratios memoized before the cartesian: each
+        // pool has ~a dozen values, so the l/g ratio is evaluated
+        // O(Σ|pool_i|) times (~70 Parzen sums) instead of once per
+        // PROPOSAL × dim (the cartesian is |proposals| ≈ 10^5 with seven
+        // dims and grows multiplicatively with every added dim — ranking
+        // must stay O(|proposals|) cheap multiplies, or the driver-side
+        // proposal step would come to dominate the search)
+        def ratios[T](pool: Seq[T], l: T => Double, g: T => Double): Map[T, Double] =
+          pool.map(v => v -> l(v) / g(v)).toMap
+        val rDepth = ratios(depthDom, lDepth, gDepth)
+        val rMinInst = ratios(minInstDom, lMinInst, gMinInst)
+        val rFss = ratios(fssDom, lFss, gFss)
+        val rStep = ratios(stepPool, lStep, gStep)
+        val rSub = ratios(subPool, lSub, gSub)
+        val rW = ratios(wPool, lW, gW)
+        val rGain = ratios(gainPool, lGain, gGain)
         val proposals = for {
           d <- depthDom
           mi <- minInstDom
@@ -606,18 +622,15 @@ object Matcher {
           g <- gainPool
           c = GbtCandidate(d, s, ss, mi, fs, w, g)
           if !seen(c)
-        } yield c
+        } yield (c,
+          rDepth(d) * rMinInst(mi) * rFss(fs) * rStep(s) * rSub(ss) *
+            rW(w) * rGain(g))
         val next = proposals
-          .sortBy(c => (-(lDepth(c.maxDepth) / gDepth(c.maxDepth)) *
-              (lMinInst(c.minInstancesPerNode) / gMinInst(c.minInstancesPerNode)) *
-              (lFss(c.featureSubsetStrategy) / gFss(c.featureSubsetStrategy)) *
-              (lStep(c.stepSize) / gStep(c.stepSize)) *
-              (lSub(c.subsamplingRate) / gSub(c.subsamplingRate)) *
-              (lW(c.weightScale) / gW(c.weightScale)) *
-              (lGain(c.minInfoGain) / gGain(c.minInfoGain)),
+          .sortBy { case (c, ratio) => (-ratio,
             c.maxDepth, c.stepSize, c.subsamplingRate,
             c.minInstancesPerNode, c.featureSubsetStrategy, c.weightScale,
-            c.minInfoGain))
+            c.minInfoGain) }
+          .map(_._1)
           .take(math.min(batch, cap - trials.size))
         // the continuous pool always holds unseen points (midpoints
         // refine between any two seen values); this guards the

@@ -706,6 +706,26 @@ object LlmQueries {
     "tx_bm25_store" -> ((s, dir) =>
       Bm25Store.scores(s, sharedBm25Store(s, dir), bm25Terms)),
 
+    // Staleness report for the persisted BM25 index — the lexical
+    // sibling of ann_store_staleness, with the structural difference the
+    // report itself documents: BM25 scores do NOT age under append (the
+    // serve sums the stats-delta rows, so appended docs score exactly as
+    // a rebuild would — that is tx_bm25_store's oracle), so what the
+    // report surfaces is growth accounting (exactly SQL-computable from
+    // the lifecycle) and layout fragmentation pressure (the compaction
+    // decision's inputs). Cost: two pruned stats-bucket reads + a
+    // manifest scan — O(appends), never O(postings).
+    "tx_bm25_staleness" -> ((s, dir) => {
+      import s.implicits._
+      val r = Bm25Store.staleness(s, sharedBm25Store(s, dir))
+        .as[(Long, Long, Double, Long, Long)].head()
+      // build = 2/3 slice, ONE append of the rest: some posting bucket
+      // must span exactly two generations, none more
+      Seq((r._1, r._2, r._3, r._4 >= 1L, r._5 == 2L))
+        .toDF("n_docs_build", "n_docs_now", "appended_frac",
+          "has_fragmentation", "gens_bounded")
+    }),
+
     // Hybrid retrieval: BM25 lexical top-50 fused with cosine semantic
     // top-50 (query = vec_id 0) via reciprocal-rank fusion — the standard
     // combiner when score scales are incomparable. The LEXICAL arm is
@@ -1720,6 +1740,18 @@ object LlmQueries {
     "tx_bm25_store" ->
       s"""WITH $bm25Cte
          |SELECT doc_id, n_hit_terms, bm25 FROM bm25s""".stripMargin,
+    // the growth accounting is exactly SQL-computable from the store's
+    // known 2/3-build + 1/3-append lifecycle (the stats rows count EVERY
+    // doc, null-text included — same as count(*)); fragmentation facts
+    // are layout-state booleans the driver hash-gates
+    "tx_bm25_staleness" ->
+      """SELECT CAST(count(CASE WHEN doc_id % 3 != 2 THEN 1 END) AS BIGINT)
+        |    AS n_docs_build,
+        |  CAST(count(*) AS BIGINT) AS n_docs_now,
+        |  round(CAST(count(CASE WHEN doc_id % 3 = 2 THEN 1 END) AS DOUBLE)
+        |    / count(*), 6) AS appended_frac,
+        |  true AS has_fragmentation, true AS gens_bounded
+        |FROM documents""".stripMargin,
     // hybrid retrieval: lexical top-50 (BM25 ranks) fused with semantic
     // top-50 (cosine ranks vs the vec_id-0 query) by reciprocal-rank
     // fusion, 1/(60 + rank) per list. Both rank lists recompute from

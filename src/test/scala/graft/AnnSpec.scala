@@ -610,6 +610,36 @@ class AnnSpec extends SparkSpec {
     graft.io.IO.deletePath(path)
   }
 
+  test("compactIvfStore: IVF-PQ layout — fragmented code cells collapse, " +
+       "codes and serve unchanged, quantizer buckets never touched") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = "/root/repo/target/qtmp/annspec_compact_pq"
+    graft.io.IO.deletePath(path)
+    Ann.writeIvfPqStore(emb.where($"vec_id" % 3 =!= 2), path, nCells = 16,
+      m = 4, ksub = 8)
+    Ann.appendIvfPqStore(emb.where($"vec_id" % 3 === 2), path)
+    assert(Ann.ivfStoreFragmented(spark, path),
+      "build + append should leave fragmented code cells")
+    val queries = emb.where("vec_id < 4")
+    val before = Ann.ivfPqStoreTopK(spark, path, queries, k = 5,
+      refineFrom = Some(emb)).localCheckpoint()
+    val nBefore = Ann.readIvfPqStore(spark, path).count()
+    val stats = Ann.compactIvfStore(spark, path).as[(Int, Int, Int)].collect()
+    assert(stats.nonEmpty, "append fragmented no code cell? expected rewrites")
+    // the 2 reserved quantizer buckets (16, 17) must never be rewritten
+    assert(stats.forall(_._1 < 16), s"quantizer bucket rewritten: ${stats.toSeq}")
+    assert(!Ann.ivfStoreFragmented(spark, path))
+    assert(Ann.readIvfPqStore(spark, path).count() == nBefore,
+      "compaction changed code-row count")
+    val after = Ann.ivfPqStoreTopK(spark, path, queries, k = 5,
+      refineFrom = Some(emb))
+    val delta = before.unionByName(after)
+      .groupBy("query_id", "nn_id", "cosine", "rank")
+      .agg(count(lit(1)).as("n")).where($"n" =!= 2).count()
+    assert(delta == 0L, "serve changed across compaction")
+    graft.io.IO.deletePath(path)
+  }
+
   test("ivf store: compaction commits through the OCC manifest — a racing " +
        "append serializes and neither commit is lost") {
     val emb = Tables.embeddings(spark, sf)

@@ -247,6 +247,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(statsV1 == ((4L, 6L))) // 4 docs, 3+2+1 tokens at build time
   }
 
+  test("Bm25Store: staleness report — append accounting from the stats " +
+       "rows, fragmentation pressure from the manifest, fresh build clean") {
+    import graft.llm.Bm25Store
+    val docs = Seq(
+      (1L, "cat dog cat"), (2L, "dog fish"), (3L, "bird"),
+      (4L, "cat fish fish dog"), (5L, "owl bat cat"), (6L, "dog owl"))
+      .toDF("doc_id", "text")
+    val path = "/root/repo/target/qtmp/txspec_bm25_stale"
+    graft.io.IO.deletePath(path)
+    Bm25Store.write(docs.where("doc_id <= 4"), path, termBuckets = 8)
+    val fresh = Bm25Store.staleness(spark, path)
+      .as[(Long, Long, Double, Long, Long)].head()
+    assert(fresh == ((4L, 4L, 0.0, 0L, 1L)),
+      s"fresh build should report zero appends and one generation: $fresh")
+    Bm25Store.append(docs.where("doc_id > 4"), path)
+    val after = Bm25Store.staleness(spark, path)
+      .as[(Long, Long, Double, Long, Long)].head()
+    assert(after._1 == 4L && after._2 == 6L, s"doc accounting drifted: $after")
+    assert(math.abs(after._3 - 2.0 / 6.0) < 1e-6, s"appended_frac wrong: $after")
+    // the append touched at least one posting bucket twice
+    assert(after._4 >= 1L && after._5 == 2L, s"fragmentation not surfaced: $after")
+  }
+
   test("Bm25Store: width-constant serve — duplicate query terms " +
        "double-score like the full scan's per-index columns, and a " +
        "multi-hundred-term query serves with no per-term plan columns") {
