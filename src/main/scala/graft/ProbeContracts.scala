@@ -56,6 +56,24 @@ object ProbeContracts {
       p(f"ann_ivfpq_store: recall=${st.recall}%.4f mismatches=${st.mismatches} rankBad=${st.rankBad}")
     }
     locally {
+      import org.apache.spark.sql.functions.col
+      // filtered-serve recall vs the exact filtered brute — the raw
+      // measurement behind annFilteredRecall
+      val allowed = emb.where("vec_id % 2 = 0").select("vec_id")
+      val queries = emb.where("vec_id < 8")
+      val served = Ann.ivfStoreTopK(spark,
+        LlmQueries.sharedIvfStore(spark, dir), queries, k = 10,
+        allowedIds = Some(allowed))
+      val brute = Ann.bruteTopK(emb.where("vec_id % 2 = 0"), queries, k = 10)
+        .select("query_id", "nn_id")
+      val nBrute = brute.count()
+      val hit = served.select("query_id", "nn_id")
+        .join(brute, Seq("query_id", "nn_id")).count()
+      val disallowed = served.where(col("nn_id") % 2 =!= 0).count()
+      p(f"ann_filtered_topk: recall=${hit.toDouble / math.max(nBrute, 1L)}%.4f " +
+        s"disallowed=$disallowed")
+    }
+    locally {
       import org.apache.spark.sql.functions.{col, sum, when, lit}
       // staleness drift flags under the in-distribution 2/3 + 1/3
       // lifecycle of the session-shared stores (the registered query's

@@ -796,6 +796,31 @@ object IO {
         .join(broadcast(del.drop(BucketCol)), keys, "left_anti"))
   }
 
+  /** [[deleteFromPartitionedStore]] for stores whose [[BucketCol]] is a
+    * TRUSTED routing column rather than the key hash (the vector stores
+    * route by IVF cell): the caller supplies key rows ALREADY carrying
+    * the bucket each key lives in (located however the layout locates —
+    * e.g. a column-pruned (key, bucket) projection scan), and only those
+    * buckets are read, anti-joined, and rewritten through the same
+    * optimistic manifest loop. Same pruning story: a delete of k keys
+    * touches ≤ k buckets however large the store is; an emptied bucket
+    * drops out of the manifest. No-op (no new version) when `keyRows`
+    * is empty. */
+  def deleteFromPartitionedStoreRouted(spark: SparkSession, targetPath: String,
+                                       keyRows: DataFrame,
+                                       keys: Seq[String]): Unit = {
+    val nBuckets = storeBuckets(targetPath)
+    val del = keyRows.select((keys.map(col) :+ col(BucketCol)): _*).distinct()
+      .withColumn(BucketCol,
+        nullKeyGuard(keys, bucketRangeGuard(nBuckets, col(BucketCol))))
+      .localCheckpoint()
+    val touched = del.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+    if (touched.nonEmpty)
+      commitRewrittenBuckets(spark, targetPath, touched,
+        () => readStoreBuckets(spark, targetPath, touched)
+          .join(broadcast(del.drop(BucketCol)), keys, "left_anti"))
+  }
+
   /** COMPACT the store's fragmented buckets — the OPTIMIZE step for the
     * LSM trade [[appendPartitionedStore]] makes: each append adds a delta
     * generation to every bucket it touches, and a bucket fragmented

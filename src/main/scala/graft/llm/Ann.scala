@@ -640,9 +640,21 @@ object Ann {
     * re-rank of candidates. Same query plan as [[ivfTopK]], but against
     * an index that was built once and maintained by appends. The
     * probed-cell union is a bounded driver-side collect (≤ nCells ints —
-    * cell count, not data, by construction). */
+    * cell count, not data, by construction).
+    *
+    * `allowedIds`: FILTERED vector search — the capability every serving
+    * index pairs with metadata predicates ("top-k among docs matching
+    * P"). The caller materializes the predicate as an id frame (from
+    * whatever table holds the metadata) and candidates semi-join it
+    * BEFORE the rank, so the result is the true top-k OF THE ALLOWED
+    * SUBSET — not a post-filtered top-k that returns fewer than k when
+    * the global top-k happens to be disallowed (the classic filtered-ANN
+    * bug). Join strategy is left to Catalyst/AQE: a selective id set
+    * auto-broadcasts, a corpus-scale one shuffles on the id — both
+    * correct. */
   def ivfStoreTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                    queries: DataFrame, k: Int, nProbe: Int = 4,
+                   allowedIds: Option[DataFrame] = None,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // PINNED (localCheckpoint) before the driver-side cell collect: the
     // pruned store read and the candidate join must see the SAME probe
@@ -660,8 +672,20 @@ object Ann {
     val assigned = graft.io.IO.readStoreBuckets(spark, path, cells)
       .withColumnRenamed(graft.io.IO.BucketCol, "cell")
       .select("nn_id", "cv", "cell")
-    rankProbed(assigned, probes, k)
+    rankProbed(restrictToAllowed(assigned, allowedIds, idCol), probes, k)
   }
+
+  /** Semi-join a candidate frame down to an allowed-id set (filtered
+    * vector search's pre-rank restriction); identity when no filter. */
+  private def restrictToAllowed(candidates: DataFrame,
+                                allowedIds: Option[DataFrame],
+                                idCol: String): DataFrame =
+    allowedIds match {
+      case None => candidates
+      case Some(a) => candidates.join(
+        a.select(col(idCol).cast("long").as("nn_id")).distinct(),
+        Seq("nn_id"), "left_semi")
+    }
 
   /** Compact a vector store's fragmented cells — the OPTIMIZE step every
     * append-maintained store needs: each [[appendIvfStore]] /
@@ -705,6 +729,39 @@ object Ann {
   def ivfStoreFragmented(spark: org.apache.spark.sql.SparkSession, path: String,
                          maxGens: Int = 1): Boolean =
     fragmentedCells(spark, path, maxGens).nonEmpty
+
+  /** DELETE vectors from a persisted vector store by id — the curation
+    * step every serving index needs once dedup / decontamination /
+    * takedown passes flag rows (the training-data right-to-be-forgotten
+    * path), kind-agnostic across the IVF and IVF-PQ layouts.
+    *
+    * The store routes by CELL (a trusted routing column), not by key
+    * hash, so the generic [[graft.io.IO.deleteFromPartitionedStore]]
+    * would prune the WRONG buckets here. Instead the delete keys resolve
+    * to their cells first — one column-pruned (nn_id, cell) projection
+    * scan of the data cells joined to the broadcast id set — and then
+    * ONLY the touched cells are anti-joined and rewritten through the
+    * same optimistic manifest loop as every merge: O(id-column scan +
+    * touched cells' data), never a full-store rewrite; pre-delete
+    * versions stay time-travel-readable until vacuum; an emptied cell
+    * drops out of the manifest (and the probed serve handles its absence
+    * as an empty read). The broadcast bounds the op to takedown-scale
+    * delete sets — deleting a corpus-scale fraction is a REBUILD, and the
+    * staleness report is what tells you that moment arrived. Quantizer
+    * buckets are never touched: routing stays valid for every surviving
+    * and future row. */
+  def deleteFromVectorStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                            ids: DataFrame, idCol: String = "vec_id"): Unit = {
+    val reserved = reservedStoreBuckets(spark, path) // validates the marker
+    val dataCells = (0 until graft.io.IO.storeBuckets(path))
+      .filterNot(reserved).toSet
+    val located = graft.io.IO.readStoreBuckets(spark, path, dataCells)
+      .select(col("nn_id"), col(graft.io.IO.BucketCol))
+      .join(broadcast(ids.select(col(idCol).cast("long").as("nn_id")).distinct()),
+        Seq("nn_id"))
+    graft.io.IO.deleteFromPartitionedStoreRouted(spark, path, located,
+      keys = Seq("nn_id"))
+  }
 
   /** Shared tail of the two staleness reports: per-cell (n, p50 dist)
     * aggregates of the build-version rows vs the current rows, joined
@@ -1394,6 +1451,7 @@ object Ann {
   def ivfPqStoreTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int, nProbe: Int = 4, refine: Int = 8,
                      refineFrom: Option[DataFrame] = None,
+                     allowedIds: Option[DataFrame] = None,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (cents, centArr, cb) = loadIvfPqQuantizers(spark, path)
@@ -1408,9 +1466,14 @@ object Ann {
     val probes = probeFrame(queries, cents, nProbe, idCol, vecCol)
       .localCheckpoint()
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSet
-    val codes = graft.io.IO.readStoreBuckets(spark, path, cells)
-      .withColumnRenamed(graft.io.IO.BucketCol, "cell")
-      .select("nn_id", "codes", "cell")
+    // filtered search restricts the CODE candidates before the ADC rank,
+    // so both the shortlist and the refined result are the true top-k of
+    // the allowed subset (see ivfStoreTopK's allowedIds doc)
+    val codes = restrictToAllowed(
+      graft.io.IO.readStoreBuckets(spark, path, cells)
+        .withColumnRenamed(graft.io.IO.BucketCol, "cell")
+        .select("nn_id", "codes", "cell"),
+      allowedIds, idCol)
     // residual layout ⇒ the LUT is per (query, PROBED CELL): partial
     // distances of (qv − centroid(cell)) to the residual codewords, so
     // summed ADC ≈ ‖q − (centroid + codeword)‖² — comparable across the

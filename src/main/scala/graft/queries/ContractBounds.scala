@@ -51,6 +51,16 @@ object ContractBounds {
     * the bound. */
   val annIvfPqRecall = 0.3
 
+  /** Filtered IVF serve (allowed = even vec_id, shared store, nProbe=4)
+    * recall@10 of the exact FILTERED brute top-10 — the same probe-loss
+    * shape as annIvfRecall over the halved candidate set (slightly lower
+    * at tiny SF: half the per-cell candidates means probe misses bite
+    * harder). Measured (ProbeContracts at sf0.001/0.01/0.1):
+    * 0.4375 / 0.5250 / 0.5625, disallowed rows 0 at every SF; a filter
+    * bug (post-filtering the global top-k instead of ranking the allowed
+    * subset) under-returns and collapses recall toward 0. */
+  val annFilteredRecall = 0.3
+
   /** Staleness report over the shared stores' in-distribution append
     * (build 2/3, append 1/3 of ONE corpus): cells with a build baseline
     * that still trip the 2× median-distance drift flag. A genuinely

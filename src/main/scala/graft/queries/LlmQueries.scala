@@ -526,6 +526,87 @@ object LlmQueries {
           "ranks_valid")
     }),
 
+    // FILTERED vector search — top-k among the ids matching a metadata
+    // predicate (here: even vec_id), the capability every serving index
+    // pairs with filters. The allowed-id semi-join restricts CANDIDATES
+    // before the rank, so the result is the true top-k OF THE ALLOWED
+    // SUBSET (not a post-filtered top-k that under-returns when the
+    // global winners are disallowed). Contract: recall vs the exact
+    // filtered brute over the bound, no disallowed id ever surfaces,
+    // scores exactly reproduce the independent recompute, ranks
+    // contiguous.
+    "ann_filtered_topk" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val allowed = emb.where("vec_id % 2 = 0").select("vec_id")
+      val queries = emb.where("vec_id < 8")
+      val served = Ann.ivfStoreTopK(s, sharedIvfStore(s, dir), queries,
+        k = 10, allowedIds = Some(allowed)).cache()
+      val brute = Ann.bruteTopK(emb.where("vec_id % 2 = 0"), queries, k = 10)
+        .select("query_id", "nn_id")
+      val nBrute = brute.count()
+      val hit = served.select("query_id", "nn_id")
+        .join(brute, Seq("query_id", "nn_id")).count()
+      val disallowed = served.where(col("nn_id") % 2 =!= 0).count()
+      val asD = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
+      val mismatches = served
+        .join(emb.select(col("vec_id").as("nn_id"), col("embedding").as("ev")), "nn_id")
+        .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))), "query_id")
+        .where(col("cosine") =!=
+          round(Ann.cosine(asD(col("ev")), asD(col("qv"))), 4)).count()
+      val rankBad = served.withColumn("rk2", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)))
+        .where(col("rank") =!= col("rk2")).count()
+      val out = Seq((queries.count(),
+          hit.toDouble / math.max(nBrute, 1L) >= ContractBounds.annFilteredRecall,
+          disallowed == 0L, mismatches == 0L, rankBad == 0L))
+        .toDF("n_queries", "recall_ok", "only_allowed", "rescore_exact",
+          "ranks_valid")
+      served.unpersist(blocking = false)
+      out
+    }),
+
+    // Keyed DELETE from a persisted vector index — the curation step
+    // after dedup/decontamination/takedown flags rows. Cell-routed: the
+    // delete keys locate their cells via a column-pruned projection
+    // scan, then ONLY those cells rewrite through the OCC manifest
+    // (O(touched cells), never a full rewrite); pre-delete versions stay
+    // time-travel-readable. Runs on a PRIVATE split-built store so the
+    // session-shared one keeps its lifecycle for the other contracts.
+    // Contract: the surviving row count is SQL-exact; deleted ids never
+    // surface in rows or serves; the post-delete serve EQUALS a batch
+    // assignment of the surviving corpus under the same centroids; the
+    // pre-delete version still reads complete.
+    "ann_store_delete" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val path = buildSplitIvfStore(s, dir, graft.Sweep.ephemeral(
+        s"/root/repo/target/qtmp/ivf_delete_${storeRunId.incrementAndGet()}"))
+      val preVersion = graft.io.IO.storeVersions(s, path).last
+      val nServable = emb.where(Ann.cosineUsable(col("embedding"))).count()
+      Ann.deleteFromVectorStore(s, path, emb.where("vec_id % 5 = 1"))
+      val rows = Ann.readIvfStore(s, path).cache()
+      val nAfter = rows.count()
+      val deletedLeft = rows.where(col("nn_id") % 5 === 1).count()
+      rows.unpersist(blocking = false)
+      val queries = emb.where("vec_id < 8")
+      val served = Ann.ivfStoreTopK(s, path, queries, k = 10)
+      val cents = Ann.readCentroids(s, path)
+      val batch = Ann.ivfTopKFromAssigned(
+        Ann.assignCells(emb.where("vec_id % 5 != 1"), cents), cents,
+        queries, k = 10)
+      val delta = served.unionByName(batch)
+        .groupBy("query_id", "nn_id", "cosine", "rank")
+        .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+      val preRows = graft.io.IO.readPartitionedStoreAt(s, path, preVersion)
+        .where(col("nn_id") >= 0).count()
+      Seq((nAfter, deletedLeft == 0L, delta == 0L, preRows == nServable))
+        .toDF("n_after", "deleted_gone", "serve_matches_rebuild",
+          "history_preserved")
+    }),
+
     // Staleness report for the append-maintained vector indexes — the
     // "centroids age; refresh = rebuild" trade surfaced as a queryable
     // signal (appended fraction + per-cell distance-to-centroid drift
@@ -1591,6 +1672,22 @@ object LlmQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
         |  true AS rescore_exact, true AS ranks_valid
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // contract: query count is SQL-exact; filtered recall, the
+    // no-disallowed-id guarantee, rescore parity, and rank integrity are
+    // store-state booleans the driver hash-gates
+    "ann_filtered_topk" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
+        |  true AS only_allowed, true AS rescore_exact, true AS ranks_valid
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // contract: the surviving servable count is SQL-exact; removal
+    // completeness, serve-equals-rebuild, and time-travel completeness
+    // are store-state booleans the driver hash-gates
+    "ann_store_delete" ->
+      s"""SELECT CAST(count(CASE WHEN $usableVec AND vec_id % 5 != 1
+        |    THEN 1 END) AS BIGINT) AS n_after,
+        |  true AS deleted_gone, true AS serve_matches_rebuild,
+        |  true AS history_preserved
+        |FROM embeddings""".stripMargin,
     // contract: query count is SQL-exact; the MMR greedy's structural
     // guarantees (first pick = exact top-1, k picks each, non-increasing
     // score sequence) surface as invariant booleans

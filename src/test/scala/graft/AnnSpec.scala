@@ -533,6 +533,81 @@ class AnnSpec extends SparkSpec {
     assert(rep.forall(_._3 >= 0.99), s"low coherence: ${rep.toSeq}")
   }
 
+  test("deleteFromVectorStore: rows gone from both layouts, serve excludes " +
+       "them, an emptied cell drops cleanly, pre-delete version time-travels") {
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val df = (0 until 12).map { i =>
+      (i.toLong, mk(if (i < 6) c1 else c2, 0.01f * (i % 4)))
+    }.toDF("vec_id", "embedding")
+    val path = "/root/repo/target/test_tmp/annspec_delete"
+    graft.io.IO.deletePath(path)
+    Ann.writeIvfStore(df, path, nCells = 2)
+    val preV = graft.io.IO.storeVersions(spark, path).last
+    // delete ALL of cluster 2 — its cell must empty and drop out
+    Ann.deleteFromVectorStore(spark, path,
+      df.where("vec_id >= 6").select("vec_id"))
+    val left = Ann.readIvfStore(spark, path).select("nn_id").as[Long].collect()
+    assert(left.sorted.toSeq == (0L to 5L), s"wrong survivors: ${left.toSeq}")
+    // serve probing BOTH cells (one now absent) returns only survivors
+    val served = Ann.ivfStoreTopK(spark, path, df.where("vec_id = 0"),
+      k = 8, nProbe = 2).select("nn_id").as[Long].collect().toSet
+    assert(served == Set(1L, 2L, 3L, 4L, 5L), s"deleted id served: $served")
+    // time travel: the pre-delete version still reads complete
+    val preRows = graft.io.IO.readPartitionedStoreAt(spark, path, preV)
+      .where(col("nn_id") >= 0).count()
+    assert(preRows == 12L, s"pre-delete version incomplete: $preRows")
+    // same surface on the codes-at-rest layout
+    val pqPath = "/root/repo/target/test_tmp/annspec_delete_pq"
+    graft.io.IO.deletePath(pqPath)
+    Ann.writeIvfPqStore(df, pqPath, nCells = 2, m = 2, ksub = 4)
+    Ann.deleteFromVectorStore(spark, pqPath, Seq(1L, 7L).toDF("vec_id"))
+    assert(Ann.readIvfPqStore(spark, pqPath).count() == 10L)
+    val pqServed = Ann.ivfPqStoreTopK(spark, pqPath, df.where("vec_id = 0"),
+      k = 8, nProbe = 2, refineFrom = Some(df))
+      .select("nn_id").as[Long].collect().toSet
+    assert(!pqServed.contains(1L) && !pqServed.contains(7L),
+      s"deleted id served from PQ store: $pqServed")
+  }
+
+  test("filtered serve: the true top-k OF THE ALLOWED SUBSET — returns k " +
+       "allowed rows even when every global winner is disallowed") {
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val df = (0 until 12).map { i =>
+      (i.toLong, mk(if (i < 6) c1 else c2, 0.01f * (i % 4)))
+    }.toDF("vec_id", "embedding")
+    val path = "/root/repo/target/test_tmp/annspec_filtered"
+    graft.io.IO.deletePath(path)
+    Ann.writeIvfStore(df, path, nCells = 2)
+    val query = df.where("vec_id = 0") // cluster-1 member: global top-k all in cluster 1
+    // allowed = ONLY cluster 2 — a post-filtered global top-k would return nothing
+    val allowed = df.where("vec_id >= 6").select("vec_id")
+    val served = Ann.ivfStoreTopK(spark, path, query, k = 3, nProbe = 2,
+      allowedIds = Some(allowed))
+      .select("nn_id", "cosine", "rank").as[(Long, Double, Int)].collect()
+    assert(served.length == 3, s"filtered serve under-returned: ${served.toSeq}")
+    assert(served.forall(_._1 >= 6L), s"disallowed id served: ${served.toSeq}")
+    // and it equals the exact filtered brute (nProbe covers all cells here)
+    val brute = Ann.bruteTopK(df.where("vec_id >= 6"), query, k = 3)
+      .select("nn_id", "cosine", "rank").as[(Long, Double, Int)].collect()
+    assert(served.toSet == brute.toSet,
+      s"filtered serve diverged from filtered brute: ${served.toSeq} vs ${brute.toSeq}")
+    // PQ tier: same filter semantics through the ADC shortlist + refine
+    val pqPath = "/root/repo/target/test_tmp/annspec_filtered_pq"
+    graft.io.IO.deletePath(pqPath)
+    Ann.writeIvfPqStore(df, pqPath, nCells = 2, m = 2, ksub = 4)
+    val pqServed = Ann.ivfPqStoreTopK(spark, pqPath, query, k = 3, nProbe = 2,
+      refineFrom = Some(df), allowedIds = Some(allowed))
+      .select("nn_id").as[Long].collect()
+    assert(pqServed.length == 3 && pqServed.forall(_ >= 6L),
+      s"PQ filtered serve wrong: ${pqServed.toSeq}")
+  }
+
   test("staleness report: fresh build reports zero appended and no drift; " +
        "a far-distribution append trips the flag; PQ accounting matches") {
     val path = "/root/repo/target/test_tmp/annspec_stale"
