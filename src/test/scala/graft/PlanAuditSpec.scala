@@ -175,6 +175,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("width_bucket") && plan.contains("shiftleft"), plan)
   }
 
+  test("filtered IVF serve: the allowed-id filter does NOT break the " +
+       "probed-cell pruning of the store read") {
+    import spark.implicits._
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val c3 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val df = (0 until 18).map { i =>
+      (i.toLong, mk(Seq(c1, c2, c3)(i / 6), 0.01f * (i % 4)))
+    }.toDF("vec_id", "embedding")
+    val path = "/root/repo/target/test_tmp/audit_filtered_ivf"
+    graft.io.IO.deletePath(path)
+    graft.llm.Ann.writeIvfStore(df, path, nCells = 3)
+    // nProbe=1 on a 3-cell store: the serve must read ONE data cell even
+    // with the filter attached (a filter that forced a full-store read
+    // would be the quiet way to lose the pruning at 100 TB)
+    val served = graft.llm.Ann.ivfStoreTopK(spark, path,
+      df.where("vec_id = 0"), k = 3, nProbe = 1,
+      allowedIds = Some(df.where("vec_id % 2 = 0").select("vec_id")))
+    served.collect()
+    val buckets = served.inputFiles
+      .flatMap("__graft_bucket=(\\d+)".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).toSet
+    assert(buckets.size == 1, s"filtered serve read ${buckets.size} cells: $buckets")
+  }
+
+  test("deleteFromVectorStore: the id-locate scan is column-pruned (never " +
+       "reads the vectors) and the rewrite lists only touched cells") {
+    import spark.implicits._
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val df = (0 until 12).map { i =>
+      (i.toLong, mk(if (i < 6) c1 else c2, 0.01f * (i % 4)))
+    }.toDF("vec_id", "embedding")
+    val path = "/root/repo/target/test_tmp/audit_delete_ivf"
+    graft.io.IO.deletePath(path)
+    graft.llm.Ann.writeIvfStore(df, path, nCells = 2)
+    // the locate frame (same shape deleteFromVectorStore builds): its scan
+    // schema must carry nn_id only — the embedding column must be pruned
+    // away, or the "cheap id scan" silently reads the whole corpus width
+    val located = graft.io.IO.readStoreBuckets(spark, path, Set(0, 1))
+      .select(col("nn_id"), col(graft.io.IO.BucketCol))
+      .join(broadcast(Seq(1L).toDF("nn_id")), Seq("nn_id"))
+    val plan = located.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<nn_id:bigint>"),
+      s"locate scan not pruned to the id column:\n$plan")
+  }
+
   test("storeChangeFeed: scans list ONLY changed bucket directories") {
     import spark.implicits._
     val path = "/root/repo/target/test_tmp/audit_cdc_store"
