@@ -4,6 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
+import graft.llm.Ann
 
 /** Structured Streaming operators surfaced as registered queries: each runs
   * the *streaming* engine (file source → stateful op → memory sink,
@@ -108,6 +109,69 @@ object StreamQueries {
         .where(col("mx") =!= col("n") || col("mn") =!= 1).count()
       Seq((nQ, equal, rankBad == 0L))
         .toDF("n_queries", "stream_equals_batch", "ranks_valid")
+    }),
+
+    // Streaming INDEX MAINTENANCE — the other half of the online ANN
+    // topology st_ann_serve reads from: the embedding stream builds and
+    // then APPENDS into a persisted IVF store per micro-batch (first
+    // non-empty batch seeds the store under the session's shared
+    // quantizer; every later batch routes through the STORED centroids —
+    // an O(delta) OCC-manifest append, the exact maintenance path
+    // appendIvfStore documents). Contract: the stream-maintained store's
+    // (id, cell) content equals a batch assignment of the full servable
+    // corpus under the same centroids — however the arrivals were
+    // batched — and the maintenance was genuinely incremental (one
+    // manifest commit per micro-batch, appended cells spanning
+    // generations — the LSM signature a per-batch rebuild would erase).
+    "st_ann_append" -> ((s, dir) => {
+      import s.implicits._
+      val emb = graft.Tables.embeddings(s, dir)
+      val store = graft.Sweep.ephemeral(
+        s"/root/repo/target/qtmp/st_ann_append_${runId.incrementAndGet()}")
+      graft.io.IO.deletePath(store)
+      val cents = graft.queries.LlmQueries.corpusCentroids(s, dir)
+      EventStreams.withStreamShufflePartitions(s) {
+        val q = graft.streaming.DocStreams.readVectorStream(s, dir, nSplits = 3)
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val b = batch.toDF()
+            if (!b.isEmpty) {
+              if (!graft.io.IO.isPartitionedStore(b.sparkSession, store))
+                Ann.writeIvfStore(b, store, centroids = Some(cents))
+              else Ann.appendIvfStore(b, store)
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      // content equivalence: the maintained store's (nn_id, cell) set is
+      // exactly the batch assignment of the servable corpus under the
+      // STORED centroids (which are `cents` — the seed persisted them).
+      // Serve-path equivalence over such a store is ann_ivf_store's
+      // contract; re-proving it here would double this query's cost for
+      // coverage the suite already has.
+      val stored = Ann.readIvfStore(s, store).select("nn_id", "cell")
+      val storedCents = Ann.readCentroids(s, store)
+      val batchAssigned = Ann.assignCells(
+        emb.where(Ann.cosineUsable(col("embedding"))), storedCents)
+        .select("nn_id", "cell")
+      val contentDelta = stored.unionByName(batchAssigned)
+        .groupBy("nn_id", "cell").agg(count(lit(1)).as("n"))
+        .where(col("n") =!= 2).count()
+      // genuinely incremental, not rebuilt per batch: each of the 3
+      // micro-batches committed exactly one manifest version (seed + two
+      // O(delta) appends), and appended cells span >1 generation — the
+      // LSM signature a per-batch rebuild would erase
+      val nVersions = graft.io.IO.storeVersions(s, store).size
+      val dataGens = graft.io.IO.storeBucketGenerations(s, store)
+        .filter { case (b, _) => b != graft.io.IO.storeBuckets(store) - 1 }
+      val incremental = nVersions == 3 &&
+        dataGens.nonEmpty && dataGens.values.max >= 2 && dataGens.values.max <= 3
+      val nRows = stored.count()
+      Seq((nRows, contentDelta == 0L, incremental))
+        .toDF("n_indexed", "content_equals_batch_build", "genuinely_incremental")
     }),
 
     // Watermarked SLIDING-window aggregation (10-min width, 5-min slide)
@@ -341,6 +405,15 @@ object StreamQueries {
       s"""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS stream_equals_batch,
         |  true AS ranks_valid
         |FROM embeddings WHERE vec_id < 24 AND ${LlmQueries.usableVec}""".stripMargin,
+    // contract: the indexed-row count is SQL-exact (one row per
+    // cosine-servable vector, however the stream batched them); content
+    // equivalence vs the batch build and the one-commit-per-batch LSM
+    // signature are store-state booleans the driver hash-gates
+    "st_ann_append" ->
+      s"""SELECT CAST(count(CASE WHEN ${LlmQueries.usableVec} THEN 1 END) AS BIGINT)
+        |    AS n_indexed,
+        |  true AS content_equals_batch_build, true AS genuinely_incremental
+        |FROM embeddings""".stripMargin,
     "st_sliding_counts" ->
       """SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - k.k * 300 AS w_start_s,
         |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
