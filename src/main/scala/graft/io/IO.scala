@@ -550,13 +550,8 @@ object IO {
     * vacuum deletes superseded files and old manifests, after which only
     * the current version is readable (same trade as any table format's
     * VACUUM vs time travel). */
-  def readPartitionedStoreAt(spark: SparkSession, path: String, version: Int): DataFrame = {
-    val (fs, root) = hfs(spark, path)
-    require(fs.exists(new HPath(manifestDir(root), s"v$version.committed")),
-      s"$path has no committed manifest v$version (retained versions: " +
-        s"${storeVersions(spark, path).mkString(",")})")
-    readBuckets(spark, path, readManifest(fs, root, version)).drop(BucketCol)
-  }
+  def readPartitionedStoreAt(spark: SparkSession, path: String, version: Int): DataFrame =
+    readPartitionedStoreAtTagged(spark, path, version).drop(BucketCol)
 
   /** [[readPartitionedStoreAt]] variant that KEEPS [[BucketCol]] — for
     * maintenance reports that compare a layout's routing column across
@@ -582,7 +577,16 @@ object IO {
     require(fs.exists(new HPath(manifestDir(root), s"v$version.committed")),
       s"$path has no committed manifest v$version (retained versions: " +
         s"${storeVersions(spark, path).mkString(",")})")
-    val man = readManifest(fs, root, version)
+    readManifestBuckets(spark, path, readManifest(fs, root, version), buckets)
+  }
+
+  /** Shared pruned-read tail: the manifest's entries filtered to the
+    * wanted buckets; an empty overlap (e.g. an incremental batch whose
+    * keys all land in never-seen buckets) reads an empty frame WITH the
+    * store schema, scanning nothing. */
+  private def readManifestBuckets(spark: SparkSession, path: String,
+                                  man: Seq[(Int, String)],
+                                  buckets: Set[Int]): DataFrame = {
     val pairs = man.filter { case (b, _) => buckets(b) }
     if (pairs.nonEmpty) readBuckets(spark, path, pairs)
     else readBuckets(spark, path, Seq(man.head)).limit(0)
@@ -610,12 +614,7 @@ object IO {
     val v = currentManifestVersion(fs, root).getOrElse(
       throw new IllegalArgumentException(
         s"$path has no committed manifest — not a partitioned store"))
-    val man = readManifest(fs, root, v)
-    val pairs = man.filter { case (b, _) => buckets(b) }
-    // no overlap (e.g. an incremental batch whose keys all land in never-
-    // seen buckets): empty frame with the store schema, scanning nothing
-    if (pairs.nonEmpty) readBuckets(spark, path, pairs)
-    else readBuckets(spark, path, Seq(man.head)).limit(0)
+    readManifestBuckets(spark, path, readManifest(fs, root, v), buckets)
   }
 
   private def readBuckets(spark: SparkSession, path: String,

@@ -765,12 +765,18 @@ object Ann {
 
   /** Shared tail of the two staleness reports: per-cell (n, p50 dist)
     * aggregates of the build-version rows vs the current rows, joined
-    * into the drift frame. Inputs carry exactly (cell, dist). Appends
-    * only ever ADD rows, so current ⊇ build cell-wise — a left join from
-    * the current side covers every cell, and a cell absent at build
-    * (created entirely by appends) reports n_build = 0, NULL build
-    * quantile, drifted = true (a cell the quantizer fit never saw has no
-    * baseline to be "close" to). */
+    * into the drift frame. Inputs carry exactly (cell, dist). The join
+    * is FULL outer: appends add cells the build never had (n_build = 0,
+    * NULL build quantile, drifted = true — a cell the quantizer fit
+    * never saw has no baseline to be "close" to), and
+    * [[deleteFromVectorStore]] can shrink or EMPTY a cell the build did
+    * have (n_now = 0 row kept, so the accounting never silently loses a
+    * build cell). `appended_frac` measures GROWTH — clamped at 0 for a
+    * shrunk cell (deletes surface in the n columns, not as negative
+    * growth) and NULL for an emptied one. `drift_ratio` is NULL whenever
+    * either side lacks a median (no build baseline, or nothing left to
+    * measure) — never a garbage magnitude from dividing by an epsilon
+    * in place of a missing value. */
   private def stalenessReport(build: DataFrame, now: DataFrame,
                               maxDriftRatio: Double): DataFrame = {
     require(maxDriftRatio > 0.0)
@@ -779,18 +785,24 @@ object Ann {
         count(lit(1)).as(nCol),
         percentile_approx(col("dist"), lit(0.5), lit(10000)).as(pCol))
     perCell(now, "n_now", "p50_now")
-      .join(perCell(build, "n_build", "p50_build"), Seq("cell"), "left")
+      .join(perCell(build, "n_build", "p50_build"), Seq("cell"), "full_outer")
       .select(col("cell"),
         coalesce(col("n_build"), lit(0L)).as("n_build"),
-        col("n_now"),
-        round((col("n_now") - coalesce(col("n_build"), lit(0L)))
-          / col("n_now").cast("double"), 6).as("appended_frac"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"),
+        when(coalesce(col("n_now"), lit(0L)) > 0,
+          round(greatest(col("n_now") - coalesce(col("n_build"), lit(0L)), lit(0L))
+            / col("n_now").cast("double"), 6)).as("appended_frac"),
         round(col("p50_build"), 6).as("p50_dist_build"),
         round(col("p50_now"), 6).as("p50_dist_now"),
-        round(col("p50_now") / greatest(col("p50_build"), lit(1e-12)), 6)
+        when(col("p50_build").isNotNull && col("p50_now").isNotNull,
+          round(col("p50_now") / greatest(col("p50_build"), lit(1e-12)), 6))
           .as("drift_ratio"))
+      // drifted: a measured ratio over the threshold, or an append-created
+      // cell with live members (no baseline to be close to). An emptied or
+      // untouched-empty cell is not drifted — nothing serves from it.
       .withColumn("drifted",
-        coalesce(col("drift_ratio") > maxDriftRatio, lit(true)))
+        coalesce(col("drift_ratio") > maxDriftRatio, lit(false)) ||
+          (col("n_build") === 0 && col("n_now") > 0))
   }
 
   /** Staleness report for an append-maintained IVF store — the queryable
@@ -815,11 +827,27 @@ object Ann {
     * per-cell aggregate (the exchange carries nCells rows); an OFFLINE
     * maintenance report, never on the serve path, same cost class as
     * [[compactIvfStore]]. */
+  /** The BUILD version (v1) a staleness report baselines against — fails
+    * loudly when vacuum trimmed it away: `storeVersions.head` would then
+    * silently equal the CURRENT version and any store, however appended
+    * and drifted, would report itself fresh (build == now). Same
+    * fail-loudly rule as the store-kind marker: a maintenance signal that
+    * can silently read healthy is worse than none. */
+  private[llm] def stalenessBaseline(spark: org.apache.spark.sql.SparkSession,
+                                     path: String): Int = {
+    val vs = graft.io.IO.storeVersions(spark, path)
+    require(vs.headOption.contains(1),
+      s"$path no longer retains its build version v1 (retained: " +
+        s"${vs.mkString(",")}) — vacuum removed the staleness baseline, and " +
+        "a report against a later baseline would falsely read fresh")
+    1
+  }
+
   def ivfStoreStaleness(spark: org.apache.spark.sql.SparkSession, path: String,
                         maxDriftRatio: Double = 2.0): DataFrame = {
     requireStoreKind(spark, path, "ivf")
     val reserved = graft.io.IO.storeBuckets(path) - 1
-    val v1 = graft.io.IO.storeVersions(spark, path).head
+    val v1 = stalenessBaseline(spark, path)
     val cents = broadcast(readCentroids(spark, path))
     def withDist(df: DataFrame): DataFrame = df
       .withColumnRenamed(graft.io.IO.BucketCol, "cell")
@@ -866,16 +894,8 @@ object Ann {
   private def fragmentedCells(spark: org.apache.spark.sql.SparkSession,
                               path: String,
                               maxGens: Int): Set[Int] = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val reserved = reservedStoreBuckets(spark, path)
-    val v = graft.io.IO.currentManifestVersion(fs, root).getOrElse(
-      throw new IllegalArgumentException(
-        s"$path has no committed manifest — not a vector store"))
-    val gens = graft.io.IO.readManifest(fs, root, v)
-      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
-    gens.collect {
+    graft.io.IO.storeBucketGenerations(spark, path).collect {
       case (b, n) if n > maxGens && !reserved(b) => b
     }.toSet
   }
@@ -946,18 +966,38 @@ object Ann {
     *
     * Returns (subspace, code, centroid) — m × ksub rows, tiny by
     * definition, same persistable shape as [[fitCentroids]]. */
+  /** Finite-vector guard: non-null with no NULL/NaN/±Inf component — the
+    * residual-space relaxation of [[cosineUsable]]: a ZERO vector has no
+    * cosine direction, but a zero RESIDUAL is a legitimate (indeed the
+    * most frequent) value for a quantizer to learn — a member sitting
+    * exactly on its centroid. Two-valued for the same reason as
+    * cosineUsable's lambda. */
+  private[graft] def finiteVec(vecCol: Column): Column =
+    vecCol.isNotNull && !exists(vecCol, x => x.isNull || isnan(x) ||
+      abs(x.cast("double")) === lit(Double.PositiveInfinity))
+
   def fitPqCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 32,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     seed: Long = 42L, maxIter: Int = 5): DataFrame = {
+                     seed: Long = 42L, maxIter: Int = 5,
+                     requireNonZero: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // cached across the Lloyd iterations: every iteration re-scans this
     // frame, and without the persist each scan replays the source read +
-    // cast lineage maxIter times
-    val dense = corpus.where(cosineUsable(col(vecCol)))
+    // cast lineage maxIter times.
+    // requireNonZero = true is the RAW-vector path (a zero vector can
+    // never be served in cosine space, so it must not shape codewords);
+    // the residual path passes false — excluding zero residuals would
+    // bias every codebook away from the exact value the densest rows
+    // quantize to (writeIvfPqStore's fit).
+    val dense = corpus.where(
+        if (requireNonZero) cosineUsable(col(vecCol)) else finiteVec(col(vecCol)))
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("cv"))
       .persist()
-    val dim = dense.select(size(col("cv"))).head().getInt(0)
+    val firstDim = dense.select(size(col("cv"))).take(1)
+    require(firstDim.nonEmpty,
+      "PQ codebook fit input is empty — no finite vector to fit on")
+    val dim = firstDim.head.getInt(0)
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
     // seeded deterministic init: ksub hash-chosen corpus rows, sliced per
@@ -1238,7 +1278,8 @@ object Ann {
           val keepOneIn = math.max(2L, (n + fitSampleCap - 1) / fitSampleCap)
           resid.where(pmod(xxhash64(col("nn_id"), lit(seed)), lit(keepOneIn)) === 0)
         }
-      fitPqCodebooks(fitInput, m, ksub, "nn_id", "rv", seed, codebookIters)
+      fitPqCodebooks(fitInput, m, ksub, "nn_id", "rv", seed, codebookIters,
+        requireNonZero = false)
     })
     require(cb.nonEmpty && cb.forall(_.nonEmpty),
       "codebooks frame is empty — nothing to encode with")
@@ -1538,7 +1579,7 @@ object Ann {
                           maxDriftRatio: Double = 2.0): DataFrame = {
     val (_, _, cb) = loadIvfPqQuantizers(spark, path)
     val nCells = graft.io.IO.storeBuckets(path) - 2
-    val v1 = graft.io.IO.storeVersions(spark, path).head
+    val v1 = stalenessBaseline(spark, path)
     val lut0: Seq[Seq[Double]] = cb.toSeq.map(_.toSeq.map(_.map(x => x * x).sum))
     def withDist(df: DataFrame): DataFrame = df
       .withColumnRenamed(graft.io.IO.BucketCol, "cell")

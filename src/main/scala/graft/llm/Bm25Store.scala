@@ -226,7 +226,8 @@ object Bm25Store {
   def staleness(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val termBuckets = IO.storeBuckets(path) - 1
-    val v1 = IO.storeVersions(spark, path).head
+    // fails loudly after vacuum — see Ann.stalenessBaseline
+    val v1 = Ann.stalenessBaseline(spark, path)
     def nDocs(df: DataFrame): Long = df
       .where(col("term") === StatsTerm)
       .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)

@@ -348,6 +348,34 @@ object Matcher {
     }
   }
 
+  /** Shared scaffolding of the three memo-compatible searches
+    * ([[trainHalving]], [[trainTpe]], [[trainGridMemo]]): ONE place owns
+    * the prepared-frame cache, the exact-proportion 0.8/0.2 stratified
+    * split, the trial thread pool, and the teardown. The [[FitMemo]]
+    * validity contract — identical input, seed, and split across every
+    * search sharing a memo — holds BECAUSE the searches cannot drift
+    * apart here: a split change is one edit, applied to all three or
+    * none. Both split frames materialize up front (every fit scans them
+    * repeatedly, and the stratified split's rank window must not
+    * re-evaluate per boosting iteration). */
+  private def withSearchContext[A](train: DataFrame, seed: Long,
+      parallelism: Int, coalesceTo: Option[Int])(
+      body: (DataFrame, DataFrame, DataFrame,
+             scala.concurrent.ExecutionContext) => A): A = {
+    val prepared = coalesceTo.map(n => train.coalesce(n)).getOrElse(train).cache()
+    val Seq(tr, va) = stratifiedSplit(prepared, Seq(0.8, 0.2), seed = seed)
+      .map(_.cache())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try body(prepared, tr, va, ec)
+    finally {
+      pool.shutdown()
+      tr.unpersist(blocking = false)
+      va.unpersist(blocking = false)
+      prepared.unpersist(blocking = false)
+    }
+  }
+
   /** M4 variant — successive halving (Hyperband's inner loop; Jamieson &
     * Talwalkar, AISTATS 2016) over the GBT space: the adaptive-budget
     * answer to the reference's 1000-eval hyperopt TPE (`03_Train & Deploy
@@ -373,31 +401,24 @@ object Matcher {
     require(candidates.nonEmpty && eta >= 2 && minIter >= 1 && maxIter >= minIter)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val prepared = coalesceTo.map(n => train.coalesce(n)).getOrElse(train).cache()
-    // materialize both split frames: every rung's fits scan them
-    // repeatedly, and the stratified split's rank window must not be
-    // re-evaluated per boosting iteration
-    val Seq(tr, va) = stratifiedSplit(prepared, Seq(0.8, 0.2), seed = seed)
-      .map(_.cache())
-    val eval = evaluator
-    def fit(c: GbtCandidate, iters: Int, on: DataFrame): PipelineModel =
-      fitCandidate(seed, c, iters, on)
-    def scoredTrial(c: GbtCandidate, iters: Int): (GbtCandidate, Double) = {
-      def compute: Double = {
-        val mod = fit(c, iters, tr); eval.evaluate(mod.transform(va))
+    withSearchContext(train, seed, parallelism, coalesceTo) { (prepared, tr, va, ec0) =>
+      implicit val ec: ExecutionContext = ec0
+      val eval = evaluator
+      def fit(c: GbtCandidate, iters: Int, on: DataFrame): PipelineModel =
+        fitCandidate(seed, c, iters, on)
+      def scoredTrial(c: GbtCandidate, iters: Int): (GbtCandidate, Double) = {
+        def compute: Double = {
+          val mod = fit(c, iters, tr); eval.evaluate(mod.transform(va))
+        }
+        (c, memo match {
+          case Some(mm) => mm.trial(c, iters)(compute)
+          case None => compute
+        })
       }
-      (c, memo match {
-        case Some(mm) => mm.trial(c, iters)(compute)
-        case None => compute
-      })
-    }
-    def refitFull(c: GbtCandidate, iters: Int): PipelineModel = memo match {
-      case Some(mm) => mm.refit(c, iters)(fit(c, iters, prepared))
-      case None => fit(c, iters, prepared)
-    }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try {
+      def refitFull(c: GbtCandidate, iters: Int): PipelineModel = memo match {
+        case Some(mm) => mm.refit(c, iters)(fit(c, iters, prepared))
+        case None => fit(c, iters, prepared)
+      }
       var alive = candidates.toIndexedSeq
       var budget = minIter
       var evals = 0
@@ -426,11 +447,6 @@ object Matcher {
       // training input (train + validation) at the final budget
       HalvingResult(refitFull(winner, budget), winner, budget,
         winnerMetric, evals)
-    } finally {
-      pool.shutdown()
-      tr.unpersist(blocking = false)
-      va.unpersist(blocking = false)
-      prepared.unpersist(blocking = false)
     }
   }
 
@@ -485,15 +501,11 @@ object Matcher {
     require(minInfoGainRange._1 >= 0.0 && minInfoGainRange._1 <= minInfoGainRange._2)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val prepared = coalesceTo.map(n => train.coalesce(n)).getOrElse(train).cache()
-    val Seq(tr, va) = stratifiedSplit(prepared, Seq(0.8, 0.2), seed = seed)
-      .map(_.cache())
-    val eval = evaluator
-    def fit(c: GbtCandidate, on: DataFrame): PipelineModel =
-      fitCandidate(seed, c, iters, on)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try {
+    withSearchContext(train, seed, parallelism, coalesceTo) { (prepared, tr, va, ec0) =>
+      implicit val ec: ExecutionContext = ec0
+      val eval = evaluator
+      def fit(c: GbtCandidate, on: DataFrame): PipelineModel =
+        fitCandidate(seed, c, iters, on)
       val grid = candidates.toIndexedSeq
       // the grid seeds exploration (init trials come from it), but the
       // SEARCH SPACE is continuous in stepSize/subsamplingRate — cap is
@@ -648,11 +660,6 @@ object Matcher {
         case None => fit(winner, prepared)
       }
       HalvingResult(refit, winner, iters, winnerMetric, trials.size)
-    } finally {
-      pool.shutdown()
-      tr.unpersist(blocking = false)
-      va.unpersist(blocking = false)
-      prepared.unpersist(blocking = false)
     }
   }
 
@@ -679,13 +686,9 @@ object Matcher {
       "grid points must be non-empty and distinct")
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val prepared = coalesceTo.map(n => train.coalesce(n)).getOrElse(train).cache()
-    val Seq(tr, va) = stratifiedSplit(prepared, Seq(0.8, 0.2), seed = seed)
-      .map(_.cache())
-    val eval = evaluator
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try {
+    withSearchContext(train, seed, parallelism, coalesceTo) { (prepared, tr, va, ec0) =>
+      implicit val ec: ExecutionContext = ec0
+      val eval = evaluator
       val scored = Await.result(Future.sequence(points.map { case (c, iters) =>
         Future {
           def compute: Double = {
@@ -708,11 +711,6 @@ object Matcher {
         case None => fitCandidate(seed, winner, budget, prepared)
       }
       HalvingResult(refit, winner, budget, metric, points.size)
-    } finally {
-      pool.shutdown()
-      tr.unpersist(blocking = false)
-      va.unpersist(blocking = false)
-      prepared.unpersist(blocking = false)
     }
   }
 

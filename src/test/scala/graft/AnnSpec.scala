@@ -640,6 +640,29 @@ class AnnSpec extends SparkSpec {
     assert(drifted.count() > 0, "a far-distribution append tripped no drift flag")
     assert(Ann.ivfStoreStaleness(spark, path)
       .agg(max("appended_frac")).as[Double].head() > 0.3)
+    // DELETE interaction: shrinking or emptying a build cell must keep
+    // the accounting honest — the emptied cell stays IN the report with
+    // n_now = 0 (never silently dropped), a shrunk cell clamps
+    // appended_frac at 0 (growth, not negative), nothing reports a
+    // garbage drift magnitude, and an emptied cell is not "drifted"
+    // (nothing serves from it)
+    Ann.deleteFromVectorStore(spark, path,
+      df.where("vec_id >= 6 and vec_id < 12").select("vec_id")) // all of cluster 2
+    Ann.deleteFromVectorStore(spark, path,
+      (100L until 104L).toDF("vec_id")) // half the far append
+    val postDelete = Ann.ivfStoreStaleness(spark, path)
+      .select("cell", "n_build", "n_now", "appended_frac", "drift_ratio", "drifted")
+      .as[(Int, Long, Long, Option[Double], Option[Double], Boolean)].collect()
+    assert(postDelete.map(_._2).sum == 12L,
+      s"a build cell vanished from the report: ${postDelete.toSeq}")
+    val emptied = postDelete.filter(_._3 == 0L)
+    assert(emptied.nonEmpty, "the emptied cell should still report")
+    emptied.foreach { r =>
+      assert(r._4.isEmpty && r._5.isEmpty && !r._6,
+        s"emptied cell reports growth/drift: $r")
+    }
+    assert(postDelete.forall(_._4.forall(f => f >= 0.0 && f <= 1.0)),
+      s"appended_frac left [0,1]: ${postDelete.toSeq}")
     // IVF-PQ variant: lifecycle row accounting from the codes-at-rest
     // tier (2/3 build + 1/3 append of the fixture corpus); the
     // in-distribution append must not trip the drift flag
