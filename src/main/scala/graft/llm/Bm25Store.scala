@@ -207,6 +207,20 @@ object Bm25Store {
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
   }
 
+  /** Compact the index's fragmented buckets — the OPTIMIZE step the
+    * [[staleness]] report's fragmentation columns exist to trigger:
+    * every append adds a generation to each touched term bucket (and one
+    * stats-delta row to the stats bucket), so a year of daily deltas
+    * makes every query-term read list + open many small files. Delegates
+    * to [[graft.io.IO.compactPartitionedStore]] — content byte-identical
+    * (the stats bucket's delta ROWS are preserved, merely co-located, so
+    * the summed corpus stats and every served score are unchanged —
+    * pinned in TextAnalysisSpec), committed through the same optimistic
+    * manifest loop as every merge, O(fragmented buckets' data) never
+    * O(store). */
+  def compact(spark: SparkSession, path: String, maxGensPerBucket: Int = 1): Unit =
+    IO.compactPartitionedStore(spark, path, maxGensPerBucket)
+
   /** Staleness report for an append-maintained BM25 index — the lexical
     * sibling of [[Ann.ivfStoreStaleness]], with one structural
     * difference: BM25 scores DO NOT age under append (the serve derives

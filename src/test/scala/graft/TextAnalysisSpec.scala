@@ -268,6 +268,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(after._3 - 2.0 / 6.0) < 1e-6, s"appended_frac wrong: $after")
     // the append touched at least one posting bucket twice
     assert(after._4 >= 1L && after._5 == 2L, s"fragmentation not surfaced: $after")
+    // compaction clears the fragmentation pressure while serving
+    // bit-identical scores (summed stats rows preserved, co-located)
+    val terms = Seq("cat", "dog", "owl")
+    val pre = Bm25Store.scores(spark, path, terms)
+      .as[(Long, Int, Double)].collect().toSet
+    Bm25Store.compact(spark, path)
+    val post = Bm25Store.staleness(spark, path)
+      .as[(Long, Long, Double, Long, Long)].head()
+    assert(post._4 == 0L && post._5 == 1L,
+      s"compaction left fragmentation: $post")
+    assert(post._1 == 4L && post._2 == 6L,
+      s"compaction changed doc accounting: $post")
+    val post2 = Bm25Store.scores(spark, path, terms)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(post2 == pre, "compaction changed served scores")
   }
 
   test("Bm25Store: width-constant serve — duplicate query terms " +
