@@ -834,12 +834,9 @@ object IO {
     * row compares equal. */
   def compactPartitionedStore(spark: SparkSession, path: String,
                               maxGensPerBucket: Int = 1): Unit = {
-    val (fs, root) = hfs(spark, path)
-    val cur = currentManifestVersion(fs, root).getOrElse(
-      throw new IllegalArgumentException(
-        s"$path has no committed manifest — not a partitioned store"))
-    val frag = readManifest(fs, root, cur)
-      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+    // ONE definition of "fragmented" (storeBucketGenerations) shared
+    // with every maintenance report that decides to call this
+    val frag = storeBucketGenerations(spark, path)
       .filter(_._2 > maxGensPerBucket).keys.toSet
     if (frag.nonEmpty)
       commitRewrittenBuckets(spark, path, frag,

@@ -774,9 +774,14 @@ object Ann {
     * build cell). `appended_frac` measures GROWTH — clamped at 0 for a
     * shrunk cell (deletes surface in the n columns, not as negative
     * growth) and NULL for an emptied one. `drift_ratio` is NULL whenever
-    * either side lacks a median (no build baseline, or nothing left to
-    * measure) — never a garbage magnitude from dividing by an epsilon
-    * in place of a missing value. */
+    * there is no meaningful baseline SCALE to divide by — a missing
+    * build median (append-created cell), a missing current median
+    * (emptied cell), or a ZERO build median (a singleton/duplicate cell
+    * whose members sit exactly on the centroid: any movement is
+    * infinite in relative terms, so the report exposes the raw p50
+    * columns and declines to manufacture a magnitude). Never a garbage
+    * quotient from substituting an epsilon for a missing or zero
+    * value. */
   private def stalenessReport(build: DataFrame, now: DataFrame,
                               maxDriftRatio: Double): DataFrame = {
     require(maxDriftRatio > 0.0)
@@ -794,8 +799,8 @@ object Ann {
             / col("n_now").cast("double"), 6)).as("appended_frac"),
         round(col("p50_build"), 6).as("p50_dist_build"),
         round(col("p50_now"), 6).as("p50_dist_now"),
-        when(col("p50_build").isNotNull && col("p50_now").isNotNull,
-          round(col("p50_now") / greatest(col("p50_build"), lit(1e-12)), 6))
+        when(col("p50_build") > 0 && col("p50_now").isNotNull,
+          round(col("p50_now") / col("p50_build"), 6))
           .as("drift_ratio"))
       // drifted: a measured ratio over the threshold, or an append-created
       // cell with live members (no baseline to be close to). An emptied or
@@ -803,6 +808,22 @@ object Ann {
       .withColumn("drifted",
         coalesce(col("drift_ratio") > maxDriftRatio, lit(false)) ||
           (col("n_build") === 0 && col("n_now") > 0))
+  }
+
+  /** The BUILD version (v1) a staleness report baselines against — fails
+    * loudly when vacuum trimmed it away: `storeVersions.head` would then
+    * silently equal the CURRENT version and any store, however appended
+    * and drifted, would report itself fresh (build == now). Same
+    * fail-loudly rule as the store-kind marker: a maintenance signal that
+    * can silently read healthy is worse than none. */
+  private[llm] def stalenessBaseline(spark: org.apache.spark.sql.SparkSession,
+                                     path: String): Int = {
+    val vs = graft.io.IO.storeVersions(spark, path)
+    require(vs.headOption.contains(1),
+      s"$path no longer retains its build version v1 (retained: " +
+        s"${vs.mkString(",")}) — vacuum removed the staleness baseline, and " +
+        "a report against a later baseline would falsely read fresh")
+    1
   }
 
   /** Staleness report for an append-maintained IVF store — the queryable
@@ -827,22 +848,6 @@ object Ann {
     * per-cell aggregate (the exchange carries nCells rows); an OFFLINE
     * maintenance report, never on the serve path, same cost class as
     * [[compactIvfStore]]. */
-  /** The BUILD version (v1) a staleness report baselines against — fails
-    * loudly when vacuum trimmed it away: `storeVersions.head` would then
-    * silently equal the CURRENT version and any store, however appended
-    * and drifted, would report itself fresh (build == now). Same
-    * fail-loudly rule as the store-kind marker: a maintenance signal that
-    * can silently read healthy is worse than none. */
-  private[llm] def stalenessBaseline(spark: org.apache.spark.sql.SparkSession,
-                                     path: String): Int = {
-    val vs = graft.io.IO.storeVersions(spark, path)
-    require(vs.headOption.contains(1),
-      s"$path no longer retains its build version v1 (retained: " +
-        s"${vs.mkString(",")}) — vacuum removed the staleness baseline, and " +
-        "a report against a later baseline would falsely read fresh")
-    1
-  }
-
   def ivfStoreStaleness(spark: org.apache.spark.sql.SparkSession, path: String,
                         maxDriftRatio: Double = 2.0): DataFrame = {
     requireStoreKind(spark, path, "ivf")
@@ -949,6 +954,16 @@ object Ann {
 
   // ------------------------------------------------------- product quantization
 
+  /** Finite-vector guard: non-null with no NULL/NaN/±Inf component — the
+    * residual-space relaxation of [[cosineUsable]]: a ZERO vector has no
+    * cosine direction, but a zero RESIDUAL is a legitimate (indeed the
+    * most frequent) value for a quantizer to learn — a member sitting
+    * exactly on its centroid. Two-valued for the same reason as
+    * cosineUsable's lambda. */
+  private[graft] def finiteVec(vecCol: Column): Column =
+    vecCol.isNotNull && !exists(vecCol, x => x.isNull || isnan(x) ||
+      abs(x.cast("double")) === lit(Double.PositiveInfinity))
+
   /** Product-quantization codebooks: the vector splits into `m` contiguous
     * subspaces and each subspace gets `ksub` centroids, so a corpus vector
     * stores as m small codes (here m=8 bytes vs 64 float32s = 32× smaller
@@ -966,16 +981,6 @@ object Ann {
     *
     * Returns (subspace, code, centroid) — m × ksub rows, tiny by
     * definition, same persistable shape as [[fitCentroids]]. */
-  /** Finite-vector guard: non-null with no NULL/NaN/±Inf component — the
-    * residual-space relaxation of [[cosineUsable]]: a ZERO vector has no
-    * cosine direction, but a zero RESIDUAL is a legitimate (indeed the
-    * most frequent) value for a quantizer to learn — a member sitting
-    * exactly on its centroid. Two-valued for the same reason as
-    * cosineUsable's lambda. */
-  private[graft] def finiteVec(vecCol: Column): Column =
-    vecCol.isNotNull && !exists(vecCol, x => x.isNull || isnan(x) ||
-      abs(x.cast("double")) === lit(Double.PositiveInfinity))
-
   def fitPqCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 32,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      seed: Long = 42L, maxIter: Int = 5,
@@ -998,7 +1003,12 @@ object Ann {
     require(firstDim.nonEmpty,
       "PQ codebook fit input is empty — no finite vector to fit on")
     val dim = firstDim.head.getInt(0)
-    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    // dim >= m: zero-length vectors pass finiteVec (the residual-path
+    // filter) and 0 % m == 0, so without the floor an empty-array input
+    // would silently fit zero-length codebooks every vector "encodes" to
+    // at ADC distance 0 — a garbage store with no error anywhere
+    require(dim >= m && dim % m == 0,
+      s"dim=$dim must be a positive multiple of m=$m subspaces")
     val dsub = dim / m
     // seeded deterministic init: ksub hash-chosen corpus rows, sliced per
     // subspace (hash order ≈ uniform sample; TakeOrdered keeps it scan-cheap)

@@ -630,9 +630,13 @@ class AnnSpec extends SparkSpec {
     }
     // heavy REAL drift: append vectors far outside the build distribution
     // (routed through the stored centroids like any delta) — the touched
-    // cell's median distance explodes and the flag must trip
+    // cell's median distance explodes and the flag must trip. The far
+    // vectors lean unambiguously toward cluster 1's centroid (strictly
+    // nearer it by a wide margin, no floating-point tie-break deciding
+    // the routing), so cluster 2's cell receives NO appends — which the
+    // delete stage below relies on to empty it deterministically.
     val far = (100 until 108).map { i =>
-      (i.toLong, Array(5f, 5f, 5f, 5f).map(_ * (1 + (i % 3))))
+      (i.toLong, Array(9f, 0.5f, 0.1f, 0.5f).map(_ * (1 + (i % 3))))
     }.toDF("vec_id", "embedding")
     Ann.appendIvfStore(far, path)
     val drifted = Ann.ivfStoreStaleness(spark, path)
