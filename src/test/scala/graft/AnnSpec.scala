@@ -712,6 +712,28 @@ class AnnSpec extends SparkSpec {
     graft.io.IO.deletePath(path)
   }
 
+  test("staleness after vacuum: the report fails loudly instead of " +
+       "silently declaring a drifted store fresh") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = "/root/repo/target/test_tmp/annspec_stale_vacuum"
+    graft.io.IO.deletePath(path)
+    Ann.writeIvfStore(emb.where($"vec_id" % 3 =!= 2), path)
+    Ann.appendIvfStore(emb.where($"vec_id" % 3 === 2), path)
+    // vacuum with zero orphan grace trims manifests to the current
+    // version — the v1 build baseline is gone, so a report would
+    // compare current against current and read 'fresh' for ANY store
+    graft.io.IO.vacuumPartitionedStore(spark, path, orphanGraceMs = 0L)
+    assert(graft.io.IO.storeVersions(spark, path).headOption.exists(_ > 1),
+      "vacuum should have trimmed v1 — test precondition")
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfStoreStaleness(spark, path).collect()
+    }
+    assert(e.getMessage.contains("staleness baseline"), e.getMessage)
+    // the store itself stays fully servable — only the report refuses
+    assert(Ann.readIvfStore(spark, path).count() ==
+      emb.where(Ann.cosineUsable(col("embedding"))).count())
+  }
+
   test("compactIvfStore: IVF-PQ layout — fragmented code cells collapse, " +
        "codes and serve unchanged, quantizer buckets never touched") {
     val emb = Tables.embeddings(spark, sf)
