@@ -820,6 +820,39 @@ object IO {
           .join(broadcast(del.drop(BucketCol)), keys, "left_anti"))
   }
 
+  /** Routed UPSERT for trusted-[[BucketCol]] stores — ONE atomic commit
+    * replacing keys wherever they currently live and landing the new
+    * rows wherever the caller routed them (the two bucket sets may
+    * differ: a re-embedded vector can ROUTE to a different cell, which
+    * an in-place per-bucket update cannot express). `oldKeyRows` carries
+    * (keys + BucketCol) for every existing row being replaced (located
+    * however the layout locates); `newRows` carries the full store rows
+    * with their trusted routing column. Touched = old ∪ new buckets; one
+    * rewrite anti-joins the keys away and unions the new rows, committed
+    * through the same optimistic manifest loop as every merge — a racing
+    * reader sees the pre- or post-upsert version, never the
+    * deleted-but-not-yet-reinserted middle a two-commit delete+append
+    * would expose. */
+  def upsertPartitionedStoreRouted(spark: SparkSession, targetPath: String,
+                                   oldKeyRows: DataFrame, newRows: DataFrame,
+                                   keys: Seq[String]): Unit = {
+    val nBuckets = storeBuckets(targetPath)
+    def guarded(df: DataFrame) = df.withColumn(BucketCol,
+      nullKeyGuard(keys, bucketRangeGuard(nBuckets, col(BucketCol))))
+    val del = guarded(oldKeyRows.select((keys.map(col) :+ col(BucketCol)): _*)
+      .distinct()).localCheckpoint()
+    // same multi-match rule as every MERGE here: duplicate keys in the
+    // new rows would double-insert after the single anti-join
+    val ins = guarded(requireUniqueSourceKeys(newRows, keys)).localCheckpoint()
+    val touched = del.select(BucketCol).unionByName(ins.select(BucketCol))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (touched.nonEmpty)
+      commitRewrittenBuckets(spark, targetPath, touched,
+        () => readStoreBuckets(spark, targetPath, touched)
+          .join(broadcast(del.drop(BucketCol)), keys, "left_anti")
+          .unionByName(ins))
+  }
+
   /** COMPACT the store's fragmented buckets — the OPTIMIZE step for the
     * LSM trade [[appendPartitionedStore]] makes: each append adds a delta
     * generation to every bucket it touches, and a bucket fragmented

@@ -810,6 +810,55 @@ object Ann {
           (col("n_build") === 0 && col("n_now") > 0))
   }
 
+  /** UPSERT vectors by id — the RE-EMBED maintenance op (a new encoder
+    * version re-embeds documents; their index rows must be REPLACED, not
+    * duplicated): existing ids are removed from whatever cells hold them
+    * and the new vectors land wherever the stored quantizers route them
+    * — a re-embedded vector often moves CELLS, which is exactly why this
+    * cannot be an in-place per-cell update. Kind-agnostic: the IVF
+    * layout persists (id, vector, cell), the IVF-PQ layout re-encodes
+    * the residual codes through the stored codebooks.
+    *
+    * ONE atomic manifest commit ([[graft.io.IO.upsertPartitionedStoreRouted]]):
+    * a racing reader resolves the pre- or post-upsert version, never a
+    * deleted-but-not-reinserted middle. Cost: the id-locate column scan
+    * + O((old ∪ new touched cells)' data) rewrite. Unusable delta
+    * vectors (null/zero/NaN/Inf) REMOVE the id without reinserting —
+    * a re-embed that produced garbage must not serve, same policy as
+    * the write paths. Quantizers are never refit: the staleness report
+    * is what says when accumulated re-embeds warrant a rebuild. */
+  def upsertVectorStore(delta: DataFrame, path: String,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    val kind = readStoreKind(spark, path)
+    val reserved = reservedStoreBuckets(spark, path)
+    val dataCells = (0 until graft.io.IO.storeBuckets(path))
+      .filterNot(reserved).toSet
+    val oldRows = graft.io.IO.readStoreBuckets(spark, path, dataCells)
+      .select(col("nn_id"), col(graft.io.IO.BucketCol))
+      .join(broadcast(delta.select(col(idCol).cast("long").as("nn_id")).distinct()),
+        Seq("nn_id"))
+    val usable = delta.where(cosineUsable(col(vecCol)))
+    val newRows = kind match {
+      case "ivf" =>
+        assignCells(usable, readCentroids(spark, path), idCol, vecCol)
+          .select(col("nn_id"), col("cv"), col("cell").as(graft.io.IO.BucketCol))
+      case "ivfpq" =>
+        val (_, centArr, cb) = loadIvfPqQuantizers(spark, path)
+        val codesU = pqCodesUdf(cb)
+        val rU = residUdf(centArr)
+        assignCellsCollected(usable, centArr, idCol, vecCol)
+          .select(col("nn_id"), codesU(rU(col("cv"), col("cell"))).as("codes"),
+            lit(null).cast("array<double>").as("cv"),
+            col("cell").as(graft.io.IO.BucketCol))
+      case other => throw new IllegalArgumentException(
+        s"$path has unknown store kind '$other'")
+    }
+    graft.io.IO.upsertPartitionedStoreRouted(spark, path, oldRows, newRows,
+      keys = Seq("nn_id"))
+  }
+
   /** The BUILD version (v1) a staleness report baselines against — fails
     * loudly when vacuum trimmed it away: `storeVersions.head` would then
     * silently equal the CURRENT version and any store, however appended

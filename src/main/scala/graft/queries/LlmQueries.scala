@@ -607,6 +607,51 @@ object LlmQueries {
           "history_preserved")
     }),
 
+    // RE-EMBED upsert on a persisted vector index — the maintenance op a
+    // new encoder version needs: existing ids are REPLACED wherever they
+    // live (a re-embedded vector may route to a different cell), novel
+    // ids insert, all in ONE atomic manifest commit. Delta here: every
+    // vec_id % 7 = 3 vector re-embeds as its REVERSE (deterministic,
+    // norm-preserving, direction-changing — real cell moves), and every
+    // vec_id % 31 = 0 vector also arrives under a novel id. Contract:
+    // the surviving row count is SQL-exact; the store's (id, cell)
+    // content equals a batch assignment of the UPDATED corpus under the
+    // stored centroids; exactly one version was committed; the
+    // pre-upsert version still reads the original corpus.
+    "ann_store_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val path = buildSplitIvfStore(s, dir, graft.Sweep.ephemeral(
+        s"/root/repo/target/qtmp/ivf_upsert_${storeRunId.incrementAndGet()}"))
+      val preVersions = graft.io.IO.storeVersions(s, path)
+      val nServable = emb.where(Ann.cosineUsable(col("embedding"))).count()
+      val reembed = emb.where("vec_id % 7 = 3")
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val novel = emb.where("vec_id % 31 = 0")
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+      Ann.upsertVectorStore(reembed.unionByName(novel), path)
+      val cents = Ann.readCentroids(s, path)
+      val updated = emb.where("vec_id % 7 != 3")
+        .select("vec_id", "embedding")
+        .unionByName(reembed).unionByName(novel)
+      val expect = Ann.assignCells(
+        updated.where(Ann.cosineUsable(col("embedding"))), cents)
+        .select("nn_id", "cell")
+      val got = Ann.readIvfStore(s, path).select("nn_id", "cell").cache()
+      val nAfter = got.count()
+      val diff = got.unionByName(expect).groupBy("nn_id", "cell")
+        .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+      got.unpersist(blocking = false)
+      val postVersions = graft.io.IO.storeVersions(s, path)
+      val preRows = graft.io.IO.readPartitionedStoreAt(s, path, preVersions.last)
+        .where(col("nn_id") >= 0).count()
+      Seq((nAfter, diff == 0L,
+           postVersions.size == preVersions.size + 1,
+           preRows == nServable))
+        .toDF("n_after", "content_equals_updated_corpus", "single_commit",
+          "history_preserved")
+    }),
+
     // Staleness report for the append-maintained vector indexes — the
     // "centroids age; refresh = rebuild" trade surfaced as a queryable
     // signal (appended fraction + per-cell distance-to-centroid drift
@@ -1679,6 +1724,18 @@ object LlmQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
         |  true AS only_allowed, true AS rescore_exact, true AS ranks_valid
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // contract: the post-upsert row count is SQL-exact (reversal
+    // preserves component-wise usability, so the servable count is the
+    // original plus the usable novel arrivals); content equality vs the
+    // updated corpus, single-commit atomicity, and time-travel
+    // completeness are store-state booleans the driver hash-gates
+    "ann_store_upsert" ->
+      s"""SELECT CAST(count(CASE WHEN $usableVec THEN 1 END)
+        |    + count(CASE WHEN $usableVec AND vec_id % 31 = 0 THEN 1 END)
+        |    AS BIGINT) AS n_after,
+        |  true AS content_equals_updated_corpus, true AS single_commit,
+        |  true AS history_preserved
+        |FROM embeddings""".stripMargin,
     // contract: the surviving servable count is SQL-exact; removal
     // completeness, serve-equals-rebuild, and time-travel completeness
     // are store-state booleans the driver hash-gates

@@ -572,6 +572,61 @@ class AnnSpec extends SparkSpec {
       s"deleted id served from PQ store: $pqServed")
   }
 
+  test("upsertVectorStore: re-embeds replace atomically in ONE commit, " +
+       "cross-cell moves land in the new cell, unusable re-embeds remove, " +
+       "novel ids insert — on both layouts") {
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val base = (0 until 12).map { i =>
+      (i.toLong, mk(if (i < 6) c1 else c2, 0.01f * (i % 4)))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val path = "/root/repo/target/test_tmp/annspec_upsert"
+    graft.io.IO.deletePath(path)
+    Ann.writeIvfStore(df, path, nCells = 2)
+    // the re-embed delta: id 1 MOVES clusters (c1 → c2: must change
+    // cell), id 7 stays in-cluster with a new value, id 2 re-embeds to
+    // garbage (NaN: must be REMOVED, not served), id 100 is novel
+    val moved = mk(c2, 0.02f)
+    val tweaked = mk(c2, 0.03f)
+    val delta = Seq(
+      (1L, moved), (7L, tweaked),
+      (2L, Array(Float.NaN, 0f, 0f, 0f)),
+      (100L, mk(c1, 0.02f))).toDF("vec_id", "embedding")
+    Ann.upsertVectorStore(delta, path)
+    // exactly ONE new manifest version — the atomicity witness
+    assert(graft.io.IO.storeVersions(spark, path) == Seq(1, 2))
+    // content == batch assignment of the UPDATED corpus under the
+    // stored centroids (id 2 gone, 1/7 replaced, 100 added)
+    val updated = (base.filterNot(r => Set(1L, 2L, 7L)(r._1)) ++
+      Seq((1L, moved), (7L, tweaked), (100L, mk(c1, 0.02f))))
+      .toDF("vec_id", "embedding")
+    val expect = Ann.assignCells(updated, Ann.readCentroids(spark, path))
+      .select("nn_id", "cell")
+    val got = Ann.readIvfStore(spark, path).select("nn_id", "cell")
+    val diff = got.unionByName(expect).groupBy("nn_id", "cell")
+      .agg(count(lit(1)).as("n")).where($"n" =!= 2).count()
+    assert(diff == 0L, "upserted store diverged from the updated-corpus assignment")
+    // same surface on the codes-at-rest layout: the moved id's codes
+    // re-encode in the NEW cell and serve reflects the replacement
+    val pqPath = "/root/repo/target/test_tmp/annspec_upsert_pq"
+    graft.io.IO.deletePath(pqPath)
+    Ann.writeIvfPqStore(df, pqPath, nCells = 2, m = 2, ksub = 4)
+    Ann.upsertVectorStore(delta, pqPath)
+    val pqRows = Ann.readIvfPqStore(spark, pqPath)
+    assert(pqRows.count() == updated.count())
+    assert(pqRows.where($"nn_id" === 2L).count() == 0L, "garbage re-embed survived")
+    val served = Ann.ivfPqStoreTopK(spark, pqPath,
+      updated.where("vec_id = 8"), k = 5, nProbe = 1, refineFrom = Some(updated))
+      .select("nn_id").as[Long].collect().toSet
+    // query 8 lives in cluster 2 — the MOVED id 1 and tweaked id 7 now
+    // belong there and must be servable neighbors
+    assert(served.contains(1L) && served.contains(7L),
+      s"re-embedded ids not served from their new cell: $served")
+  }
+
   test("filtered serve: the true top-k OF THE ALLOWED SUBSET — returns k " +
        "allowed rows even when every global winner is disallowed") {
     val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
