@@ -714,7 +714,25 @@ object IO {
                                      rewrite: () => DataFrame,
                                      beforeCommit: () => Unit = () => (),
                                      maxAttempts: Int = 5,
-                                     beforeClaim: () => Unit = () => ()): Unit = {
+                                     beforeClaim: () => Unit = () => ()): Unit =
+    commitRewrittenBucketsPlanned(spark, targetPath, () => (touched, rewrite()),
+      beforeCommit, maxAttempts, beforeClaim)
+
+  /** [[commitRewrittenBuckets]] whose TOUCHED SET is recomputed together
+    * with the rewrite on every fresh base — required by the
+    * trusted-routing ops (routed delete/upsert): a racing writer can
+    * MOVE a key to a bucket outside the first attempt's touched set
+    * (routing is not a pure function of the key there), so a retry that
+    * kept the stale set would rewrite the wrong buckets and resurrect or
+    * duplicate the key. Hash-routed callers pass a constant set (their
+    * bucket IS a pure key function, so relocation is impossible). A plan
+    * whose touched set comes back empty is a no-op: nothing to rewrite,
+    * no version committed. */
+  private def commitRewrittenBucketsPlanned(spark: SparkSession, targetPath: String,
+                                            plan: () => (Set[Int], DataFrame),
+                                            beforeCommit: () => Unit = () => (),
+                                            maxAttempts: Int = 5,
+                                            beforeClaim: () => Unit = () => ()): Unit = {
     val (fs, root) = hfs(spark, targetPath)
     // reused across attempts when the base hasn't advanced: a refused
     // claim (peer mid-commit, not yet committed) must not cost a second
@@ -722,6 +740,7 @@ object IO {
     var dataBase = -1
     var genName = ""
     var written = Seq.empty[Int]
+    var touched = Set.empty[Int]
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -730,11 +749,17 @@ object IO {
           s"$targetPath has no committed manifest — not a partitioned store"))
       val man = readManifest(fs, root, cur)
       if (dataBase != cur) {
+        // plan + write recompute as a UNIT against this base: the
+        // rewrite frame and the touched set it was derived from must
+        // describe the same manifest version
+        val (t, frame) = plan()
+        touched = t
+        if (touched.isEmpty) return
         genName = newGenName(cur + 1)
         val genPath = new HPath(root, s"$GenCol=$genName")
         // same rebalance-before-partitionBy as writePartitionedStore: the
         // write otherwise fans each task across every touched bucket dir
-        rewrite().hint("rebalance", col(BucketCol))
+        frame.hint("rebalance", col(BucketCol))
           .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
         written = listPartDirs(fs, genPath, BucketCol)
         dataBase = cur
@@ -797,61 +822,78 @@ object IO {
 
   /** [[deleteFromPartitionedStore]] for stores whose [[BucketCol]] is a
     * TRUSTED routing column rather than the key hash (the vector stores
-    * route by IVF cell): the caller supplies key rows ALREADY carrying
-    * the bucket each key lives in (located however the layout locates —
-    * e.g. a column-pruned (key, bucket) projection scan), and only those
-    * buckets are read, anti-joined, and rewritten through the same
-    * optimistic manifest loop. Same pruning story: a delete of k keys
-    * touches ≤ k buckets however large the store is; an emptied bucket
-    * drops out of the manifest. No-op (no new version) when `keyRows`
-    * is empty. */
+    * route by IVF cell): the caller supplies a LOCATE CLOSURE producing
+    * key rows that carry the bucket each key currently lives in (e.g. a
+    * column-pruned (key, bucket) projection scan), and only those
+    * buckets are read, anti-joined, and rewritten through the optimistic
+    * manifest loop. A closure, not a frame, because routing is NOT a
+    * pure function of the key here: when a racing writer moves a key to
+    * another bucket and this commit loses the version race, the retry
+    * must RE-LOCATE against the new current manifest or it would rewrite
+    * stale buckets and resurrect the key. Same pruning story: a delete
+    * of k keys touches ≤ k buckets however large the store is; an
+    * emptied bucket drops out of the manifest. No-op (no new version)
+    * when the locate finds nothing. */
   def deleteFromPartitionedStoreRouted(spark: SparkSession, targetPath: String,
-                                       keyRows: DataFrame,
-                                       keys: Seq[String]): Unit = {
+                                       locateKeyRows: () => DataFrame,
+                                       keys: Seq[String]): Unit =
+    routedRewrite(spark, targetPath, locateKeyRows, None, keys)
+
+  /** Shared tail of the trusted-routing delete/upsert: per OCC attempt,
+    * re-locate the keys' CURRENT buckets, rewrite (old ∪ new) touched
+    * buckets as one anti-join (+ optional union of the new rows), commit
+    * atomically. The per-attempt locate is the correctness point — see
+    * [[deleteFromPartitionedStoreRouted]]. */
+  private[graft] def routedRewrite(spark: SparkSession, targetPath: String,
+                                   locateKeyRows: () => DataFrame,
+                                   newRows: Option[DataFrame],
+                                   keys: Seq[String],
+                                   beforeClaim: () => Unit = () => ()): Unit = {
     val nBuckets = storeBuckets(targetPath)
-    val del = keyRows.select((keys.map(col) :+ col(BucketCol)): _*).distinct()
-      .withColumn(BucketCol,
-        nullKeyGuard(keys, bucketRangeGuard(nBuckets, col(BucketCol))))
-      .localCheckpoint()
-    val touched = del.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
-    if (touched.nonEmpty)
-      commitRewrittenBuckets(spark, targetPath, touched,
-        () => readStoreBuckets(spark, targetPath, touched)
-          .join(broadcast(del.drop(BucketCol)), keys, "left_anti"))
+    def guarded(df: DataFrame) = df.withColumn(BucketCol,
+      nullKeyGuard(keys, bucketRangeGuard(nBuckets, col(BucketCol))))
+    // new rows pin once — their routing comes from the stored quantizers,
+    // which no append/delete/upsert commit ever touches; duplicate keys
+    // would double-insert after the single anti-join, same MERGE rule as
+    // every upsert here
+    val ins = newRows.map(r =>
+      guarded(requireUniqueSourceKeys(r, keys)).localCheckpoint())
+    val insTouched = ins.map(_.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet).getOrElse(Set.empty[Int])
+    def plan(): (Set[Int], DataFrame) = {
+      val del = guarded(locateKeyRows()
+          .select((keys.map(col) :+ col(BucketCol)): _*).distinct())
+        .localCheckpoint()
+      val touched = insTouched ++
+        del.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+      val base = readStoreBuckets(spark, targetPath, touched)
+        .join(broadcast(del.drop(BucketCol)), keys, "left_anti")
+      (touched, ins.map(base.unionByName(_)).getOrElse(base))
+    }
+    commitRewrittenBucketsPlanned(spark, targetPath, () => plan(),
+      beforeClaim = beforeClaim)
   }
 
   /** Routed UPSERT for trusted-[[BucketCol]] stores — ONE atomic commit
     * replacing keys wherever they currently live and landing the new
     * rows wherever the caller routed them (the two bucket sets may
     * differ: a re-embedded vector can ROUTE to a different cell, which
-    * an in-place per-bucket update cannot express). `oldKeyRows` carries
-    * (keys + BucketCol) for every existing row being replaced (located
-    * however the layout locates); `newRows` carries the full store rows
-    * with their trusted routing column. Touched = old ∪ new buckets; one
+    * an in-place per-bucket update cannot express). `locateOldKeyRows`
+    * re-derives (keys + BucketCol) for the rows being replaced against
+    * the CURRENT manifest on every optimistic attempt (see
+    * [[deleteFromPartitionedStoreRouted]] for why a pinned locate is
+    * unsound under races); `newRows` carries the full store rows with
+    * their trusted routing column. Touched = old ∪ new buckets; one
     * rewrite anti-joins the keys away and unions the new rows, committed
     * through the same optimistic manifest loop as every merge — a racing
     * reader sees the pre- or post-upsert version, never the
     * deleted-but-not-yet-reinserted middle a two-commit delete+append
     * would expose. */
   def upsertPartitionedStoreRouted(spark: SparkSession, targetPath: String,
-                                   oldKeyRows: DataFrame, newRows: DataFrame,
-                                   keys: Seq[String]): Unit = {
-    val nBuckets = storeBuckets(targetPath)
-    def guarded(df: DataFrame) = df.withColumn(BucketCol,
-      nullKeyGuard(keys, bucketRangeGuard(nBuckets, col(BucketCol))))
-    val del = guarded(oldKeyRows.select((keys.map(col) :+ col(BucketCol)): _*)
-      .distinct()).localCheckpoint()
-    // same multi-match rule as every MERGE here: duplicate keys in the
-    // new rows would double-insert after the single anti-join
-    val ins = guarded(requireUniqueSourceKeys(newRows, keys)).localCheckpoint()
-    val touched = del.select(BucketCol).unionByName(ins.select(BucketCol))
-      .distinct().collect().map(_.getInt(0)).toSet
-    if (touched.nonEmpty)
-      commitRewrittenBuckets(spark, targetPath, touched,
-        () => readStoreBuckets(spark, targetPath, touched)
-          .join(broadcast(del.drop(BucketCol)), keys, "left_anti")
-          .unionByName(ins))
-  }
+                                   locateOldKeyRows: () => DataFrame,
+                                   newRows: DataFrame,
+                                   keys: Seq[String]): Unit =
+    routedRewrite(spark, targetPath, locateOldKeyRows, Some(newRows), keys)
 
   /** COMPACT the store's fragmented buckets — the OPTIMIZE step for the
     * LSM trade [[appendPartitionedStore]] makes: each append adds a delta

@@ -750,17 +750,38 @@ object Ann {
     * staleness report is what tells you that moment arrived. Quantizer
     * buckets are never touched: routing stays valid for every surviving
     * and future row. */
-  def deleteFromVectorStore(spark: org.apache.spark.sql.SparkSession, path: String,
-                            ids: DataFrame, idCol: String = "vec_id"): Unit = {
-    val reserved = reservedStoreBuckets(spark, path) // validates the marker
-    val dataCells = (0 until graft.io.IO.storeBuckets(path))
-      .filterNot(reserved).toSet
-    val located = graft.io.IO.readStoreBuckets(spark, path, dataCells)
+  /** The data cells of a store, from an already-read kind + bucket count
+    * (the maintenance entry points read both once and thread them). */
+  private def dataCellsOf(kind: String, nBuckets: Int, path: String): Set[Int] = {
+    val reserved = kind match {
+      case "ivf"   => Set(nBuckets - 1)
+      case "ivfpq" => Set(nBuckets - 2, nBuckets - 1)
+      case other => throw new IllegalArgumentException(
+        s"$path has unknown store kind '$other'")
+    }
+    (0 until nBuckets).filterNot(reserved).toSet
+  }
+
+  /** LOCATE closure for the routed delete/upsert: the ids' CURRENT
+    * (nn_id, cell) rows via a column-pruned projection scan of the data
+    * cells joined to the broadcast id set (PlanAuditSpec pins the scan
+    * schema carries nn_id only). A closure because the OCC retry loop
+    * must re-locate against the new current manifest after a lost race —
+    * see [[graft.io.IO.deleteFromPartitionedStoreRouted]]. */
+  private def locateIds(spark: org.apache.spark.sql.SparkSession, path: String,
+                        dataCells: Set[Int], ids: DataFrame,
+                        idCol: String): () => DataFrame = () =>
+    graft.io.IO.readStoreBuckets(spark, path, dataCells)
       .select(col("nn_id"), col(graft.io.IO.BucketCol))
       .join(broadcast(ids.select(col(idCol).cast("long").as("nn_id")).distinct()),
         Seq("nn_id"))
-    graft.io.IO.deleteFromPartitionedStoreRouted(spark, path, located,
-      keys = Seq("nn_id"))
+
+  def deleteFromVectorStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                            ids: DataFrame, idCol: String = "vec_id"): Unit = {
+    val kind = readStoreKind(spark, path) // validates the marker
+    val dataCells = dataCellsOf(kind, graft.io.IO.storeBuckets(path), path)
+    graft.io.IO.deleteFromPartitionedStoreRouted(spark, path,
+      locateIds(spark, path, dataCells, ids, idCol), keys = Seq("nn_id"))
   }
 
   /** Shared tail of the two staleness reports: per-cell (n, p50 dist)
@@ -832,13 +853,7 @@ object Ann {
                         vecCol: String = "embedding"): Unit = {
     val spark = delta.sparkSession
     val kind = readStoreKind(spark, path)
-    val reserved = reservedStoreBuckets(spark, path)
-    val dataCells = (0 until graft.io.IO.storeBuckets(path))
-      .filterNot(reserved).toSet
-    val oldRows = graft.io.IO.readStoreBuckets(spark, path, dataCells)
-      .select(col("nn_id"), col(graft.io.IO.BucketCol))
-      .join(broadcast(delta.select(col(idCol).cast("long").as("nn_id")).distinct()),
-        Seq("nn_id"))
+    val dataCells = dataCellsOf(kind, graft.io.IO.storeBuckets(path), path)
     val usable = delta.where(cosineUsable(col(vecCol)))
     val newRows = kind match {
       case "ivf" =>
@@ -855,7 +870,8 @@ object Ann {
       case other => throw new IllegalArgumentException(
         s"$path has unknown store kind '$other'")
     }
-    graft.io.IO.upsertPartitionedStoreRouted(spark, path, oldRows, newRows,
+    graft.io.IO.upsertPartitionedStoreRouted(spark, path,
+      locateIds(spark, path, dataCells, delta, idCol), newRows,
       keys = Seq("nn_id"))
   }
 
@@ -1435,12 +1451,7 @@ object Ann {
   private def reservedStoreBuckets(spark: org.apache.spark.sql.SparkSession,
                                    path: String): Set[Int] = {
     val n = graft.io.IO.storeBuckets(path)
-    readStoreKind(spark, path) match {
-      case "ivf"   => Set(n - 1)
-      case "ivfpq" => Set(n - 2, n - 1)
-      case other => throw new IllegalArgumentException(
-        s"$path has unknown store kind '$other'")
-    }
+    (0 until n).toSet -- dataCellsOf(readStoreKind(spark, path), n, path)
   }
 
   /** The coarse centroid table of a persisted IVF-PQ store (reserved

@@ -146,6 +146,20 @@ object LlmQueries {
   private[graft] case class AnnStats(nQueries: Long, recall: Double,
                                      mismatches: Long, rankBad: Long)
 
+  /** Multiset equality of two frames over the given columns — the
+    * store-vs-batch-recomputation check the maintenance contracts share.
+    * Per-side counts full-outer-joined (NOT union + count-==-2, which an
+    * intra-frame duplicate could satisfy from one side alone). */
+  private[graft] def multisetEquals(a: DataFrame, b: DataFrame,
+                                    cols: Seq[String]): Boolean = {
+    val ka = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__na"))
+    val kb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nb"))
+    ka.join(kb, cols, "full_outer")
+      .where(col("__na").isNull || col("__nb").isNull ||
+        col("__na") =!= col("__nb"))
+      .count() == 0L
+  }
+
   private[graft] def annStats(s: SparkSession, approx0: DataFrame,
                               dir: String): AnnStats = {
     import org.apache.spark.sql.expressions.Window
@@ -492,12 +506,11 @@ object LlmQueries {
       val cents = Ann.readCentroids(s, path)
       val batch = Ann.ivfTopKFromAssigned(
         Ann.assignCells(emb, cents), cents, queries, k = 10)
-      val delta = fromStore.unionByName(batch)
-        .groupBy("query_id", "nn_id", "cosine", "rank")
-        .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+      val same = multisetEquals(fromStore, batch,
+        Seq("query_id", "nn_id", "cosine", "rank"))
       val st = annStats(s, fromStore, dir)
       fromStore.unpersist(blocking = false)
-      Seq((emb.count(), delta == 0L, st.mismatches == 0L, st.rankBad == 0L))
+      Seq((emb.count(), same, st.mismatches == 0L, st.rankBad == 0L))
         .toDF("n_corpus", "incremental_equals_batch", "rescore_exact", "ranks_valid")
     }),
 
@@ -597,12 +610,11 @@ object LlmQueries {
       val batch = Ann.ivfTopKFromAssigned(
         Ann.assignCells(emb.where("vec_id % 5 != 1"), cents), cents,
         queries, k = 10)
-      val delta = served.unionByName(batch)
-        .groupBy("query_id", "nn_id", "cosine", "rank")
-        .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+      val same = multisetEquals(served, batch,
+        Seq("query_id", "nn_id", "cosine", "rank"))
       val preRows = graft.io.IO.readPartitionedStoreAt(s, path, preVersion)
         .where(col("nn_id") >= 0).count()
-      Seq((nAfter, deletedLeft == 0L, delta == 0L, preRows == nServable))
+      Seq((nAfter, deletedLeft == 0L, same, preRows == nServable))
         .toDF("n_after", "deleted_gone", "serve_matches_rebuild",
           "history_preserved")
     }),
@@ -639,13 +651,12 @@ object LlmQueries {
         .select("nn_id", "cell")
       val got = Ann.readIvfStore(s, path).select("nn_id", "cell").cache()
       val nAfter = got.count()
-      val diff = got.unionByName(expect).groupBy("nn_id", "cell")
-        .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+      val same = multisetEquals(got, expect, Seq("nn_id", "cell"))
       got.unpersist(blocking = false)
       val postVersions = graft.io.IO.storeVersions(s, path)
       val preRows = graft.io.IO.readPartitionedStoreAt(s, path, preVersions.last)
         .where(col("nn_id") >= 0).count()
-      Seq((nAfter, diff == 0L,
+      Seq((nAfter, same,
            postVersions.size == preVersions.size + 1,
            preRows == nServable))
         .toDF("n_after", "content_equals_updated_corpus", "single_commit",

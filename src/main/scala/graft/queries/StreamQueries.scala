@@ -157,9 +157,8 @@ object StreamQueries {
       val batchAssigned = Ann.assignCells(
         emb.where(Ann.cosineUsable(col("embedding"))), storedCents)
         .select("nn_id", "cell")
-      val contentDelta = stored.unionByName(batchAssigned)
-        .groupBy("nn_id", "cell").agg(count(lit(1)).as("n"))
-        .where(col("n") =!= 2).count()
+      val contentSame = LlmQueries.multisetEquals(stored, batchAssigned,
+        Seq("nn_id", "cell"))
       // genuinely incremental, not rebuilt per batch: each of the 3
       // micro-batches committed exactly one manifest version (seed + two
       // O(delta) appends), and appended cells span >1 generation — the
@@ -170,7 +169,7 @@ object StreamQueries {
       val incremental = nVersions == 3 &&
         dataGens.nonEmpty && dataGens.values.max >= 2 && dataGens.values.max <= 3
       val nRows = stored.count()
-      Seq((nRows, contentDelta == 0L, incremental))
+      Seq((nRows, contentSame, incremental))
         .toDF("n_indexed", "content_equals_batch_build", "genuinely_incremental")
     }),
 

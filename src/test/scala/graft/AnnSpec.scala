@@ -589,8 +589,11 @@ class AnnSpec extends SparkSpec {
     // the re-embed delta: id 1 MOVES clusters (c1 → c2: must change
     // cell), id 7 stays in-cluster with a new value, id 2 re-embeds to
     // garbage (NaN: must be REMOVED, not served), id 100 is novel
+    // eps values chosen so the re-embedded rows rank STRICTLY inside the
+    // PQ serve's top-5 below — 0.025 beats the largest original in-cell
+    // eps (0.03) without relying on a 4dp rounding tie broken by id
     val moved = mk(c2, 0.02f)
-    val tweaked = mk(c2, 0.03f)
+    val tweaked = mk(c2, 0.025f)
     val delta = Seq(
       (1L, moved), (7L, tweaked),
       (2L, Array(Float.NaN, 0f, 0f, 0f)),

@@ -372,6 +372,48 @@ class IOSpec extends SparkSpec {
     assert(v2(5L) == 500.0 && !v2.contains(100L))
   }
 
+  test("routed ops re-locate on a lost race: a key MOVED by the winning " +
+       "writer is neither resurrected nor duplicated by the loser's retry") {
+    val path = s"$tmp/occ_routed_store"
+    // trusted-routing store: bucket is a layout column, NOT a key hash —
+    // key 3 starts in bucket 0
+    IO.writePartitionedStore(
+      (1 to 8).map(i => (i.toLong, i.toDouble, (i - 1) / 4)).toDF("id", "v", IO.BucketCol),
+      path, Seq("id"), nBuckets = 4)
+    def locate(ids: Set[Long]) = () =>
+      IO.readPartitionedStore(spark, path)
+        .where(col("id").isin(ids.toSeq: _*))
+        .select(col("id"),
+          // re-derive the routing from current content: v decides the bucket
+          when(col("v") >= 100.0, lit(3))
+            .otherwise(floor((col("id") - 1) / 4).cast("int"))
+            .as(IO.BucketCol))
+    // loser = routed DELETE of key 3; in its pre-claim window the winner
+    // MOVES key 3 to bucket 3 (delete old + reinsert with v=300 routed
+    // to bucket 3, one routed-upsert commit). Without the per-attempt
+    // re-locate, the loser's retry would anti-join only key 3's OLD
+    // bucket and the moved row would survive the delete.
+    val competed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    IO.routedRewrite(spark, path, locate(Set(3L)), None, Seq("id"),
+      beforeClaim = () =>
+        if (competed.compareAndSet(false, true)) {
+          IO.upsertPartitionedStoreRouted(spark, path, locate(Set(3L)),
+            Seq((3L, 300.0)).toDF("id", "v")
+              .withColumn(IO.BucketCol, lit(3)),
+            Seq("id"))
+        })
+    val out = IO.readPartitionedStore(spark, path)
+      .as[(Long, Double)].collect().toMap
+    assert(!out.contains(3L),
+      s"moved key resurrected after the lost-race retry: $out")
+    assert(out.size == 7, s"wrong survivor set: $out")
+    // serialization visible in history: v2 = winner's move, v3 = delete
+    assert(IO.storeVersions(spark, path) == Seq(1, 2, 3))
+    val v2 = IO.readPartitionedStoreAt(spark, path, 2)
+      .as[(Long, Double)].collect().toMap
+    assert(v2(3L) == 300.0, s"winner's move missing at v2: $v2")
+  }
+
   test("optimistic concurrency: a stale claim lock from a crashed writer " +
        "is broken and the merge proceeds") {
     import org.apache.hadoop.fs.{Path => HPath}
