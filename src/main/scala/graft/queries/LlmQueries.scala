@@ -619,6 +619,46 @@ object LlmQueries {
           "history_preserved")
     }),
 
+    // Recall-vs-nProbe curve — the tuning report every IVF deployment
+    // runs before picking its probe budget ("what nProbe buys recall
+    // X?"), served from the session-shared store against the memoized
+    // exact brute baseline. Two structural theorems make it a crisp
+    // contract rather than a loose benchmark: (1) candidates at nProbe p
+    // are a SUBSET of candidates at p' > p, and both rankings use the
+    // same total order (rounded cosine desc, id asc), so recall vs the
+    // brute top-k is MONOTONE non-decreasing in nProbe; (2) probing ALL
+    // cells makes the candidate set the entire servable corpus, so the
+    // served top-k must equal the brute top-k EXACTLY — scores, ranks
+    // and all. Plus the probed measured floor at the default budget.
+    "ann_probe_curve" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val path = sharedIvfStore(s, dir)
+      val queries = emb.where("vec_id < 8")
+      val nCells = graft.io.IO.storeBuckets(path) - 1
+      val brute = bruteBaseline(s, dir).select("query_id", "nn_id").cache()
+      val nBrute = brute.count()
+      def recallAt(p: Int): Double = {
+        val hit = Ann.ivfStoreTopK(s, path, queries, k = 10, nProbe = p)
+          .select("query_id", "nn_id")
+          .join(brute, Seq("query_id", "nn_id")).count()
+        hit.toDouble / math.max(nBrute, 1L)
+      }
+      val curve = Seq(1, 2, 4).map(recallAt)
+      val full = Ann.ivfStoreTopK(s, path, queries, k = 10, nProbe = nCells)
+      val fullEq = multisetEquals(full,
+        Ann.bruteTopK(emb, queries, k = 10),
+        Seq("query_id", "nn_id", "cosine", "rank"))
+      // full-probe recall is 1.0 by theorem (2), so the monotone chain
+      // checks the measured points against each other and against 1.0
+      val monotone = (curve :+ 1.0).sliding(2).forall(w => w(0) <= w(1))
+      brute.unpersist(blocking = false)
+      Seq((queries.count(), monotone,
+           curve.last >= ContractBounds.annIvfRecall, fullEq))
+        .toDF("n_queries", "recall_monotone_in_probes",
+          "recall_at_default_ok", "full_probe_equals_brute")
+    }),
+
     // RE-EMBED upsert on a persisted vector index — the maintenance op a
     // new encoder version needs: existing ids are REPLACED wherever they
     // live (a re-embedded vector may route to a different cell), novel
@@ -1734,6 +1774,14 @@ object LlmQueries {
     "ann_filtered_topk" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
         |  true AS only_allowed, true AS rescore_exact, true AS ranks_valid
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // contract: query count is SQL-exact; the monotone-recall and
+    // full-probe-equals-brute THEOREMS plus the measured default-probe
+    // floor are store-state booleans the driver hash-gates
+    "ann_probe_curve" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS recall_monotone_in_probes, true AS recall_at_default_ok,
+        |  true AS full_probe_equals_brute
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     // contract: the post-upsert row count is SQL-exact (reversal
     // preserves component-wise usability, so the servable count is the
