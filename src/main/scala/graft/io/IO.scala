@@ -64,8 +64,8 @@ object IO {
     * renders the key via `to_json` — a plain string cast would fail
     * analysis outright for array/struct-typed keys, even on dup-free
     * sources. */
-  private def requireUniqueSourceKeys(source: DataFrame,
-                                      keys: Seq[String]): DataFrame = {
+  private[graft] def requireUniqueSourceKeys(source: DataFrame,
+                                             keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cnt = "__graft_src_keycnt"
     val k0 = keys.head
@@ -848,30 +848,55 @@ object IO {
                                    locateKeyRows: () => DataFrame,
                                    newRows: Option[DataFrame],
                                    keys: Seq[String],
-                                   beforeClaim: () => Unit = () => ()): Unit = {
+                                   beforeClaim: () => Unit = () => (),
+                                   insertKeys: Seq[String] = Seq.empty,
+                                   extraRowsFromLocated: Option[DataFrame => DataFrame] = None): Unit = {
     val nBuckets = storeBuckets(targetPath)
     def guarded(df: DataFrame) = df.withColumn(BucketCol,
       nullKeyGuard(keys, bucketRangeGuard(nBuckets, col(BucketCol))))
+    // every localCheckpoint this op pins is tracked and unpersisted once
+    // the commit loop returns: a long-lived session doing repeated
+    // maintenance (a foreachBatch upsert loop) would otherwise accumulate
+    // checkpoint blocks until session end
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = { val p = df.localCheckpoint(); pinned += p; p }
     // new rows pin once — their routing comes from the stored quantizers,
     // which no append/delete/upsert commit ever touches; duplicate keys
-    // would double-insert after the single anti-join, same MERGE rule as
-    // every upsert here
-    val ins = newRows.map(r =>
-      guarded(requireUniqueSourceKeys(r, keys)).localCheckpoint())
+    // (by `insertKeys` — the store's row identity, which may be wider
+    // than the locate/anti-join `keys`: an inverted index removes by
+    // doc_id but inserts (term, doc_id) rows) would double-insert after
+    // the single anti-join, same MERGE rule as every upsert here
+    val insKeys = if (insertKeys.nonEmpty) insertKeys else keys
+    val ins = newRows.map(r => pin(guarded(requireUniqueSourceKeys(r, insKeys))))
     val insTouched = ins.map(_.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).toSet).getOrElse(Set.empty[Int])
     def plan(): (Set[Int], DataFrame) = {
-      val del = guarded(locateKeyRows()
-          .select((keys.map(col) :+ col(BucketCol)): _*).distinct())
-        .localCheckpoint()
+      // the RAW located frame (keys + BucketCol + whatever side columns
+      // the locate projected, e.g. a denormalized doc length) feeds the
+      // per-attempt extra-row derivation; the anti-join side below only
+      // keeps (keys, bucket)
+      val located = pin(locateKeyRows())
+      val del = pin(guarded(located
+          .select((keys.map(col) :+ col(BucketCol)): _*).distinct()))
+      // extra rows are a FUNCTION OF THE LOCATE (e.g. a compensating
+      // stats-delta row derived from the rows being removed), so they
+      // recompute per optimistic attempt together with it — a pinned
+      // extra row derived from a stale locate would commit stale
+      // compensation after a lost race
+      val extra = extraRowsFromLocated.map(f => pin(guarded(f(located))))
       val touched = insTouched ++
-        del.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+        del.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet ++
+        extra.map(_.select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).toSet).getOrElse(Set.empty[Int])
       val base = readStoreBuckets(spark, targetPath, touched)
         .join(broadcast(del.drop(BucketCol)), keys, "left_anti")
-      (touched, ins.map(base.unionByName(_)).getOrElse(base))
+      val withIns = ins.map(base.unionByName(_)).getOrElse(base)
+      (touched, extra.map(withIns.unionByName(_)).getOrElse(withIns))
     }
-    commitRewrittenBucketsPlanned(spark, targetPath, () => plan(),
-      beforeClaim = beforeClaim)
+    try
+      commitRewrittenBucketsPlanned(spark, targetPath, () => plan(),
+        beforeClaim = beforeClaim)
+    finally pinned.foreach(_.unpersist(blocking = false))
   }
 
   /** Routed UPSERT for trusted-[[BucketCol]] stores — ONE atomic commit
@@ -908,15 +933,34 @@ object IO {
     * boundary scans them — and correctly emits nothing, because every
     * row compares equal. */
   def compactPartitionedStore(spark: SparkSession, path: String,
-                              maxGensPerBucket: Int = 1): Unit = {
+                              maxGensPerBucket: Int = 1): Unit =
     // ONE definition of "fragmented" (storeBucketGenerations) shared
     // with every maintenance report that decides to call this
-    val frag = storeBucketGenerations(spark, path)
-      .filter(_._2 > maxGensPerBucket).keys.toSet
-    if (frag.nonEmpty)
-      commitRewrittenBuckets(spark, path, frag,
-        () => readStoreBuckets(spark, path, frag))
-  }
+    compactStoreBuckets(spark, path, storeBucketGenerations(spark, path)
+      .filter(_._2 > maxGensPerBucket).keys.toSet)
+
+  /** Compact exactly the given buckets (collapse each to one generation,
+    * content byte-identical) — the seam for stores whose fragmentation
+    * criterion is LAYOUT-AWARE (the vector stores exclude their reserved
+    * quantizer buckets): the caller's decision set is the one rewritten,
+    * so the compaction report can never disagree with the rewrite. */
+  def compactStoreBuckets(spark: SparkSession, path: String,
+                          buckets: Set[Int]): Unit =
+    if (buckets.nonEmpty)
+      commitRewrittenBuckets(spark, path, buckets,
+        () => readStoreBuckets(spark, path, buckets))
+
+  /** Rewrite the given buckets' contents with a caller-supplied frame
+    * (carrying [[BucketCol]]) through the SAME optimistic manifest loop
+    * as every merge — the seam behind whole-layout maintenance ops that
+    * replace data AND quantizer buckets in one atomic commit (the vector
+    * stores' staleness-driven refresh). The rewrite closure recomputes
+    * per attempt against the then-current manifest; previous versions
+    * stay time-travel-readable until vacuum. */
+  private[graft] def rewriteStoreBuckets(spark: SparkSession, path: String,
+                                         buckets: Set[Int],
+                                         rewrite: () => DataFrame): Unit =
+    commitRewrittenBuckets(spark, path, buckets, rewrite)
 
   /** CHANGE FEED — the net row-level diff between two committed versions,
     * in CDC shape: `_change_type` ∈ insert / delete / update_preimage /
@@ -1238,6 +1282,45 @@ object IO {
     val old = Paths.get(targetPath + ".__graft_old")
     if (!Files.exists(tgt) && Files.exists(old))
       Files.move(old, tgt, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** O(files) CLONE of a committed partitioned store — data files
+    * HARDLINKED (metadata-rate, no bytes move), tiny control files
+    * (manifests, commit markers, `_graft_buckets`, layout/kind sidecars)
+    * copied. Clone and source are fully independent afterwards BECAUSE
+    * data files are immutable by the manifest design: every mutation
+    * (append, merge, delete, compaction) writes NEW generation
+    * directories and a NEW manifest, never rewriting a live file, and
+    * vacuum only unlinks a store's own directory entries — so a shared
+    * inode is never modified through either name. The store-op that
+    * needs this is "mutate a private copy without rebuilding" (e.g. a
+    * what-if delete, a test harness, a branch-then-merge workflow) — a
+    * from-scratch rebuild costs O(corpus), the clone costs O(files).
+    *
+    * Stale claim locks (`v*.lock`) do NOT travel: a clone is a new
+    * store with no writer history. java.nio hardlinks make this
+    * local-filesystem-only, same contract as [[upsertPath]]; an object
+    * store clones with server-side copy (or a manifest pointing at
+    * shared immutable objects — the table-format "shallow clone"). */
+  def cloneStore(spark: SparkSession, srcPath: String, dstPath: String): Unit = {
+    val (fs, root) = hfs(spark, srcPath)
+    require(currentManifestVersion(fs, root).isDefined,
+      s"$srcPath has no committed manifest — not a partitioned store")
+    val src = Paths.get(srcPath)
+    val dst = Paths.get(dstPath)
+    deleteRecursive(dst)
+    val walk = Files.walk(src) // must close — holds directory handles
+    try walk.forEach { p =>
+      val rel = src.relativize(p)
+      val out = dst.resolve(rel)
+      if (Files.isDirectory(p)) Files.createDirectories(out)
+      else if (!p.getFileName.toString.endsWith(".lock")) {
+        try Files.createLink(out, p)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(p, out, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    } finally walk.close()
   }
 
   /** Delete a path recursively (idempotent). Callers that own a scratch

@@ -687,6 +687,139 @@ object Ann {
         Seq("nn_id"), "left_semi")
     }
 
+  // ---------------------------------------- measured probe operating point
+
+  /** Sidecar carrying the store's MEASURED nProbe→recall@k curve — the
+    * tuning artifact every IVF deployment derives before picking its
+    * probe budget, persisted WITH the index so serves can resolve a
+    * recall target instead of hardcoding a probe count
+    * ([[ivfStoreTopKAtRecall]]). Header records k, the manifest version
+    * tuned against (so [[probeCurveStale]] can tell when appends/deletes
+    * have outrun the measurement), and the tuning query count. Same
+    * plain-small-file transport as `_graft_store_kind`. */
+  private def probeCurvePath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_probe_curve")
+
+  /** Measure the store's recall-vs-nProbe curve on `queries` and PERSIST
+    * it as the store's operating-point table. The exact baseline is the
+    * FULL-PROBE serve (nProbe = nCells): probing every cell makes the
+    * candidate set the entire servable corpus, so it equals the brute
+    * top-k by theorem — the tune needs no external oracle and reads only
+    * the store itself. Probe grid: powers of two up to the cell count
+    * (the standard sweep), overridable. Recall at probe p is the hit
+    * fraction of the full-probe result's (query, neighbor) pairs —
+    * monotone non-decreasing in p by the subset property of probed
+    * candidate sets under one total order. Returns the measured
+    * (n_probe, recall) frame; cost is |grid|+1 pruned serves, an OFFLINE
+    * maintenance op like [[compactIvfStore]]. */
+  def tuneProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                queries: DataFrame, k: Int = 10,
+                probes: Seq[Int] = Seq.empty,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireStoreKind(spark, path, "ivf")
+    val nCells = graft.io.IO.storeBuckets(path) - 1
+    val grid = (if (probes.nonEmpty) probes.filter(p => p >= 1 && p < nCells)
+                else Iterator.iterate(1)(_ * 2).takeWhile(_ < nCells).toSeq)
+      .distinct.sorted :+ nCells
+    // pin the query frame once: every grid point must serve the SAME
+    // query set (nondeterministic caller lineage would otherwise tune
+    // different points on different queries)
+    val q = queries.where(cosineUsable(col(vecCol)))
+      .select(col(idCol), col(vecCol)).localCheckpoint()
+    val nQ = q.count()
+    val full = ivfStoreTopK(spark, path, q, k, nProbe = nCells,
+        idCol = idCol, vecCol = vecCol)
+      .select("query_id", "nn_id").localCheckpoint()
+    val nFull = full.count()
+    val curve = grid.map { p =>
+      val recall =
+        if (p == nCells) 1.0 // by theorem; spares the redundant self-join
+        else {
+          val hit = ivfStoreTopK(spark, path, q, k, nProbe = p,
+              idCol = idCol, vecCol = vecCol)
+            .select("query_id", "nn_id")
+            .join(full, Seq("query_id", "nn_id")).count()
+          hit.toDouble / math.max(nFull, 1L)
+        }
+      (p, BigDecimal(recall)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    }
+    val cur = graft.io.IO.storeVersions(spark, path).last
+    val out = fs.create(probeCurvePath(path), true)
+    try out.write((s"k=$k\tversion=$cur\tn_queries=$nQ\n" +
+      curve.map { case (p, r) => s"$p\t$r" }.mkString("\n")).getBytes("UTF-8"))
+    finally out.close()
+    full.unpersist(blocking = false)
+    q.unpersist(blocking = false)
+    import spark.implicits._
+    curve.toDF("n_probe", "recall")
+  }
+
+  /** The persisted operating-point table: (k, manifest version tuned
+    * against, (nProbe, recall) points). Fails loudly when the store was
+    * never tuned — a recall-target serve against an untuned store has no
+    * measured basis to resolve on. */
+  def readProbeCurve(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (Int, Int, Seq[(Int, Double)]) = {
+    val p = probeCurvePath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"$path has no _graft_probe_curve — run tuneProbe before serving at " +
+        "a recall target")
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val hdr = lines.head.split('\t').map { kv =>
+      val Array(a, b) = kv.split('='); a -> b
+    }.toMap
+    val pts = lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(a, b) = l.split('\t'); (a.toInt, b.toDouble)
+    }
+    (hdr("k").toInt, hdr("version").toInt, pts)
+  }
+
+  /** True iff the store has committed versions SINCE the curve was
+    * measured — appends/deletes/refreshes that may have moved the
+    * recall-vs-probe trade, so the operating point deserves a re-tune
+    * (the same drift story as [[ivfStoreStaleness]], for the tuning
+    * artifact). */
+  def probeCurveStale(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Boolean =
+    readProbeCurve(spark, path)._2 !=
+      graft.io.IO.storeVersions(spark, path).last
+
+  /** The smallest MEASURED nProbe whose recorded recall meets
+    * `minRecall`; falls back to the largest measured probe (the
+    * full-probe point, recall 1.0 by theorem) when no smaller one does —
+    * so the resolve is total for any target ≤ 1.0. */
+  def resolveProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                   minRecall: Double): Int = {
+    require(minRecall > 0.0 && minRecall <= 1.0,
+      s"minRecall must be in (0, 1]; got $minRecall")
+    val (_, _, pts) = readProbeCurve(spark, path)
+    pts.sortBy(_._1).collectFirst { case (p, r) if r >= minRecall => p }
+      .getOrElse(pts.map(_._1).max)
+  }
+
+  /** [[ivfStoreTopK]] at a RECALL TARGET instead of a probe count: the
+    * probe budget resolves against the store's persisted measured curve
+    * — the closed loop between the tuning report and the serve default
+    * (a deployment states "recall ≥ 0.9", not "4 probes"). */
+  def ivfStoreTopKAtRecall(spark: org.apache.spark.sql.SparkSession,
+                           path: String, queries: DataFrame, k: Int,
+                           minRecall: Double,
+                           allowedIds: Option[DataFrame] = None,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame =
+    ivfStoreTopK(spark, path, queries, k,
+      nProbe = resolveProbe(spark, path, minRecall),
+      allowedIds = allowedIds, idCol = idCol, vecCol = vecCol)
+
   /** Compact a vector store's fragmented cells — the OPTIMIZE step every
     * append-maintained store needs: each [[appendIvfStore]] /
     * [[appendIvfPqStore]] delta adds a generation to every cell it
@@ -715,8 +848,12 @@ object Ann {
     // they are O(buckets × gens) filesystem round-trips, charged to the
     // OPTIMIZE action that needs the before/after report, never to a
     // no-op call (which stays manifest-only, like ivfStoreFragmented)
+    // the KIND-AWARE fragmented set is the one compacted (IO's generic
+    // criterion would scan ALL buckets incl. the reserved quantizers, so
+    // a multi-generation quantizer bucket — no current op creates one —
+    // could be silently rewritten while this report omitted it)
     val before = storeCellFiles(spark, path)
-    graft.io.IO.compactPartitionedStore(spark, path, maxGensPerCell)
+    graft.io.IO.compactStoreBuckets(spark, path, frag)
     val after = storeCellFiles(spark, path)
     frag.toSeq.sorted
       .map(c => (c, before.getOrElse(c, 0), after.getOrElse(c, 0)))
@@ -875,20 +1012,40 @@ object Ann {
       keys = Seq("nn_id"))
   }
 
-  /** The BUILD version (v1) a staleness report baselines against — fails
-    * loudly when vacuum trimmed it away: `storeVersions.head` would then
-    * silently equal the CURRENT version and any store, however appended
-    * and drifted, would report itself fresh (build == now). Same
-    * fail-loudly rule as the store-kind marker: a maintenance signal that
-    * can silently read healthy is worse than none. */
+  /** Sidecar recording the manifest version staleness reports baseline
+    * against. ABSENT on a freshly built store (baseline = v1, the build);
+    * written by [[refreshIvfStore]] after a quantizer refit — the refit
+    * version becomes the new "build" the drift accounting measures from
+    * (the old v1 baseline would compare current members against the NEW
+    * centroids and misread a just-refreshed store as drifted or fresh at
+    * random). */
+  private def stalenessBasePath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_staleness_base")
+
+  /** The BUILD version a staleness report baselines against — v1, or the
+    * last refresh's recorded version. Fails loudly when vacuum trimmed
+    * the baseline away: `storeVersions.head` would then silently equal
+    * the CURRENT version and any store, however appended and drifted,
+    * would report itself fresh (build == now). Same fail-loudly rule as
+    * the store-kind marker: a maintenance signal that can silently read
+    * healthy is worse than none. */
   private[llm] def stalenessBaseline(spark: org.apache.spark.sql.SparkSession,
                                      path: String): Int = {
     val vs = graft.io.IO.storeVersions(spark, path)
-    require(vs.headOption.contains(1),
-      s"$path no longer retains its build version v1 (retained: " +
-        s"${vs.mkString(",")}) — vacuum removed the staleness baseline, and " +
-        "a report against a later baseline would falsely read fresh")
-    1
+    val p = stalenessBasePath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val base =
+      if (!fs.exists(p)) 1
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      }
+    require(vs.contains(base),
+      s"$path no longer retains its staleness baseline v$base (retained: " +
+        s"${vs.mkString(",")}) — vacuum removed it, and a report against a " +
+        "later baseline would falsely read fresh")
+    base
   }
 
   /** Staleness report for an append-maintained IVF store — the queryable
@@ -930,6 +1087,65 @@ object Ann {
       withDist(graft.io.IO.readPartitionedStoreAtTagged(spark, path, v1)),
       withDist(graft.io.IO.readStoreBuckets(spark, path, (0 until reserved).toSet)),
       maxDriftRatio)
+  }
+
+  /** REFRESH an IVF store whose quantizer has aged — the op the
+    * [[ivfStoreStaleness]] report exists to trigger, closing the
+    * "centroids age; refresh = rebuild" loop WITHOUT a from-scratch
+    * rebuild of the store's commit history: re-fit the coarse centroids
+    * on the CURRENT corpus (same cell count — the bucket layout is
+    * fixed at write time) and re-route every row, committed as ONE
+    * atomic manifest version through the same optimistic loop as every
+    * merge. A racing reader resolves the pre- or post-refresh version,
+    * never a half-re-routed middle; pre-refresh versions stay
+    * time-travel-readable until vacuum.
+    *
+    * GATED on the measured report: runs only when more than
+    * `maxDriftedCells` populated cells trip the `maxDriftRatio` drift
+    * flag (or `force`) — a refresh is an O(store) rewrite, and
+    * re-fitting on every append would burn the whole point of O(delta)
+    * maintenance. After the commit the staleness BASELINE advances to
+    * the refresh version (sidecar; a crash between commit and sidecar
+    * write leaves the old baseline — the conservative direction: the
+    * report can only over-report drift, never read falsely fresh), so
+    * the next report measures from the corpus this quantizer was
+    * actually fit on. The persisted probe curve, if any, is left in
+    * place and reads as stale ([[probeCurveStale]]) — re-tune after a
+    * refresh. Returns true iff a refresh committed. */
+  def refreshIvfStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                      maxDriftRatio: Double = 2.0, maxDriftedCells: Long = 0L,
+                      force: Boolean = false, seed: Long = 42L): Boolean = {
+    requireStoreKind(spark, path, "ivf")
+    val drifted = ivfStoreStaleness(spark, path, maxDriftRatio)
+      .where(col("drifted") && col("n_now") > 0).count()
+    if (!force && drifted <= maxDriftedCells) return false
+    val nBuckets = graft.io.IO.storeBuckets(path)
+    val reserved = nBuckets - 1
+    val spark2 = spark
+    import spark2.implicits._
+    // recomputed per optimistic attempt (rare: only under a racing
+    // writer): the refit must describe the manifest version it commits
+    // against, same rule as every routed rewrite
+    def rewrite(): DataFrame = {
+      val rows = readIvfStore(spark, path)
+      val cents = collectedCentroids(
+        fitCentroids(rows, nCells = reserved, vecCol = "cv", seed = seed))
+      val data = assignCellsCollected(rows, cents, "nn_id", "cv")
+        .select(col("nn_id"), col("cv"), col("cell").as(graft.io.IO.BucketCol))
+      val centRows = cents.toSeq
+        .map { case (cell, c) => (-1L - cell, c.toSeq) }
+        .toDF("nn_id", "cv")
+        .withColumn(graft.io.IO.BucketCol, lit(reserved))
+      data.unionByName(centRows)
+    }
+    graft.io.IO.rewriteStoreBuckets(spark, path, (0 until nBuckets).toSet,
+      () => rewrite())
+    val cur = graft.io.IO.storeVersions(spark, path).last
+    val p = stalenessBasePath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(cur.toString.getBytes("UTF-8")) finally out.close()
+    true
   }
 
   /** Per-cell parquet-file counts of the CURRENT manifest (all
@@ -1261,6 +1477,10 @@ object Ann {
       .where(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
         adcU(col("codes"), col("lut")).as("adc"))
+      // a NULL adc (the null-propagating guard's output — not a live
+      // path, every call site filters usability upstream) must DROP the
+      // row, not top the shortlist: the window's asc puts NULLS FIRST
+      .where(col("adc").isNotNull)
       .withColumn("crk", row_number().over(wAdc))
       .where(col("crk") <= refine * k)
       .select("query_id", "nn_id")
@@ -1338,6 +1558,10 @@ object Ann {
     // scans inside fitPqCodebooks) and the encode pass — persist it so
     // the source read + argmin run once, not once per consumer
     val assigned = assignCellsCollected(dense, cents, idCol, vecCol).persist()
+    // try/finally brackets EVERYTHING after the persist — a throw from
+    // the residual-codebook fit, the collect, or the non-empty require
+    // must not leak the cached frame for the session
+    try {
     val n = assigned.count()
     val rU = residUdf(cents)
     val resid = assigned.select(col("nn_id"), rU(col("cv"), col("cell")).as("rv"),
@@ -1388,11 +1612,10 @@ object Ann {
       .toDF("nn_id", "codes", "cv")
       .withColumn(graft.io.IO.BucketCol, lit(reserved + 1))
     // layout tag committed atomically with the data — see writeIvfStore
-    try
-      graft.io.IO.writePartitionedStore(data.unionByName(centRows).unionByName(cbRows),
-        path, keys = Seq("nn_id"), nBuckets = reserved + 2,
-        layoutTag = Some("ivfpq"))
-    finally assigned.unpersist(blocking = false)
+    graft.io.IO.writePartitionedStore(data.unionByName(centRows).unionByName(cbRows),
+      path, keys = Seq("nn_id"), nBuckets = reserved + 2,
+      layoutTag = Some("ivfpq"))
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** One-word layout marker distinguishing the IVF layout (cells + ONE
@@ -1602,6 +1825,9 @@ object Ann {
       .where(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
         pqAdcUdf(col("codes"), col("lut")).as("adc"))
+      // same NULLS-FIRST trap as pqTopK's shortlist window — a NULL adc
+      // is dropped, never ranked
+      .where(col("adc").isNotNull)
       .withColumn("crk", row_number().over(wAdc))
       .where(col("crk") <= refine * k)
     refineFrom match {

@@ -207,6 +207,97 @@ object Bm25Store {
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
   }
 
+  /** The negative stats-delta row compensating the removal of the
+    * located postings' documents — derived PER OPTIMISTIC ATTEMPT from
+    * the freshly-located rows (a pinned compensation from a stale locate
+    * would commit wrong corpus stats after a lost race). One row per
+    * call, routed to the stats bucket; empty when nothing was located so
+    * the whole op stays a no-op. Only doc_ids WITH postings can be
+    * located, so a document indexed with a null/token-less text keeps
+    * its n_docs count — the one field the aggregate-stats layout cannot
+    * adjust for a doc that left no posting trail (it contributes to idf's
+    * corpus size only; a corpus where that count matters rebuilds). */
+  private def negStatsFromLocated(termBuckets: Int)(located: DataFrame): DataFrame = {
+    val nullLong = lit(null).cast("long")
+    located.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
+      .where(col("n") > 0)
+      .select(lit(StatsTerm).as("term"), lit(-1L).as("doc_id"),
+        nullLong.as("tf"), nullLong.as("dl"),
+        (-col("n")).as("n_docs"), (-col("n")).as("n_dl"),
+        (-col("s")).as("sum_dl"), lit(termBuckets).as(IO.BucketCol))
+  }
+
+  /** Locate closure for the routed delete/upsert: the ids' CURRENT
+    * postings as (doc_id, dl, bucket) — a column-pruned projection scan
+    * of the term buckets (stats bucket excluded by the read set) joined
+    * to the broadcast id set, re-run per OCC attempt against the
+    * then-current manifest. */
+  private def locateDocs(spark: SparkSession, path: String, termBuckets: Int,
+                         ids: DataFrame): () => DataFrame = {
+    val keySet = broadcast(ids.select(col("doc_id").cast("long").as("doc_id"))
+      .where(col("doc_id") =!= -1L).distinct())
+    () => IO.readStoreBuckets(spark, path, (0 until termBuckets).toSet)
+      .select(col("doc_id"), col("dl"), col(IO.BucketCol))
+      .join(keySet, Seq("doc_id"))
+  }
+
+  /** Keyed DELETE — remove every posting of the given doc ids AND write
+    * the compensating corpus-stats delta in ONE atomic manifest commit
+    * (the takedown path a training-data index needs, mirroring
+    * [[Ann.deleteFromVectorStore]]). The index routes by TERM hash, so a
+    * doc's postings spread across many buckets: the locate is one
+    * column-pruned (doc_id, dl, bucket) scan of the term buckets joined
+    * to the broadcast id set, then ONLY the touched buckets anti-join
+    * and rewrite through the optimistic manifest loop — O(id-column scan
+    * + touched buckets' postings), never O(store); pre-delete versions
+    * stay time-travel-readable until vacuum. Served scores afterwards
+    * equal a from-scratch rebuild on the surviving corpus bit-for-bit
+    * (same summed-stats, same per-posting arithmetic) — for token-
+    * bearing docs; see [[negStatsFromLocated]] for the one
+    * token-less-doc caveat. No-op when no id has postings. */
+  def delete(spark: SparkSession, path: String, docIds: DataFrame): Unit = {
+    val termBuckets = IO.storeBuckets(path) - 1
+    IO.routedRewrite(spark, path, locateDocs(spark, path, termBuckets, docIds),
+      newRows = None, keys = Seq("doc_id"),
+      extraRowsFromLocated = Some(negStatsFromLocated(termBuckets)))
+  }
+
+  /** RE-INDEX upsert — each delta doc's postings REPLACE whatever the
+    * store holds for its doc_id (an edited document re-tokenizes to a
+    * different posting set, often in different term buckets — exactly why
+    * this cannot be an in-place per-bucket update), novel doc_ids insert,
+    * and the corpus stats adjust, all in ONE atomic manifest commit: a
+    * racing reader resolves the pre- or post-upsert version, never a
+    * deleted-but-not-reinserted middle. The lexical twin of
+    * [[Ann.upsertVectorStore]]. Cost: the locate scan + O((old ∪ new
+    * touched term buckets)' postings). Stats: +1 per delta doc, −1 per
+    * REPLACED doc (located via its old postings) — so a delta doc whose
+    * stored text was token-less double-counts into n_docs (nothing to
+    * locate; the same aggregate-stats caveat as [[delete]]). A delta doc
+    * with null/token-less NEW text removes the old postings without
+    * inserting — a re-index that produced nothing must not serve. */
+  def upsert(delta: DataFrame, path: String, textCol: String = "text"): Unit = {
+    val spark = delta.sparkSession
+    val termBuckets = IO.storeBuckets(path) - 1
+    // one row per doc_id, enforced with the standard MERGE fail-fast: a
+    // duplicated delta doc would MERGE its duplicate texts' tokens in the
+    // tf groupBy (silently doubled counts) and double-count n_docs
+    val rows = indexRows(IO.requireUniqueSourceKeys(delta, Seq("doc_id")),
+      termBuckets, textCol)
+    val posts = rows.where(col("term") =!= StatsTerm)
+    // the delta's own (+) stats row is constant but rides with the
+    // per-attempt (−) compensation so both commit (or retry) together;
+    // dropped for an empty delta so the op stays a no-op
+    val posStats = rows.where(col("term") === StatsTerm && col("n_docs") > 0)
+    IO.routedRewrite(spark, path,
+      locateDocs(spark, path, termBuckets, delta.select("doc_id")),
+      newRows = Some(posts), keys = Seq("doc_id"),
+      insertKeys = Seq("term", "doc_id"),
+      extraRowsFromLocated = Some(located =>
+        posStats.unionByName(negStatsFromLocated(termBuckets)(located))))
+  }
+
   /** Compact the index's fragmented buckets — the OPTIMIZE step the
     * [[staleness]] report's fragmentation columns exist to trigger:
     * every append adds a generation to each touched term bucket (and one

@@ -32,7 +32,56 @@ object ModelStore {
     val next = versions(root, name).maxOption.getOrElse(0) + 1
     val dst = dir.resolve(s"v$next")
     org.apache.commons.io.FileUtils.copyDirectory(src.toFile, dst.toFile)
+    // the artifact's run-metric record travels with the artifact: a
+    // re-registered copy IS the same fitted model, so its measured
+    // metric still describes it
+    val m = dir.resolve(s"v$fromVersion.metrics")
+    if (Files.exists(m))
+      Files.copy(m, dir.resolve(s"v$next.metrics"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     next
+  }
+
+  /** The run-metric record logged with a registered version — what the
+    * reference's registry stores beside each model (the validation
+    * metric of the run that produced it, `03:300-314`): metric name,
+    * value, a fingerprint of the frame it was measured on, and the
+    * hyperparameters. Answers "which Production model, at what measured
+    * quality, trained how?" from the registry alone. */
+  final case class RunMetric(metric: String, value: Double,
+                             frameFingerprint: String,
+                             params: Map[String, String])
+
+  /** Persist a version's run metric (one sidecar per version; a re-log
+    * overwrites — the record describes the version, and a version's
+    * artifact never changes after save). */
+  def logMetric(root: String, name: String, version: Int,
+                metric: String, value: Double,
+                frameFingerprint: String = "",
+                params: Map[String, String] = Map.empty): Unit = {
+    require(versions(root, name).contains(version),
+      s"no version v$version under $root/$name")
+    require(!metric.contains("\t") && !metric.contains("\n"),
+      "metric name must be TSV-safe")
+    val lines = s"$metric\t$value\t$frameFingerprint" +:
+      params.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
+    Files.writeString(Paths.get(root, name, s"v$version.metrics"),
+      lines.mkString("\n"))
+  }
+
+  /** The version's recorded run metric, if one was logged. */
+  def readMetric(root: String, name: String, version: Int): Option[RunMetric] = {
+    val p = Paths.get(root, name, s"v$version.metrics")
+    if (!Files.exists(p)) None
+    else {
+      val lines = Files.readString(p).linesIterator.toSeq
+      val head = lines.head.split('\t')
+      Some(RunMetric(head(0), head(1).toDouble,
+        if (head.length > 2) head(2) else "",
+        lines.tail.filter(_.nonEmpty).map { l =>
+          val a = l.split('\t'); a(0) -> (if (a.length > 1) a(1) else "")
+        }.toMap))
+    }
   }
 
   def versions(root: String, name: String): Seq[Int] = {

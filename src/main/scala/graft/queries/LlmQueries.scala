@@ -586,8 +586,14 @@ object LlmQueries {
     // delete keys locate their cells via a column-pruned projection
     // scan, then ONLY those cells rewrite through the OCC manifest
     // (O(touched cells), never a full rewrite); pre-delete versions stay
-    // time-travel-readable. Runs on a PRIVATE split-built store so the
-    // session-shared one keeps its lifecycle for the other contracts.
+    // time-travel-readable. Runs on a PRIVATE store so the session-shared
+    // one keeps its lifecycle for the other contracts — an O(files)
+    // MANIFEST CLONE of the shared store (hardlinked immutable data
+    // files, copied manifests), not a from-scratch rebuild: the clone is
+    // content-identical by construction and costs metadata, not a KMeans
+    // fit + corpus write (round-12 bench: the private build dominated
+    // this query's 13.3 s). Clone-then-mutate isolation (the source
+    // store stays byte-identical) is pinned in IOSpec.
     // Contract: the surviving row count is SQL-exact; deleted ids never
     // surface in rows or serves; the post-delete serve EQUALS a batch
     // assignment of the surviving corpus under the same centroids; the
@@ -595,8 +601,9 @@ object LlmQueries {
     "ann_store_delete" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val path = buildSplitIvfStore(s, dir, graft.Sweep.ephemeral(
-        s"/root/repo/target/qtmp/ivf_delete_${storeRunId.incrementAndGet()}"))
+      val path = graft.Sweep.ephemeral(
+        s"/root/repo/target/qtmp/ivf_delete_${storeRunId.incrementAndGet()}")
+      graft.io.IO.cloneStore(s, sharedIvfStore(s, dir), path)
       val preVersion = graft.io.IO.storeVersions(s, path).last
       val nServable = emb.where(Ann.cosineUsable(col("embedding"))).count()
       Ann.deleteFromVectorStore(s, path, emb.where("vec_id % 5 = 1"))
@@ -659,6 +666,45 @@ object LlmQueries {
           "recall_at_default_ok", "full_probe_equals_brute")
     }),
 
+    // CLOSED tuning loop (round-13): the measured recall-vs-nProbe curve
+    // PERSISTS in the store (Ann.tuneProbe → _graft_probe_curve sidecar,
+    // stamped with the manifest version it measured) and the serve
+    // resolves a RECALL TARGET against it instead of a hardcoded probe
+    // count — a deployment states "recall ≥ 0.9"; the store knows what
+    // that costs. The tune's exact baseline is the store's own
+    // full-probe serve (≡ brute on the servable corpus by theorem), so
+    // the loop needs no external oracle. Contract: the persisted curve
+    // is monotone non-decreasing (probed candidate sets are nested under
+    // one total order), its full-probe point is exactly 1.0, the
+    // recall-target serve's measured recall against the memoized exact
+    // brute baseline meets the target (guaranteed by the resolve rule:
+    // smallest measured probe meeting it, else the full-probe point),
+    // and the curve is CURRENT (tuned against the live manifest version
+    // — the re-tune-after-drift signal is probeCurveStale).
+    "ann_tuned_serve" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val path = sharedIvfStore(s, dir)
+      val queries = emb.where("vec_id < 8")
+      // bounded collect: ≤ log2(nCells)+1 grid points
+      val curve = Ann.tuneProbe(s, path, queries, k = 10)
+        .orderBy("n_probe").as[(Int, Double)].collect()
+      val monotone = curve.length >= 2 &&
+        curve.sliding(2).forall(w => w(0)._2 <= w(1)._2)
+      val target = 0.9
+      val served = Ann.ivfStoreTopKAtRecall(s, path, queries, k = 10,
+        minRecall = target)
+      val brute = bruteBaseline(s, dir).select("query_id", "nn_id")
+      val nBrute = brute.count()
+      val hit = served.select("query_id", "nn_id")
+        .join(brute, Seq("query_id", "nn_id")).count()
+      Seq((queries.count(), monotone, curve.last._2 == 1.0,
+           hit.toDouble / math.max(nBrute, 1L) >= target,
+           !Ann.probeCurveStale(s, path)))
+        .toDF("n_queries", "curve_monotone", "full_probe_recall_one",
+          "serve_meets_target", "curve_current")
+    }),
+
     // RE-EMBED upsert on a persisted vector index — the maintenance op a
     // new encoder version needs: existing ids are REPLACED wherever they
     // live (a re-embedded vector may route to a different cell), novel
@@ -673,8 +719,11 @@ object LlmQueries {
     "ann_store_upsert" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val path = buildSplitIvfStore(s, dir, graft.Sweep.ephemeral(
-        s"/root/repo/target/qtmp/ivf_upsert_${storeRunId.incrementAndGet()}"))
+      // private mutation target via O(files) clone of the shared store —
+      // see ann_store_delete for the rationale
+      val path = graft.Sweep.ephemeral(
+        s"/root/repo/target/qtmp/ivf_upsert_${storeRunId.incrementAndGet()}")
+      graft.io.IO.cloneStore(s, sharedIvfStore(s, dir), path)
       val preVersions = graft.io.IO.storeVersions(s, path)
       val nServable = emb.where(Ann.cosineUsable(col("embedding"))).count()
       val reembed = emb.where("vec_id % 7 = 3")
@@ -738,6 +787,53 @@ object LlmQueries {
         .toDF("n_servable", "ivf_rows_match_lifecycle",
           "pq_rows_match_lifecycle", "fracs_in_unit_interval",
           "in_distribution_drift_bounded")
+    }),
+
+    // Staleness-DRIVEN refresh (round-13): the op the staleness report
+    // exists to trigger, closing the "centroids age; refresh = rebuild"
+    // loop. On a private clone of the shared store, every corpus vector
+    // is re-embedded FAR out of distribution (×5 + 3, novel ids) and
+    // appended through the stored (now badly aged) centroids; refresh
+    // re-fits the quantizer on the CURRENT corpus and re-routes every
+    // row as ONE atomic manifest commit, then advances the staleness
+    // baseline to the refresh version. Contract: the refresh gate
+    // respects its threshold (a high drifted-cells bound → no-op, no
+    // version committed), the default gate fires on the planted drift,
+    // exactly one version commits, the post-refresh report is clean
+    // (baseline = the corpus the new quantizer was actually fit on),
+    // and the refreshed serve EQUALS a batch assignment of the current
+    // corpus under the refreshed centroids.
+    "ann_store_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val path = graft.Sweep.ephemeral(
+        s"/root/repo/target/qtmp/ivf_refresh_${storeRunId.incrementAndGet()}")
+      graft.io.IO.cloneStore(s, sharedIvfStore(s, dir), path)
+      val drift = emb
+        .select((col("vec_id") + 2000000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x * lit(5.0f) + lit(3.0f)).as("embedding"))
+      Ann.appendIvfStore(drift, path)
+      // gate respected: with an unreachable drifted-cells bound the
+      // refresh declines (and commits nothing)
+      val nV0 = graft.io.IO.storeVersions(s, path).size
+      val gateOk = !Ann.refreshIvfStore(s, path, maxDriftedCells = 1000000L) &&
+        graft.io.IO.storeVersions(s, path).size == nV0
+      val refreshed = Ann.refreshIvfStore(s, path)
+      val singleCommit = graft.io.IO.storeVersions(s, path).size == nV0 + 1
+      val cleared = Ann.ivfStoreStaleness(s, path)
+        .where(col("drifted") && col("n_now") > 0).count() == 0L
+      val queries = emb.where("vec_id < 8")
+      val served = Ann.ivfStoreTopK(s, path, queries, k = 10)
+      val cents = Ann.readCentroids(s, path)
+      val batch = Ann.ivfTopKFromAssigned(
+        Ann.assignCells(emb.select("vec_id", "embedding")
+          .unionByName(drift), cents), cents, queries, k = 10)
+      val same = multisetEquals(served, batch,
+        Seq("query_id", "nn_id", "cosine", "rank"))
+      Seq((emb.count(), gateOk, refreshed, singleCommit, cleared, same))
+        .toDF("n_corpus", "gate_respected", "refreshed", "single_commit",
+          "drift_cleared", "serve_matches_rebuild")
     }),
 
     // Store compaction (the OPTIMIZE step an append-maintained index
@@ -901,6 +997,68 @@ object LlmQueries {
       Seq((r._1, r._2, r._3, r._4 >= 1L, r._5 == 2L))
         .toDF("n_docs_build", "n_docs_now", "appended_frac",
           "has_fragmentation", "gens_bounded")
+    }),
+
+    // Keyed DELETE + re-index UPSERT on the persisted BM25 index
+    // (round-13) — lifecycle parity with the vector stores: takedown ids
+    // lose every posting (spread across many term buckets — the locate
+    // is a column-pruned doc_id scan) plus a compensating stats delta in
+    // ONE commit; edited docs re-tokenize and their postings are
+    // REPLACED wherever they live, novel docs insert, stats adjust, all
+    // in ONE atomic commit. On a private O(files) clone of the shared
+    // store. Token-bearing docs only (the aggregate-stats layout's
+    // documented contract). Contract: served scores over the probe
+    // terms (incl. a term only the re-indexed texts contain) EQUAL a
+    // from-scratch rebuild on the updated corpus BIT-FOR-BIT — n_docs,
+    // df, avgdl, per-posting arithmetic and fold order all included;
+    // deleted ids leave no row; exactly the expected commits landed;
+    // the pre-mutation version still reads the original postings.
+    "tx_bm25_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val path = graft.Sweep.ephemeral(
+        s"/root/repo/target/qtmp/bm25_upsert_${storeRunId.incrementAndGet()}")
+      graft.io.IO.cloneStore(s, sharedBm25Store(s, dir), path)
+      val preVersion = graft.io.IO.storeVersions(s, path).last
+      val nV0 = graft.io.IO.storeVersions(s, path).size
+      val tokenful = docs.where(size(TextAnalysis.tokens(col("text"))) > 0)
+      val deleted = tokenful.where("doc_id % 11 = 5")
+      val reindexed = tokenful.where("doc_id % 7 = 3 and doc_id % 11 != 5")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" graftupd graftupd")).as("text"))
+      val novel = tokenful.where("doc_id % 31 = 0")
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+      val nDeleted = deleted.count()
+      val nUpserted = reindexed.count() + novel.count()
+      Bm25Store.delete(s, path, deleted.select("doc_id"))
+      Bm25Store.upsert(reindexed.unionByName(novel), path)
+      // independent oracle: a from-scratch index over the updated corpus
+      val updated = docs
+        .join(deleted.select("doc_id")
+            .unionByName(reindexed.select("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .unionByName(reindexed).unionByName(novel)
+      val rebuild = graft.Sweep.ephemeral(
+        s"/root/repo/target/qtmp/bm25_rebuild_${storeRunId.incrementAndGet()}")
+      graft.io.IO.deletePath(rebuild)
+      Bm25Store.write(updated, rebuild)
+      val terms = bm25Terms :+ "graftupd"
+      val same = multisetEquals(
+        Bm25Store.scores(s, path, terms),
+        Bm25Store.scores(s, rebuild, terms),
+        Seq("doc_id", "n_hit_terms", "bm25"))
+      // stats rows carry doc_id = -1, so a doc_id join sees postings only
+      val leftover = graft.io.IO.readPartitionedStore(s, path)
+        .join(broadcast(deleted.select("doc_id")), Seq("doc_id")).count()
+      val commits = graft.io.IO.storeVersions(s, path).size - nV0
+      val expectCommits = (if (nDeleted > 0) 1 else 0) +
+        (if (nUpserted > 0) 1 else 0)
+      val preLeft = graft.io.IO.readPartitionedStoreAt(s, path, preVersion)
+        .join(broadcast(deleted.select("doc_id")), Seq("doc_id")).count()
+      Seq((nDeleted, nUpserted, same, leftover == 0L,
+           commits == expectCommits, nDeleted == 0L || preLeft > 0L))
+        .toDF("n_deleted", "n_upserted", "serve_equals_rebuild",
+          "deleted_gone", "commits_expected", "history_preserved")
     }),
 
     // Hybrid retrieval: BM25 lexical top-50 fused with cosine semantic
@@ -1783,6 +1941,23 @@ object LlmQueries {
         |  true AS recall_monotone_in_probes, true AS recall_at_default_ok,
         |  true AS full_probe_equals_brute
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // contract: query count is SQL-exact; the persisted curve's
+    // monotonicity/full-probe theorems, the recall-target serve meeting
+    // its target, and the curve-currency stamp are store-state booleans
+    // the driver hash-gates
+    "ann_tuned_serve" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS curve_monotone, true AS full_probe_recall_one,
+        |  true AS serve_meets_target, true AS curve_current
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // contract: corpus count is SQL-exact; the gate, atomic commit,
+    // baseline-reset cleanliness, and serve-equals-rebuild checks are
+    // store-state booleans the driver hash-gates
+    "ann_store_refresh" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+        |  true AS gate_respected, true AS refreshed, true AS single_commit,
+        |  true AS drift_cleared, true AS serve_matches_rebuild
+        |FROM embeddings""".stripMargin,
     // contract: the post-upsert row count is SQL-exact (reversal
     // preserves component-wise usability, so the servable count is the
     // original plus the usable novel arrivals); content equality vs the
@@ -1965,6 +2140,20 @@ object LlmQueries {
         |    / count(*), 6) AS appended_frac,
         |  true AS has_fragmentation, true AS gens_bounded
         |FROM documents""".stripMargin,
+    // contract: the delete/upsert batch sizes are SQL-exact (token-
+    // bearing docs, mirroring the engine's tokenizer); bit-for-bit
+    // serve-equals-rebuild, removal completeness, commit accounting and
+    // time travel are store-state booleans the driver hash-gates
+    "tx_bm25_upsert" ->
+      s"""SELECT
+        |  CAST(count(CASE WHEN doc_id % 11 = 5 THEN 1 END) AS BIGINT)
+        |    AS n_deleted,
+        |  CAST(count(CASE WHEN doc_id % 7 = 3 AND doc_id % 11 != 5 THEN 1 END)
+        |    + count(CASE WHEN doc_id % 31 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_upserted,
+        |  true AS serve_equals_rebuild, true AS deleted_gone,
+        |  true AS commits_expected, true AS history_preserved
+        |FROM documents WHERE len(${tokSql("text")}) > 0""".stripMargin,
     // hybrid retrieval: lexical top-50 (BM25 ranks) fused with semantic
     // top-50 (cosine ranks vs the vec_id-0 query) by reciprocal-rank
     // fusion, 1/(60 + rank) per list. Both rank lists recompute from

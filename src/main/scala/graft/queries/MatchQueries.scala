@@ -310,6 +310,34 @@ object MatchQueries {
           "labels_binary", "separation_ok")
     }),
 
+    // Round-13 content companion to er_flagship_match: the ranked
+    // top-500's (idA, idB, label) projection verified ROW-BY-ROW — every
+    // emitted label must equal an INDEPENDENT golden-membership join
+    // (recomputed from the raw golden table, not the training path's
+    // labeled frame), the pairs must be distinct, and the output count
+    // must equal min(500, candidate count) exactly. Ranked MEMBERSHIP is
+    // model state (the blocking is seeded LSH and the scores come from
+    // the GBT), so the pair list itself has no SQL form — this pins
+    // everything about the ranked content that can be independently
+    // recomputed, one step past the flagship's aggregate invariants.
+    "er_flagship_top_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = flagship(s, dir).select("idA", "idB", "label").cache()
+      val n = pairs.count()
+      val expected = math.min(500L, trainedMatcher(s, dir)._2.count())
+      val golden = featureStage(s, dir).golden.select("idA", "idB")
+        .withColumn("__g", lit(1))
+      val wrong = pairs.join(golden, Seq("idA", "idB"), "left")
+        .where(col("label") =!= coalesce(col("__g"), lit(0))).count()
+      val dups = n - pairs.select("idA", "idB").distinct().count()
+      val out = Seq((featureStage(s, dir).golden.count(),
+          n == expected, wrong == 0L, dups == 0L))
+        .toDF("n_golden", "count_exact", "labels_match_golden",
+          "pairs_distinct")
+      pairs.unpersist(blocking = false)
+      out
+    }),
+
     // J4 — LSH approximate similarity join on name features (A vs B — the
     // documented semantics, not the reference's `02:144-145` self-join slip),
     // emitted as its contract vs the exact cross-join baseline. Reuses the
@@ -497,18 +525,32 @@ object MatchQueries {
         .toDF("n_pairs", "n_evals", "budget_final", "aupr_ok", "aupr_valid")
     }),
 
-    // M7 — filesystem model registry lifecycle: save v1, re-register the
-    // artifact as v2 (file-level copy — the MLWriter round-trip for an
-    // unchanged model costs a Spark write job per pipeline stage), promote
-    // v2, load Production, score consistency.
+    // M7 — filesystem model registry lifecycle: save v1 WITH its run
+    // metric (the reference's registry logs the validation metric beside
+    // each version, `03:300-314`), re-register the artifact as v2
+    // (file-level copy — the MLWriter round-trip for an unchanged model
+    // costs a Spark write job per pipeline stage; the metric record
+    // travels with the artifact), promote v2, load Production, score
+    // consistency, and verify the PRODUCTION version's recorded metric
+    // equals an independent recompute from the loaded model.
     "m7_model_store" -> ((s, dir) => {
       import s.implicits._
+      import graft.functions.VecStats.vec_stats
       val a = Catalogs.sideA(s, dir).where("id % 20 = 0").withColumn("table", lit("abt"))
         .withColumn("description", coalesce(col("description"), lit("")))
       val pipe = TextFeatures.namePipeline().fit(a)
       val root = "/root/repo/target/qtmp/registry"
       val name = "name_pipeline"
+      // the run metric: mean nnz of the fitted name features over the
+      // training frame — deterministic given the seeded pipeline, so the
+      // round-trip check is exact equality, not a tolerance
+      def meanNnz(m: PipelineModel): Double = m.transform(a)
+        .agg(avg(vec_stats(col("name_features")).getField("nnz")))
+        .head().getDouble(0)
       val v1 = ModelStore.save(pipe, root, name)
+      ModelStore.logMetric(root, name, v1, "mean_name_nnz", meanNnz(pipe),
+        frameFingerprint = s"sideA:id%20=0:$dir",
+        params = Map("pipeline" -> "namePipeline"))
       ModelStore.setProduction(root, name, v1)
       val v2 = ModelStore.copyVersion(root, name, v1)
       ModelStore.setProduction(root, name, v2)
@@ -520,10 +562,19 @@ object MatchQueries {
       // promoting v2 ARCHIVES the previous Production version explicitly
       val lifecycleOk = ModelStore.stage(root, name, v1) == "Archived" &&
         ModelStore.stage(root, name, v2) == "Production"
+      // "which Production model, at what measured quality?" answered
+      // from the registry alone: the pointer's recorded metric must
+      // equal the refit-free recompute from the loaded artifact
+      val rec = ModelStore.readMetric(root, name,
+        ModelStore.productionVersion(root, name).get)
+      val metricOk = rec.exists(m =>
+        m.metric == "mean_name_nnz" && m.value == meanNnz(prod) &&
+          m.params.get("pipeline").contains("namePipeline"))
       Seq((v1 < v2, ModelStore.productionVersion(root, name).contains(v2),
-           lifecycleOk, same))
+           lifecycleOk, same, metricOk))
         .toDF("versions_increment", "production_points_at_v2",
-          "old_version_archived", "prod_scores_match")
+          "old_version_archived", "prod_scores_match",
+          "prod_metric_matches_refit")
     }),
 
     // X2 — model scoring through native transform (no UDF boundary),
@@ -622,7 +673,15 @@ object MatchQueries {
         |FROM part WHERE p_partkey % 50 = 0""".stripMargin,
     "m7_model_store" ->
       """SELECT true AS versions_increment, true AS production_points_at_v2,
-        |  true AS old_version_archived, true AS prod_scores_match""".stripMargin,
+        |  true AS old_version_archived, true AS prod_scores_match,
+        |  true AS prod_metric_matches_refit""".stripMargin,
+    // content companion: the golden count is SQL-exact; the per-row
+    // label/distinctness/count verifications over the full ranked output
+    // are model-state booleans the driver hash-gates
+    "er_flagship_top_pairs" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_golden, true AS count_exact,
+        |  true AS labels_match_golden, true AS pairs_distinct
+        |FROM part WHERE p_partkey % 3 != 0 AND p_partkey % 10 = 0""".stripMargin,
     "f13_pipeline_chain" ->
       s"""SELECT t."table", t.id, CAST(46656 AS INT) AS name_dim,
          |  CAST(50 AS INT) AS descript_dim, CAST(1 AS INT) AS price_dim

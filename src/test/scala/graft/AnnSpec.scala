@@ -1035,4 +1035,102 @@ class AnnSpec extends SparkSpec {
       .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
     assert(first == top1)
   }
+
+  test("tuneProbe: persisted operating point — monotone curve, full-probe " +
+       "recall 1.0, recall-target serve resolves the smallest measured " +
+       "probe, a committed append makes the point stale until re-tuned") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = "/root/repo/target/qtmp/annspec_tune_store"
+    graft.io.IO.deletePath(path)
+    Ann.writeIvfStore(emb, path)
+    val queries = emb.where("vec_id < 5")
+    val curve = Ann.tuneProbe(spark, path, queries, k = 10)
+      .orderBy("n_probe").as[(Int, Double)].collect().toSeq
+    assert(curve.last._2 == 1.0, s"full-probe point must be exactly 1.0: $curve")
+    assert(curve.sliding(2).forall(w => w(0)._2 <= w(1)._2),
+      s"curve must be monotone: $curve")
+    val (k, _, pts) = Ann.readProbeCurve(spark, path)
+    assert(k == 10 && pts == curve, s"round-trip mismatch: $pts vs $curve")
+    assert(!Ann.probeCurveStale(spark, path))
+    // resolve rule: the SMALLEST measured probe meeting the target
+    val target = 0.9
+    val p = Ann.resolveProbe(spark, path, target)
+    assert(pts.filter(_._1 < p).forall(_._2 < target),
+      s"a smaller probe already met $target: $pts resolved $p")
+    assert(pts.find(_._1 == p).exists(_._2 >= target),
+      s"resolved probe $p does not meet $target in $pts")
+    // the recall-target serve IS the resolved-probe serve
+    val atRecall = Ann.ivfStoreTopKAtRecall(spark, path, queries, 10, target)
+      .select("query_id", "nn_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val atProbe = Ann.ivfStoreTopK(spark, path, queries, 10, nProbe = p)
+      .select("query_id", "nn_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(atRecall == atProbe)
+    // an unreachable target resolves to the full-probe point (total)
+    assert(Ann.resolveProbe(spark, path, 1.0) == pts.map(_._1).max ||
+      pts.exists(pt => pt._2 >= 1.0 && pt._1 == Ann.resolveProbe(spark, path, 1.0)))
+    // drift: an appended commit outdates the measured point — the
+    // re-tune signal ann_store_staleness's drift report pairs with
+    Ann.appendIvfStore(emb.where("vec_id < 3")
+      .select(($"vec_id" + 5000L).as("vec_id"), $"embedding"), path)
+    assert(Ann.probeCurveStale(spark, path),
+      "append must outdate the recorded operating point")
+    Ann.tuneProbe(spark, path, queries, k = 10)
+    assert(!Ann.probeCurveStale(spark, path), "re-tune must clear staleness")
+    // an untuned store refuses a recall-target serve (no measured basis)
+    val bare = "/root/repo/target/qtmp/annspec_tune_bare"
+    graft.io.IO.deletePath(bare)
+    Ann.writeIvfStore(emb.where("vec_id < 40"), bare)
+    intercept[IllegalArgumentException] {
+      Ann.resolveProbe(spark, bare, 0.9)
+    }
+  }
+
+  test("refreshIvfStore: gated on the measured drift report; the refit " +
+       "re-routes in one commit, resets the staleness baseline, and " +
+       "serves exactly a batch assignment under the new centroids") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = "/root/repo/target/qtmp/annspec_refresh_store"
+    graft.io.IO.deletePath(path)
+    Ann.writeIvfStore(emb, path)
+    // fresh store: build == now, nothing drifted — the gate declines and
+    // commits nothing
+    val v0 = graft.io.IO.storeVersions(spark, path)
+    assert(!Ann.refreshIvfStore(spark, path))
+    assert(graft.io.IO.storeVersions(spark, path) == v0)
+    // plant REAL drift: every vector re-embedded far out of distribution
+    val drift = emb.select(($"vec_id" + 9000L).as("vec_id"),
+      transform($"embedding", x => x * lit(5.0f) + lit(3.0f)).as("embedding"))
+    Ann.appendIvfStore(drift, path)
+    assert(Ann.ivfStoreStaleness(spark, path)
+      .where($"drifted" && $"n_now" > 0).count() > 0,
+      "planted drift must trip the report")
+    val v1 = graft.io.IO.storeVersions(spark, path)
+    assert(Ann.refreshIvfStore(spark, path), "tripped gate must refresh")
+    val v2 = graft.io.IO.storeVersions(spark, path)
+    assert(v2.size == v1.size + 1, "refresh must be ONE atomic commit")
+    // baseline advanced to the refresh version: the report is clean for
+    // exactly the corpus the new quantizer was fit on
+    assert(Ann.ivfStoreStaleness(spark, path)
+      .where($"drifted" && $"n_now" > 0).count() == 0L)
+    // pre-refresh versions stay time-travel-readable (servable counts
+    // computed per side: a ×5+3 re-embed can make a zero vector usable)
+    val nServable = emb.where(Ann.cosineUsable($"embedding")).count() +
+      drift.where(Ann.cosineUsable($"embedding")).count()
+    val preRows = graft.io.IO.readPartitionedStoreAt(spark, path, v1.last)
+      .where($"nn_id" >= 0).count()
+    assert(preRows == nServable, s"pre-refresh read lost rows: $preRows")
+    // served results equal a batch assignment of the CURRENT corpus
+    // under the refreshed centroids (row content was only re-routed)
+    val queries = emb.where("vec_id < 5")
+    val cents = Ann.readCentroids(spark, path)
+    val corpus = emb.select("vec_id", "embedding").unionByName(drift)
+    val served = Ann.ivfStoreTopK(spark, path, queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val batch = Ann.ivfTopKFromAssigned(Ann.assignCells(corpus, cents), cents,
+        queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served == batch)
+  }
 }

@@ -695,4 +695,41 @@ class IOSpec extends SparkSpec {
     assert(out == Set((Some(1L), "a"), (Some(2L), "b")),
       s"NULL-key delete not applied: $out")
   }
+
+  test("cloneStore: O(files) hardlink clone reads identically with the " +
+       "same history; mutating (and vacuuming) the clone leaves the " +
+       "source byte-identical") {
+    val src = s"$tmp/clone_src"
+    val dst = s"$tmp/clone_dst"
+    IO.deletePath(src); IO.deletePath(dst)
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    IO.writePartitionedStore(df, src, Seq("k"), nBuckets = 8)
+    IO.appendPartitionedStore(spark, src,
+      Seq((101L, "v101")).toDF("k", "v"), Seq("k"))
+    IO.cloneStore(spark, src, dst)
+    val srcRows = IO.readPartitionedStore(spark, src)
+      .as[(Long, String)].collect().toSet
+    assert(IO.readPartitionedStore(spark, dst)
+      .as[(Long, String)].collect().toSet == srcRows)
+    assert(IO.storeVersions(spark, dst) == IO.storeVersions(spark, src),
+      "the clone must carry the full committed history")
+    val srcVersions = IO.storeVersions(spark, src)
+    // mutate the clone: keyed delete + upsert, then VACUUM it — vacuum
+    // unlinks the clone's own directory entries; shared inodes must
+    // survive for the source (the hardlink-safety claim)
+    IO.deleteFromPartitionedStore(spark, dst,
+      Seq(1L, 2L).toDF("k"), Seq("k"))
+    IO.upsertPartitionedStore(spark, dst,
+      Seq((3L, "CHANGED")).toDF("k", "v"), Seq("k"), Seq("v"))
+    IO.vacuumPartitionedStore(spark, dst, orphanGraceMs = 0L)
+    assert(IO.storeVersions(spark, src) == srcVersions,
+      "mutating the clone must not advance the source's history")
+    assert(IO.readPartitionedStore(spark, src)
+      .as[(Long, String)].collect().toSet == srcRows,
+      "the source must read byte-identical after the clone mutated")
+    val mutated = IO.readPartitionedStore(spark, dst)
+      .as[(Long, String)].collect().toMap
+    assert(!mutated.contains(1L) && !mutated.contains(2L) &&
+      mutated(3L) == "CHANGED" && mutated(101L) == "v101")
+  }
 }

@@ -323,6 +323,26 @@ class MatcherSpec extends SparkSpec {
     assert(ModelStore.stage(root, "m", v3) == "Production")
     assert(Seq(v1, v2, v3).count(v =>
       ModelStore.stage(root, "m", v) == "Production") == 1)
+
+    // run-metric sidecar: logged with a version, read back exactly,
+    // carried by copyVersion (the copy IS the same fitted artifact, so
+    // its measured metric still describes it); never invented for a
+    // version that logged none
+    ModelStore.logMetric(root, "m", v1, "aupr", 0.8125,
+      frameFingerprint = "pairs:200:seed42",
+      params = Map("maxIter" -> "3", "maxDepth" -> "2"))
+    assert(ModelStore.readMetric(root, "m", v1).contains(
+      ModelStore.RunMetric("aupr", 0.8125, "pairs:200:seed42",
+        Map("maxIter" -> "3", "maxDepth" -> "2"))))
+    assert(ModelStore.readMetric(root, "m", v2).isEmpty,
+      "an unlogged version must not read a metric")
+    val v4 = ModelStore.copyVersion(root, "m", v1)
+    assert(ModelStore.readMetric(root, "m", v4) ==
+      ModelStore.readMetric(root, "m", v1),
+      "copyVersion must carry the metric sidecar")
+    intercept[IllegalArgumentException] {
+      ModelStore.logMetric(root, "m", 999, "aupr", 0.5)
+    }
   }
 
   test("fit memo: concurrent computes on distinct keys never serialize " +

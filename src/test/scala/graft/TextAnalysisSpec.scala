@@ -285,6 +285,66 @@ class TextAnalysisSpec extends SparkSpec {
     assert(post2 == pre, "compaction changed served scores")
   }
 
+  test("Bm25Store: keyed DELETE + re-index UPSERT — one atomic commit " +
+       "each, postings and stats adjust so serve equals a from-scratch " +
+       "rebuild bit-for-bit, history preserved, no-ops commit nothing") {
+    import graft.llm.Bm25Store
+    val docs = Seq(
+      (1L, "cat dog cat"), (2L, "dog fish"), (3L, "bird"),
+      (4L, "cat fish fish dog"), (5L, "owl bat cat"))
+      .toDF("doc_id", "text")
+    val path = "/root/repo/target/qtmp/txspec_bm25_mut"
+    graft.io.IO.deletePath(path)
+    Bm25Store.write(docs, path, termBuckets = 8)
+    val v1 = graft.io.IO.storeVersions(spark, path).last
+    def serveEqualsRebuild(corpus: org.apache.spark.sql.DataFrame,
+                           terms: Seq[String]): Unit = {
+      val rb = "/root/repo/target/qtmp/txspec_bm25_mut_rb"
+      graft.io.IO.deletePath(rb)
+      Bm25Store.write(corpus, rb, termBuckets = 8)
+      val a = Bm25Store.scores(spark, path, terms)
+        .as[(Long, Int, Double)].collect().toSet
+      val b = Bm25Store.scores(spark, rb, terms)
+        .as[(Long, Int, Double)].collect().toSet
+      assert(a == b, s"served=$a rebuild=$b")
+    }
+    // DELETE doc 2: its postings vanish from every term bucket, the
+    // stats compensate (n_docs/avgdl shift), ONE commit
+    Bm25Store.delete(spark, path, Seq(2L).toDF("doc_id"))
+    assert(graft.io.IO.storeVersions(spark, path).last == v1 + 1)
+    val afterDel = docs.where("doc_id != 2")
+    serveEqualsRebuild(afterDel, Seq("dog", "fish", "cat"))
+    // UPSERT: doc 3 re-indexes to entirely different terms (its old
+    // posting must vanish, the new ones land), doc 9 is novel — ONE
+    // commit for both
+    Bm25Store.upsert(Seq((3L, "omega cat"), (9L, "omega omega bat"))
+      .toDF("doc_id", "text"), path)
+    assert(graft.io.IO.storeVersions(spark, path).last == v1 + 2)
+    val updated = afterDel.where("doc_id != 3")
+      .unionByName(Seq((3L, "omega cat"), (9L, "omega omega bat"))
+        .toDF("doc_id", "text"))
+    serveEqualsRebuild(updated, Seq("omega", "cat", "bird", "bat"))
+    // the replaced doc's OLD term no longer hits it
+    assert(Bm25Store.scores(spark, path, Seq("bird"))
+      .where(col("doc_id") === 3L).count() == 0L)
+    // time travel: the pre-mutation version still scores the original
+    // corpus (postings + stats consistent at that version)
+    val statsV1 = graft.io.IO.readPartitionedStoreAt(spark, path, v1)
+      .where(col("term") === "__STATS__")
+      .agg(sum("n_docs")).as[Long].head()
+    assert(statsV1 == 5L)
+    // no-op delete (no posting for the id) and empty upsert commit nothing
+    val vNow = graft.io.IO.storeVersions(spark, path).last
+    Bm25Store.delete(spark, path, Seq(777L).toDF("doc_id"))
+    Bm25Store.upsert(Seq.empty[(Long, String)].toDF("doc_id", "text"), path)
+    assert(graft.io.IO.storeVersions(spark, path).last == vNow)
+    // a duplicated delta doc_id fails fast (its texts would silently
+    // merge in the tf groupBy)
+    intercept[Exception] {
+      Bm25Store.upsert(Seq((8L, "x y"), (8L, "z")).toDF("doc_id", "text"), path)
+    }
+  }
+
   test("Bm25Store: width-constant serve — duplicate query terms " +
        "double-score like the full scan's per-index columns, and a " +
        "multi-hundred-term query serves with no per-term plan columns") {
