@@ -56,7 +56,9 @@ object ScaleProbe {
     val out = Paths.get("/root/repo/target/qtmp",
       s"scale_${Integer.toHexString(base.hashCode)}_x$factor")
     val marker = out.resolve("_graft_staged")
-    val sig = Seq("part", "documents", "embeddings").map { t =>
+    // v2: embedding inflation rule changed (pmod rotation + per-copy
+    // coordinate nudge) — the version token invalidates v1 stagings
+    val sig = "v2:" + Seq("part", "documents", "embeddings").map { t =>
       val p = Paths.get(base, s"$t.parquet")
       s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
     }.mkString(",")
@@ -76,13 +78,21 @@ object ScaleProbe {
       .withColumn("text", tokenRename(col("text"), col("__cp")))
       .drop("__cp")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // rotate by __cp mod dim (the raw slice offsets wrap to the ORIGINAL
+    // vector once __cp >= dim — a duplicate flood, not a bigger corpus),
+    // then nudge one copy-dependent coordinate so even copies sharing a
+    // rotation (factor > dim) stay direction-distinct
     inflated("embeddings")
       .withColumn("vec_id", col("vec_id") + col("__cp") * KeyOffset)
       .withColumn("embedding",
         when(col("__cp") === 0 || col("embedding").isNull, col("embedding"))
-          .otherwise(concat(
-            expr("slice(embedding, __cp + 1, 1000000)"),
-            expr("slice(embedding, 1, __cp)"))))
+          .otherwise(transform(
+            concat(
+              expr("slice(embedding, pmod(__cp, size(embedding)) + 1, 1000000)"),
+              expr("slice(embedding, 1, pmod(__cp, size(embedding)))")),
+            (x, i) => when(i === pmod(col("__cp"), size(col("embedding"))),
+                x + (col("__cp") % 97).cast("float") * lit(0.003f))
+              .otherwise(x))))
       .drop("__cp")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     Files.writeString(marker, sig)
@@ -206,9 +216,76 @@ object ScaleProbe {
       tBmBuild, tBmServe, tDelta, tCc, cc._2)
   }
 
+  /** SERVE-ONLY probe point — the 100×-class check of the pruned-serve
+    * family. The full probe's quadratic-prone pipelines (flagship,
+    * minhash, CC) are bounded at 10×; the three STORE serves measured
+    * flat there are the paths DESIGNED for far larger corpora, so they
+    * get one point at 100× inflation: stores are built on the inflated
+    * corpus (build cost is the 10× probe's ~linear concern, not timed
+    * here) and only the serve walls are bounded — ≤ 2× while the corpus
+    * grew `factor`×, because a serve reads probed cells / query-term
+    * buckets whose count and per-bucket volume grow √n, all dwarfed by
+    * fixed job overhead at these absolute sizes. */
+  private case class ServePoint(ivfS: Double, ivfPqS: Double, bm25S: Double)
+
+  private def measureServe(spark: SparkSession, dir: String, tag: String): ServePoint = {
+    val emb = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val store = s"/root/repo/target/qtmp/scaleprobe_srv_ivf_$tag"
+    graft.io.IO.deletePath(store)
+    graft.llm.Ann.writeIvfStore(emb, store, nCells = 0)
+    val nCells = graft.llm.Ann.readCentroids(spark, store).count()
+    val queries = emb.where("vec_id < 24") // copy-0 original vectors
+    val (_, tServe) = timed {
+      graft.llm.Ann.ivfStoreTopK(spark, store, queries, k = 10).count()
+    }
+    val pqStore = s"/root/repo/target/qtmp/scaleprobe_srv_ivfpq_$tag"
+    graft.io.IO.deletePath(pqStore)
+    graft.llm.Ann.writeIvfPqStore(emb, pqStore,
+      centroids = Some(graft.llm.Ann.readCentroids(spark, store)))
+    val (_, tPqServe) = timed {
+      graft.llm.Ann.ivfPqStoreTopK(spark, pqStore, queries, k = 10,
+        refineFrom = Some(emb)).count()
+    }
+    val bmStore = s"/root/repo/target/qtmp/scaleprobe_srv_bm25_$tag"
+    graft.io.IO.deletePath(bmStore)
+    graft.llm.Bm25Store.write(docs, bmStore, termBuckets = 0)
+    val (nHits, tBmServe) = timed {
+      graft.llm.Bm25Store.scores(spark, bmStore,
+        Seq("vector", "stream", "hash", "spark")).count()
+    }
+    println(f"[scale] $tag serves ($nCells cells): ivf $tServe%.1f s, " +
+      f"ivfpq $tPqServe%.1f s, bm25 $tBmServe%.1f s ($nHits hits)")
+    ServePoint(tServe, tPqServe, tBmServe)
+  }
+
+  private def serveOnlyMain(spark: SparkSession, base: String, factor: Int): Unit = {
+    val big = inflateDir(spark, base, factor)
+    println(s"[scale] inflated dir staged at $big (factor $factor, serve-only)")
+    val p1 = measureServe(spark, base, "srv1x")
+    val pN = measureServe(spark, big, s"srv${factor}x")
+    def ratio(a: Double, b: Double) = b / math.max(a, 1e-9)
+    val bound = 2.0
+    val checks = Seq(
+      ("ivf store serve flat at 100x-class corpus", ratio(p1.ivfS, pN.ivfS)),
+      ("ivfpq store serve flat at 100x-class corpus", ratio(p1.ivfPqS, pN.ivfPqS)),
+      ("bm25 store serve flat at 100x-class corpus", ratio(p1.bm25S, pN.bm25S)))
+    var ok = true
+    checks.foreach { case (name, r) =>
+      val pass = r <= bound
+      ok &= pass
+      println(f"[scale] ${if (pass) "PASS" else "FAIL"} $name: " +
+        f"ratio $r%.2fx (bound $bound%.1fx at factor $factor)")
+    }
+    println(s"[scale] ${if (ok) "ALL PASS" else "FAILED"}")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val serveOnly = args.contains("--serve-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -220,6 +297,7 @@ object ScaleProbe {
       // run / fork javaOptions
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (serveOnly) { serveOnlyMain(spark, base, factor); return }
     val big = inflateDir(spark, base, factor)
     println(s"[scale] inflated dir staged at $big (factor $factor)")
 

@@ -1021,13 +1021,19 @@ object LlmQueries {
       graft.io.IO.cloneStore(s, sharedBm25Store(s, dir), path)
       val preVersion = graft.io.IO.storeVersions(s, path).last
       val nV0 = graft.io.IO.storeVersions(s, path).size
+      // the three mutation frames are PINNED: each is consumed by ~4
+      // downstream jobs (the mutation itself, the rebuild oracle's
+      // anti-join, the leftover/time-travel broadcasts, the counts),
+      // and re-deriving them re-tokenizes the corpus per consumer
       val tokenful = docs.where(size(TextAnalysis.tokens(col("text"))) > 0)
-      val deleted = tokenful.where("doc_id % 11 = 5")
+      val deleted = tokenful.where("doc_id % 11 = 5").localCheckpoint()
       val reindexed = tokenful.where("doc_id % 7 = 3 and doc_id % 11 != 5")
         .select(col("doc_id"),
           concat(col("text"), lit(" graftupd graftupd")).as("text"))
+        .localCheckpoint()
       val novel = tokenful.where("doc_id % 31 = 0")
         .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+        .localCheckpoint()
       val nDeleted = deleted.count()
       val nUpserted = reindexed.count() + novel.count()
       Bm25Store.delete(s, path, deleted.select("doc_id"))
@@ -1055,10 +1061,12 @@ object LlmQueries {
         (if (nUpserted > 0) 1 else 0)
       val preLeft = graft.io.IO.readPartitionedStoreAt(s, path, preVersion)
         .join(broadcast(deleted.select("doc_id")), Seq("doc_id")).count()
-      Seq((nDeleted, nUpserted, same, leftover == 0L,
+      val out = Seq((nDeleted, nUpserted, same, leftover == 0L,
            commits == expectCommits, nDeleted == 0L || preLeft > 0L))
         .toDF("n_deleted", "n_upserted", "serve_equals_rebuild",
           "deleted_gone", "commits_expected", "history_preserved")
+      Seq(deleted, reindexed, novel).foreach(_.unpersist(blocking = false))
+      out
     }),
 
     // Hybrid retrieval: BM25 lexical top-50 fused with cosine semantic
