@@ -283,9 +283,13 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    // flags are stripped BEFORE positional parsing, so "--serve-only"
+    // without an explicit factor neither parses as the factor (NFE) nor
+    // masquerades as the base directory
     val serveOnly = args.contains("--serve-only")
+    val pos = args.filterNot(_.startsWith("--"))
+    val base = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = pos.lift(1).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -714,7 +714,7 @@ object IO {
                                      rewrite: () => DataFrame,
                                      beforeCommit: () => Unit = () => (),
                                      maxAttempts: Int = 5,
-                                     beforeClaim: () => Unit = () => ()): Unit =
+                                     beforeClaim: () => Unit = () => ()): Option[Int] =
     commitRewrittenBucketsPlanned(spark, targetPath, () => (touched, rewrite()),
       beforeCommit, maxAttempts, beforeClaim)
 
@@ -727,12 +727,16 @@ object IO {
     * duplicate the key. Hash-routed callers pass a constant set (their
     * bucket IS a pure key function, so relocation is impossible). A plan
     * whose touched set comes back empty is a no-op: nothing to rewrite,
-    * no version committed. */
+    * no version committed. Returns the version THIS call committed (None
+    * for the no-op) — callers that record per-commit state (the
+    * refresh's staleness baseline) must use it rather than re-reading
+    * storeVersions.last, which a racing writer's later commit can have
+    * advanced past ours. */
   private def commitRewrittenBucketsPlanned(spark: SparkSession, targetPath: String,
                                             plan: () => (Set[Int], DataFrame),
                                             beforeCommit: () => Unit = () => (),
                                             maxAttempts: Int = 5,
-                                            beforeClaim: () => Unit = () => ()): Unit = {
+                                            beforeClaim: () => Unit = () => ()): Option[Int] = {
     val (fs, root) = hfs(spark, targetPath)
     // reused across attempts when the base hasn't advanced: a refused
     // claim (peer mid-commit, not yet committed) must not cost a second
@@ -754,7 +758,7 @@ object IO {
         // describe the same manifest version
         val (t, frame) = plan()
         touched = t
-        if (touched.isEmpty) return
+        if (touched.isEmpty) return None
         genName = newGenName(cur + 1)
         val genPath = new HPath(root, s"$GenCol=$genName")
         // same rebalance-before-partitionBy as writePartitionedStore: the
@@ -778,7 +782,7 @@ object IO {
               writeManifestVersion(fs, root, next, kept ++ written.map(_ -> genName))
               beforeCommit()
               if (holdsClaim(fs, root, next, nonce)) {
-                try { commitManifestVersion(fs, root, next); return }
+                try { commitManifestVersion(fs, root, next); return Some(next) }
                 catch { case e: java.io.IOException =>
                   // marker landed from a fenced-off racer in the residual
                   // window: a lost race, not a failure — loop and recompute
@@ -959,7 +963,7 @@ object IO {
     * stay time-travel-readable until vacuum. */
   private[graft] def rewriteStoreBuckets(spark: SparkSession, path: String,
                                          buckets: Set[Int],
-                                         rewrite: () => DataFrame): Unit =
+                                         rewrite: () => DataFrame): Option[Int] =
     commitRewrittenBuckets(spark, path, buckets, rewrite)
 
   /** CHANGE FEED — the net row-level diff between two committed versions,
@@ -1306,19 +1310,35 @@ object IO {
     val (fs, root) = hfs(spark, srcPath)
     require(currentManifestVersion(fs, root).isDefined,
       s"$srcPath has no committed manifest — not a partitioned store")
-    val src = Paths.get(srcPath)
-    val dst = Paths.get(dstPath)
+    val src = Paths.get(srcPath).toAbsolutePath.normalize
+    val dst = Paths.get(dstPath).toAbsolutePath.normalize
+    // self/nested-clone guard: deleteRecursive(dst) on dst == src would
+    // destroy the store the manifest check just validated; a dst nested
+    // under src would walk into the directories being created
+    require(dst != src && !dst.startsWith(src) && !src.startsWith(dst),
+      s"clone target $dst must be disjoint from source $src")
     deleteRecursive(dst)
+    // HARDLINK only the immutable bytes: parquet data under generation
+    // directories, which no commit ever rewrites in place. Everything
+    // else — manifests, commit markers, _graft_buckets, the store-kind /
+    // probe-curve / staleness-baseline sidecars — is COPIED: those files
+    // ARE overwritten in place by later maintenance (fs.create(overwrite)
+    // truncates the inode), so a hardlinked sidecar would let a tune or
+    // refresh on either store silently rewrite the other's.
     val walk = Files.walk(src) // must close — holds directory handles
     try walk.forEach { p =>
       val rel = src.relativize(p)
       val out = dst.resolve(rel)
       if (Files.isDirectory(p)) Files.createDirectories(out)
       else if (!p.getFileName.toString.endsWith(".lock")) {
-        try Files.createLink(out, p)
-        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-          Files.copy(p, out, StandardCopyOption.REPLACE_EXISTING)
-        }
+        val immutableData = rel.toString.startsWith(GenCol + "=") &&
+          p.getFileName.toString.endsWith(".parquet")
+        if (immutableData) {
+          try Files.createLink(out, p)
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(p, out, StandardCopyOption.REPLACE_EXISTING)
+          }
+        } else Files.copy(p, out, StandardCopyOption.REPLACE_EXISTING)
       }
     } finally walk.close()
   }

@@ -721,40 +721,54 @@ object Ann {
     val grid = (if (probes.nonEmpty) probes.filter(p => p >= 1 && p < nCells)
                 else Iterator.iterate(1)(_ * 2).takeWhile(_ < nCells).toSeq)
       .distinct.sorted :+ nCells
+    // the version is read BEFORE measuring and re-checked after: every
+    // grid point must describe ONE store version (the subset-nesting
+    // monotonicity theorem only holds within a version), and the stamp
+    // must be the version actually measured — a commit landing mid-tune
+    // fails loudly instead of persisting a mongrel curve it would then
+    // report as current
+    val v0 = graft.io.IO.storeVersions(spark, path).last
     // pin the query frame once: every grid point must serve the SAME
     // query set (nondeterministic caller lineage would otherwise tune
     // different points on different queries)
     val q = queries.where(cosineUsable(col(vecCol)))
       .select(col(idCol), col(vecCol)).localCheckpoint()
-    val nQ = q.count()
-    val full = ivfStoreTopK(spark, path, q, k, nProbe = nCells,
-        idCol = idCol, vecCol = vecCol)
-      .select("query_id", "nn_id").localCheckpoint()
-    val nFull = full.count()
-    val curve = grid.map { p =>
-      val recall =
-        if (p == nCells) 1.0 // by theorem; spares the redundant self-join
-        else {
-          val hit = ivfStoreTopK(spark, path, q, k, nProbe = p,
-              idCol = idCol, vecCol = vecCol)
-            .select("query_id", "nn_id")
-            .join(full, Seq("query_id", "nn_id")).count()
-          hit.toDouble / math.max(nFull, 1L)
-        }
-      (p, BigDecimal(recall)
-        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }
-    val (fs, root) = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-    }
-    val cur = graft.io.IO.storeVersions(spark, path).last
-    val out = fs.create(probeCurvePath(path), true)
-    try out.write((s"k=$k\tversion=$cur\tn_queries=$nQ\n" +
-      curve.map { case (p, r) => s"$p\t$r" }.mkString("\n")).getBytes("UTF-8"))
-    finally out.close()
-    full.unpersist(blocking = false)
-    q.unpersist(blocking = false)
+    val curve =
+      try {
+        val nQ = q.count()
+        val full = ivfStoreTopK(spark, path, q, k, nProbe = nCells,
+            idCol = idCol, vecCol = vecCol)
+          .select("query_id", "nn_id").localCheckpoint()
+        try {
+          val nFull = full.count()
+          val pts = grid.map { p =>
+            val recall =
+              if (p == nCells) 1.0 // by theorem; spares the redundant self-join
+              else {
+                val hit = ivfStoreTopK(spark, path, q, k, nProbe = p,
+                    idCol = idCol, vecCol = vecCol)
+                  .select("query_id", "nn_id")
+                  .join(full, Seq("query_id", "nn_id")).count()
+                hit.toDouble / math.max(nFull, 1L)
+              }
+            (p, BigDecimal(recall)
+              .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          val vEnd = graft.io.IO.storeVersions(spark, path).last
+          require(vEnd == v0,
+            s"$path advanced v$v0 -> v$vEnd mid-tune — the measured points " +
+              "span store versions; re-run the tune against the quiet store")
+          val (fs, _) = {
+            val pp = new org.apache.hadoop.fs.Path(path)
+            (pp.getFileSystem(spark.sessionState.newHadoopConf()), pp)
+          }
+          val out = fs.create(probeCurvePath(path), true)
+          try out.write((s"k=$k\tversion=$v0\tn_queries=$nQ\n" +
+            pts.map { case (p, r) => s"$p\t$r" }.mkString("\n")).getBytes("UTF-8"))
+          finally out.close()
+          pts
+        } finally full.unpersist(blocking = false)
+      } finally q.unpersist(blocking = false)
     import spark.implicits._
     curve.toDF("n_probe", "recall")
   }
@@ -796,12 +810,19 @@ object Ann {
   /** The smallest MEASURED nProbe whose recorded recall meets
     * `minRecall`; falls back to the largest measured probe (the
     * full-probe point, recall 1.0 by theorem) when no smaller one does —
-    * so the resolve is total for any target ≤ 1.0. */
+    * so the resolve is total for any target ≤ 1.0. `forK` (when ≥ 0)
+    * requires the curve to have been tuned at THAT k: recall@k is not
+    * recall@k' — a probe budget measured for top-10 says nothing about
+    * top-100, and resolving across the mismatch would silently serve
+    * below the stated target. */
   def resolveProbe(spark: org.apache.spark.sql.SparkSession, path: String,
-                   minRecall: Double): Int = {
+                   minRecall: Double, forK: Int = -1): Int = {
     require(minRecall > 0.0 && minRecall <= 1.0,
       s"minRecall must be in (0, 1]; got $minRecall")
-    val (_, _, pts) = readProbeCurve(spark, path)
+    val (curveK, _, pts) = readProbeCurve(spark, path)
+    require(forK < 0 || curveK == forK,
+      s"$path's probe curve was tuned at k=$curveK, not k=$forK — recall@k " +
+        "does not transfer across k; re-run tuneProbe at the serving k")
     pts.sortBy(_._1).collectFirst { case (p, r) if r >= minRecall => p }
       .getOrElse(pts.map(_._1).max)
   }
@@ -816,8 +837,10 @@ object Ann {
                            allowedIds: Option[DataFrame] = None,
                            idCol: String = "vec_id",
                            vecCol: String = "embedding"): DataFrame =
+    // forK = k: the curve must have been tuned at the SERVING k — see
+    // resolveProbe (recall@10 says nothing about recall@100)
     ivfStoreTopK(spark, path, queries, k,
-      nProbe = resolveProbe(spark, path, minRecall),
+      nProbe = resolveProbe(spark, path, minRecall, forK = k),
       allowedIds = allowedIds, idCol = idCol, vecCol = vecCol)
 
   /** Compact a vector store's fragmented cells — the OPTIMIZE step every
@@ -1138,13 +1161,18 @@ object Ann {
         .withColumn(graft.io.IO.BucketCol, lit(reserved))
       data.unionByName(centRows)
     }
-    graft.io.IO.rewriteStoreBuckets(spark, path, (0 until nBuckets).toSet,
-      () => rewrite())
-    val cur = graft.io.IO.storeVersions(spark, path).last
+    // the baseline is the version THIS rewrite committed — returned from
+    // the OCC loop, never re-read from storeVersions.last, which a
+    // racing writer's immediately-following commit could have advanced
+    // past ours (baselining on that commit would under-report ITS drift)
+    val committed = graft.io.IO.rewriteStoreBuckets(spark, path,
+      (0 until nBuckets).toSet, () => rewrite())
+      .getOrElse(throw new IllegalStateException(
+        s"refresh rewrite of $path committed no version"))
     val p = stalenessBasePath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try out.write(cur.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(committed.toString.getBytes("UTF-8")) finally out.close()
     true
   }
 

@@ -61,8 +61,18 @@ object ModelStore {
                 params: Map[String, String] = Map.empty): Unit = {
     require(versions(root, name).contains(version),
       s"no version v$version under $root/$name")
-    require(!metric.contains("\t") && !metric.contains("\n"),
-      "metric name must be TSV-safe")
+    // EVERY persisted field must be TSV-safe, not just the metric name:
+    // a tab inside a param value would silently truncate it on read, a
+    // newline inside the fingerprint would parse its tail as a bogus
+    // param — fail at write time instead
+    def tsvSafe(label: String, s: String): Unit =
+      require(!s.contains("\t") && !s.contains("\n") && !s.contains("\r"),
+        s"$label must be TSV-safe (no tab/newline): ${s.take(80)}")
+    tsvSafe("metric name", metric)
+    tsvSafe("frameFingerprint", frameFingerprint)
+    params.foreach { case (k, v) =>
+      tsvSafe("param key", k); tsvSafe(s"param '$k' value", v)
+    }
     val lines = s"$metric\t$value\t$frameFingerprint" +:
       params.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
     Files.writeString(Paths.get(root, name, s"v$version.metrics"),

@@ -1078,6 +1078,14 @@ class AnnSpec extends SparkSpec {
       "append must outdate the recorded operating point")
     Ann.tuneProbe(spark, path, queries, k = 10)
     assert(!Ann.probeCurveStale(spark, path), "re-tune must clear staleness")
+    // a recall target only resolves at the k the curve was TUNED at —
+    // recall@10 says nothing about recall@100
+    intercept[IllegalArgumentException] {
+      Ann.resolveProbe(spark, path, target, forK = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.ivfStoreTopKAtRecall(spark, path, queries, k = 5, minRecall = target)
+    }
     // an untuned store refuses a recall-target serve (no measured basis)
     val bare = "/root/repo/target/qtmp/annspec_tune_bare"
     graft.io.IO.deletePath(bare)

@@ -731,5 +731,29 @@ class IOSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(!mutated.contains(1L) && !mutated.contains(2L) &&
       mutated(3L) == "CHANGED" && mutated(101L) == "v101")
+
+    // linking discipline: immutable parquet data shares inodes (that is
+    // the O(files) claim); CONTROL files do not — manifests and sidecars
+    // are overwritten IN PLACE by later maintenance (fs.create truncates
+    // the inode), so a hardlinked one would let either store silently
+    // rewrite the other's
+    import java.nio.file.{Files, Paths}
+    val dst2 = s"$tmp/clone_dst2"
+    IO.deletePath(dst2)
+    IO.cloneStore(spark, src, dst2)
+    assert(!Files.isSameFile(Paths.get(src, "_graft_buckets"),
+      Paths.get(dst2, "_graft_buckets")),
+      "control files must be copied, never hardlinked")
+    val srcData = Files.walk(Paths.get(src)).filter(p =>
+      p.toString.contains(IO.GenCol + "=") && p.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val rel = Paths.get(src).relativize(srcData)
+    assert(Files.isSameFile(srcData, Paths.get(dst2).resolve(rel)),
+      "immutable data files should hardlink (O(files), zero bytes moved)")
+    // self/nested-clone guard: the target must be disjoint from the source
+    intercept[IllegalArgumentException] { IO.cloneStore(spark, src, src) }
+    intercept[IllegalArgumentException] {
+      IO.cloneStore(spark, src, s"$src/nested")
+    }
   }
 }

@@ -343,6 +343,16 @@ class MatcherSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ModelStore.logMetric(root, "m", 999, "aupr", 0.5)
     }
+    // every persisted field is TSV-guarded — a tab in a param value
+    // would silently truncate on read; fail at write time instead
+    intercept[IllegalArgumentException] {
+      ModelStore.logMetric(root, "m", v1, "aupr", 0.5,
+        params = Map("note" -> "a\tb"))
+    }
+    intercept[IllegalArgumentException] {
+      ModelStore.logMetric(root, "m", v1, "aupr", 0.5,
+        frameFingerprint = "line1\nline2")
+    }
   }
 
   test("fit memo: concurrent computes on distinct keys never serialize " +
