@@ -79,6 +79,29 @@ object ModelStore {
       lines.mkString("\n"))
   }
 
+  /** The whole registry as ONE queryable frame — (version, stage,
+    * metric, value, frame_fingerprint, params) per registered version —
+    * so "which Production model, at what measured quality, trained
+    * how?" is a DataFrame filter instead of a file spelunk (the view
+    * the reference reads off its registry UI, `03:300-343`). Driver-side
+    * listing is correct here by construction: a registry holds FEW
+    * versions (they are promoted artifacts, not data), and the frame
+    * exists to JOIN against evaluation tables, not to carry volume.
+    * Params render as a sorted `k=v;…` string so the frame stays flat
+    * and hashable. */
+  def metricsTable(spark: org.apache.spark.sql.SparkSession, root: String,
+                   name: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    versions(root, name).sorted.map { v =>
+      val m = readMetric(root, name, v)
+      (v, stage(root, name, v),
+        m.map(_.metric), m.map(_.value), m.map(_.frameFingerprint),
+        m.map(_.params.toSeq.sorted.map { case (k, x) => s"$k=$x" }
+          .mkString(";")))
+    }.toDF("version", "stage", "metric", "value", "frame_fingerprint",
+      "params")
+  }
+
   /** The version's recorded run metric, if one was logged. */
   def readMetric(root: String, name: String, version: Int): Option[RunMetric] = {
     val p = Paths.get(root, name, s"v$version.metrics")

@@ -80,4 +80,37 @@ class EmptyInputSpec extends SparkSpec {
     emptyWithCols(Bpe.encodedTokenCounts(noDocs, fit.merges),
       "doc_id", "bpe_tokens")
   }
+
+  test("store maintenance ops: empty mutation/tune inputs are defined " +
+       "no-ops, never crashes or phantom commits") {
+    // tiny IVF store to mutate/tune against
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Array(1.0f + i * 0.1f, 0.5f - i * 0.05f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val path = "/root/repo/target/qtmp/empty_ops_ivf"
+    graft.io.IO.deletePath(path)
+    Ann.writeIvfStore(vecs, path)
+    val v0 = graft.io.IO.storeVersions(spark, path)
+    // empty delete/upsert: nothing located, nothing inserted — no commit
+    Ann.deleteFromVectorStore(spark, path, noVecs.select("vec_id"))
+    Ann.upsertVectorStore(noVecs.select("vec_id", "embedding"), path)
+    assert(graft.io.IO.storeVersions(spark, path) == v0,
+      "empty mutations must not commit phantom versions")
+    // tune with ZERO usable queries: a defined all-zero curve whose
+    // full-probe point is still 1.0 by theorem; resolve stays total
+    val curve = Ann.tuneProbe(spark, path, noVecs, k = 3)
+      .orderBy("n_probe").as[(Int, Double)].collect()
+    assert(curve.nonEmpty && curve.last._2 == 1.0)
+    assert(curve.init.forall(_._2 == 0.0),
+      s"no-query recall must be the defined 0.0, got $curve")
+    assert(Ann.resolveProbe(spark, path, 0.9, forK = 3) == curve.last._1)
+    // BM25: empty delete is a no-op commit-wise
+    val docs = Seq((1L, "cat dog"), (2L, "dog fish")).toDF("doc_id", "text")
+    val bm = "/root/repo/target/qtmp/empty_ops_bm25"
+    graft.io.IO.deletePath(bm)
+    graft.llm.Bm25Store.write(docs, bm, termBuckets = 4)
+    val b0 = graft.io.IO.storeVersions(spark, bm)
+    graft.llm.Bm25Store.delete(spark, bm, noDocs.select("doc_id"))
+    assert(graft.io.IO.storeVersions(spark, bm) == b0)
+  }
 }

@@ -226,6 +226,26 @@ class PlanAuditSpec extends SparkSpec {
       s"locate scan not pruned to the id column:\n$plan")
   }
 
+  test("Bm25Store delete/upsert: the doc-locate scan is column-pruned " +
+       "(doc_id + dl only — never the term or tf columns)") {
+    import spark.implicits._
+    val docs = Seq((1L, "cat dog"), (2L, "dog fish"), (3L, "owl cat dog"))
+      .toDF("doc_id", "text")
+    val path = "/root/repo/target/test_tmp/audit_bm25_locate"
+    graft.io.IO.deletePath(path)
+    graft.llm.Bm25Store.write(docs, path, termBuckets = 4)
+    // the locate frame (same shape Bm25Store.locateDocs builds): its scan
+    // schema must carry doc_id + the denormalized dl only — term/tf and
+    // the stats columns must prune away, or the "cheap id scan" reads
+    // the full posting width across every term bucket
+    val located = graft.io.IO.readStoreBuckets(spark, path, Set(0, 1, 2, 3))
+      .select(col("doc_id"), col("dl"), col(graft.io.IO.BucketCol))
+      .join(broadcast(Seq(2L).toDF("doc_id")), Seq("doc_id"))
+    val plan = located.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,dl:bigint>"),
+      s"locate scan not pruned to (doc_id, dl):\n$plan")
+  }
+
   test("storeChangeFeed: scans list ONLY changed bucket directories") {
     import spark.implicits._
     val path = "/root/repo/target/test_tmp/audit_cdc_store"
