@@ -159,6 +159,10 @@ object EntityResolution {
     * registry and promote it to Production. */
   def deploy(trained: TrainedMatcher, root: String, name: String): Int = {
     val v = ModelStore.save(trained.model, root, name)
+    // the reference logs the run's validation metric beside the
+    // registered version (`03:300-314`) — the registry answers "which
+    // Production model, at what measured AUPR?" without a refit
+    ModelStore.logMetric(root, name, v, "areaUnderPR", trained.areaUnderPR)
     ModelStore.setProduction(root, name, v)
     v
   }

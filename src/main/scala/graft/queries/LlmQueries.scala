@@ -1038,20 +1038,20 @@ object LlmQueries {
       val nUpserted = reindexed.count() + novel.count()
       Bm25Store.delete(s, path, deleted.select("doc_id"))
       Bm25Store.upsert(reindexed.unionByName(novel), path)
-      // independent oracle: a from-scratch index over the updated corpus
+      // independent oracle: the FULL-SCAN BM25 recompute over the updated
+      // corpus — a different implementation entirely (per-term projection
+      // + wide pivot, TextAnalysis.bm25) whose bit-for-bit parity with
+      // the pruned serve is the tx_bm25_store contract; cheaper AND more
+      // independent than building a second store to compare against
       val updated = docs
         .join(deleted.select("doc_id")
             .unionByName(reindexed.select("doc_id")),
           Seq("doc_id"), "left_anti")
         .unionByName(reindexed).unionByName(novel)
-      val rebuild = graft.Sweep.ephemeral(
-        s"/root/repo/target/qtmp/bm25_rebuild_${storeRunId.incrementAndGet()}")
-      graft.io.IO.deletePath(rebuild)
-      Bm25Store.write(updated, rebuild)
       val terms = bm25Terms :+ "graftupd"
       val same = multisetEquals(
         Bm25Store.scores(s, path, terms),
-        Bm25Store.scores(s, rebuild, terms),
+        TextAnalysis.bm25(updated, terms),
         Seq("doc_id", "n_hit_terms", "bm25"))
       // stats rows carry doc_id = -1, so a doc_id join sees postings only
       val leftover = graft.io.IO.readPartitionedStore(s, path)

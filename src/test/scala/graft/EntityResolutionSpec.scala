@@ -110,5 +110,16 @@ class EntityResolutionSpec extends SparkSpec {
     val b = EntityResolution.scoreAll(feats, pairs, loaded)
       .select("idA", "match_score").as[(Long, Double)].collect().toMap
     assert(v >= 1 && a == b)
+    // deploy logs the run's AUPR with the registered version (the
+    // reference's registry pattern): the production pointer's recorded
+    // metric answers quality without a refit
+    val rec = graft.matching.ModelStore.readMetric(root, "matcher", v)
+    assert(rec.exists(m => m.metric == "areaUnderPR" &&
+      m.value == trained.areaUnderPR))
+    val prodRow = graft.matching.ModelStore.metricsTable(spark, root, "matcher")
+      .where(col("stage") === "Production")
+      .select("version", "value").as[(Int, Option[Double])].collect()
+    assert(prodRow.map(_._1).contains(v) &&
+      prodRow.toMap.apply(v).contains(trained.areaUnderPR))
   }
 }
