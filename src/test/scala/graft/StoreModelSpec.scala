@@ -84,9 +84,55 @@ class StoreModelSpec extends SparkSpec {
         .as[(Long, Double)].collect().toMap
       assert(applied == snapshots(b), s"feed apply diverged for v$a -> v$b")
     }
+    // CLONE FORK: an O(files) clone of the full history behaves as an
+    // independent store — both sides evolve separately off the shared
+    // immutable data files, the fork time-travels the pre-fork history,
+    // and vacuuming the fork never disturbs the source (hardlink safety)
+    val fork = "/root/repo/target/test_tmp/model_store_fork"
+    IO.deletePath(fork)
+    IO.cloneStore(spark, path, fork)
+    var forkModel = model
+    def forkMap() = IO.readPartitionedStore(spark, fork)
+      .as[(Long, Double)].collect().toMap
+    assert(forkMap() == model, "fresh clone must equal the source")
+    val forkUps = Seq(7L -> 4242.0, 424242L -> 1.0)
+    IO.upsertPartitionedStore(spark, fork, forkUps.toDF("id", "v"),
+      Seq("id"), Seq("v"))
+    forkModel = forkModel ++ forkUps
+    val forkDels = forkModel.keys.toSeq.sorted.take(3)
+    IO.deleteFromPartitionedStore(spark, fork, forkDels.toDF("id"), Seq("id"))
+    forkModel = forkModel -- forkDels
+    IO.compactPartitionedStore(spark, fork)
+    assert(forkMap() == forkModel, "fork diverged from its model")
+    assert(storeMap() == model, "fork mutations leaked into the source")
+    // diverge the SOURCE too; the fork must not see it
+    IO.upsertPartitionedStore(spark, path, Seq(31337L -> 9.0).toDF("id", "v"),
+      Seq("id"), Seq("v"))
+    model = model + (31337L -> 9.0)
+    snapshots += IO.storeVersions(spark, path).last -> model
+    assert(storeMap() == model && forkMap() == forkModel,
+      "source mutation leaked into the fork")
+    // the fork time-travels the SHARED pre-fork history through its
+    // copied manifests
+    versions.foreach { v =>
+      assert(IO.readPartitionedStoreAt(spark, fork, v)
+        .as[(Long, Double)].collect().toMap == snapshots(v),
+        s"fork time travel diverged at v$v")
+    }
+    // vacuuming the fork unlinks only ITS directory entries: the source
+    // still serves every retained version off the shared inodes
+    IO.vacuumPartitionedStore(spark, fork, orphanGraceMs = 0L)
+    assert(forkMap() == forkModel)
+    versions.foreach { v =>
+      assert(IO.readPartitionedStoreAt(spark, path, v)
+        .as[(Long, Double)].collect().toMap == snapshots(v),
+        s"source history lost after fork vacuum at v$v")
+    }
+
     // vacuum: history trims to current, current content intact
     IO.vacuumPartitionedStore(spark, path, orphanGraceMs = 0L)
-    assert(IO.storeVersions(spark, path) == Seq(versions.last))
+    assert(IO.storeVersions(spark, path) ==
+      Seq(IO.storeVersions(spark, path).last))
     assert(storeMap() == model)
   }
 }
