@@ -87,8 +87,9 @@ object ModelStore {
     * listing is correct here by construction: a registry holds FEW
     * versions (they are promoted artifacts, not data), and the frame
     * exists to JOIN against evaluation tables, not to carry volume.
-    * Params render as a sorted `k=v;…` string so the frame stays flat
-    * and hashable. */
+    * Params ride as a proper MAP column — a rendered `k=v;…` string
+    * would be ambiguous for values containing the separators (which the
+    * TSV guard deliberately allows). */
   def metricsTable(spark: org.apache.spark.sql.SparkSession, root: String,
                    name: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
@@ -96,8 +97,7 @@ object ModelStore {
       val m = readMetric(root, name, v)
       (v, stage(root, name, v),
         m.map(_.metric), m.map(_.value), m.map(_.frameFingerprint),
-        m.map(_.params.toSeq.sorted.map { case (k, x) => s"$k=$x" }
-          .mkString(";")))
+        m.map(_.params).getOrElse(Map.empty[String, String]))
     }.toDF("version", "stage", "metric", "value", "frame_fingerprint",
       "params")
   }

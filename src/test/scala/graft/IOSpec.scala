@@ -744,9 +744,12 @@ class IOSpec extends SparkSpec {
     assert(!Files.isSameFile(Paths.get(src, "_graft_buckets"),
       Paths.get(dst2, "_graft_buckets")),
       "control files must be copied, never hardlinked")
-    val srcData = Files.walk(Paths.get(src)).filter(p =>
-      p.toString.contains(IO.GenCol + "=") && p.toString.endsWith(".parquet"))
-      .findFirst().get()
+    val srcWalk = Files.walk(Paths.get(src)) // must close — holds dir handles
+    val srcData =
+      try srcWalk.filter(p =>
+        p.toString.contains(IO.GenCol + "=") && p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally srcWalk.close()
     val rel = Paths.get(src).relativize(srcData)
     assert(Files.isSameFile(srcData, Paths.get(dst2).resolve(rel)),
       "immutable data files should hardlink (O(files), zero bytes moved)")

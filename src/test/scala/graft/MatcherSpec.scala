@@ -356,12 +356,13 @@ class MatcherSpec extends SparkSpec {
     // the registry-as-a-frame view: one row per version, stage from the
     // pointer-reconciled read path, metric columns NULL where unlogged
     val table = ModelStore.metricsTable(spark, root, "m")
-      .as[(Int, String, Option[String], Option[Double], Option[String], Option[String])]
+      .as[(Int, String, Option[String], Option[Double], Option[String],
+           Map[String, String])]
       .collect().map(r => r._1 -> r).toMap
     assert(table.keySet == Set(v1, v2, v3, v4))
     assert(table(v3)._2 == "Production")
     assert(table(v1)._3.contains("aupr") && table(v1)._4.contains(0.8125))
-    assert(table(v1)._6.contains("maxDepth=2;maxIter=3"))
+    assert(table(v1)._6 == Map("maxIter" -> "3", "maxDepth" -> "2"))
     assert(table(v2)._3.isEmpty, "unlogged version must carry NULL metric")
     assert(table(v4)._4 == table(v1)._4, "copied version carries the metric")
   }

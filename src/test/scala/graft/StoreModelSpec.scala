@@ -129,10 +129,11 @@ class StoreModelSpec extends SparkSpec {
         s"source history lost after fork vacuum at v$v")
     }
 
-    // vacuum: history trims to current, current content intact
+    // vacuum: history trims to exactly the pre-vacuum current version,
+    // current content intact
+    val cur = IO.storeVersions(spark, path).last
     IO.vacuumPartitionedStore(spark, path, orphanGraceMs = 0L)
-    assert(IO.storeVersions(spark, path) ==
-      Seq(IO.storeVersions(spark, path).last))
+    assert(IO.storeVersions(spark, path) == Seq(cur))
     assert(storeMap() == model)
   }
 }
