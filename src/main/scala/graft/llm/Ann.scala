@@ -711,7 +711,16 @@ object Ann {
     * monotone non-decreasing in p by the subset property of probed
     * candidate sets under one total order. Returns the measured
     * (n_probe, recall) frame; cost is |grid|+1 pruned serves, an OFFLINE
-    * maintenance op like [[compactIvfStore]]. */
+    * maintenance op like [[compactIvfStore]].
+    *
+    * IVF-only BY THEOREM, not by omission: the self-contained baseline
+    * needs full-probe ≡ exact, which holds only when candidates rank by
+    * TRUE cosine — the IVF-PQ store ranks by ADC distance in code space,
+    * so its full-probe serve is NOT the brute result and a self-measured
+    * curve would calibrate against a biased baseline. The IVFPQ + flat
+    * refine topology tunes its probe budget against the flat tier's
+    * store (this method, on the full-precision index) — the standard
+    * deployment answer. */
   def tuneProbe(spark: org.apache.spark.sql.SparkSession, path: String,
                 queries: DataFrame, k: Int = 10,
                 probes: Seq[Int] = Seq.empty,
