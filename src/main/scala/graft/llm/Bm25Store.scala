@@ -196,6 +196,78 @@ object Bm25Store {
       .where(col("n_hit_terms") > 0)
   }
 
+  /** BATCH serve: score MANY queries in ONE pruned read — the shape a
+    * hybrid-retrieval or decontamination loop actually runs at scale,
+    * where [[scores]]' one-Spark-job-per-query would make the DRIVER the
+    * bottleneck (10k queries = 10k job submissions however fast each
+    * serve is). `queries` carries (`query_id`, `terms` array<string>);
+    * output is (query_id, doc_id, n_hit_terms, bm25) with the IDENTICAL
+    * per-posting arithmetic and per-doc query-term-ordered fold as the
+    * single serve, so each query's rows equal its own [[scores]] call
+    * bit-for-bit (TextAnalysisSpec pins it).
+    *
+    * Scale shape: the batch's distinct term BUCKETS collect driver-side
+    * (bounded by the store's bucket count — √n by the auto-sizing rule —
+    * never by batch size); one manifest-pruned read covers every query;
+    * postings semi-join down to the batch's terms before the df
+    * aggregate; the contribution join keys on `term`, so a corpus-scale
+    * batch shuffles on the term instead of broadcasting anything
+    * unbounded. A query with a NULL/empty term list produces no rows
+    * (nothing to probe). Duplicate terms WITHIN one query score twice,
+    * exactly like [[scores]]' per-occurrence columns. */
+  def scoresBatch(spark: SparkSession, path: String, queries: DataFrame,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 >= 0.0 && b >= 0.0 && b <= 1.0, s"bad BM25 params ($k1, $b)")
+    val termBuckets = IO.storeBuckets(path) - 1
+    val occ = queries
+      .select(col("query_id"), posexplode(col("terms")).as(Seq("ti", "term")))
+      .where(col("term").isNotNull)
+    // bounded driver collect: DISTINCT probed buckets, ≤ termBuckets ints
+    // by construction — the batch-size-independent analog of
+    // ivfStoreTopK's probed-cell union
+    val probed = occ.select(termBucket(termBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val pruned = IO.readStoreBuckets(spark, path, probed + termBuckets)
+      .drop(IO.BucketCol)
+    val posts = pruned.where(col("term") =!= StatsTerm)
+      .join(occ.select("term").distinct(), Seq("term"), "left_semi")
+    val corpus = pruned.where(col("term") === StatsTerm)
+      .agg(sum("n_docs").cast("double").as("n_docs"),
+        (sum("sum_dl").cast("double") / sum("n_dl").cast("double")).as("avgdl"))
+    // exact df per batch term — same pruned-count argument as [[scores]]
+    val dfByTerm = posts.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val w = idf * (tfd * (k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * dld / col("avgdl")))
+    posts.select("term", "doc_id", "tf", "dl")
+      .join(occ, Seq("term"))
+      .join(broadcast(dfByTerm), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .select(col("query_id"), col("doc_id"), col("ti"), w.as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("int").as("n_hit_terms"),
+        round(aggregate(sort_array(collect_list(struct(col("ti"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")), 4).as("bm25"))
+      .where(col("n_hit_terms") > 0)
+  }
+
+  /** Per-query top-k over [[scoresBatch]] (score desc, doc_id asc —
+    * deterministic): one window over the already-pruned score set, the
+    * batch analog of [[topK]]. */
+  def topKBatch(spark: SparkSession, path: String, queries: DataFrame,
+                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    import org.apache.spark.sql.expressions.Window
+    scoresBatch(spark, path, queries, k1, b)
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("bm25").desc, col("doc_id").asc)))
+      .where(col("rank") <= k)
+  }
+
   /** Top-k serve: [[scores]] bounded to the k best (score desc, doc_id
     * asc — deterministic) — the shape a hybrid-retrieval loop feeds into
     * [[Ann.rrfFuse]]. A TakeOrderedAndProject over the pruned score set,

@@ -999,6 +999,22 @@ object LlmQueries {
           "has_fragmentation", "gens_bounded")
     }),
 
+    // BATCH lexical serve (round-13): many queries scored in ONE pruned
+    // read of the persisted index — the serving shape a hybrid-retrieval
+    // or decontamination loop needs at scale, where a Spark job PER query
+    // makes the driver the bottleneck regardless of per-serve speed. The
+    // batch's probed buckets collect once (bounded by the store's √n
+    // bucket count, not the batch size); per-posting arithmetic and the
+    // per-doc query-term-ordered fold are identical to the single serve.
+    // FULL-VALUE oracle: DuckDB recomputes every query's complete score
+    // set from scratch and the driver hash-compares all rows — including
+    // the no-hit query's absence.
+    "tx_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      Bm25Store.scoresBatch(s, sharedBm25Store(s, dir),
+        bm25BatchQueries.toDF("query_id", "terms"))
+    }),
+
     // Keyed DELETE + re-index UPSERT on the persisted BM25 index
     // (round-13) — lifecycle parity with the vector stores: takedown ids
     // lose every posting (spread across many term buckets — the locate
@@ -1507,23 +1523,40 @@ object LlmQueries {
     * df variance so the idf weighting is exercised. */
   private val bm25Terms = Seq("vector", "stream", "hash", "spark")
 
-  /** Shared DuckDB CTE chain recomputing BM25 (same tokenizer, Lucene
-    * idf, k1=1.2 / b=0.75) — exposes `bm25s` (doc_id, n_hit_terms, bm25);
-    * embedded by the tx_bm25 and tx_rrf_fusion oracles. */
-  private lazy val bm25Cte: String =
-    s"""bmd AS (SELECT doc_id, ${Fixtures.tokSql("text")} AS toks FROM documents),
-       |bmdl AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM bmd),
-       |bmst AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM bmdl),
-       |bmh AS (SELECT doc_id, dl, t AS term, CAST(count(*) AS DOUBLE) AS tf
-       |      FROM (SELECT doc_id, dl, unnest(toks) AS t FROM bmdl)
-       |      WHERE t IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+  /** DuckDB CTE chain recomputing BM25 for one term set (same tokenizer,
+    * Lucene idf, k1=1.2 / b=0.75) — exposes `bm25s$sfx` (doc_id,
+    * n_hit_terms, bm25). CTE names carry the suffix so several
+    * instantiations (the batch oracle's per-query recomputes) coexist in
+    * one WITH. */
+  private def bm25CteFor(terms: Seq[String], sfx: String): String =
+    s"""bmd$sfx AS (SELECT doc_id, ${Fixtures.tokSql("text")} AS toks FROM documents),
+       |bmdl$sfx AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM bmd$sfx),
+       |bmst$sfx AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM bmdl$sfx),
+       |bmh$sfx AS (SELECT doc_id, dl, t AS term, CAST(count(*) AS DOUBLE) AS tf
+       |      FROM (SELECT doc_id, dl, unnest(toks) AS t FROM bmdl$sfx)
+       |      WHERE t IN (${terms.map(t => s"'$t'").mkString(", ")})
        |      GROUP BY 1, 2, 3),
-       |bmf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM bmh GROUP BY 1),
-       |bm25s AS (SELECT doc_id, CAST(count(*) AS INT) AS n_hit_terms,
+       |bmf$sfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM bmh$sfx GROUP BY 1),
+       |bm25s$sfx AS (SELECT doc_id, CAST(count(*) AS INT) AS n_hit_terms,
        |  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
        |          * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
-       |FROM bmh JOIN bmf USING (term), bmst
+       |FROM bmh$sfx JOIN bmf$sfx USING (term), bmst$sfx
        |GROUP BY doc_id)""".stripMargin
+
+  /** The single-query instantiation embedded by the tx_bm25,
+    * tx_bm25_store, and tx_rrf_fusion oracles. */
+  private lazy val bm25Cte: String = bm25CteFor(bm25Terms, "")
+
+  /** tx_bm25_batch's fixed query batch — DISTINCT terms per query (the
+    * per-(doc, term) oracle CTE counts a term once, matching the engine
+    * only for duplicate-free term lists; duplicate-term semantics are
+    * pinned engine-side in TextAnalysisSpec). Query 2's term misses the
+    * corpus entirely — the query must simply be absent from the output,
+    * on both engines. */
+  private[graft] val bm25BatchQueries: Seq[(Int, Seq[String])] = Seq(
+    0 -> bm25Terms,
+    1 -> Seq("data", "model", "graph"),
+    2 -> Seq("graftneverinthecorpus"))
 
   /** SQL mirror of [[Ann.cosineUsable]]: a vector participates in
     * cosine-space ops iff non-null with a nonzero norm and no NaN
@@ -2148,6 +2181,19 @@ object LlmQueries {
         |    / count(*), 6) AS appended_frac,
         |  true AS has_fragmentation, true AS gens_bounded
         |FROM documents""".stripMargin,
+    // FULL-VALUE: every query's complete score set recomputed from
+    // scratch per query (suffixed CTE instantiations), union'd under the
+    // batch's query ids
+    "tx_bm25_batch" -> {
+      val ctes = bm25BatchQueries
+        .map { case (qid, terms) => bm25CteFor(terms, qid.toString) }
+        .mkString(",\n")
+      val branches = bm25BatchQueries.map { case (qid, _) =>
+        s"SELECT CAST($qid AS INT) AS query_id, doc_id, n_hit_terms, bm25 " +
+          s"FROM bm25s$qid"
+      }.mkString("\nUNION ALL\n")
+      s"WITH $ctes\n$branches"
+    },
     // contract: the delete/upsert batch sizes are SQL-exact (token-
     // bearing docs, mirroring the engine's tokenizer); bit-for-bit
     // serve-equals-rebuild, removal completeness, commit accounting and

@@ -345,6 +345,54 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("Bm25Store: batch serve equals the single serve per query " +
+       "(duplicate-term doubling included); topKBatch bounds per query; " +
+       "empty/no-hit queries produce no rows") {
+    import graft.llm.Bm25Store
+    val docs = Seq(
+      (1L, "cat dog cat"), (2L, "dog fish"), (3L, "bird"),
+      (4L, "cat fish fish dog"), (5L, "owl bat cat"))
+      .toDF("doc_id", "text")
+    val path = "/root/repo/target/qtmp/txspec_bm25_batch"
+    graft.io.IO.deletePath(path)
+    Bm25Store.write(docs, path, termBuckets = 8)
+    val batch = Seq(
+      (0, Seq("cat", "fish")),
+      (1, Seq("dog", "dog")), // duplicate term scores twice, like scores()
+      (2, Seq("owl")),
+      (3, Seq("nosuchterm")),
+      (4, Seq.empty[String]))
+      .toDF("query_id", "terms")
+    val got = Bm25Store.scoresBatch(spark, path, batch)
+      .as[(Int, Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).toSet).toMap
+    Seq(0 -> Seq("cat", "fish"), 1 -> Seq("dog", "dog"), 2 -> Seq("owl"))
+      .foreach { case (qid, terms) =>
+        val single = Bm25Store.scores(spark, path, terms)
+          .as[(Long, Int, Double)].collect().toSet
+        assert(got(qid) == single,
+          s"batch query $qid diverged from the single serve: " +
+            s"${got(qid)} vs $single")
+      }
+    assert(!got.contains(3) && !got.contains(4),
+      "no-hit and empty-term queries must be absent from the output")
+    // ONE pruned read covers the whole batch: input files span at most
+    // the batch's distinct term buckets plus the stats bucket
+    val nTerms = 5 // cat, fish, dog, owl, nosuchterm
+    val buckets = Bm25Store.scoresBatch(spark, path, batch).inputFiles
+      .flatMap("__graft_bucket=(\\d+)".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).toSet
+    assert(buckets.size <= nTerms + 1,
+      s"batch serve read ${buckets.size} buckets ($buckets) for $nTerms terms")
+    assert(buckets.contains(8), "the reserved stats bucket must be read")
+    val top = Bm25Store.topKBatch(spark, path, batch, k = 2)
+      .as[(Int, Long, Int, Double, Int)].collect()
+    assert(top.groupBy(_._1).forall(_._2.length <= 2))
+    assert(top.filter(_._1 == 0).sortBy(_._5).map(_._4).toSeq ==
+      top.filter(_._1 == 0).map(_._4).sortBy(-_).toSeq,
+      "per-query ranks must follow score desc")
+  }
+
   test("Bm25Store: width-constant serve — duplicate query terms " +
        "double-score like the full scan's per-index columns, and a " +
        "multi-hundred-term query serves with no per-term plan columns") {
