@@ -174,25 +174,17 @@ object Bm25Store {
     // per-index tf_i columns
     import spark.implicits._
     val termsDf = queryTerms.zipWithIndex.toDF("term", "ti")
-    // per-occurrence contribution — the same scalar arithmetic, on the
-    // same double-cast inputs, as bm25ScoreCols' w(i)
-    val tfd = col("tf").cast("double")
-    val dld = col("dl").cast("double")
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-    val w = idf * (tfd * (k1 + 1.0)) /
-      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * dld / col("avgdl")))
-    // project away the postings' null stats columns BEFORE the stats
-    // crossJoin — n_docs/n_dl/sum_dl live in both schemas
+    // per-occurrence contribution — the SHARED [[contribution]] tree
+    // (same scalar arithmetic, same double-cast inputs, as
+    // bm25ScoreCols' w(i)); broadcasts here are bounded by ONE query's
+    // terms, unlike the batch serve's open-ended vocabulary
     val contribs = posts.select("term", "doc_id", "tf", "dl")
       .join(broadcast(termsDf), Seq("term"))
       .join(broadcast(dfByTerm), Seq("term"))
       .crossJoin(broadcast(corpus))
-      .select(col("doc_id"), col("ti"), w.as("c"))
+      .select(col("doc_id"), col("ti"), contribution(k1, b).as("c"))
     contribs.groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_hit_terms"),
-        round(aggregate(sort_array(collect_list(struct(col("ti"), col("c")))),
-          lit(0.0), (acc, x) => acc + x.getField("c")), 4).as("bm25"))
+      .agg(count(lit(1)).cast("int").as("n_hit_terms"), foldedScore.as("bm25"))
       .where(col("n_hit_terms") > 0)
   }
 
@@ -219,9 +211,23 @@ object Bm25Store {
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k1 >= 0.0 && b >= 0.0 && b <= 1.0, s"bad BM25 params ($k1, $b)")
     val termBuckets = IO.storeBuckets(path) - 1
-    val occ = queries
+    // fail fast on a duplicated query_id: posexplode would merge both
+    // rows' occurrences into one blended query that corresponds to
+    // neither input (same silent-merge rationale as upsert's guard).
+    // NULL query_ids are dropped — an unkeyable query has no result row
+    // to attach to.
+    val occ = IO.requireUniqueSourceKeys(queries, Seq("query_id"))
+      .where(col("query_id").isNotNull)
       .select(col("query_id"), posexplode(col("terms")).as(Seq("ti", "term")))
       .where(col("term").isNotNull)
+      // PINNED before the driver-side bucket collect, exactly like
+      // ivfStoreTopK's probe frame: the pruned read and the contribution
+      // join must see the SAME term set even under nondeterministic
+      // caller lineage (a re-evaluated sample could produce a term whose
+      // bucket the collect never probed — silently missing hits).
+      // Blocks are freed by the context cleaner once the returned frame
+      // is dropped.
+      .localCheckpoint()
     // bounded driver collect: DISTINCT probed buckets, ≤ termBuckets ints
     // by construction — the batch-size-independent analog of
     // ivfStoreTopK's probed-cell union
@@ -234,30 +240,51 @@ object Bm25Store {
     val corpus = pruned.where(col("term") === StatsTerm)
       .agg(sum("n_docs").cast("double").as("n_docs"),
         (sum("sum_dl").cast("double") / sum("n_dl").cast("double")).as("avgdl"))
-    // exact df per batch term — same pruned-count argument as [[scores]]
+    // exact df per batch term — same pruned-count argument as [[scores]].
+    // NO broadcast hint: the frame grows with the batch's distinct
+    // vocabulary (a decontamination batch carries thousands of terms per
+    // query), so the join strategy is AQE's size-based call — a small
+    // batch auto-broadcasts, a corpus-scale one shuffles on the term.
     val dfByTerm = posts.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
+    posts.select("term", "doc_id", "tf", "dl")
+      .join(occ, Seq("term"))
+      .join(dfByTerm, Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .select(col("query_id"), col("doc_id"), col("ti"),
+        contribution(k1, b).as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("int").as("n_hit_terms"), foldedScore.as("bm25"))
+      .where(col("n_hit_terms") > 0)
+  }
+
+  /** Per-occurrence BM25 contribution — ONE definition shared by the
+    * single and batch serves, so their bit-for-bit parity is structural
+    * (the identical Column tree), not a convention a future edit to one
+    * copy could drift from. Expects columns tf, dl, df, n_docs, avgdl. */
+  private def contribution(k1: Double, b: Double): org.apache.spark.sql.Column = {
     val tfd = col("tf").cast("double")
     val dld = col("dl").cast("double")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-    val w = idf * (tfd * (k1 + 1.0)) /
+    idf * (tfd * (k1 + 1.0)) /
       (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * dld / col("avgdl")))
-    posts.select("term", "doc_id", "tf", "dl")
-      .join(occ, Seq("term"))
-      .join(broadcast(dfByTerm), Seq("term"))
-      .crossJoin(broadcast(corpus))
-      .select(col("query_id"), col("doc_id"), col("ti"), w.as("c"))
-      .groupBy("query_id", "doc_id")
-      .agg(count(lit(1)).cast("int").as("n_hit_terms"),
-        round(aggregate(sort_array(collect_list(struct(col("ti"), col("c")))),
-          lit(0.0), (acc, x) => acc + x.getField("c")), 4).as("bm25"))
-      .where(col("n_hit_terms") > 0)
   }
+
+  /** The per-doc query-term-ordered fold of (ti, c) contributions —
+    * shared by both serves for the same structural-parity reason as
+    * [[contribution]]. */
+  private def foldedScore: org.apache.spark.sql.Column =
+    round(aggregate(sort_array(collect_list(struct(col("ti"), col("c")))),
+      lit(0.0), (acc, x) => acc + x.getField("c")), 4)
 
   /** Per-query top-k over [[scoresBatch]] (score desc, doc_id asc —
     * deterministic): one window over the already-pruned score set, the
-    * batch analog of [[topK]]. */
+    * batch analog of [[topK]]. The output CARRIES the per-query `rank`
+    * column (1 = best) deliberately — it is exactly the (idCol, rankCol)
+    * surface [[Ann.rrfFuse]] consumes, sparing the hybrid loop a second
+    * window; single-serve [[topK]] callers that union against this drop
+    * it explicitly. */
   def topKBatch(spark: SparkSession, path: String, queries: DataFrame,
                 k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1; got $k")

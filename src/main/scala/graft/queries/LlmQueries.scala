@@ -1523,29 +1523,34 @@ object LlmQueries {
     * df variance so the idf weighting is exercised. */
   private val bm25Terms = Seq("vector", "stream", "hash", "spark")
 
-  /** DuckDB CTE chain recomputing BM25 for one term set (same tokenizer,
-    * Lucene idf, k1=1.2 / b=0.75) — exposes `bm25s$sfx` (doc_id,
-    * n_hit_terms, bm25). CTE names carry the suffix so several
-    * instantiations (the batch oracle's per-query recomputes) coexist in
-    * one WITH. */
-  private def bm25CteFor(terms: Seq[String], sfx: String): String =
-    s"""bmd$sfx AS (SELECT doc_id, ${Fixtures.tokSql("text")} AS toks FROM documents),
-       |bmdl$sfx AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM bmd$sfx),
-       |bmst$sfx AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM bmdl$sfx),
-       |bmh$sfx AS (SELECT doc_id, dl, t AS term, CAST(count(*) AS DOUBLE) AS tf
-       |      FROM (SELECT doc_id, dl, unnest(toks) AS t FROM bmdl$sfx)
+  /** The QUERY-INDEPENDENT head of the BM25 recompute — full-corpus
+    * tokenization and the n_docs/avgdl stats (same tokenizer as the
+    * engine). Shared unsuffixed by every instantiation, so the batch
+    * oracle tokenizes the corpus ONCE however many queries it carries. */
+  private val bm25BaseCte: String =
+    s"""bmd AS (SELECT doc_id, ${Fixtures.tokSql("text")} AS toks FROM documents),
+       |bmdl AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM bmd),
+       |bmst AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM bmdl)""".stripMargin
+
+  /** The per-TERM-SET tail (Lucene idf, k1=1.2 / b=0.75) — exposes
+    * `bm25s$sfx` (doc_id, n_hit_terms, bm25); suffixed so several
+    * instantiations coexist in one WITH over the shared base. */
+  private def bm25TailCteFor(terms: Seq[String], sfx: String): String =
+    s"""bmh$sfx AS (SELECT doc_id, dl, t AS term, CAST(count(*) AS DOUBLE) AS tf
+       |      FROM (SELECT doc_id, dl, unnest(toks) AS t FROM bmdl)
        |      WHERE t IN (${terms.map(t => s"'$t'").mkString(", ")})
        |      GROUP BY 1, 2, 3),
        |bmf$sfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM bmh$sfx GROUP BY 1),
        |bm25s$sfx AS (SELECT doc_id, CAST(count(*) AS INT) AS n_hit_terms,
        |  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
        |          * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
-       |FROM bmh$sfx JOIN bmf$sfx USING (term), bmst$sfx
+       |FROM bmh$sfx JOIN bmf$sfx USING (term), bmst
        |GROUP BY doc_id)""".stripMargin
 
   /** The single-query instantiation embedded by the tx_bm25,
     * tx_bm25_store, and tx_rrf_fusion oracles. */
-  private lazy val bm25Cte: String = bm25CteFor(bm25Terms, "")
+  private lazy val bm25Cte: String =
+    bm25BaseCte + ",\n" + bm25TailCteFor(bm25Terms, "")
 
   /** tx_bm25_batch's fixed query batch — DISTINCT terms per query (the
     * per-(doc, term) oracle CTE counts a term once, matching the engine
@@ -2185,8 +2190,8 @@ object LlmQueries {
     // scratch per query (suffixed CTE instantiations), union'd under the
     // batch's query ids
     "tx_bm25_batch" -> {
-      val ctes = bm25BatchQueries
-        .map { case (qid, terms) => bm25CteFor(terms, qid.toString) }
+      val ctes = bm25BaseCte + ",\n" + bm25BatchQueries
+        .map { case (qid, terms) => bm25TailCteFor(terms, qid.toString) }
         .mkString(",\n")
       val branches = bm25BatchQueries.map { case (qid, _) =>
         s"SELECT CAST($qid AS INT) AS query_id, doc_id, n_hit_terms, bm25 " +

@@ -391,6 +391,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top.filter(_._1 == 0).sortBy(_._5).map(_._4).toSeq ==
       top.filter(_._1 == 0).map(_._4).sortBy(-_).toSeq,
       "per-query ranks must follow score desc")
+    // a duplicated query_id fails fast — posexplode would otherwise merge
+    // both rows' occurrences into one blended query
+    intercept[Exception] {
+      Bm25Store.scoresBatch(spark, path,
+        Seq((7, Seq("cat")), (7, Seq("dog"))).toDF("query_id", "terms"))
+        .count()
+    }
   }
 
   test("Bm25Store: width-constant serve — duplicate query terms " +
