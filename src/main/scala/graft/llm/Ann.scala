@@ -839,18 +839,32 @@ object Ann {
   /** [[ivfStoreTopK]] at a RECALL TARGET instead of a probe count: the
     * probe budget resolves against the store's persisted measured curve
     * — the closed loop between the tuning report and the serve default
-    * (a deployment states "recall ≥ 0.9", not "4 probes"). */
+    * (a deployment states "recall ≥ 0.9", not "4 probes").
+    *
+    * The curve must be CURRENT: a commit since the tune (append/delete/
+    * refresh) may have moved the recall-vs-probe trade, so resolving
+    * against the stale measurement could silently serve below the stated
+    * target — the serve fails loudly instead (the same strictness as the
+    * forK mismatch check). `allowStale = true` is the explicit opt-out
+    * for a deployment that accepts measurement drift between re-tunes. */
   def ivfStoreTopKAtRecall(spark: org.apache.spark.sql.SparkSession,
                            path: String, queries: DataFrame, k: Int,
                            minRecall: Double,
                            allowedIds: Option[DataFrame] = None,
                            idCol: String = "vec_id",
-                           vecCol: String = "embedding"): DataFrame =
+                           vecCol: String = "embedding",
+                           allowStale: Boolean = false): DataFrame = {
+    require(allowStale || !probeCurveStale(spark, path),
+      s"$path has committed versions since its probe curve was measured — " +
+        "a recall-target serve against the stale curve could silently miss " +
+        "the target; re-run tuneProbe (or pass allowStale = true to accept " +
+        "the drift)")
     // forK = k: the curve must have been tuned at the SERVING k — see
     // resolveProbe (recall@10 says nothing about recall@100)
     ivfStoreTopK(spark, path, queries, k,
       nProbe = resolveProbe(spark, path, minRecall, forK = k),
       allowedIds = allowedIds, idCol = idCol, vecCol = vecCol)
+  }
 
   /** Compact a vector store's fragmented cells — the OPTIMIZE step every
     * append-maintained store needs: each [[appendIvfStore]] /

@@ -20,6 +20,11 @@ import graft.io.IO
   *     count (`dl`, denormalized so serve never joins a doc-length
   *     table). All of a term's postings live in exactly one bucket, so
   *     its document frequency is EXACT under a pruned read.
+  *   - one REGISTRY row per document (sentinel term [[DocTerm]]), routed
+  *     by doc hash across the same bucket space: the maintenance
+  *     locate's handle on docs that left no posting trail, so
+  *     delete/upsert stats compensation is exact for token-less and
+  *     null-text docs too. Serve paths filter both sentinels out.
   *   - corpus stats, in one RESERVED bucket (id = `termBuckets`): each
   *     build/append writes a single delta row (docs added, docs with a
   *     token surface, total token count). Serve sums the deltas — a few
@@ -53,6 +58,19 @@ object Bm25Store {
     * alphabet. */
   private[llm] val StatsTerm = "__STATS__"
 
+  /** Sentinel term for per-document REGISTRY rows — one per indexed doc,
+    * routed by DOC hash into the term-bucket space (any bucket works for
+    * a row only the maintenance locate ever reads; spreading by doc hash
+    * keeps a k-doc delete's touched-bucket set O(k), never one fat
+    * bucket). The registry is what makes delete/upsert stats EXACT for
+    * token-less and null-text docs: such a doc leaves no posting trail,
+    * so without its registry row the locate could never un-count it from
+    * `n_docs` (the drift the old aggregate-stats layout documented as a
+    * caveat). Serve paths never read registry rows (both sentinel terms
+    * are excluded from the posting filter — outside the token alphabet,
+    * and filtered explicitly in case a caller passes one as a "term"). */
+  private[llm] val DocTerm = "__DOC__"
+
   private def termBucket(termBuckets: Int) =
     pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int")
 
@@ -69,8 +87,9 @@ object Bm25Store {
     (if (m < 0) m + termBuckets else m).toInt
   }
 
-  /** Postings + one stats-delta row for a document batch, carrying the
-    * store's trusted routing column. Shared by build and append. */
+  /** Postings + one registry row per doc + one stats-delta row for a
+    * document batch, carrying the store's trusted routing column. Shared
+    * by build, append, and upsert. */
   private def indexRows(docs: DataFrame, termBuckets: Int,
                         textCol: String): DataFrame = {
     val nullLong = lit(null).cast("long")
@@ -86,6 +105,15 @@ object Bm25Store {
       .select(col("term"), col("doc_id"), col("tf"), col("dl").cast("long").as("dl"),
         nullLong.as("n_docs"), nullLong.as("n_dl"), nullLong.as("sum_dl"),
         termBucket(termBuckets).as(IO.BucketCol))
+    // one registry row per doc (see [[DocTerm]]): carries the doc's `dl`
+    // (NULL for a null-text doc) so the maintenance locate can derive the
+    // exact stats compensation for EVERY doc, posting trail or not
+    val registry = base
+      .select(lit(DocTerm).as("term"), col("doc_id"),
+        nullLong.as("tf"), col("dl").cast("long").as("dl"),
+        nullLong.as("n_docs"), nullLong.as("n_dl"), nullLong.as("sum_dl"),
+        pmod(xxhash64(col("doc_id")), lit(termBuckets.toLong)).cast("int")
+          .as(IO.BucketCol))
     val stats = base.agg(
         count(lit(1)).as("n_docs"),          // every doc, null-text included
         count(col("dl")).as("n_dl"),         // docs with a token surface
@@ -94,7 +122,7 @@ object Bm25Store {
         nullLong.as("tf"), nullLong.as("dl"),
         col("n_docs"), col("n_dl"), col("sum_dl"),
         lit(termBuckets).as(IO.BucketCol))
-    posts.unionByName(stats)
+    posts.unionByName(registry).unionByName(stats)
   }
 
   /** Build the index over `docs`. The persisted bucket-count marker is
@@ -152,6 +180,11 @@ object Bm25Store {
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k1 >= 0.0 && b >= 0.0 && b <= 1.0, s"bad BM25 params ($k1, $b)")
+    // a sentinel passed as a "term" would match registry/stats rows whose
+    // NULL tf/dl poison the per-doc fold — outside the token alphabet, so
+    // a caller passing one holds a bug, not a query
+    require(!queryTerms.contains(StatsTerm) && !queryTerms.contains(DocTerm),
+      s"query terms may not contain the reserved sentinels $StatsTerm/$DocTerm")
     val termBuckets = IO.storeBuckets(path) - 1
     // the terms' buckets, computed DRIVER-SIDE with the write side's hash
     // (termBucketLocal ≡ termBucket, spec-pinned): |terms| integer hashes
@@ -216,26 +249,33 @@ object Bm25Store {
     // neither input (same silent-merge rationale as upsert's guard).
     // NULL query_ids are dropped — an unkeyable query has no result row
     // to attach to.
-    val occ = IO.requireUniqueSourceKeys(queries, Seq("query_id"))
+    val occRaw = IO.requireUniqueSourceKeys(queries, Seq("query_id"))
       .where(col("query_id").isNotNull)
       .select(col("query_id"), posexplode(col("terms")).as(Seq("ti", "term")))
       .where(col("term").isNotNull)
-      // PINNED before the driver-side bucket collect, exactly like
-      // ivfStoreTopK's probe frame: the pruned read and the contribution
-      // join must see the SAME term set even under nondeterministic
-      // caller lineage (a re-evaluated sample could produce a term whose
-      // bucket the collect never probed — silently missing hits).
-      // Blocks are freed by the context cleaner once the returned frame
-      // is dropped.
-      .localCheckpoint()
     // bounded driver collect: DISTINCT probed buckets, ≤ termBuckets ints
     // by construction — the batch-size-independent analog of
-    // ivfStoreTopK's probed-cell union
-    val probed = occ.select(termBucket(termBuckets).as("b"))
+    // ivfStoreTopK's probed-cell union. The frame stays LAZY (no pinned
+    // checkpoint blocks to leak across a long-lived serving session); the
+    // consistency the pin used to buy — the pruned read and the
+    // contribution join must see the SAME term set — is enforced by the
+    // raise_error guard below instead: a caller whose query lineage
+    // re-evaluates NONdeterministically (a term surfacing whose bucket
+    // this collect never probed) fails LOUDLY at the join instead of
+    // silently missing hits.
+    val probed = occRaw.select(termBucket(termBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
+    val occ = occRaw.withColumn("term",
+      when(termBucket(termBuckets).isin(probed.toSeq.map(Integer.valueOf): _*),
+        col("term")).otherwise(raise_error(concat(
+          lit("scoresBatch: term '"), col("term"),
+          lit("' hashes outside the probed bucket set — the queries frame " +
+            "re-evaluated nondeterministically between the bucket collect " +
+            "and the serve; pin it (cache/localCheckpoint) caller-side")))
+          .cast("string")))
     val pruned = IO.readStoreBuckets(spark, path, probed + termBuckets)
       .drop(IO.BucketCol)
-    val posts = pruned.where(col("term") =!= StatsTerm)
+    val posts = pruned.where(col("term") =!= StatsTerm && col("term") =!= DocTerm)
       .join(occ.select("term").distinct(), Seq("term"), "left_semi")
     val corpus = pruned.where(col("term") === StatsTerm)
       .agg(sum("n_docs").cast("double").as("n_docs"),
@@ -307,35 +347,46 @@ object Bm25Store {
   }
 
   /** The negative stats-delta row compensating the removal of the
-    * located postings' documents — derived PER OPTIMISTIC ATTEMPT from
-    * the freshly-located rows (a pinned compensation from a stale locate
+    * located documents — derived PER OPTIMISTIC ATTEMPT from the
+    * freshly-located rows (a pinned compensation from a stale locate
     * would commit wrong corpus stats after a lost race). One row per
     * call, routed to the stats bucket; empty when nothing was located so
-    * the whole op stays a no-op. Only doc_ids WITH postings can be
-    * located, so a document indexed with a null/token-less text keeps
-    * its n_docs count — the one field the aggregate-stats layout cannot
-    * adjust for a doc that left no posting trail (it contributes to idf's
-    * corpus size only; a corpus where that count matters rebuilds). */
+    * the whole op stays a no-op. EXACT for every doc, posting trail or
+    * not: the per-doc registry row ([[DocTerm]]) locates token-less and
+    * null-text docs too, so `n_docs` un-counts them (its `dl` is NULL
+    * for a null-text doc, so `n_dl`/`sum_dl` compensate only docs with a
+    * token surface — mirroring the positive delta's count(dl)/sum(dl)). */
   private def negStatsFromLocated(termBuckets: Int)(located: DataFrame): DataFrame = {
     val nullLong = lit(null).cast("long")
+    // distinct (doc_id, dl): a doc's registry row and all its postings
+    // carry the identical dl, so each doc collapses to one row
     located.select("doc_id", "dl").distinct()
-      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
+      .agg(count(lit(1)).as("n"), count(col("dl")).as("ndl"),
+        coalesce(sum("dl"), lit(0L)).as("s"))
       .where(col("n") > 0)
       .select(lit(StatsTerm).as("term"), lit(-1L).as("doc_id"),
         nullLong.as("tf"), nullLong.as("dl"),
-        (-col("n")).as("n_docs"), (-col("n")).as("n_dl"),
+        (-col("n")).as("n_docs"), (-col("ndl")).as("n_dl"),
         (-col("s")).as("sum_dl"), lit(termBuckets).as(IO.BucketCol))
   }
 
-  /** Locate closure for the routed delete/upsert: the ids' CURRENT
-    * postings as (doc_id, dl, bucket) — a column-pruned projection scan
-    * of the term buckets (stats bucket excluded by the read set) joined
-    * to the broadcast id set, re-run per OCC attempt against the
-    * then-current manifest. */
+  /** Locate closure for the routed delete/upsert: the ids' CURRENT rows
+    * (registry row + every posting) as (doc_id, dl, bucket) — a
+    * column-pruned projection scan of the term buckets (stats bucket
+    * excluded by the read set) joined to the broadcast id set, re-run
+    * per OCC attempt against the then-current manifest. An id of -1
+    * fails LOUDLY: it is the stats-row sentinel — silently filtering it
+    * would let an upsert insert a doc whose old rows were never located
+    * (duplicate postings, doubled stats). */
   private def locateDocs(spark: SparkSession, path: String, termBuckets: Int,
                          ids: DataFrame): () => DataFrame = {
     val keySet = broadcast(ids.select(col("doc_id").cast("long").as("doc_id"))
-      .where(col("doc_id") =!= -1L).distinct())
+      .where(col("doc_id").isNotNull) // unkeyable — can match no row
+      .distinct()
+      .select(when(col("doc_id") =!= -1L, col("doc_id"))
+        .otherwise(raise_error(lit("doc_id -1 is the reserved stats-row " +
+          "sentinel — it cannot be indexed, deleted, or upserted"))
+          .cast("long")).as("doc_id")))
     () => IO.readStoreBuckets(spark, path, (0 until termBuckets).toSet)
       .select(col("doc_id"), col("dl"), col(IO.BucketCol))
       .join(keySet, Seq("doc_id"))
@@ -352,9 +403,9 @@ object Bm25Store {
     * + touched buckets' postings), never O(store); pre-delete versions
     * stay time-travel-readable until vacuum. Served scores afterwards
     * equal a from-scratch rebuild on the surviving corpus bit-for-bit
-    * (same summed-stats, same per-posting arithmetic) — for token-
-    * bearing docs; see [[negStatsFromLocated]] for the one
-    * token-less-doc caveat. No-op when no id has postings. */
+    * (same summed-stats, same per-posting arithmetic) — for EVERY doc,
+    * token-less and null-text included, via the per-doc registry row
+    * ([[DocTerm]]). No-op when no id is indexed. */
   def delete(spark: SparkSession, path: String, docIds: DataFrame): Unit = {
     val termBuckets = IO.storeBuckets(path) - 1
     IO.routedRewrite(spark, path, locateDocs(spark, path, termBuckets, docIds),
@@ -370,12 +421,12 @@ object Bm25Store {
     * racing reader resolves the pre- or post-upsert version, never a
     * deleted-but-not-reinserted middle. The lexical twin of
     * [[Ann.upsertVectorStore]]. Cost: the locate scan + O((old ∪ new
-    * touched term buckets)' postings). Stats: +1 per delta doc, −1 per
-    * REPLACED doc (located via its old postings) — so a delta doc whose
-    * stored text was token-less double-counts into n_docs (nothing to
-    * locate; the same aggregate-stats caveat as [[delete]]). A delta doc
-    * with null/token-less NEW text removes the old postings without
-    * inserting — a re-index that produced nothing must not serve. */
+    * touched term buckets)' rows). Stats: +1 per delta doc, −1 per
+    * REPLACED doc — exact for every doc, token-less included, because
+    * the locate resolves the per-doc registry row ([[DocTerm]]), not
+    * just postings. A delta doc with null/token-less NEW text keeps its
+    * registry row (it is still a corpus document, counted in n_docs
+    * exactly as a fresh build would) but serves no postings. */
   def upsert(delta: DataFrame, path: String, textCol: String = "text"): Unit = {
     val spark = delta.sparkSession
     val termBuckets = IO.storeBuckets(path) - 1

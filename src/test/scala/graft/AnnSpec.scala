@@ -1076,6 +1076,14 @@ class AnnSpec extends SparkSpec {
       .select(($"vec_id" + 5000L).as("vec_id"), $"embedding"), path)
     assert(Ann.probeCurveStale(spark, path),
       "append must outdate the recorded operating point")
+    // a recall-target serve against the stale curve fails LOUDLY (it
+    // could silently miss the stated target) — allowStale is the
+    // explicit opt-out and serves at the last measured operating point
+    intercept[IllegalArgumentException] {
+      Ann.ivfStoreTopKAtRecall(spark, path, queries, 10, target)
+    }
+    assert(Ann.ivfStoreTopKAtRecall(spark, path, queries, 10, target,
+      allowStale = true).count() > 0L)
     Ann.tuneProbe(spark, path, queries, k = 10)
     assert(!Ann.probeCurveStale(spark, path), "re-tune must clear staleness")
     // a recall target only resolves at the k the curve was TUNED at —

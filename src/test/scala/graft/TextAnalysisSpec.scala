@@ -345,6 +345,69 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("Bm25Store: registry rows make delete/upsert stats EXACT for " +
+       "token-less and null-text docs (idf equals a from-scratch rebuild); " +
+       "the -1 stats sentinel is rejected loudly") {
+    import graft.llm.Bm25Store
+    // docs 6 (empty token surface) and 7 (null text) leave no posting
+    // trail — the exact cases the old aggregate-stats layout could not
+    // un-count from n_docs on delete, and double-counted on upsert
+    val docs = Seq(
+      (1L, "cat dog cat"), (2L, "dog fish"), (3L, "bird cat"),
+      (6L, "!!!"), (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val path = "/root/repo/target/qtmp/txspec_bm25_reg"
+    graft.io.IO.deletePath(path)
+    Bm25Store.write(docs, path, termBuckets = 8)
+    def servedStats(): (Long, Long) = {
+      val r = graft.io.IO.readPartitionedStore(spark, path)
+        .where(col("term") === "__STATS__")
+        .agg(sum("n_docs"), sum("n_dl")).as[(Long, Long)].head()
+      r
+    }
+    assert(servedStats() == ((5L, 4L)),
+      "build: 5 docs, 4 with a (possibly empty) token surface")
+    def serveEqualsRebuild(corpus: org.apache.spark.sql.DataFrame): Unit = {
+      val rb = "/root/repo/target/qtmp/txspec_bm25_reg_rb"
+      graft.io.IO.deletePath(rb)
+      Bm25Store.write(corpus, rb, termBuckets = 8)
+      val terms = Seq("cat", "dog", "fish", "bird")
+      val a = Bm25Store.scores(spark, path, terms)
+        .as[(Long, Int, Double)].collect().toSet
+      val b = Bm25Store.scores(spark, rb, terms)
+        .as[(Long, Int, Double)].collect().toSet
+      assert(a == b, s"served=$a rebuild=$b")
+    }
+    // DELETE the token-less and null-text docs: n_docs must drop to 3
+    // (idf shifts — serveEqualsRebuild would catch a stale count)
+    Bm25Store.delete(spark, path, Seq(6L, 7L).toDF("doc_id"))
+    assert(servedStats() == ((3L, 3L)), "token-less docs un-counted exactly")
+    serveEqualsRebuild(docs.where("doc_id in (1, 2, 3)"))
+    // UPSERT a doc back in with real text: previously its stored
+    // token-less twin double-counted n_docs; now it replaces cleanly
+    Bm25Store.upsert(Seq((1L, "owl owl")).toDF("doc_id", "text"), path)
+    assert(servedStats() == ((3L, 3L)), "re-index keeps n_docs exact")
+    // and a doc RE-INDEXED TO token-less text stays a counted corpus
+    // member (exactly as a fresh build over the updated corpus counts it)
+    Bm25Store.upsert(Seq((2L, "???")).toDF("doc_id", "text"), path)
+    assert(servedStats() == ((3L, 3L)))
+    serveEqualsRebuild(Seq((1L, "owl owl"), (2L, "???"), (3L, "bird cat"))
+      .toDF("doc_id", "text"))
+    // doc_id -1 is the stats sentinel: delete/upsert reject it loudly
+    // instead of silently skipping the locate (which would let an upsert
+    // insert rows whose old postings were never removed)
+    intercept[Exception] {
+      Bm25Store.delete(spark, path, Seq(-1L).toDF("doc_id"))
+    }
+    intercept[Exception] {
+      Bm25Store.upsert(Seq((-1L, "evil")).toDF("doc_id", "text"), path)
+    }
+    // sentinel "terms" are rejected at the serve boundary, not scored
+    intercept[IllegalArgumentException] {
+      Bm25Store.scores(spark, path, Seq("cat", "__DOC__"))
+    }
+  }
+
   test("Bm25Store: batch serve equals the single serve per query " +
        "(duplicate-term doubling included); topKBatch bounds per query; " +
        "empty/no-hit queries produce no rows") {
