@@ -1958,16 +1958,40 @@ object Ann {
     * 1/(k+r) doubles from integer ranks, rounded 6dp; ties break on id
     * downstream. Emits (id, n_lists, rrf). */
   def rrfFuse(lists: Seq[DataFrame], idCol: String = "doc_id",
-              rankCol: String = "rank", kRrf: Int = 60): DataFrame = {
+              rankCol: String = "rank", kRrf: Int = 60): DataFrame =
+    rrfFuseGrouped(lists, Seq.empty, idCol, rankCol, kRrf)
+
+  /** [[rrfFuse]] for a QUERY BATCH: each input list carries per-query
+    * ranked candidates (`queryCol`, `idCol`, `rankCol`, rank 1 = best
+    * within its query) and fusion runs independently per query — the
+    * serving shape of a hybrid-retrieval loop, where the lexical arm is
+    * [[Bm25Store.topKBatch]] and the semantic arm a batched vector-store
+    * serve, and a per-query rrfFuse call would put one Spark job per
+    * query on the driver. Same per-list best-rank-wins dedup, same
+    * arithmetic, so each query's fused rows equal its own single-query
+    * [[rrfFuse]] bit-for-bit. Emits (queryCol, id, n_lists, rrf). */
+  def rrfFuseBatch(lists: Seq[DataFrame], queryCol: String = "query_id",
+                   idCol: String = "doc_id", rankCol: String = "rank",
+                   kRrf: Int = 60): DataFrame =
+    rrfFuseGrouped(lists, Seq(queryCol), idCol, rankCol, kRrf)
+
+  /** ONE definition of the RRF arithmetic shared by the single and batch
+    * forms (the same structural-parity rule as [[Bm25Store]]'s
+    * contribution tree): per-list max-contribution dedup, union,
+    * grouped 1/(k+r) sum rounded 6dp. */
+  private def rrfFuseGrouped(lists: Seq[DataFrame], groupCols: Seq[String],
+                             idCol: String, rankCol: String,
+                             kRrf: Int): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     require(kRrf >= 1, s"kRrf must be >= 1; got $kRrf")
-    lists.map(df => df.select(col(idCol),
-        (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol).cast("double")))
-          .as("__contrib"))
+    val keys = groupCols :+ idCol
+    lists.map(df => df.select(keys.map(col) :+
+        ((lit(1.0) / (lit(kRrf.toDouble) + col(rankCol).cast("double")))
+          .as("__contrib")): _*)
         // best-rank-wins within one list: max contribution = min rank
-        .groupBy(idCol).agg(max("__contrib").as("__contrib")))
+        .groupBy(keys.map(col): _*).agg(max("__contrib").as("__contrib")))
       .reduce(_ unionByName _)
-      .groupBy(idCol)
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).cast("int").as("n_lists"),
         round(sum("__contrib"), 6).as("rrf"))
   }

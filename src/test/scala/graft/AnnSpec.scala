@@ -297,6 +297,30 @@ class AnnSpec extends SparkSpec {
     assert(out(20L)._2 > out.filterKeys(_ != 20L).values.map(_._2).max)
   }
 
+  test("rrfFuseBatch: each query's fused rows equal its own single-query " +
+       "rrfFuse (per-list dedup included); queries never cross-talk") {
+    val lexB = Seq((0L, 10L, 1), (0L, 20L, 2), (0L, 20L, 5),
+      (1L, 10L, 1), (1L, 30L, 2)).toDF("query_id", "doc_id", "rank")
+    val semB = Seq((0L, 20L, 1), (0L, 40L, 2),
+      (1L, 30L, 1)).toDF("query_id", "doc_id", "rank")
+    val batch = Ann.rrfFuseBatch(Seq(lexB, semB))
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3, r._4)).toSet).toMap
+    Seq(0L, 1L).foreach { q =>
+      val single = Ann.rrfFuse(Seq(
+          lexB.where($"query_id" === q).select("doc_id", "rank"),
+          semB.where($"query_id" === q).select("doc_id", "rank")))
+        .as[(Long, Int, Double)].collect().toSet
+      assert(batch(q) == single,
+        s"query $q: batch=${batch(q)} single=$single")
+    }
+    // doc 10 ranks 1 in BOTH queries' lex lists — per-query grouping must
+    // keep them apart (a cross-talking fuse would report n_lists = 2)
+    assert(batch(0L).exists(r => r._1 == 10L && r._2 == 1))
+    assert(batch(1L).exists(r => r._1 == 10L && r._2 == 1))
+  }
+
   test("pqTopK recall vs brute; a larger refine shortlist improves recall") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where("vec_id < 5")
