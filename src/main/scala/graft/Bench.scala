@@ -96,10 +96,17 @@ object Bench {
       Sweep.drop(spark)
     }
     val io = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
+    // per-query FitMemo attribution: whichever training query runs first
+    // pays the shared fits (trio wall swings with zero code change), so
+    // the artifact records each query's memo misses (fits it computed)
+    // and hits (fits someone else already paid for)
+    val memo = scala.collection.mutable.Map[String, (Long, Long)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val (in0, sr0, sw0) = ioSnapshot()
+      val (mh0, mm0) = (graft.matching.Matcher.FitMemo.globalHits.get(),
+        graft.matching.Matcher.FitMemo.globalMisses.get())
       val t0 = System.nanoTime()
       // toRdd.count() materializes every column of the result (a plain
       // count() would let Catalyst prune the projection away and undercount
@@ -110,6 +117,8 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       val (in1, sr1, sw1) = ioSnapshot()
       io += ((name, in1 - in0, sr1 - sr0, sw1 - sw0))
+      memo(name) = (graft.matching.Matcher.FitMemo.globalHits.get() - mh0,
+        graft.matching.Matcher.FitMemo.globalMisses.get() - mm0)
       // between-query hygiene (OUTSIDE the timed region — the sweep is
       // harness bookkeeping, not query work): drop per-query checkpoint
       // blocks / stray caches and delete consumed per-run qtmp stores, so
@@ -159,7 +168,12 @@ object Bench {
       val ioByName = io.map(t => t._1 -> (t._2, t._3, t._4)).toMap
       val perQuery = results.sortBy(-_._2).map { case (k, v) =>
         val (i, sr, sw) = ioByName.getOrElse(k, (0L, 0L, 0L))
-        s"""  {"query":"$k","sec":$v,"input_bytes":$i,"shuffle_read_bytes":$sr,"shuffle_write_bytes":$sw}"""
+        val (mh, mm) = memo.getOrElse(k, (0L, 0L))
+        // fit-memo fields only where fits happened — keeps the artifact
+        // diffable without 180 rows of zeros
+        val memoJson = if (mh == 0 && mm == 0) ""
+          else s""","fit_memo_hits":$mh,"fit_memo_misses":$mm"""
+        s"""  {"query":"$k","sec":$v,"input_bytes":$i,"shuffle_read_bytes":$sr,"shuffle_write_bytes":$sw$memoJson}"""
       }.mkString("[\n", ",\n", "\n]")
       val body = s"""{"total_sec":$total,"gc_ms":$gcMs,"sf":"$sfDir","cpus":$cpus,
 "loadavg_start":$load0,"loadavg_end":$load1,
