@@ -1902,6 +1902,153 @@ object Ann {
     }
   }
 
+  // --------------------------------------- measured PQ refine operating point
+
+  /** Sidecar carrying the IVF-PQ store's MEASURED refine→recall@k curve.
+    * The PQ serve's recall knob at a fixed probe budget is the ADC
+    * SHORTLIST WIDTH (`refine`·k candidates survive the code-domain rank
+    * into the exact re-rank) — nProbe trades the same way as the flat
+    * IVF store, but refine is the knob this layout ADDS, so it is the
+    * one its operating point must measure (recorded decision f4d0d13:
+    * nProbe curves tune on the flat tier via [[tuneProbe]]). Header
+    * records k, nProbe, the manifest version measured, and the query
+    * count; same transport as `_graft_probe_curve`. */
+  private def refineCurvePath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_refine_curve")
+
+  /** Measure the store's recall-vs-refine curve at a FIXED nProbe on
+    * `queries` and PERSIST it as the store's operating point. The exact
+    * baseline is self-contained, like [[tuneProbe]]'s full-probe point:
+    * at `refine`·k ≥ the probed candidate volume the shortlist cut
+    * cannot bind, so the serve IS the exact flat-refined rank of every
+    * probed candidate — recall 1.0 by theorem, no external oracle.
+    * Monotone non-decreasing in refine by the window-prefix property
+    * (a wider shortlist is a superset under one total ADC order).
+    * `refineFrom` (the full-precision flat tier) is REQUIRED: recall of
+    * a pure code-domain rank against itself would measure nothing.
+    * Cost: |grid|+1 pruned serves — an OFFLINE maintenance op. */
+  def tuneRefine(spark: org.apache.spark.sql.SparkSession, path: String,
+                 queries: DataFrame, refineFrom: DataFrame, k: Int = 10,
+                 nProbe: Int = 4, refines: Seq[Int] = Seq.empty,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireStoreKind(spark, path, "ivfpq")
+    val v0 = graft.io.IO.storeVersions(spark, path).last
+    // the never-binding theorem point: refine·k ≥ the store's total code
+    // rows ≥ any query's probed candidate volume
+    val nRows = readIvfPqStore(spark, path).count()
+    val refineMax = math.max(1L, (nRows + k - 1) / k).toInt
+    val grid = (if (refines.nonEmpty) refines.filter(r => r >= 1 && r < refineMax)
+                else Iterator.iterate(1)(_ * 2).takeWhile(_ < refineMax).toSeq)
+      .distinct.sorted :+ refineMax
+    // pin queries: every grid point must serve the SAME set (tuneProbe's rule)
+    val q = queries.where(cosineUsable(col(vecCol)))
+      .select(col(idCol), col(vecCol)).localCheckpoint()
+    val curve =
+      try {
+        val nQ = q.count()
+        def serveAt(r: Int) = ivfPqStoreTopK(spark, path, q, k,
+            nProbe = nProbe, refine = r, refineFrom = Some(refineFrom),
+            idCol = idCol, vecCol = vecCol)
+          .select("query_id", "nn_id")
+        val full = serveAt(refineMax).localCheckpoint()
+        try {
+          val nFull = full.count()
+          val pts = grid.map { r =>
+            val recall =
+              if (r == refineMax) 1.0 // by theorem; skip the self-join
+              else serveAt(r).join(full, Seq("query_id", "nn_id")).count()
+                .toDouble / math.max(nFull, 1L)
+            (r, BigDecimal(recall)
+              .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          val vEnd = graft.io.IO.storeVersions(spark, path).last
+          require(vEnd == v0,
+            s"$path advanced v$v0 -> v$vEnd mid-tune — re-run against the " +
+              "quiet store (same rule as tuneProbe)")
+          val p = refineCurvePath(path)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          val out = fs.create(p, true)
+          try out.write((s"k=$k\tn_probe=$nProbe\tversion=$v0\tn_queries=$nQ\n" +
+            pts.map { case (r, rc) => s"$r\t$rc" }.mkString("\n")).getBytes("UTF-8"))
+          finally out.close()
+          pts
+        } finally full.unpersist(blocking = false)
+      } finally q.unpersist(blocking = false)
+    import spark.implicits._
+    curve.toDF("refine", "recall")
+  }
+
+  /** The persisted PQ operating-point table: (k, nProbe, version,
+    * (refine, recall) points). Fails loudly when never tuned. */
+  def readRefineCurve(spark: org.apache.spark.sql.SparkSession,
+                      path: String): (Int, Int, Int, Seq[(Int, Double)]) = {
+    val p = refineCurvePath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"$path has no _graft_refine_curve — run tuneRefine before serving " +
+        "at a recall target")
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val hdr = lines.head.split('\t').map { kv =>
+      val Array(a, b) = kv.split('='); a -> b
+    }.toMap
+    val pts = lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(a, b) = l.split('\t'); (a.toInt, b.toDouble)
+    }
+    (hdr("k").toInt, hdr("n_probe").toInt, hdr("version").toInt, pts)
+  }
+
+  /** True iff the store committed versions since the refine curve was
+    * measured — same drift contract as [[probeCurveStale]]. */
+  def refineCurveStale(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Boolean =
+    readRefineCurve(spark, path)._3 !=
+      graft.io.IO.storeVersions(spark, path).last
+
+  /** The smallest MEASURED refine whose recorded recall meets
+    * `minRecall`; total for any target ≤ 1.0 via the theorem point.
+    * `forK`/`forProbe` (when ≥ 0) require the curve to have been tuned
+    * at THAT k and probe budget — recall@ (k, nProbe) transfers across
+    * neither. */
+  def resolveRefine(spark: org.apache.spark.sql.SparkSession, path: String,
+                    minRecall: Double, forK: Int = -1,
+                    forProbe: Int = -1): Int = {
+    require(minRecall > 0.0 && minRecall <= 1.0,
+      s"minRecall must be in (0, 1]; got $minRecall")
+    val (curveK, curveProbe, _, pts) = readRefineCurve(spark, path)
+    require(forK < 0 || curveK == forK,
+      s"$path's refine curve was tuned at k=$curveK, not k=$forK — re-run " +
+        "tuneRefine at the serving k")
+    require(forProbe < 0 || curveProbe == forProbe,
+      s"$path's refine curve was tuned at nProbe=$curveProbe, not " +
+        s"nProbe=$forProbe — re-run tuneRefine at the serving probe budget")
+    pts.sortBy(_._1).collectFirst { case (r, rc) if rc >= minRecall => r }
+      .getOrElse(pts.map(_._1).max)
+  }
+
+  /** [[ivfPqStoreTopK]] at a RECALL TARGET: the shortlist width resolves
+    * against the store's persisted measured refine curve — the PQ twin
+    * of [[ivfStoreTopKAtRecall]], with the same curve-currency rule
+    * (fail loudly on a stale curve unless `allowStale`). */
+  def ivfPqStoreTopKAtRecall(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queries: DataFrame, k: Int,
+                             minRecall: Double, refineFrom: DataFrame,
+                             nProbe: Int = 4,
+                             allowedIds: Option[DataFrame] = None,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             allowStale: Boolean = false): DataFrame = {
+    require(allowStale || !refineCurveStale(spark, path),
+      s"$path has committed versions since its refine curve was measured — " +
+        "re-run tuneRefine (or pass allowStale = true to accept the drift)")
+    ivfPqStoreTopK(spark, path, queries, k, nProbe = nProbe,
+      refine = resolveRefine(spark, path, minRecall, forK = k, forProbe = nProbe),
+      refineFrom = Some(refineFrom), allowedIds = allowedIds,
+      idCol = idCol, vecCol = vecCol)
+  }
+
   /** [[ivfStoreStaleness]] for the codes-at-rest IVF-PQ layout. No
     * corpus float persists here, so the member-to-centroid distance is
     * estimated from the CODES: the decoded residual's norm —

@@ -267,6 +267,22 @@ object LlmQueries {
         .orderBy("n_probe").as[(Int, Double)].collect().toSeq
     }
 
+  /** ONE measured refine curve per (session, dir) on the shared IVF-PQ
+    * store — tuned at (k=10, nProbe=4) over the vec_id<8 query set with
+    * the full-precision corpus as the flat refine tier, persisted in the
+    * store's `_graft_refine_curve` sidecar by [[Ann.tuneRefine]]. The PQ
+    * layout's own recall knob is the ADC shortlist width (nProbe tunes on
+    * the flat tier — recorded decision f4d0d13), so this is the operating
+    * point its recall-target serve resolves on. */
+  private[graft] def sharedPqRefineCurve(s: SparkSession, dir: String): Seq[(Int, Double)] =
+    SessionMemo.value(s, s"ivfpq_shared_refine_curve:$dir") {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      Ann.tuneRefine(s, sharedIvfPqStore(s, dir),
+          emb.where("vec_id < 8"), refineFrom = emb, k = 10, nProbe = 4)
+        .orderBy("refine").as[(Int, Double)].collect().toSeq
+    }
+
   /** Brute-force cosine top-10 for the vec_id<8 query set, memoized per
     * (session, dir): the exact result for ann_brute_topk and the recall
     * baseline for both ANN contracts. */
@@ -720,6 +736,49 @@ object LlmQueries {
            !Ann.probeCurveStale(s, path)))
         .toDF("n_queries", "curve_monotone", "full_probe_recall_one",
           "serve_meets_target", "curve_current")
+    }),
+
+    // CLOSED tuning loop for the IVF-PQ tier (round-14): the PQ layout's
+    // own recall knob is the ADC SHORTLIST WIDTH (refine·k survivors of
+    // the code-domain rank reach the exact flat re-rank) — nProbe tunes
+    // on the flat tier per the recorded f4d0d13 decision. Ann.tuneRefine
+    // measures recall-vs-refine at a fixed probe budget against the
+    // store's own never-binding-shortlist serve (exact within the probed
+    // cells BY THEOREM — no external oracle), persists the curve in the
+    // store (_graft_refine_curve, version-stamped, k and nProbe recorded
+    // and REQUIRED to match at serve), and ivfPqStoreTopKAtRecall
+    // resolves a recall target against it. Contract: curve monotone
+    // (window-prefix: a wider shortlist is a superset under one total
+    // ADC order, and every baseline member present in a shortlist
+    // survives the exact re-rank), theorem point exactly 1.0, the
+    // recall-target serve meets the target against the recomputed
+    // exact-in-probe baseline, and the curve is CURRENT.
+    "ann_pq_tuned_serve" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val path = sharedIvfPqStore(s, dir)
+      val queries = emb.where("vec_id < 8")
+      val curve = sharedPqRefineCurve(s, dir)
+      val monotone = curve.length >= 2 &&
+        curve.sliding(2).forall(w => w(0)._2 <= w(1)._2)
+      val target = 0.9
+      val served = Ann.ivfPqStoreTopKAtRecall(s, path, queries, k = 10,
+        minRecall = target, refineFrom = emb, nProbe = 4)
+      // exact-in-probe baseline recomputed at the theorem point (the
+      // largest measured refine — its shortlist cut cannot bind)
+      val baseline = Ann.ivfPqStoreTopK(s, path, queries, k = 10,
+          nProbe = 4, refine = curve.last._1, refineFrom = Some(emb))
+        .select("query_id", "nn_id").localCheckpoint()
+      val nBase = baseline.count()
+      val hit = served.select("query_id", "nn_id")
+        .join(baseline, Seq("query_id", "nn_id")).count()
+      val out = Seq((queries.count(), monotone, curve.last._2 == 1.0,
+           hit.toDouble / math.max(nBase, 1L) >= target,
+           !Ann.refineCurveStale(s, path)))
+        .toDF("n_queries", "curve_monotone", "theorem_point_recall_one",
+          "serve_meets_target", "curve_current")
+      baseline.unpersist(blocking = false)
+      out
     }),
 
     // RE-EMBED upsert on a persisted vector index — the maintenance op a
@@ -2046,6 +2105,15 @@ object LlmQueries {
     "ann_tuned_serve" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  true AS curve_monotone, true AS full_probe_recall_one,
+        |  true AS serve_meets_target, true AS curve_current
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // contract: query count SQL-exact; the monotone/theorem/target/
+    // currency checks are measured-curve booleans the driver hash-gates
+    // (the theorem baseline is the store's own never-binding-shortlist
+    // serve — exact within the probed cells by construction)
+    "ann_pq_tuned_serve" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS curve_monotone, true AS theorem_point_recall_one,
         |  true AS serve_meets_target, true AS curve_current
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     // contract: corpus count is SQL-exact; the gate, atomic commit,

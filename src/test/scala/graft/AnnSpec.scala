@@ -1127,6 +1127,67 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("tuneRefine: persisted PQ operating point — monotone curve, " +
+       "never-binding theorem point 1.0, recall-target serve resolves the " +
+       "smallest measured refine, k/nProbe mismatches and stale curves " +
+       "fail loudly") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = "/root/repo/target/qtmp/annspec_tunerefine_store"
+    graft.io.IO.deletePath(path)
+    Ann.writeIvfPqStore(emb, path)
+    val queries = emb.where("vec_id < 5")
+    val curve = Ann.tuneRefine(spark, path, queries, refineFrom = emb,
+        k = 10, nProbe = 4)
+      .orderBy("refine").as[(Int, Double)].collect().toSeq
+    assert(curve.last._2 == 1.0, s"theorem point must be exactly 1.0: $curve")
+    assert(curve.sliding(2).forall(w => w(0)._2 <= w(1)._2),
+      s"curve must be monotone: $curve")
+    val (k, p, _, pts) = Ann.readRefineCurve(spark, path)
+    assert(k == 10 && p == 4 && pts == curve)
+    assert(!Ann.refineCurveStale(spark, path))
+    val target = 0.9
+    val r = Ann.resolveRefine(spark, path, target)
+    assert(pts.filter(_._1 < r).forall(_._2 < target),
+      s"a smaller refine already met $target: $pts resolved $r")
+    assert(pts.find(_._1 == r).exists(_._2 >= target))
+    // the recall-target serve IS the resolved-refine serve
+    val atRecall = Ann.ivfPqStoreTopKAtRecall(spark, path, queries, 10,
+        target, refineFrom = emb, nProbe = 4)
+      .select("query_id", "nn_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val atRefine = Ann.ivfPqStoreTopK(spark, path, queries, 10, nProbe = 4,
+        refine = r, refineFrom = Some(emb))
+      .select("query_id", "nn_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(atRecall == atRefine)
+    // tuned-at mismatches fail loudly — recall@ (k, nProbe) transfers
+    // across neither axis
+    intercept[IllegalArgumentException] {
+      Ann.resolveRefine(spark, path, target, forK = 5, forProbe = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.ivfPqStoreTopKAtRecall(spark, path, queries, 10, target,
+        refineFrom = emb, nProbe = 2)
+    }
+    // a committed append outdates the point; allowStale is the opt-out
+    Ann.appendIvfPqStore(emb.where("vec_id < 3")
+      .select(($"vec_id" + 5000L).as("vec_id"), $"embedding"), path)
+    assert(Ann.refineCurveStale(spark, path))
+    intercept[IllegalArgumentException] {
+      Ann.ivfPqStoreTopKAtRecall(spark, path, queries, 10, target,
+        refineFrom = emb, nProbe = 4)
+    }
+    assert(Ann.ivfPqStoreTopKAtRecall(spark, path, queries, 10, target,
+      refineFrom = emb, nProbe = 4, allowStale = true).count() > 0L)
+    // an untuned store refuses a recall-target serve
+    val bare = "/root/repo/target/qtmp/annspec_tunerefine_bare"
+    graft.io.IO.deletePath(bare)
+    Ann.writeIvfPqStore(emb.where("vec_id < 40"), bare)
+    intercept[IllegalArgumentException] {
+      Ann.resolveRefine(spark, bare, 0.9)
+    }
+  }
+
   test("refreshIvfStore: gated on the measured drift report; the refit " +
        "re-routes in one commit, resets the staleness baseline, and " +
        "serves exactly a batch assignment under the new centroids") {
