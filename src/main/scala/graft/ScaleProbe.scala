@@ -110,7 +110,8 @@ object ScaleProbe {
                    ivfPqServeS: Double,
                    bm25BuildS: Double, bm25ServeS: Double,
                    nearDupDeltaS: Double,
-                   ccS: Double, ccRounds: Int)
+                   ccS: Double, ccRounds: Int,
+                   refreshS: Double)
 
   private def measure(spark: SparkSession, dir: String, tag: String): Point = {
     // flagship: feature fit + LSH blocking + bounded-sample train + full
@@ -212,8 +213,18 @@ object ScaleProbe {
     }
     println(f"[scale] $tag neardup-delta: $tDelta%.1f s " +
       f"($nNovel/32 novel, $ndBuckets buckets)")
+    // FORCED quantizer refresh — the one remaining iterative O(store)
+    // maintenance op: staleness report (one pass per side) + centroid
+    // refit (hash-sample-capped Lloyd, bounded iters) + full re-route +
+    // rewrite, in one commit. Claim: ~linear in the corpus — the fit
+    // input is capped, so only the report/route/write passes scale.
+    // Runs LAST: it rewrites the store the serve timings above read.
+    val (_, tRefresh) = timed {
+      graft.llm.Ann.refreshIvfStore(spark, store, force = true)
+    }
+    println(f"[scale] $tag refresh: $tRefresh%.1f s")
     Point(tFlag, nCands, tNear, nNear, tBuild, nCells, tServe, tPqServe,
-      tBmBuild, tBmServe, tDelta, tCc, cc._2)
+      tBmBuild, tBmServe, tDelta, tCc, cc._2, tRefresh)
   }
 
   /** SERVE-ONLY probe point — the 100×-class check of the pruned-serve
@@ -226,9 +237,11 @@ object ScaleProbe {
     * grew `factor`×, because a serve reads probed cells / query-term
     * buckets whose count and per-bucket volume grow √n, all dwarfed by
     * fixed job overhead at these absolute sizes. */
-  private case class ServePoint(ivfS: Double, ivfPqS: Double, bm25S: Double)
+  private case class ServePoint(ivfS: Double, ivfPqS: Double, bm25S: Double,
+                                ivfBatchS: Double, bm25BatchS: Double)
 
   private def measureServe(spark: SparkSession, dir: String, tag: String): ServePoint = {
+    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val docs = Tables.documents(spark, dir)
     val store = s"/root/repo/target/qtmp/scaleprobe_srv_ivf_$tag"
@@ -238,6 +251,20 @@ object ScaleProbe {
     val queries = emb.where("vec_id < 24") // copy-0 original vectors
     val (_, tServe) = timed {
       graft.llm.Ann.ivfStoreTopK(spark, store, queries, k = 10).count()
+    }
+    // BATCH vector serve at a recall target: 256 queries through ONE
+    // probed plan, the probe budget resolved against the store's
+    // persisted measured curve. The tune itself is the OFFLINE op
+    // (untimed, like the builds); the timed wall is the batch serve —
+    // its claim: per-query probed reads are √n-flat exactly like the
+    // 24-query point, and the driver-side work (probe collect) is
+    // bounded by cell count, not batch size.
+    graft.llm.Ann.tuneProbe(spark, store, queries, k = 10)
+    val resolvedProbe = graft.llm.Ann.resolveProbe(spark, store, 0.9, forK = 10)
+    val batchQ = emb.where("vec_id < 256") // copy-0 original vectors
+    val (_, tBatchServe) = timed {
+      graft.llm.Ann.ivfStoreTopKAtRecall(spark, store, batchQ, k = 10,
+        minRecall = 0.9).count()
     }
     val pqStore = s"/root/repo/target/qtmp/scaleprobe_srv_ivfpq_$tag"
     graft.io.IO.deletePath(pqStore)
@@ -254,9 +281,24 @@ object ScaleProbe {
       graft.llm.Bm25Store.scores(spark, bmStore,
         Seq("vector", "stream", "hash", "spark")).count()
     }
+    // BATCH lexical serve: 256 queries in ONE pruned read — the
+    // tx_bm25_batch claim measured (driver work bounded by the store's
+    // bucket count, never batch size; terms live in copy 0 only, so the
+    // pruned volume per bucket grows √n like the single serve's)
+    val pool = Seq("vector", "stream", "hash", "spark", "data", "model",
+      "graph", "query", "code", "table")
+    val batch = (0 until 256).map(i =>
+        (i.toLong, (0 until 4).map(j => pool((i + j * 3) % pool.size)).distinct))
+      .toDF("query_id", "terms")
+    val (nBatchHits, tBmBatch) = timed {
+      graft.llm.Bm25Store.scoresBatch(spark, bmStore, batch).count()
+    }
     println(f"[scale] $tag serves ($nCells cells): ivf $tServe%.1f s, " +
-      f"ivfpq $tPqServe%.1f s, bm25 $tBmServe%.1f s ($nHits hits)")
-    ServePoint(tServe, tPqServe, tBmServe)
+      f"ivf-batch256 $tBatchServe%.1f s (nProbe $resolvedProbe at recall 0.9), " +
+      f"ivfpq $tPqServe%.1f s, " +
+      f"bm25 $tBmServe%.1f s ($nHits hits), " +
+      f"bm25-batch256 $tBmBatch%.1f s ($nBatchHits rows)")
+    ServePoint(tServe, tPqServe, tBmServe, tBatchServe, tBmBatch)
   }
 
   private def serveOnlyMain(spark: SparkSession, base: String, factor: Int): Unit = {
@@ -265,13 +307,29 @@ object ScaleProbe {
     val p1 = measureServe(spark, base, "srv1x")
     val pN = measureServe(spark, big, s"srv${factor}x")
     def ratio(a: Double, b: Double) = b / math.max(a, 1e-9)
-    val bound = 2.0
+    // two bound classes: FLAT (≤ 2×) for the overhead-dominated single
+    // and driver-bounded lexical serves, and SUB-√n (≤ √factor) for the
+    // recall-target VECTOR batch — at equal recall its per-query probed
+    // volume grows ~√n by construction (per-cell volume grows √n under
+    // the √n cell-sizing rule, and the resolved probe budget may grow
+    // with corpus density), so "flat" was never that serve's claim;
+    // sub-√n is, and it is the bound a 1000-executor capacity plan
+    // actually needs (probed bytes per query, not job overhead).
+    val flatBound = 2.0
+    val sqrtBound = math.sqrt(factor.toDouble)
     val checks = Seq(
-      ("ivf store serve flat at 100x-class corpus", ratio(p1.ivfS, pN.ivfS)),
-      ("ivfpq store serve flat at 100x-class corpus", ratio(p1.ivfPqS, pN.ivfPqS)),
-      ("bm25 store serve flat at 100x-class corpus", ratio(p1.bm25S, pN.bm25S)))
+      ("ivf store serve flat at 100x-class corpus",
+        ratio(p1.ivfS, pN.ivfS), flatBound),
+      ("ivf 256-query recall-target batch serve sub-sqrt(n)",
+        ratio(p1.ivfBatchS, pN.ivfBatchS), sqrtBound),
+      ("ivfpq store serve flat at 100x-class corpus",
+        ratio(p1.ivfPqS, pN.ivfPqS), flatBound),
+      ("bm25 store serve flat at 100x-class corpus",
+        ratio(p1.bm25S, pN.bm25S), flatBound),
+      ("bm25 256-query batch serve flat at 100x-class corpus",
+        ratio(p1.bm25BatchS, pN.bm25BatchS), flatBound))
     var ok = true
-    checks.foreach { case (name, r) =>
+    checks.foreach { case (name, r, bound) =>
       val pass = r <= bound
       ok &= pass
       println(f"[scale] ${if (pass) "PASS" else "FAIL"} $name: " +
@@ -337,7 +395,9 @@ object ScaleProbe {
       ("cc rounds ~log of longest chain (flat under copy inflation)",
         ratio(p1.ccRounds.toDouble, pN.ccRounds.toDouble), 2.0),
       ("cc wall ~linear in edges·rounds",
-        ratio(p1.ccS, pN.ccS), 2.0 * factor))
+        ratio(p1.ccS, pN.ccS), 2.0 * factor),
+      ("ivf refresh wall ~linear (capped fit; report/route/write passes)",
+        ratio(p1.refreshS, pN.refreshS), 2.0 * factor))
     var ok = true
     checks.foreach { case (name, r, bound) =>
       val pass = r <= bound

@@ -34,5 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "jaro_winkler takes exactly 2 arguments")
         JaroWinkler(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "pq_adc takes exactly 2 arguments")
+        PqAdc(children(0), children(1))
+      }))
   }
 }

@@ -1451,17 +1451,16 @@ object Ann {
     }.toSeq
   }
 
-  /** Summed-LUT asymmetric distance of a code row. NULL-propagating on
-    * either side (a NULL never survives the upstream usability filters;
-    * the guard keeps the kernel total rather than NPE-ing if one did). */
-  private val pqAdcUdf = udf { (codes: Seq[Int], lut: Seq[Seq[Double]]) =>
-    if (codes == null || lut == null) null.asInstanceOf[java.lang.Double]
-    else {
-      var s = 0.0; var j = 0
-      while (j < codes.length) { s += lut(j)(codes(j)); j += 1 }
-      java.lang.Double.valueOf(s)
-    }
-  }
+  /** Summed-LUT asymmetric distance of a code row — the codegen
+    * [[graft.functions.PqAdc]] kernel (NULL-propagating like every
+    * binary expression; bit-for-bit the old UDF's ascending-subspace
+    * sum). THE per-candidate kernel of the PQ serves: it evaluates once
+    * per probed code row — a √n-per-cell-growing population — so the
+    * interpreted-UDF form was the measured growth driver of the
+    * 100×-corpus ADC serve wall while every surrounding read stayed
+    * pruned. */
+  private def pqAdc(codes: Column, lut: Column): Column =
+    graft.functions.PqAdc.pq_adc(codes, lut)
 
   /** Map-side residual kernel: `v − centroid(cell)` against a collected
     * centroid table — the FAISS-IVFPQ residual the persisted store
@@ -1519,7 +1518,7 @@ object Ann {
     val cb = collectCodebooks(cbDf)
     val enc = pqEncode(corpus, cbDf, idCol, vecCol)
     val lutU = pqLutUdf(cb)
-    val adcU = pqAdcUdf
+    val adcU = pqAdc _
     val q = queries.where(cosineUsable(col(vecCol)))
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("nn_id").asc)
@@ -1875,7 +1874,7 @@ object Ann {
       .join(broadcast(probeLuts), Seq("cell"))
       .where(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
-        pqAdcUdf(col("codes"), col("lut")).as("adc"))
+        pqAdc(col("codes"), col("lut")).as("adc"))
       // same NULLS-FIRST trap as pqTopK's shortlist window — a NULL adc
       // is dropped, never ranked
       .where(col("adc").isNotNull)
@@ -2079,7 +2078,7 @@ object Ann {
       .withColumnRenamed(graft.io.IO.BucketCol, "cell")
       .where(col("cell") < nCells)
       .select(col("cell"),
-        sqrt(pqAdcUdf(col("codes"), typedLit(lut0))).as("dist"))
+        sqrt(pqAdc(col("codes"), typedLit(lut0))).as("dist"))
     stalenessReport(
       withDist(graft.io.IO.readPartitionedStoreAtTagged(spark, path, v1)),
       withDist(graft.io.IO.readStoreBuckets(spark, path, (0 until nCells).toSet)),
