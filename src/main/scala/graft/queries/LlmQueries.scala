@@ -278,8 +278,14 @@ object LlmQueries {
     SessionMemo.value(s, s"ivfpq_shared_refine_curve:$dir") {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
+      // explicit small grid + the auto theorem point: the default
+      // powers-of-2 sweep runs to refineMax (≈ corpus/k serves — ~16
+      // grid points at sf0.1), which is tuning-lab budget, not a
+      // per-session fixture cost; four low points + the exact point
+      // bracket the operating range the resolve actually picks from
       Ann.tuneRefine(s, sharedIvfPqStore(s, dir),
-          emb.where("vec_id < 8"), refineFrom = emb, k = 10, nProbe = 4)
+          emb.where("vec_id < 8"), refineFrom = emb, k = 10, nProbe = 4,
+          refines = Seq(1, 2, 4, 8))
         .orderBy("refine").as[(Int, Double)].collect().toSeq
     }
 
