@@ -512,10 +512,15 @@ object Ann {
       .withColumn("cdist", aggregate(
         zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
         lit(0.0d), (s, x) => s + x))
-      .withColumn("rk", row_number().over(
+      .withColumn("cell_rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cdist").asc, col("cell").asc)))
-      .where(col("rk") <= nProbe)
-      .select("query_id", "qv", "cell")
+      .where(col("cell_rk") <= nProbe)
+      // cell_rk (the probe rank) rides along: the one-read curve
+      // measurement (tuneProbe) derives every smaller probe budget's
+      // candidate set as the cell_rk <= p prefix — the same nesting the
+      // monotonicity theorem rests on. The serve consumers' explicit
+      // selects drop it.
+      .select("query_id", "qv", "cell", "cell_rk")
   }
 
   /** Exact cosine re-rank of an assigned candidate set against a probe
@@ -675,6 +680,49 @@ object Ann {
     rankProbed(restrictToAllowed(assigned, allowedIds, idCol), probes, k)
   }
 
+  /** ONE-READ curve-measurement candidates (optimization round 14, guide
+    * §1.2 "remove unnecessary passes"): every servable row of the probed
+    * union at `maxProbe`, joined to its queries with the exact rounded
+    * cosine AND the probe rank (`cell_rk`) of its cell for that query.
+    * For any p ≤ maxProbe, the rows with `cell_rk <= p` are EXACTLY the
+    * candidate set [[ivfStoreTopK]] at nProbe = p ranks (the candidate-
+    * nesting property the curve contracts already rest on), so
+    * [[topKAtProbe]] over this frame reproduces that serve's rows
+    * bit-for-bit — same usability filter, same self-pair exclusion, same
+    * rounded-cosine/total order. [[tuneProbe]] measures its whole grid
+    * from one such pass instead of one pruned serve per grid point. */
+  private[graft] def ivfStoreProbeCandidates(spark: org.apache.spark.sql.SparkSession,
+                                             path: String, queries: DataFrame,
+                                             maxProbe: Int,
+                                             idCol: String = "vec_id",
+                                             vecCol: String = "embedding"): DataFrame = {
+    val probes = probeFrame(queries, readCentroids(spark, path), maxProbe,
+      idCol, vecCol).localCheckpoint()
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    graft.io.IO.readStoreBuckets(spark, path, cells)
+      .withColumnRenamed(graft.io.IO.BucketCol, "cell")
+      .select("nn_id", "cv", "cell")
+      .where(cosineUsable(col("cv")))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosine(col("cv"), col("qv")), 4).as("cosine"), col("cell_rk"))
+  }
+
+  /** Top-k at probe budget `p` derived from an
+    * [[ivfStoreProbeCandidates]] frame — the `cell_rk <= p` prefix ranked
+    * by the serve's (cosine desc, nn_id asc) total order. Equals
+    * [[ivfStoreTopK]](nProbe = p) row-for-row for any p ≤ the frame's
+    * maxProbe. */
+  private[graft] def topKAtProbe(cands: DataFrame, k: Int, p: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cands.where(col("cell_rk") <= p)
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("nn_id").asc)))
+      .where(col("rank") <= k)
+      .select("query_id", "nn_id", "cosine", "rank")
+  }
+
   /** Semi-join a candidate frame down to an allowed-id set (filtered
     * vector search's pre-rank restriction); identity when no filter. */
   private def restrictToAllowed(candidates: DataFrame,
@@ -745,19 +793,38 @@ object Ann {
     val curve =
       try {
         val nQ = q.count()
-        val full = ivfStoreTopK(spark, path, q, k, nProbe = nCells,
-            idCol = idCol, vecCol = vecCol)
-          .select("query_id", "nn_id").localCheckpoint()
+        // Optimization round 14 (guide §1.2): ONE full-probe candidates
+        // pass instead of one pruned serve per grid point. Every grid
+        // point's served top-k is the cell_rk <= p window prefix of this
+        // frame (identical rows to ivfStoreTopK(nProbe = p) — see
+        // ivfStoreProbeCandidates), and the full-probe top-k is the
+        // unfiltered rank, so recall@p needs no join at all: flag the
+        // full-probe top-k rows once and count how many survive each
+        // prefix's rank cut. |grid| narrow window-counts over one
+        // checkpointed 4-column frame replace |grid| store reads, probe
+        // windows, and hash joins. The checkpointed frame is
+        // (queries × probed candidates) rows of 4 scalar columns — the
+        // same volume the old full-probe serve already computed and
+        // discarded past its top-k cut.
+        val cands = ivfStoreProbeCandidates(spark, path, q, nCells,
+            idCol, vecCol)
+          .localCheckpoint()
         try {
-          val nFull = full.count()
+          import org.apache.spark.sql.expressions.Window
+          val flagged = cands.withColumn("rank_full",
+              row_number().over(Window.partitionBy("query_id")
+                .orderBy(col("cosine").desc, col("nn_id").asc)))
+            .withColumn("is_full", col("rank_full") <= k)
+          val nFull = flagged.where(col("is_full")).count()
           val pts = grid.map { p =>
             val recall =
-              if (p == nCells) 1.0 // by theorem; spares the redundant self-join
+              if (p == nCells) 1.0 // by theorem; spares the redundant pass
               else {
-                val hit = ivfStoreTopK(spark, path, q, k, nProbe = p,
-                    idCol = idCol, vecCol = vecCol)
-                  .select("query_id", "nn_id")
-                  .join(full, Seq("query_id", "nn_id")).count()
+                val hit = flagged.where(col("cell_rk") <= p)
+                  .withColumn("rank", row_number().over(
+                    Window.partitionBy("query_id")
+                      .orderBy(col("cosine").desc, col("nn_id").asc)))
+                  .where(col("rank") <= k && col("is_full")).count()
                 hit.toDouble / math.max(nFull, 1L)
               }
             (p, BigDecimal(recall)
@@ -776,7 +843,7 @@ object Ann {
             pts.map { case (p, r) => s"$p\t$r" }.mkString("\n")).getBytes("UTF-8"))
           finally out.close()
           pts
-        } finally full.unpersist(blocking = false)
+        } finally cands.unpersist(blocking = false)
       } finally q.unpersist(blocking = false)
     import spark.implicits._
     curve.toDF("n_probe", "recall")
@@ -1901,6 +1968,68 @@ object Ann {
     }
   }
 
+  /** ONE-PASS refine-curve candidates (optimization round 14, guide §1.2
+    * — the PQ twin of [[ivfStoreProbeCandidates]]): the full ADC rank of
+    * every probed code row (`crk`, no shortlist cut) refine-joined to the
+    * flat tier's exact cosines, so for ANY refine width r the rows with
+    * `crk <= r·k` are exactly the shortlist [[ivfPqStoreTopK]] at that
+    * width re-ranks (the window-prefix property the refine curve's
+    * monotonicity already rests on). [[tuneRefine]] measures its whole
+    * grid from one such pass instead of one full serve per grid point.
+    * Mirrors ivfPqStoreTopK's refineFrom arm expression-for-expression
+    * (same pinned probes, same LUT/ADC kernel, same NULL-adc drop, same
+    * rounded cosine) so derived rows are bit-identical. */
+  private[graft] def ivfPqRefineCandidates(spark: org.apache.spark.sql.SparkSession,
+                                           path: String, queries: DataFrame,
+                                           nProbe: Int, refineFrom: DataFrame,
+                                           idCol: String = "vec_id",
+                                           vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, centArr, cb) = loadIvfPqQuantizers(spark, path)
+    val probes = probeFrame(queries, cents, nProbe, idCol, vecCol)
+      .localCheckpoint()
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val codes = graft.io.IO.readStoreBuckets(spark, path, cells)
+      .withColumnRenamed(graft.io.IO.BucketCol, "cell")
+      .select("nn_id", "codes", "cell")
+    val lutU = pqLutUdf(cb)
+    val rU = residUdf(centArr)
+    val probeLuts = probes
+      .withColumn("lut", lutU(rU(col("qv"), col("cell"))))
+      .select("query_id", "cell", "lut")
+    val qPinned = probes.select(col("query_id"), col("qv"))
+      .dropDuplicates("query_id")
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("nn_id").asc)
+    val ranked = codes
+      .join(broadcast(probeLuts), Seq("cell"))
+      .where(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        pqAdc(col("codes"), col("lut")).as("adc"))
+      .where(col("adc").isNotNull)
+      .withColumn("crk", row_number().over(wAdc))
+    val c = refineFrom.where(cosineUsable(col(vecCol)))
+      .select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
+    ranked.select("query_id", "nn_id", "crk")
+      .join(c, Seq("nn_id"))
+      .join(broadcast(qPinned), Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosine(col("cv"), col("qv")), 4).as("cosine"), col("crk"))
+  }
+
+  /** Top-k at shortlist width `refine` derived from an
+    * [[ivfPqRefineCandidates]] frame — the `crk <= refine·k` prefix
+    * re-ranked by the serve's (cosine desc, nn_id asc) order. Equals
+    * [[ivfPqStoreTopK]](refine = r, refineFrom = Some(flat))
+    * row-for-row. */
+  private[graft] def topKAtRefine(cands: DataFrame, k: Int, refine: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cands.where(col("crk") <= refine.toLong * k)
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("nn_id").asc)))
+      .where(col("rank") <= k)
+      .select("query_id", "nn_id", "cosine", "rank")
+  }
+
   // --------------------------------------- measured PQ refine operating point
 
   /** Sidecar carrying the IVF-PQ store's MEASURED refine→recall@k curve.
@@ -1945,17 +2074,32 @@ object Ann {
     val curve =
       try {
         val nQ = q.count()
-        def serveAt(r: Int) = ivfPqStoreTopK(spark, path, q, k,
-            nProbe = nProbe, refine = r, refineFrom = Some(refineFrom),
-            idCol = idCol, vecCol = vecCol)
-          .select("query_id", "nn_id")
-        val full = serveAt(refineMax).localCheckpoint()
+        // Optimization round 14 (guide §1.2): ONE ADC + flat-refine pass
+        // at the never-binding width instead of one full serve per grid
+        // point — every width's shortlist is the crk <= r·k prefix of the
+        // same ADC total order (the window-prefix property this curve's
+        // monotonicity already rests on), so each grid point is a narrow
+        // window-count over the checkpointed 4-column frame, not a fresh
+        // probe/read/LUT/ADC/join pipeline. The theorem point's top-k is
+        // the unfiltered rank; recall needs no join (flag + count).
+        val cands = ivfPqRefineCandidates(spark, path, q, nProbe,
+            refineFrom, idCol, vecCol)
+          .localCheckpoint()
         try {
-          val nFull = full.count()
+          import org.apache.spark.sql.expressions.Window
+          val flagged = cands.withColumn("rank_full",
+              row_number().over(Window.partitionBy("query_id")
+                .orderBy(col("cosine").desc, col("nn_id").asc)))
+            .withColumn("is_full", col("rank_full") <= k)
+          val nFull = flagged.where(col("is_full")).count()
           val pts = grid.map { r =>
             val recall =
-              if (r == refineMax) 1.0 // by theorem; skip the self-join
-              else serveAt(r).join(full, Seq("query_id", "nn_id")).count()
+              if (r == refineMax) 1.0 // by theorem; skip the redundant pass
+              else flagged.where(col("crk") <= r.toLong * k)
+                .withColumn("rank", row_number().over(
+                  Window.partitionBy("query_id")
+                    .orderBy(col("cosine").desc, col("nn_id").asc)))
+                .where(col("rank") <= k && col("is_full")).count()
                 .toDouble / math.max(nFull, 1L)
             (r, BigDecimal(recall)
               .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
@@ -1971,7 +2115,7 @@ object Ann {
             pts.map { case (r, rc) => s"$r\t$rc" }.mkString("\n")).getBytes("UTF-8"))
           finally out.close()
           pts
-        } finally full.unpersist(blocking = false)
+        } finally cands.unpersist(blocking = false)
       } finally q.unpersist(blocking = false)
     import spark.implicits._
     curve.toDF("refine", "recall")

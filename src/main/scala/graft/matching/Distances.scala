@@ -38,11 +38,21 @@ object Distances {
       .join(broadcast(featB.as("B")), col("idB") === col("B.id"))
 
   /** X1 — squared distances per attribute (`03:101-107`), via the native
-    * codegen expression (UDF form available as [[sqdist]]). */
-  def pairDistances(pairs: DataFrame, featA: DataFrame, featB: DataFrame): DataFrame =
-    attachFeatures(pairs, featA, featB).select(
+    * codegen expression (UDF form available as [[sqdist]]).
+    *
+    * The broadcast sides project to (id, three feature vectors) FIRST
+    * (optimization round 14, guide §2.3 "project before the exchange"):
+    * the feature frames also carry the raw name/description strings as
+    * blocking keys, which this kernel never reads — broadcasting them
+    * built and shipped a visibly fatter hash relation per training/scoring
+    * call for zero use. */
+  def pairDistances(pairs: DataFrame, featA: DataFrame, featB: DataFrame): DataFrame = {
+    val vecCols = Seq("id", "name_features", "descript_features", "price_features")
+    attachFeatures(pairs, featA.select(vecCols.map(col): _*),
+        featB.select(vecCols.map(col): _*)).select(
       col("idA"), col("idB"),
       sqdistNative(col("A.name_features"), col("B.name_features")).as("name_sqdist"),
       sqdistNative(col("A.descript_features"), col("B.descript_features")).as("descript_sqdist"),
       sqdistNative(col("A.price_features"), col("B.price_features")).as("price_sqdist"))
+  }
 }

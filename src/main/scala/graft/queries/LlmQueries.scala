@@ -148,17 +148,30 @@ object LlmQueries {
 
   /** Multiset equality of two frames over the given columns — the
     * store-vs-batch-recomputation check the maintenance contracts share.
-    * Per-side counts full-outer-joined (NOT union + count-==-2, which an
-    * intra-frame duplicate could satisfy from one side alone). */
-  private[graft] def multisetEquals(a: DataFrame, b: DataFrame,
-                                    cols: Seq[String]): Boolean = {
-    val ka = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__na"))
-    val kb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nb"))
-    ka.join(kb, cols, "full_outer")
-      .where(col("__na").isNull || col("__nb").isNull ||
-        col("__na") =!= col("__nb"))
-      .count() == 0L
+    * Per-side counts compared per key (NOT union + count-==-2, which an
+    * intra-frame duplicate could satisfy from one side alone).
+    *
+    * Optimization round 14 (guide §2.4): ONE side-tagged aggregation over
+    * the union instead of two per-side aggregations full-outer-joined —
+    * same boolean (a key absent from one side aggregates to a 0 count on
+    * that side, exactly the null arm of the old full-outer form), but one
+    * Exchange instead of two aggregation Exchanges plus a join. This check
+    * runs inside eight maintenance contracts (ann_ivf_store, store
+    * delete/upsert/refresh, probe curve, tx_bm25_upsert, ...), so the
+    * saved shuffles multiply. */
+  private[graft] def multisetMismatches(a: DataFrame, b: DataFrame,
+                                        cols: Seq[String]): DataFrame = {
+    val cs = cols.map(col)
+    a.select(cs: _*).withColumn("__side", lit(1L))
+      .unionByName(b.select(cs: _*).withColumn("__side", lit(0L)))
+      .groupBy(cs: _*)
+      .agg(sum(col("__side")).as("__na"), sum(lit(1L) - col("__side")).as("__nb"))
+      .where(col("__na") =!= col("__nb"))
   }
+
+  private[graft] def multisetEquals(a: DataFrame, b: DataFrame,
+                                    cols: Seq[String]): Boolean =
+    multisetMismatches(a, b, cols).count() == 0L
 
   private[graft] def annStats(s: SparkSession, approx0: DataFrame,
                               dir: String): AnnStats = {
@@ -595,11 +608,15 @@ object LlmQueries {
       val queries = emb.where("vec_id < 8")
       val served = Ann.ivfStoreTopK(s, sharedIvfStore(s, dir), queries,
         k = 10, allowedIds = Some(allowed)).cache()
+      // pinned: the filtered brute baseline feeds BOTH the count and the
+      // recall join — uncached it re-ran the cross-join rank per consumer
+      // (optimization round 14, guide §1.2: don't compute things twice)
       val brute = Ann.bruteTopK(emb.where("vec_id % 2 = 0"), queries, k = 10)
-        .select("query_id", "nn_id")
+        .select("query_id", "nn_id").cache()
       val nBrute = brute.count()
       val hit = served.select("query_id", "nn_id")
         .join(brute, Seq("query_id", "nn_id")).count()
+      brute.unpersist(blocking = false)
       val disallowed = served.where(col("nn_id") % 2 =!= 0).count()
       val asD = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
       val mismatches = served
@@ -684,17 +701,24 @@ object LlmQueries {
       val nCells = graft.io.IO.storeBuckets(path) - 1
       val brute = bruteBaseline(s, dir).select("query_id", "nn_id").cache()
       val nBrute = brute.count()
+      // Optimization round 14 (guide §1.2): ONE full-probe candidates
+      // pass; each measured point is a window prefix of it (identical
+      // rows to ivfStoreTopK at that nProbe — the nesting theorem this
+      // very contract states), not a fresh probe/read/rank pipeline.
+      val cands = Ann.ivfStoreProbeCandidates(s, path, queries, nCells)
+        .localCheckpoint()
       def recallAt(p: Int): Double = {
-        val hit = Ann.ivfStoreTopK(s, path, queries, k = 10, nProbe = p)
+        val hit = Ann.topKAtProbe(cands, k = 10, p)
           .select("query_id", "nn_id")
           .join(brute, Seq("query_id", "nn_id")).count()
         hit.toDouble / math.max(nBrute, 1L)
       }
       val curve = Seq(1, 2, 4).map(recallAt)
-      val full = Ann.ivfStoreTopK(s, path, queries, k = 10, nProbe = nCells)
+      val full = Ann.topKAtProbe(cands, k = 10, nCells)
       val fullEq = multisetEquals(full,
         Ann.bruteTopK(emb, queries, k = 10),
         Seq("query_id", "nn_id", "cosine", "rank"))
+      cands.unpersist(blocking = false)
       // full-probe recall is 1.0 by theorem (2), so the monotone chain
       // checks the measured points against each other and against 1.0
       val monotone = (curve :+ 1.0).sliding(2).forall(w => w(0) <= w(1))
@@ -768,22 +792,34 @@ object LlmQueries {
       val monotone = curve.length >= 2 &&
         curve.sliding(2).forall(w => w(0)._2 <= w(1)._2)
       val target = 0.9
-      val served = Ann.ivfPqStoreTopKAtRecall(s, path, queries, k = 10,
-        minRecall = target, refineFrom = emb, nProbe = 4)
-      // exact-in-probe baseline recomputed at the theorem point (the
-      // largest measured refine — its shortlist cut cannot bind)
-      val baseline = Ann.ivfPqStoreTopK(s, path, queries, k = 10,
-          nProbe = 4, refine = curve.last._1, refineFrom = Some(emb))
+      // Optimization round 14 (guide §1.2): the recall-target serve and
+      // the theorem-point baseline share ONE ADC + flat-refine candidates
+      // pass — each is a crk-prefix re-rank of it (row-identical to the
+      // corresponding ivfPqStoreTopK serve; see ivfPqRefineCandidates).
+      // The stale-curve fail-loudly rule ivfPqStoreTopKAtRecall enforces
+      // is kept verbatim.
+      val stale = Ann.refineCurveStale(s, path)
+      require(!stale,
+        s"$path has committed versions since its refine curve was measured — " +
+          "re-run tuneRefine (or pass allowStale = true to accept the drift)")
+      val cands = Ann.ivfPqRefineCandidates(s, path, queries, nProbe = 4,
+        refineFrom = emb).localCheckpoint()
+      val served = Ann.topKAtRefine(cands, k = 10,
+        Ann.resolveRefine(s, path, target, forK = 10, forProbe = 4))
+      // exact-in-probe baseline at the theorem point (the largest
+      // measured refine — its shortlist cut cannot bind)
+      val baseline = Ann.topKAtRefine(cands, k = 10, curve.last._1)
         .select("query_id", "nn_id").localCheckpoint()
       val nBase = baseline.count()
       val hit = served.select("query_id", "nn_id")
         .join(baseline, Seq("query_id", "nn_id")).count()
       val out = Seq((queries.count(), monotone, curve.last._2 == 1.0,
            hit.toDouble / math.max(nBase, 1L) >= target,
-           !Ann.refineCurveStale(s, path)))
+           !stale))
         .toDF("n_queries", "curve_monotone", "theorem_point_recall_one",
           "serve_meets_target", "curve_current")
       baseline.unpersist(blocking = false)
+      cands.unpersist(blocking = false)
       out
     }),
 

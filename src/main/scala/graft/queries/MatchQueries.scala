@@ -41,6 +41,13 @@ object MatchQueries {
       (PipelineModel, DataFrame)]()
   private val flagshipCache =
     scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
+  // the FULL scored candidate frame (pre-ranking): er_flagship_match's
+  // top-500 rank and er_uncertainty's least-confident-100 rank are two
+  // different cuts of the SAME deterministic scoring pass — uncached,
+  // each paid the 906k-pair distance-attach + model transform again
+  // (optimization round 14, guide §1.2)
+  private val scoredCache =
+    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
   // the labeled/distance-featured/weighted frame m4 AND m5 both search
   // over — derived once per (session, dir), not once per query
   private val trainingFrameCache =
@@ -65,6 +72,7 @@ object MatchQueries {
     stageCache.filterInPlace((k, _) => live(k))
     matcherCache.filterInPlace((k, _) => live(k))
     flagshipCache.filterInPlace((k, _) => live(k))
+    scoredCache.filterInPlace((k, _) => live(k))
     trainingFrameCache.filterInPlace((k, _) => live(k))
     (org.apache.spark.sql.graftshim.Shim.sessionUuid(s), dir, keyFilter)
   }
@@ -146,9 +154,31 @@ object MatchQueries {
         df
       })
 
+  /** The scored candidate frame (every labeled pair with its match
+    * probability), cached + materialized per (session, dir, filter):
+    * the flagship's top-500 and er_uncertainty's least-confident-100 are
+    * both cuts of this one deterministic scoring pass. */
+  private def scoredAll(s: SparkSession, dir: String,
+                        keyFilter: String = "id % 10 = 0"): DataFrame =
+    scoredCache.getOrElseUpdate(cacheKey(s, dir, keyFilter),
+      graft.Sweep.retainNew(s) {
+        val st = featureStage(s, dir, keyFilter)
+        val (model, labeled) = trainedMatcher(s, dir, keyFilter)
+        // UN-ranked on purpose: scoreAll ends in a global orderBy that
+        // every consumer here immediately re-cuts with its own
+        // TakeOrdered (top-500 by score / top-100 by uncertainty) — the
+        // collapse that eliminates the range exchange only happens when
+        // the sort is NOT materialized, so the cache holds score(dists)
+        // and each consumer keeps its own ordered limit.
+        val dists = Distances.pairDistances(labeled.select("idA", "idB"),
+          st.feats.where("table = 'abt'"), st.feats.where("table = 'buy'"))
+        val df = Matcher.score(model, dists).cache()
+        df.count() // materialize inside retainNew (see featureStage)
+        df
+      })
+
   private def flagshipUncached(s: SparkSession, dir: String, keyFilter: String): DataFrame = {
-    val st = featureStage(s, dir, keyFilter)
-    val (model, labeled) = trainedMatcher(s, dir, keyFilter)
+    val (_, labeled) = trainedMatcher(s, dir, keyFilter)
     // rank + top-500 FIRST (TakeOrderedAndProject — no global sort, no
     // full-width shuffle), then attach labels to the 500 survivors with a
     // broadcast join. Joining labels before the limit shuffled the whole
@@ -156,7 +186,7 @@ object MatchQueries {
     // the limit was about to discard. Every scored pair came FROM labeled,
     // so the post-limit inner join keeps exactly the same 500 rows.
     broadcast(
-        EntityResolution.scoreAll(st.feats, labeled.select("idA", "idB"), model)
+        scoredAll(s, dir, keyFilter)
           .orderBy(col("match_score").desc, col("idA"), col("idB"))
           .limit(500))
       .join(labeled, Seq("idA", "idB"))
@@ -543,20 +573,28 @@ object MatchQueries {
       val name = "name_pipeline"
       // the run metric: mean nnz of the fitted name features over the
       // training frame — deterministic given the seeded pipeline, so the
-      // round-trip check is exact equality, not a tolerance
-      def meanNnz(m: PipelineModel): Double = m.transform(a)
+      // round-trip check is exact equality, not a tolerance. Each model's
+      // transformed frame is pinned (optimization round 14, guide §1.2):
+      // it feeds BOTH the metric aggregate and the score-consistency
+      // join, and untransformed it re-ran the whole feature chain per
+      // consumer.
+      def transformed(m: PipelineModel): DataFrame =
+        m.transform(a).select(col("id"), col("name_features")).cache()
+      def meanNnz(t: DataFrame): Double = t
         .agg(avg(vec_stats(col("name_features")).getField("nnz")))
         .head().getDouble(0)
+      val pipeT = transformed(pipe)
       val v1 = ModelStore.save(pipe, root, name)
-      ModelStore.logMetric(root, name, v1, "mean_name_nnz", meanNnz(pipe),
+      ModelStore.logMetric(root, name, v1, "mean_name_nnz", meanNnz(pipeT),
         frameFingerprint = s"sideA:id%20=0:$dir",
         params = Map("pipeline" -> "namePipeline"))
       ModelStore.setProduction(root, name, v1)
       val v2 = ModelStore.copyVersion(root, name, v1)
       ModelStore.setProduction(root, name, v2)
       val prod = PipelineModel.load(ModelStore.productionPath(root, name))
-      val same = prod.transform(a).select("id", "name_features")
-        .join(pipe.transform(a).select(col("id"), col("name_features").as("nf2")), "id")
+      val prodT = transformed(prod)
+      val same = prodT
+        .join(pipeT.select(col("id"), col("name_features").as("nf2")), "id")
         .where(col("name_features") =!= col("nf2")).count() == 0
       // the MLflow promote semantics the reference drives (03:326-343):
       // promoting v2 ARCHIVES the previous Production version explicitly
@@ -568,8 +606,10 @@ object MatchQueries {
       val rec = ModelStore.readMetric(root, name,
         ModelStore.productionVersion(root, name).get)
       val metricOk = rec.exists(m =>
-        m.metric == "mean_name_nnz" && m.value == meanNnz(prod) &&
+        m.metric == "mean_name_nnz" && m.value == meanNnz(prodT) &&
           m.params.get("pipeline").contains("namePipeline"))
+      pipeT.unpersist(blocking = false)
+      prodT.unpersist(blocking = false)
       Seq((v1 < v2, ModelStore.productionVersion(root, name).contains(v2),
            lifecycleOk, same, metricOk))
         .toDF("versions_increment", "production_points_at_v2",
@@ -604,10 +644,7 @@ object MatchQueries {
     // valid, uncertainty non-decreasing, never above the 0.5 ceiling.
     "er_uncertainty" -> ((s, dir) => {
       import s.implicits._
-      val st = featureStage(s, dir)
-      val (model, labeled) = trainedMatcher(s, dir)
-      val picked = EntityResolution.scoreAll(st.feats,
-          labeled.select("idA", "idB"), model)
+      val picked = scoredAll(s, dir)
         .withColumn("uncertainty", abs(col("match_score") - 0.5))
         .orderBy(col("uncertainty").asc, col("idA"), col("idB"))
         .limit(100).cache()
