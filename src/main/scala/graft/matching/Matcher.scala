@@ -233,14 +233,37 @@ object Matcher {
           .otherwise(col("weight")))
     val asm = new VectorAssembler().setInputCols(FeatureCols)
       .setOutputCol("features").setHandleInvalid("keep")
-    val gbt = new GBTClassifier().setLabelCol("label").setWeightCol("weight")
+    val gbt = gbtFor(seed, c, iters)
+    new Pipeline().setStages(Array(asm, gbt)).fit(train)
+  }
+
+  private def gbtFor(seed: Long, c: GbtCandidate, iters: Int): GBTClassifier =
+    new GBTClassifier().setLabelCol("label").setWeightCol("weight")
       .setFeaturesCol("features").setSeed(seed)
       .setMaxIter(iters).setMaxDepth(c.maxDepth)
       .setStepSize(c.stepSize).setSubsamplingRate(c.subsamplingRate)
       .setMinInstancesPerNode(c.minInstancesPerNode)
       .setFeatureSubsetStrategy(c.featureSubsetStrategy)
       .setMinInfoGain(c.minInfoGain)
-    new Pipeline().setStages(Array(asm, gbt)).fit(train)
+
+  /** Trial fit on a PRE-ASSEMBLED frame (optimization round 14, guide
+    * §1.2 per-task work): the VectorAssembler is a deterministic row-wise
+    * transformer identical across every candidate, so assembling once per
+    * SEARCH and fitting only the GBT per TRIAL is bit-identical to
+    * fitting the (assembler, GBT) pipeline per trial — the same rows in
+    * the same order reach the GBT, and the same rawPrediction reaches the
+    * evaluator — while the per-trial assembly pass (and its metadata
+    * first() job) is paid once instead of ~33 times across the m4/m5
+    * searches. Winner REFITS still go through [[fitCandidate]]: callers
+    * consume the refit as a full PipelineModel. */
+  private def fitTrialGbt(seed: Long, c: GbtCandidate, iters: Int,
+                          assembled: DataFrame): org.apache.spark.ml.classification.GBTClassificationModel = {
+    val train =
+      if (c.weightScale == 1.0) assembled
+      else assembled.withColumn("weight",
+        when(col("label") === 1, col("weight") * c.weightScale)
+          .otherwise(col("weight")))
+    gbtFor(seed, c, iters).fit(train)
   }
 
   /** 16-point default candidate grid: the 4×2×2 depth/shrinkage/
@@ -384,8 +407,16 @@ object Matcher {
       body: (DataFrame, DataFrame, DataFrame,
              scala.concurrent.ExecutionContext) => A): A = {
     val prepared = coalesceTo.map(n => train.coalesce(n)).getOrElse(train).cache()
-    val Seq(tr, va) = stratifiedSplit(prepared, Seq(0.8, 0.2), seed = seed)
-      .map(_.cache())
+    val Seq(tr0, va0) = stratifiedSplit(prepared, Seq(0.8, 0.2), seed = seed)
+    // the split frames are cached PRE-ASSEMBLED (see [[fitTrialGbt]]):
+    // every trial fit and every held-out evaluation reads the assembled
+    // features, so the assembly projection runs once per search, not once
+    // per trial. Row content/order reaching each GBT fit is unchanged
+    // (the assembler is a narrow deterministic projection over the cached
+    // split), so fitted models and metrics are bit-identical.
+    val asm = new VectorAssembler().setInputCols(FeatureCols)
+      .setOutputCol("features").setHandleInvalid("keep")
+    val Seq(tr, va) = Seq(tr0, va0).map(df => asm.transform(df).cache())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try body(prepared, tr, va, ec)
@@ -425,11 +456,10 @@ object Matcher {
     withSearchContext(train, seed, parallelism, coalesceTo) { (prepared, tr, va, ec0) =>
       implicit val ec: ExecutionContext = ec0
       val eval = evaluator
-      def fit(c: GbtCandidate, iters: Int, on: DataFrame): PipelineModel =
-        fitCandidate(seed, c, iters, on)
       def scoredTrial(c: GbtCandidate, iters: Int): (GbtCandidate, Double) = {
         def compute: Double = {
-          val mod = fit(c, iters, tr); eval.evaluate(mod.transform(va))
+          val mod = fitTrialGbt(seed, c, iters, tr)
+          eval.evaluate(mod.transform(va))
         }
         (c, memo match {
           case Some(mm) => mm.trial(c, iters)(compute)
@@ -437,8 +467,8 @@ object Matcher {
         })
       }
       def refitFull(c: GbtCandidate, iters: Int): PipelineModel = memo match {
-        case Some(mm) => mm.refit(c, iters)(fit(c, iters, prepared))
-        case None => fit(c, iters, prepared)
+        case Some(mm) => mm.refit(c, iters)(fitCandidate(seed, c, iters, prepared))
+        case None => fitCandidate(seed, c, iters, prepared)
       }
       var alive = candidates.toIndexedSeq
       var budget = minIter
@@ -525,8 +555,6 @@ object Matcher {
     withSearchContext(train, seed, parallelism, coalesceTo) { (prepared, tr, va, ec0) =>
       implicit val ec: ExecutionContext = ec0
       val eval = evaluator
-      def fit(c: GbtCandidate, on: DataFrame): PipelineModel =
-        fitCandidate(seed, c, iters, on)
       val grid = candidates.toIndexedSeq
       // the grid seeds exploration (init trials come from it), but the
       // SEARCH SPACE is continuous in stepSize/subsamplingRate — cap is
@@ -540,7 +568,8 @@ object Matcher {
         val scored = Await.result(
           Future.sequence(cs.map(c => Future {
             def compute: Double = {
-              val mod = fit(c, tr); eval.evaluate(mod.transform(va))
+              val mod = fitTrialGbt(seed, c, iters, tr)
+              eval.evaluate(mod.transform(va))
             }
             (c, memo match {
               case Some(mm) => mm.trial(c, iters)(compute)
@@ -677,8 +706,9 @@ object Matcher {
         .sortBy { case ((_, m), i) => (-m, i) }.head._1
       // same refit-on-everything convention as trainHalving
       val refit = memo match {
-        case Some(mm) => mm.refit(winner, iters)(fit(winner, prepared))
-        case None => fit(winner, prepared)
+        case Some(mm) =>
+          mm.refit(winner, iters)(fitCandidate(seed, winner, iters, prepared))
+        case None => fitCandidate(seed, winner, iters, prepared)
       }
       HalvingResult(refit, winner, iters, winnerMetric, trials.size)
     }
@@ -713,7 +743,7 @@ object Matcher {
       val scored = Await.result(Future.sequence(points.map { case (c, iters) =>
         Future {
           def compute: Double = {
-            val mod = fitCandidate(seed, c, iters, tr)
+            val mod = fitTrialGbt(seed, c, iters, tr)
             eval.evaluate(mod.transform(va))
           }
           ((c, iters), memo match {
