@@ -463,6 +463,27 @@ object IO {
     * the bucket arithmetic end to end; keyed merges (which hash with
     * [[storeBuckets]]) are only valid when the caller's bucketing IS the
     * key hash. Keys are null-guarded either way. */
+  /** Write a generation directory partitioned by [[BucketCol]] with the
+    * FileOutputCommitter redundancy removed (optimization round 14, guide
+    * §6): store visibility commits through OUR manifest markers (atomic
+    * create of `vN.committed`), so the committer's job-level atomicity
+    * buys nothing here — algorithm v2 moves task output at TASK commit
+    * instead of a DRIVER-SERIAL merge of every bucket directory at job
+    * commit (O(buckets) renames: a √n-bucketed store pays hundreds of
+    * sequential driver-side fs calls per build/append/rewrite, and the
+    * phase grows with the store at any scale — v2 is the standard cloud
+    * default for exactly this reason), and `_SUCCESS` markers are skipped
+    * (readers resolve the manifest, never directory markers). A crash
+    * mid-write can leave partial files ONLY in an uncommitted,
+    * writer-unique generation directory — invisible to every reader,
+    * reclaimed by vacuum — the same contract as before. */
+  private def writeGenDir(df: DataFrame, genPath: HPath): Unit =
+    df.hint("rebalance", col(BucketCol))
+      .write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .partitionBy(BucketCol).parquet(genPath.toString)
+
   def writePartitionedStore(df: DataFrame, path: String, keys: Seq[String],
                             nBuckets: Int = 64,
                             layoutTag: Option[String] = None): Unit = {
@@ -482,9 +503,7 @@ object IO {
         df.withColumn(BucketCol,
           nullKeyGuard(keys, bucketRangeGuard(nBuckets, col(BucketCol))))
       else df.withColumn(BucketCol, guardedBucketExpr(keys, nBuckets))
-    bucketed
-      .hint("rebalance", col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
+    writeGenDir(bucketed, genPath)
     writeSmallFile(fs, new HPath(root, "_graft_buckets"), nBuckets.toString)
     // optional caller-declared layout tag (e.g. which reserved-bucket
     // scheme the routing column encodes), written like _graft_buckets
@@ -761,10 +780,9 @@ object IO {
         if (touched.isEmpty) return None
         genName = newGenName(cur + 1)
         val genPath = new HPath(root, s"$GenCol=$genName")
-        // same rebalance-before-partitionBy as writePartitionedStore: the
-        // write otherwise fans each task across every touched bucket dir
-        frame.hint("rebalance", col(BucketCol))
-          .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
+        // same rebalance-before-partitionBy + manifest-covered committer
+        // shortcut as writePartitionedStore (see writeGenDir)
+        writeGenDir(frame, genPath)
         written = listPartDirs(fs, genPath, BucketCol)
         dataBase = cur
       }
@@ -1076,8 +1094,7 @@ object IO {
     // generation and only the manifest commit loops optimistically
     val genName = newGenName(0)
     val genPath = new HPath(root, s"$GenCol=$genName")
-    src.hint("rebalance", col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(genPath.toString)
+    writeGenDir(src, genPath)
     val written = listPartDirs(fs, genPath, BucketCol)
     var attempt = 0
     while (attempt < 10) {
