@@ -44,14 +44,44 @@ object ProfileEr {
       s"positives = ${labeled.where(col("label") === 1).count()}, " +
       s"distinct A keys = ${feats.where("table='abt'").select("name").distinct().count()}, " +
       s"distinct B keys = ${feats.where("table='buy'").select("name").distinct().count()}")
-    val trained = timed("train (dist+weights+GBT)") {
-      EntityResolution.train(feats, labeled, cfg)
+    // ---- train, decomposed (mirrors EntityResolution.train) ----
+    val featA = feats.where("table = 'abt'")
+    val featB = feats.where("table = 'buy'")
+    val n = labeled.count()
+    val sampled = timed("train: sampleBy + count") {
+      val s0 =
+        if (n <= cfg.maxTrainPairs) labeled
+        else labeled.stat.sampleBy("label",
+          Map(0 -> cfg.maxTrainPairs.toDouble / n, 1 -> 1.0), cfg.seed)
+      println(s"[profile] sampled pairs = ${s0.count()}")
+      s0
     }
+    val weighted = timed("train: dists+weights cache") {
+      val dists = graft.matching.Distances.pairDistances(sampled, featA, featB)
+        .join(sampled, Seq("idA", "idB"))
+      val w = graft.matching.Matcher.addClassWeights(dists).cache()
+      w.count(); w
+    }
+    val parts = math.max(4, math.min(
+      spark.sparkContext.defaultParallelism,
+      (math.min(n, cfg.maxTrainPairs) / 50000L).toInt))
+    val Seq(tr, te) = timed("train: stratifiedSplit") {
+      graft.matching.Matcher.stratifiedSplit(weighted, Seq(0.8, 0.2), seed = cfg.seed)
+    }
+    val best = timed("train: GBT fit (10 iters)") {
+      graft.matching.Matcher.trainSingle(tr, seed = cfg.seed,
+        maxIter = cfg.gbtMaxIterGrid.head, maxDepth = cfg.gbtMaxDepthGrid.head,
+        coalesceTo = Some(parts))
+    }
+    val aupr = timed("train: areaUnderPR") {
+      graft.matching.Matcher.areaUnderPR(best, te)
+    }
+    weighted.unpersist(blocking = false)
     timed("scoreAll + rank") {
-      EntityResolution.scoreAll(feats, labeled.select("idA", "idB"), trained.model)
+      EntityResolution.scoreAll(feats, labeled.select("idA", "idB"), best)
         .limit(500).queryExecution.toRdd.count()
     }
-    println(f"[profile] AUPR = ${trained.areaUnderPR}%.3f")
+    println(f"[profile] AUPR = $aupr%.3f")
     spark.stop()
   }
 }
