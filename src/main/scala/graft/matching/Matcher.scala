@@ -455,11 +455,10 @@ object Matcher {
     import scala.concurrent.duration.Duration
     withSearchContext(train, seed, parallelism, coalesceTo) { (prepared, tr, va, ec0) =>
       implicit val ec: ExecutionContext = ec0
-      val eval = evaluator
       def scoredTrial(c: GbtCandidate, iters: Int): (GbtCandidate, Double) = {
         def compute: Double = {
           val mod = fitTrialGbt(seed, c, iters, tr)
-          eval.evaluate(mod.transform(va))
+          heldOutAupr(mod.transform(va))
         }
         (c, memo match {
           case Some(mm) => mm.trial(c, iters)(compute)
@@ -554,7 +553,6 @@ object Matcher {
     import scala.concurrent.duration.Duration
     withSearchContext(train, seed, parallelism, coalesceTo) { (prepared, tr, va, ec0) =>
       implicit val ec: ExecutionContext = ec0
-      val eval = evaluator
       val grid = candidates.toIndexedSeq
       // the grid seeds exploration (init trials come from it), but the
       // SEARCH SPACE is continuous in stepSize/subsamplingRate — cap is
@@ -569,7 +567,7 @@ object Matcher {
           Future.sequence(cs.map(c => Future {
             def compute: Double = {
               val mod = fitTrialGbt(seed, c, iters, tr)
-              eval.evaluate(mod.transform(va))
+              heldOutAupr(mod.transform(va))
             }
             (c, memo match {
               case Some(mm) => mm.trial(c, iters)(compute)
@@ -739,12 +737,11 @@ object Matcher {
     import scala.concurrent.duration.Duration
     withSearchContext(train, seed, parallelism, coalesceTo) { (prepared, tr, va, ec0) =>
       implicit val ec: ExecutionContext = ec0
-      val eval = evaluator
       val scored = Await.result(Future.sequence(points.map { case (c, iters) =>
         Future {
           def compute: Double = {
             val mod = fitTrialGbt(seed, c, iters, tr)
-            eval.evaluate(mod.transform(va))
+            heldOutAupr(mod.transform(va))
           }
           ((c, iters), memo match {
             case Some(mm) => mm.trial(c, iters)(compute)
@@ -795,6 +792,86 @@ object Matcher {
     new BinaryClassificationEvaluator()
       .setLabelCol("label").setRawPredictionCol("rawPrediction")
       .setMetricName("areaUnderPR")
+
+  /** Held-out areaUnderPR of a scored frame, computed DRIVER-SIDE when
+    * the curve is small — bit-identical to
+    * `BinaryClassificationEvaluator("areaUnderPR")` (no weight column)
+    * and falling back to it otherwise (optimization round 14, guide §1.2
+    * per-task work): the distributed evaluator costs ~4 tiny shuffle jobs
+    * (combineByKey, sortByKey sample + sort, curve/area aggregates) PER
+    * TRIAL on a few-hundred-row validation split — ~35 trials per bench
+    * session across the m4/m5 searches — where the curve itself is a few
+    * hundred points.
+    *
+    * Exactness argument, step for step against
+    * `mllib.evaluation.BinaryClassificationMetrics(scoreAndLabels,
+    * numBins = 1000)`:
+    *   - score = rawPrediction(1), label cast to double — the evaluator's
+    *     own projection;
+    *   - per-score class counts are sums of 1.0 weights — exact integers
+    *     in double regardless of addition order;
+    *   - cumulative counts accumulate in score-DESCENDING order (ties
+    *     grouped), precision = tp/(tp+fp), recall = tp/totPos — the same
+    *     divisions on the same exact operands;
+    *   - the PR curve prepends (0, precision of the highest threshold)
+    *     and the area is the left-to-right trapezoid fold
+    *     ((x2−x1)·(y2+y1)/2 added in curve order) — AreaUnderCurve.of's
+    *     exact operation sequence.
+    * MLlib DOWNSAMPLES the curve when distinct scores exceed numBins
+    * (1000); this path refuses that regime (and anything over the collect
+    * bound) and delegates to the distributed evaluator, so the value is
+    * equal in every case. Pinned by MatcherSpec against the evaluator on
+    * real trial frames. */
+  private[graft] def aucPrLocal(scoreAndLabels: Array[(Double, Double)]): Double = {
+    // distinct scores descending, with per-score (pos, neg) weight sums
+    val byScore = new java.util.TreeMap[java.lang.Double, Array[Double]](
+      java.util.Comparator.reverseOrder[java.lang.Double]())
+    scoreAndLabels.foreach { case (s, l) =>
+      val c = byScore.computeIfAbsent(s, _ => new Array[Double](2))
+      if (l > 0.5) c(0) += 1.0 else c(1) += 1.0
+    }
+    var tp = 0.0
+    var fp = 0.0
+    val totPos = {
+      var t = 0.0
+      byScore.values.forEach(c => t += c(0))
+      t
+    }
+    val pts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    byScore.values.forEach { c =>
+      tp += c(0); fp += c(1)
+      pts += ((tp / totPos, tp / (tp + fp)))
+    }
+    val curve = (0.0, pts.head._2) +: pts
+    curve.iterator.sliding(2).withPartial(false).foldLeft(0.0) { (auc, w) =>
+      auc + (w(1)._1 - w(0)._1) * (w(1)._2 + w(0)._2) / 2.0
+    }
+  }
+
+  /** Collect bound for [[heldOutAupr]]'s driver path: past it (or past
+    * MLlib's 1000-distinct-score binning threshold) the distributed
+    * evaluator runs instead. */
+  private val AuprCollectCap = 100000
+
+  private[graft] def heldOutAupr(scored: DataFrame): Double = {
+    val rows = scored
+      .select(element_at(vector_to_array(col("rawPrediction")), 2).as("s"),
+        col("label").cast("double").as("l"))
+      .take(AuprCollectCap + 1)
+    if (rows.length > AuprCollectCap)
+      evaluator.evaluate(scored)
+    else {
+      val sl = rows.map(r => (r.getDouble(0), r.getDouble(1)))
+      // delegate every edge regime to MLlib so its exact semantics apply:
+      // curve binning (> numBins distinct scores), empty input, and the
+      // no-positives corner (where its Recall guard, not a NaN division,
+      // defines the value)
+      if (sl.isEmpty || sl.iterator.map(_._1).toSet.size > 1000 ||
+          !sl.exists(_._2 > 0.5))
+        evaluator.evaluate(scored)
+      else aucPrLocal(sl)
+    }
+  }
 
   def areaUnderPR(model: PipelineModel, test: DataFrame): Double =
     evaluator.evaluate(model.transform(test))

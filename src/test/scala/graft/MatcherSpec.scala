@@ -32,6 +32,37 @@ class MatcherSpec extends SparkSpec {
     assert(d1 == 25.0 && d2 == 25.0 && self == 0.0) // 3²+4²
   }
 
+  test("driver-side areaUnderPR is bit-identical to the distributed " +
+      "evaluator on real trial frames") {
+    // the exact regime the m4/m5 trials run in: GBT scores over a small
+    // weighted validation split — the local path must reproduce MLlib's
+    // value EXACTLY (it selects winners), not to a tolerance
+    val weighted = Matcher.addClassWeights(syntheticPairs(600)).coalesce(1)
+    val Seq(tr, va) = Matcher.stratifiedSplit(weighted, Seq(0.8, 0.2))
+    import org.apache.spark.ml.feature.VectorAssembler
+    val asm = new VectorAssembler().setInputCols(Matcher.FeatureCols)
+      .setOutputCol("features").setHandleInvalid("keep")
+    for (iters <- Seq(2, 8)) {
+      val gbt = new org.apache.spark.ml.classification.GBTClassifier()
+        .setLabelCol("label").setWeightCol("weight").setFeaturesCol("features")
+        .setSeed(42L).setMaxIter(iters).setMaxDepth(3)
+      val scored = gbt.fit(asm.transform(tr)).transform(asm.transform(va))
+      val local = Matcher.heldOutAupr(scored)
+      val dist = Matcher.evaluator.evaluate(scored)
+      assert(local == dist, s"iters=$iters: local $local != evaluator $dist")
+    }
+    // ties + duplicate scores: constant-feature frame collapses many rows
+    // onto few distinct scores
+    val const = weighted.withColumn("name_sqdist", lit(0.5))
+      .withColumn("descript_sqdist", lit(0.5)).withColumn("price_sqdist", lit(0.5))
+    val gbt1 = new org.apache.spark.ml.classification.GBTClassifier()
+      .setLabelCol("label").setWeightCol("weight").setFeaturesCol("features")
+      .setSeed(42L).setMaxIter(2).setMaxDepth(2)
+    val scoredTies = gbt1.fit(asm.transform(const)).transform(asm.transform(const))
+    assert(Matcher.heldOutAupr(scoredTies) ==
+      Matcher.evaluator.evaluate(scoredTies))
+  }
+
   test("stratified split: per-class ratios approximately preserved") {
     val df = syntheticPairs(2000)
     val splits = Matcher.stratifiedSplit(df, Seq(0.7, 0.15, 0.15))
