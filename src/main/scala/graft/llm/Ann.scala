@@ -1601,12 +1601,15 @@ object Ann {
       .withColumn("crk", row_number().over(wAdc))
       .where(col("crk") <= refine * k)
       .select("query_id", "nn_id")
-    val c = corpus.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
+    // cast AFTER the shortlist join — survivors only, not the whole
+    // corpus (same ordering-for-scale as refineAgainstFlat; shortlist ids
+    // all come from pqEncode's usable rows, so no filter is needed)
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__fv"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id").asc)
     shortlist.join(c, Seq("nn_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("nn_id"),
-        round(cosine(col("cv"), col("qv")), 4).as("cosine"))
+        round(cosine(asDouble(col("__fv")), col("qv")), 4).as("cosine"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
@@ -1949,15 +1952,10 @@ object Ann {
       .where(col("crk") <= refine * k)
     refineFrom match {
       case Some(flat) =>
-        val c = flat.where(cosineUsable(col(vecCol)))
-          .select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("nn_id").asc)
-        shortlist.select("query_id", "nn_id")
-          .join(c, Seq("nn_id"))
-          .join(broadcast(qPinned), Seq("query_id"))
-          .select(col("query_id"), col("nn_id"),
-            round(cosine(col("cv"), col("qv")), 4).as("cosine"))
+        refineAgainstFlat(shortlist.select("query_id", "nn_id"), flat,
+            qPinned, idCol, vecCol)
           .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       case None =>
         shortlist
@@ -1967,6 +1965,31 @@ object Ann {
           .where(col("rank") <= k)
     }
   }
+
+  /** The flat-tier exact re-rank join of a PQ shortlist, with the
+    * per-row work ORDERED FOR SCALE (optimization round 14, guide §8
+    * "move heavy bytes once / decide with small rows"): the shortlist
+    * (≤ refine·k rows per query) joins the flat corpus on the RAW vector
+    * column first, and the usability filter + element-wise double cast +
+    * cosine run on the JOIN SURVIVORS only. The previous form filtered
+    * and cast the ENTIRE flat side before the join — an O(corpus)
+    * per-element pass at serve time (the measured growth driver of the
+    * 100× PQ serve wall: the flat side grows linearly while everything
+    * else in the serve is pruned or constant-size). Survivor rows, their
+    * usability verdicts, and their rounded cosines are bit-identical —
+    * the filter and cast commute with the inner equi-join row for row. */
+  private def refineAgainstFlat(shortIds: DataFrame, flat: DataFrame,
+                                qPinned: DataFrame,
+                                idCol: String, vecCol: String,
+                                carry: Seq[String] = Seq.empty): DataFrame =
+    shortIds
+      .join(flat.select(col(idCol).as("nn_id"), col(vecCol).as("__fv")),
+        Seq("nn_id"))
+      .where(cosineUsable(col("__fv")))
+      .join(broadcast(qPinned), Seq("query_id"))
+      .select(Seq(col("query_id"), col("nn_id"),
+        round(cosine(asDouble(col("__fv")), col("qv")), 4).as("cosine")) ++
+        carry.map(col): _*)
 
   /** ONE-PASS refine-curve candidates (optimization round 14, guide §1.2
     * — the PQ twin of [[ivfStoreProbeCandidates]]): the full ADC rank of
@@ -2007,13 +2030,9 @@ object Ann {
         pqAdc(col("codes"), col("lut")).as("adc"))
       .where(col("adc").isNotNull)
       .withColumn("crk", row_number().over(wAdc))
-    val c = refineFrom.where(cosineUsable(col(vecCol)))
-      .select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv"))
-    ranked.select("query_id", "nn_id", "crk")
-      .join(c, Seq("nn_id"))
-      .join(broadcast(qPinned), Seq("query_id"))
-      .select(col("query_id"), col("nn_id"),
-        round(cosine(col("cv"), col("qv")), 4).as("cosine"), col("crk"))
+    // survivors-only flat re-rank (see refineAgainstFlat), crk carried
+    refineAgainstFlat(ranked.select("query_id", "nn_id", "crk"), refineFrom,
+        qPinned, idCol, vecCol, carry = Seq("crk"))
   }
 
   /** Top-k at shortlist width `refine` derived from an
