@@ -99,6 +99,38 @@ object PlanDumpR14 {
       dump("tune_refine_point_after", graft.llm.Ann.topKAtRefine(cands, k = 10, 2))
     }
 
+    // ---- survivors-only PQ flat refine (llm/Ann.scala) ------------------
+    // BEFORE (verbatim pre-change refine arm, commit af82e2c): the flat
+    // corpus is usability-filtered and element-wise double-cast BEFORE
+    // the shortlist join — O(corpus × dim) per-row work at serve. AFTER:
+    // the current ivfPqStoreTopK serve (refineAgainstFlat) joins the raw
+    // vector column first; filter + cast + cosine run on survivors only.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(spark, dir)
+      val path = "/root/repo/target/qtmp/plans_r14_ivfpq_store"
+      val queries = emb.where("vec_id < 8")
+      val after = graft.llm.Ann.ivfPqStoreTopK(spark, path, queries, k = 10,
+        nProbe = 4, refine = 8, refineFrom = Some(emb))
+      dump("pq_refine_after", after)
+      // BEFORE form: same shortlist ids (taken from the current serve's
+      // output ids — the shortlist derivation is unchanged), old re-attach
+      val shortIds = after.select("query_id", "nn_id")
+      val qPinned = queries.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      val cOld = emb.where(graft.llm.Ann.cosineUsable(col("embedding")))
+        .select(col("vec_id").as("nn_id"),
+          transform(col("embedding"), x => x.cast("double")).as("cv"))
+      dump("pq_refine_before", shortIds
+        .join(cOld, Seq("nn_id"))
+        .join(broadcast(qPinned), Seq("query_id"))
+        .select(col("query_id"), col("nn_id"),
+          round(graft.llm.Ann.cosine(col("cv"), col("qv")), 4).as("cosine"))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("nn_id").asc)))
+        .where(col("rank") <= 10))
+    }
+
     // ---- pairDistances broadcast projection (matching/Distances.scala) --
     // The flagship scoring chain's distance attach. BEFORE (verbatim
     // pre-change body): attachFeatures broadcasts the FULL feature frames
