@@ -50,6 +50,11 @@ object Bench {
     val inB = new java.util.concurrent.atomic.AtomicLong
     val srB = new java.util.concurrent.atomic.AtomicLong
     val swB = new java.util.concurrent.atomic.AtomicLong
+    // cumulative executor task run time: per-query task_ms vs wall sec makes
+    // host contamination attributable from the artifact alone — a query whose
+    // wall doubles at IDENTICAL task_ms lost its time to co-tenant load /
+    // scheduling, not to its own plan (round-15 instrumentation, VERDICT item 2)
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -58,12 +63,13 @@ object Bench {
           inB.addAndGet(m.inputMetrics.bytesRead)
           srB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           swB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          taskMs.addAndGet(m.executorRunTime)
         }
       }
     })
-    def ioSnapshot(): (Long, Long, Long) = {
+    def ioSnapshot(): (Long, Long, Long, Long) = {
       org.apache.spark.sql.graftshim.Shim.drainListenerBus(spark.sparkContext)
-      (inB.get(), srB.get(), swB.get())
+      (inB.get(), srB.get(), swB.get(), taskMs.get())
     }
     // reproducibility: the round-5 builder/driver totals diverged ~2× on
     // identical code — record the knobs that differ between harnesses
@@ -101,10 +107,13 @@ object Bench {
     // the artifact records each query's memo misses (fits it computed)
     // and hits (fits someone else already paid for)
     val memo = scala.collection.mutable.Map[String, (Long, Long)]()
+    // per-query host state (task-time + loadavg at query end): makes the
+    // next load-vs-regression dispute decidable per query, not per run
+    val host = scala.collection.mutable.Map[String, (Long, Double)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val (in0, sr0, sw0) = ioSnapshot()
+      val (in0, sr0, sw0, tm0) = ioSnapshot()
       val (mh0, mm0) = (graft.matching.Matcher.FitMemo.globalHits.get(),
         graft.matching.Matcher.FitMemo.globalMisses.get())
       val t0 = System.nanoTime()
@@ -115,8 +124,9 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      val (in1, sr1, sw1) = ioSnapshot()
+      val (in1, sr1, sw1, tm1) = ioSnapshot()
       io += ((name, in1 - in0, sr1 - sr0, sw1 - sw0))
+      host(name) = (tm1 - tm0, loadAvg())
       memo(name) = (graft.matching.Matcher.FitMemo.globalHits.get() - mh0,
         graft.matching.Matcher.FitMemo.globalMisses.get() - mm0)
       // between-query hygiene (OUTSIDE the timed region — the sweep is
@@ -169,11 +179,12 @@ object Bench {
       val perQuery = results.sortBy(-_._2).map { case (k, v) =>
         val (i, sr, sw) = ioByName.getOrElse(k, (0L, 0L, 0L))
         val (mh, mm) = memo.getOrElse(k, (0L, 0L))
+        val (tm, la) = host.getOrElse(k, (0L, -1.0))
         // fit-memo fields only where fits happened — keeps the artifact
         // diffable without 180 rows of zeros
         val memoJson = if (mh == 0 && mm == 0) ""
           else s""","fit_memo_hits":$mh,"fit_memo_misses":$mm"""
-        s"""  {"query":"$k","sec":$v,"input_bytes":$i,"shuffle_read_bytes":$sr,"shuffle_write_bytes":$sw$memoJson}"""
+        s"""  {"query":"$k","sec":$v,"input_bytes":$i,"shuffle_read_bytes":$sr,"shuffle_write_bytes":$sw,"task_ms":$tm,"loadavg":$la$memoJson}"""
       }.mkString("[\n", ",\n", "\n]")
       val body = s"""{"total_sec":$total,"gc_ms":$gcMs,"sf":"$sfDir","cpus":$cpus,
 "loadavg_start":$load0,"loadavg_end":$load1,
@@ -188,6 +199,16 @@ object Bench {
     // harness logs keep only the tail of the line, and the leading fields
     // get truncated away.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","gc_ms":$gcMs,"loadavg_start":$load0,"loadavg_end":$load1,"contract_subset_sec":$subsetSec,"contract_subset_n":${subsetRows.size},"metric":"total","value":$total,"unit":"sec"}""")
+    // Round-15 harness-contract repair (VERDICT r14 item 1): the driver
+    // retains only the ~2000-char TAIL of stdout, which truncates the head
+    // of the full line above — BENCH parsed:null since r10. Emit a COMPACT
+    // summary (NO per-query map — 187 entries cannot fit the tail window)
+    // as the LAST stdout line so the driver has a complete parseable JSON
+    // object; the full per-query detail (sec, io bytes, task_ms, loadavg,
+    // fit-memo attribution) lives in target/bench_per_query.json, pointed
+    // at by "per_query_file". The full legacy line above is unchanged and
+    // still carries every query's seconds.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"gc_ms":$gcMs,"loadavg_start":$load0,"loadavg_end":$load1,"contract_subset_sec":$subsetSec,"contract_subset_n":${subsetRows.size},"n_queries":${results.size},"per_query_file":"target/bench_per_query.json"}""")
     spark.stop()
   }
 }
