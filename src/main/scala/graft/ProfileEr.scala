@@ -24,6 +24,12 @@ object ProfileEr {
     val cfg = EntityResolution.Config(w2vMaxIter = 4,
       gbtMaxIterGrid = Seq(10), gbtMaxDepthGrid = Seq(3), descriptBlocking = false,
       maxTrainPairs = 50000L) // mirror MatchQueries.flagshipCfg
+    // this profiler decomposes the SINGLETON-grid trainSingle path only
+    // (EntityResolution.train's other branch is trainTuned) — fail loudly
+    // if the mirrored cfg ever grows a real grid (ADVICE r14)
+    require(cfg.gbtMaxIterGrid.size == 1 && cfg.gbtMaxDepthGrid.size == 1,
+      "ProfileEr mirrors the singleton-grid trainSingle branch of " +
+        "EntityResolution.train; update its train decomposition for real grids")
     val a = Catalogs.sideA(spark, dir).where("id % 10 = 0").withColumn("table", lit("abt"))
     val b = Catalogs.sideB(spark, dir).where("id % 10 = 0").withColumn("table", lit("buy"))
     val all = a.unionByName(b).select("table", "id", "name", "description", "price")

@@ -98,7 +98,12 @@ object EntityResolution {
   case class TrainedMatcher(model: PipelineModel, areaUnderPR: Double)
 
   /** Notebook 03 (train): pairwise distance features → class weights →
-    * stratified split → tuned GBT → AUPR on the held-out split. */
+    * stratified split → tuned GBT → AUPR on the held-out split.
+    *
+    * NOTE: [[graft.ProfileEr]] mirrors this body step for step (sampleBy
+    * fractions, parts formula, split, trainSingle args) so flagship
+    * timings decompose; an edit here must be mirrored there or the
+    * profiler silently stops measuring the production path (ADVICE r14). */
   def train(feats: DataFrame, labeled: DataFrame,
             cfg: Config = Config()): TrainedMatcher = {
     val featA = feats.where("table = 'abt'")
@@ -141,7 +146,12 @@ object EntityResolution {
         Matcher.trainTuned(tr, seed = cfg.seed,
           maxIterGrid = cfg.gbtMaxIterGrid, maxDepthGrid = cfg.gbtMaxDepthGrid,
           coalesceTo = Some(parts)).bestModel.asInstanceOf[PipelineModel]
-    val result = TrainedMatcher(best, Matcher.areaUnderPR(best, te))
+    // heldOutAupr == evaluator.evaluate bit-for-bit (it delegates to the
+    // distributed evaluator outside its bounded-collect regime) while
+    // skipping the evaluator's ~4 tiny shuffle jobs when the held-out
+    // curve is small — the same swap the m4/m5 trial loop made in
+    // optimization round 14 (guide §1.2)
+    val result = TrainedMatcher(best, Matcher.heldOutAupr(best.transform(te)))
     weighted.unpersist(blocking = false)
     result
   }

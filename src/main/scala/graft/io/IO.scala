@@ -476,13 +476,29 @@ object IO {
     * (readers resolve the manifest, never directory markers). A crash
     * mid-write can leave partial files ONLY in an uncommitted,
     * writer-unique generation directory — invisible to every reader,
-    * reclaimed by vacuum — the same contract as before. */
-  private def writeGenDir(df: DataFrame, genPath: HPath): Unit =
+    * reclaimed by vacuum — the same contract as before.
+    *
+    * Task-retry caveat (ADVICE r14, MAPREDUCE-7282): v2 task-commits move
+    * output immediately, so an attempt retried after a PARTIAL task
+    * commit inside a succeeding job relies on deterministic part
+    * filenames + overwrite to stay duplicate-free, and SPECULATIVE
+    * execution widens that window (two simultaneous attempts of one
+    * task). Store writes therefore assert speculation is off — fail
+    * loudly rather than risk a duplicated part file in a committed
+    * generation. (Plain task-failure retries overwrite the same
+    * deterministic part filenames; only speculation runs two attempts
+    * concurrently.) */
+  private def writeGenDir(df: DataFrame, genPath: HPath): Unit = {
+    require(!df.sparkSession.conf.get("spark.speculation", "false").toBoolean,
+      "store generation writes use committer v2, whose task-commit is not " +
+        "safe under speculative execution — disable spark.speculation for " +
+        "store-writing sessions")
     df.hint("rebalance", col(BucketCol))
       .write.mode("overwrite")
       .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .partitionBy(BucketCol).parquet(genPath.toString)
+  }
 
   def writePartitionedStore(df: DataFrame, path: String, keys: Seq[String],
                             nBuckets: Int = 64,
@@ -898,14 +914,20 @@ object IO {
       // per-attempt extra-row derivation; the anti-join side below only
       // keeps (keys, bucket)
       val located = pin(locateKeyRows())
-      val del = pin(guarded(located
-          .select((keys.map(col) :+ col(BucketCol)): _*).distinct()))
+      // del/extra derive DETERMINISTICALLY from the pinned locate, so they
+      // need no checkpoint of their own (optimization round 15, guide
+      // §1.2): each consumer (touched-set collect, anti-join broadcast,
+      // frame union) re-reads the checkpoint's blocks — a tiny distinct /
+      // aggregate — where pinning them cost a full materialization job
+      // apiece per optimistic attempt
+      val del = guarded(located
+          .select((keys.map(col) :+ col(BucketCol)): _*).distinct())
       // extra rows are a FUNCTION OF THE LOCATE (e.g. a compensating
       // stats-delta row derived from the rows being removed), so they
-      // recompute per optimistic attempt together with it — a pinned
-      // extra row derived from a stale locate would commit stale
-      // compensation after a lost race
-      val extra = extraRowsFromLocated.map(f => pin(guarded(f(located))))
+      // recompute per optimistic attempt together with it — an extra row
+      // derived from a stale locate would commit stale compensation
+      // after a lost race
+      val extra = extraRowsFromLocated.map(f => guarded(f(located)))
       val touched = insTouched ++
         del.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet ++
         extra.map(_.select(BucketCol).distinct()

@@ -87,17 +87,31 @@ object Bm25Store {
     (if (m < 0) m + termBuckets else m).toInt
   }
 
-  /** Postings + one registry row per doc + one stats-delta row for a
-    * document batch, carrying the store's trusted routing column. Shared
-    * by build, append, and upsert. */
-  private def indexRows(docs: DataFrame, termBuckets: Int,
-                        textCol: String): DataFrame = {
-    val nullLong = lit(null).cast("long")
+  /** Tokenized per-doc base frame (doc_id, toks, dl) shared by the three
+    * branches of [[indexRows]] — CACHED for the duration of `body`
+    * (optimization round 15, guide §1.2 "don't compute things twice"):
+    * postings, registry, and stats each scan the base, so an uncached
+    * base re-tokenized the batch three times per build/append/upsert
+    * (and the upsert's per-OCC-attempt stats row a fourth). Caching is
+    * content-neutral: every downstream consumer is an aggregation or a
+    * per-row projection, so row order cannot reach any result. The write
+    * ops are eager, so the unpersist is safe at `body` exit. */
+  private def withIndexBase[T](docs: DataFrame, textCol: String)(
+      body: DataFrame => T): T = {
     val base = docs.select(col("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       // ANSI size(null) = null: a null-text doc has no `dl` (it is skipped
       // by the full scan's avg(dl) too) but still counts toward n_docs
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      .cache()
+    try body(base) finally base.unpersist(blocking = false)
+  }
+
+  /** Postings + one registry row per doc + one stats-delta row for a
+    * document batch, carrying the store's trusted routing column. Shared
+    * by build, append, and upsert; `base` comes from [[withIndexBase]]. */
+  private def indexRows(base: DataFrame, termBuckets: Int): DataFrame = {
+    val nullLong = lit(null).cast("long")
     val posts = base.where(col("dl") > 0)
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy("term", "doc_id", "dl")
@@ -142,8 +156,10 @@ object Bm25Store {
     val nB = if (termBuckets > 0) termBuckets
              else math.max(64L, math.ceil(math.sqrt(
                docs.count().toDouble)).toLong).toInt
-    IO.writePartitionedStore(indexRows(docs, nB, textCol), path,
-      keys = Seq("term", "doc_id"), nBuckets = nB + 1)
+    withIndexBase(docs, textCol) { base =>
+      IO.writePartitionedStore(indexRows(base, nB), path,
+        keys = Seq("term", "doc_id"), nBuckets = nB + 1)
+    }
   }
 
   /** Index a delta of NEW documents: O(delta) postings + one stats-delta
@@ -154,8 +170,10 @@ object Bm25Store {
   def append(delta: DataFrame, path: String, textCol: String = "text"): Unit = {
     val spark = delta.sparkSession
     val termBuckets = IO.storeBuckets(path) - 1
-    IO.appendPartitionedStore(spark, path,
-      indexRows(delta, termBuckets, textCol), keys = Seq("term", "doc_id"))
+    withIndexBase(delta, textCol) { base =>
+      IO.appendPartitionedStore(spark, path,
+        indexRows(base, termBuckets), keys = Seq("term", "doc_id"))
+    }
   }
 
   /** BM25 scores of every indexed doc matching ≥ 1 query term — the same
@@ -433,19 +451,20 @@ object Bm25Store {
     // one row per doc_id, enforced with the standard MERGE fail-fast: a
     // duplicated delta doc would MERGE its duplicate texts' tokens in the
     // tf groupBy (silently doubled counts) and double-count n_docs
-    val rows = indexRows(IO.requireUniqueSourceKeys(delta, Seq("doc_id")),
-      termBuckets, textCol)
-    val posts = rows.where(col("term") =!= StatsTerm)
-    // the delta's own (+) stats row is constant but rides with the
-    // per-attempt (−) compensation so both commit (or retry) together;
-    // dropped for an empty delta so the op stays a no-op
-    val posStats = rows.where(col("term") === StatsTerm && col("n_docs") > 0)
-    IO.routedRewrite(spark, path,
-      locateDocs(spark, path, termBuckets, delta.select("doc_id")),
-      newRows = Some(posts), keys = Seq("doc_id"),
-      insertKeys = Seq("term", "doc_id"),
-      extraRowsFromLocated = Some(located =>
-        posStats.unionByName(negStatsFromLocated(termBuckets)(located))))
+    withIndexBase(IO.requireUniqueSourceKeys(delta, Seq("doc_id")), textCol) { base =>
+      val rows = indexRows(base, termBuckets)
+      val posts = rows.where(col("term") =!= StatsTerm)
+      // the delta's own (+) stats row is constant but rides with the
+      // per-attempt (−) compensation so both commit (or retry) together;
+      // dropped for an empty delta so the op stays a no-op
+      val posStats = rows.where(col("term") === StatsTerm && col("n_docs") > 0)
+      IO.routedRewrite(spark, path,
+        locateDocs(spark, path, termBuckets, delta.select("doc_id")),
+        newRows = Some(posts), keys = Seq("doc_id"),
+        insertKeys = Seq("term", "doc_id"),
+        extraRowsFromLocated = Some(located =>
+          posStats.unionByName(negStatsFromLocated(termBuckets)(located))))
+    }
   }
 
   /** Compact the index's fragmented buckets — the OPTIMIZE step the

@@ -414,9 +414,31 @@ object Matcher {
     // per trial. Row content/order reaching each GBT fit is unchanged
     // (the assembler is a narrow deterministic projection over the cached
     // split), so fitted models and metrics are bit-identical.
+    //
+    // The trial frames are additionally COALESCED to the caller's
+    // `coalesceTo` (optimization round 15, guide §2.6/§5 tiny-job
+    // scheduling): the stratified split's rank window leaves tr/va at
+    // spark.sql.shuffle.partitions (32 on the bench — 30 of them EMPTY for
+    // a 2-label corpus), so every one of the ~1300 tiny MLlib jobs the
+    // trio's ~35 boosted-tree fits run scheduled 32 tasks for a
+    // few-hundred-row frame — pure DAGScheduler overhead (measured: the
+    // trio's wall is ~2.5× its task time). Coalescing AFTER the split
+    // leaves split membership untouched (the seeded draw happens on the
+    // pre-shuffle side) and gives trials the SAME partition count the
+    // winner refit already fits at (`prepared` is coalesced to the same
+    // value) — the established trainSingle/EntityResolution.train
+    // semantics. NOTE this changes which partition index a trial fit's
+    // rows sit in, so subsample draws (subsamplingRate < 1) and stats
+    // accumulation order change ONCE relative to round 14 — trial metrics
+    // and winners may differ; every consumer contract is
+    // partition-schedule-invariant (fixed eval/budget counts, AUPR bound
+    // booleans) and MatcherSpec pins the new values.
     val asm = new VectorAssembler().setInputCols(FeatureCols)
       .setOutputCol("features").setHandleInvalid("keep")
-    val Seq(tr, va) = Seq(tr0, va0).map(df => asm.transform(df).cache())
+    val Seq(tr, va) = Seq(tr0, va0).map { df =>
+      val assembled = asm.transform(df)
+      coalesceTo.map(n => assembled.coalesce(n)).getOrElse(assembled).cache()
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try body(prepared, tr, va, ec)
@@ -820,8 +842,14 @@ object Matcher {
     * MLlib DOWNSAMPLES the curve when distinct scores exceed numBins
     * (1000); this path refuses that regime (and anything over the collect
     * bound) and delegates to the distributed evaluator, so the value is
-    * equal in every case. Pinned by MatcherSpec against the evaluator on
-    * real trial frames. */
+    * equal in every case — up to the DISTRIBUTED evaluator's own
+    * partition-order FP nondeterminism (ADVICE r14): its trapezoid sum
+    * accumulates via RDD.aggregate in task-completion order, so on a
+    * multi-partition curve the evaluator itself can differ from any fixed
+    * fold order by ulps between runs; this local path is a deterministic
+    * left fold, equal to the evaluator's single-partition order. Pinned
+    * by MatcherSpec against the evaluator on real trial frames, including
+    * a multi-partition case. */
   private[graft] def aucPrLocal(scoreAndLabels: Array[(Double, Double)]): Double = {
     // distinct scores descending, with per-score (pos, neg) weight sums
     val byScore = new java.util.TreeMap[java.lang.Double, Array[Double]](

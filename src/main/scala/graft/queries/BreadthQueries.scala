@@ -23,6 +23,66 @@ object BreadthQueries {
     Tables.orders(s, dir).createOrReplaceTempView("orders_v")
   }
 
+  /** Two-pass bounded-memory EXACT median of a non-null-filtered double
+    * column — bit-identical to `percentile(c, 0.5)` (optimization round
+    * 15, guide §5): the percentile() aggregate buffers every distinct
+    * value per partial (583k doubles for a12's baseline at sf0.1 — the
+    * query's dominant cost and a per-executor memory cliff at any scale).
+    * Instead: pass 1 takes a GK-certified value band [lo, hi] bracketing
+    * the two middle order statistics (approx_percentile's rank error is
+    * deterministically ≤ n/accuracy, so quantiles 0.5 ∓ 0.004 at accuracy
+    * 1000 bound rank 0.5·(n−1) from both sides with ~3× margin for any
+    * n ≳ 400); pass 2 counts the rows below the band and collects the
+    * ~0.8% of rows inside it, sorted. The interpolation replicates
+    * Percentile.getPercentile operation for operation: position
+    * p = 0.5·(n−1) (the same long→double multiply), v[⌊p⌋] when p is
+    * integral or the bracketing values coincide, else
+    * (⌈p⌉−p)·v[⌊p⌋] + (p−⌊p⌋)·v[⌈p⌉] — the same doubles through the same
+    * arithmetic, so the result is equal bit-for-bit (pinned by
+    * BreadthSpec against percentile() on the real fixture plus
+    * odd/even/duplicate-heavy frames). The band certificate
+    * (cLo ≤ ⌊p⌋ ∧ ⌈p⌉ < cLo + |band|, |band| ≤ cap) is CHECKED; any
+    * failure delegates to the percentile() aggregate, so the exact
+    * contract can never silently weaken. `values` is scanned twice (plus
+    * once more for the tiny band collect) — cheap column scans in place
+    * of the distinct-value buffer. */
+  private[graft] def exactMedianTwoPass(values: DataFrame, c: String,
+                                        bandCap: Long = 200000L): Option[Double] = {
+    import values.sparkSession.implicits._
+    def fallback: Option[Double] = {
+      val r = values.agg(expr(s"percentile($c, 0.5)")).head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val r1 = values.agg(count(col(c)).as("n"),
+      expr(s"approx_percentile($c, array(0.496, 0.504), 1000)").as("bracket")).head()
+    val n = r1.getLong(0)
+    if (n == 0L) None
+    else if (r1.isNullAt(1)) fallback
+    else {
+      val bracket = r1.getSeq[Double](1)
+      val (lo, hi) = (bracket(0), bracket(1))
+      val pos = 0.5 * (n - 1)
+      val (lower, higher) = (pos.floor.toLong, pos.ceil.toLong)
+      val r2 = values.agg(
+        sum(when(col(c) < lo, 1L).otherwise(0L)).as("c_lo"),
+        sum(when(col(c).between(lo, hi), 1L).otherwise(0L)).as("band_n")).head()
+      val (cLo, bandN) = (r2.getLong(0), r2.getLong(1))
+      if (cLo > lower || higher >= cLo + bandN || bandN > bandCap) fallback
+      else {
+        val band = values.select(col(c).cast("double").as("x"))
+          .where(col("x").between(lo, hi))
+          .sort("x").as[Double].collect() // bounded: band_n ≤ bandCap
+        val vLower = band((lower - cLo).toInt)
+        if (higher == lower) Some(vLower)
+        else {
+          val vHigher = band((higher - cLo).toInt)
+          if (vHigher == vLower) Some(vLower)
+          else Some((higher - pos) * vLower + (pos - lower) * vHigher)
+        }
+      }
+    }
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     // DQ1 — one-pass column profile (Deequ-style metrics): per column,
     // row/null/exact-distinct counts and min/max — ONE aggregation job,
@@ -343,29 +403,33 @@ object BreadthQueries {
     // state through the shuffle vs a full distinct/sort); this query pins
     // that they stay honest.
     "a12_approx_sketch" -> ((s, dir) => {
+      import s.implicits._
       val li = Tables.lineitem(s, dir)
-      // two single-purpose aggregates joined 1×1 instead of one mixed agg:
-      // countDistinct next to other aggregates forces an Expand that pushes
-      // the row stream through the aggregate twice, and the exact
-      // percentile's object-hash buffer then sees 2× rows (half null) —
-      // measured 4.7 → 3.2 s at sf0.1 (the remainder is the exact-percentile
-      // baseline buffering 583k distinct values — inherent to the contract)
-      val nd = li.agg(
+      // single-purpose aggregates (round 13's rule, kept: countDistinct
+      // next to ANY other aggregate forces an Expand that pushes the row
+      // stream through every sibling aggregate twice — merging the
+      // percentile sketch into the nd agg measured 3.9 → 6.5 s before this
+      // split); the exact-percentile BASELINE runs through the two-pass
+      // bounded-memory [[exactMedianTwoPass]] (round 15, guide §5) instead
+      // of the distinct-value-buffering percentile() aggregate — value
+      // bit-identical (BreadthSpec pins it), memory bounded.
+      val ndRow = li.agg(
         countDistinct(col("l_partkey")).as("exact_nd"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd"))
-      val pct = li.agg(
-        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
-        // accuracy 1000 = 0.1% rank error — 10× tighter than the 1%
-        // bound asserted below, at a tenth of the sketch size
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd")).head()
+      val (exactNd, approxNd) = (ndRow.getLong(0), ndRow.getLong(1))
+      // accuracy 1000 = 0.1% rank error — 10× tighter than the 1%
+      // bound asserted below, at a tenth of the sketch size
+      val approxP50 = li.agg(
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
-      nd.crossJoin(pct)
-        .select(
-          col("exact_nd"),
-          (abs(col("approx_nd") - col("exact_nd")).cast("double") / col("exact_nd") <= 0.05)
-            .as("hll_within_5pct"),
-          round(col("exact_p50"), 4).as("exact_p50"),
-          (abs(col("approx_p50") - col("exact_p50")) / col("exact_p50") <= 0.01)
-            .as("quantile_within_1pct"))
+        .head().getDouble(0)
+      val exactP50 = exactMedianTwoPass(li, "l_extendedprice").get
+      Seq((exactNd,
+          math.abs(approxNd - exactNd).toDouble / exactNd <= 0.05,
+          // same decimal-string HALF_UP as Spark's round() on doubles
+          BigDecimal(exactP50).setScale(4,
+            scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble,
+          math.abs(approxP50 - exactP50) / exactP50 <= 0.01))
+        .toDF("exact_nd", "hll_within_5pct", "exact_p50", "quantile_within_1pct")
     }),
 
     // X7 — correlated LATERAL subquery with per-row ORDER BY + LIMIT

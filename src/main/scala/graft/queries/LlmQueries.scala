@@ -86,7 +86,7 @@ object LlmQueries {
     * the one the lifecycle query just exercised, not a second build.
     * Same non-ephemeral rule as the IVF memo: the path must survive the
     * between-query sweep for the second consumer. */
-  private def sharedBm25Store(s: SparkSession, dir: String): String =
+  private[graft] def sharedBm25Store(s: SparkSession, dir: String): String =
     SessionMemo.value(s, s"bm25_shared_store:$dir") {
       val docs = Tables.documents(s, dir)
       val path = s"/root/repo/target/qtmp/bm25_shared_${storeRunId.incrementAndGet()}"
@@ -151,6 +151,16 @@ object LlmQueries {
     * Per-side counts compared per key (NOT union + count-==-2, which an
     * intra-frame duplicate could satisfy from one side alone).
     *
+    * NULL-KEY CONTRACT (ADVICE r14): compared columns must be NON-NULL BY
+    * CONSTRUCTION. The groupBy form groups NULL keys together (SQL
+    * grouping semantics), so two sides each holding one NULL-keyed row
+    * compare EQUAL — where the pre-round-14 full-outer-join form counted
+    * them as a mismatch (null != null never joins). All current call
+    * sites compare non-null-by-construction columns (cosineUsable /
+    * token filters / rank outputs); the guard below fails loudly if a
+    * future caller feeds a nullable key rather than silently weakening
+    * eight contracts.
+    *
     * Optimization round 14 (guide §2.4): ONE side-tagged aggregation over
     * the union instead of two per-side aggregations full-outer-joined —
     * same boolean (a key absent from one side aggregates to a 0 count on
@@ -162,8 +172,19 @@ object LlmQueries {
   private[graft] def multisetMismatches(a: DataFrame, b: DataFrame,
                                         cols: Seq[String]): DataFrame = {
     val cs = cols.map(col)
-    a.select(cs: _*).withColumn("__side", lit(1L))
-      .unionByName(b.select(cs: _*).withColumn("__side", lit(0L)))
+    // fail-loud null-key guard (see the NULL-KEY CONTRACT above): raised
+    // through a compared column so it is evaluated exactly where rows
+    // materialize and cannot be pruned — zero cost on the non-null path
+    def guarded(df: DataFrame) = cols.foldLeft(df.select(cs: _*)) { (acc, c) =>
+      acc.withColumn(c, when(col(c).isNull,
+        raise_error(lit(s"multisetMismatches: NULL in compared column '$c' — " +
+          "the groupBy form treats NULL keys as equal where the old " +
+          "full-outer form reported a mismatch; compared columns must be " +
+          "non-null by construction")).cast(df.schema(c).dataType))
+        .otherwise(col(c)))
+    }
+    guarded(a).withColumn("__side", lit(1L))
+      .unionByName(guarded(b).withColumn("__side", lit(0L)))
       .groupBy(cs: _*)
       .agg(sum(col("__side")).as("__na"), sum(lit(1L) - col("__side")).as("__nb"))
       .where(col("__na") =!= col("__nb"))
@@ -1674,7 +1695,7 @@ object LlmQueries {
 
   /** tx_bm25's query terms: mid-frequency fixture vocabulary, chosen for
     * df variance so the idf weighting is exercised. */
-  private val bm25Terms = Seq("vector", "stream", "hash", "spark")
+  private[graft] val bm25Terms = Seq("vector", "stream", "hash", "spark")
 
   /** The QUERY-INDEPENDENT head of the BM25 recompute — full-corpus
     * tokenization and the n_docs/avgdl stats (same tokenizer as the

@@ -282,4 +282,42 @@ class BreadthSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"range join degenerated:\n$plan")
   }
+
+  test("exactMedianTwoPass == percentile() bit-for-bit (fixture, odd/even, " +
+       "duplicate-heavy, tiny, empty, nulls; certificate-failure fallback)") {
+    import graft.queries.BreadthQueries.exactMedianTwoPass
+    def oracle(df: org.apache.spark.sql.DataFrame, c: String): Option[Double] = {
+      val r = df.agg(expr(s"percentile($c, 0.5)")).head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    // the real fixture column the a12 baseline runs on — exact == (the
+    // metric is a hash-compared oracle value, so bit-identity is the bar)
+    val li = Tables.lineitem(spark, sf)
+    assert(exactMedianTwoPass(li, "l_extendedprice") == oracle(li, "l_extendedprice"))
+    // odd/even counts, duplicate-heavy values, interpolation between
+    // distinct neighbors, nulls ignored
+    val frames = Seq(
+      Seq(3.0, 1.0, 2.0),                       // odd: exact middle
+      Seq(4.0, 1.0, 3.0, 2.0),                  // even: interpolated
+      Seq(5.0, 5.0, 5.0, 1.0),                  // duplicates at the median
+      Seq(1.25, 1.25, 7.5, 7.5),                // even, equal-pair bracket
+      Seq(2.0),                                 // singleton
+      (1 to 5000).map(i => (i % 37).toDouble),  // heavy duplication
+      (1 to 4999).map(i => i * 0.001)           // many distinct, odd count
+    )
+    frames.foreach { vs =>
+      val df = vs.toDF("x")
+      assert(exactMedianTwoPass(df, "x") == oracle(df, "x"), s"frame $vs")
+    }
+    // nulls excluded on both sides
+    val withNulls = Seq(Some(1.0), None, Some(3.0), None, Some(2.0)).toDF("x")
+    assert(exactMedianTwoPass(withNulls, "x") == oracle(withNulls, "x"))
+    // empty input: both report no median
+    val empty = Seq.empty[Double].toDF("x")
+    assert(exactMedianTwoPass(empty, "x").isEmpty && oracle(empty, "x").isEmpty)
+    // band cap forces the certificate path to DELEGATE, not weaken: with
+    // cap 0 every band overflows, and the value must still be exact
+    val big = (1 to 1000).map(_.toDouble).toDF("x")
+    assert(exactMedianTwoPass(big, "x", bandCap = 0L) == oracle(big, "x"))
+  }
 }

@@ -61,6 +61,19 @@ class MatcherSpec extends SparkSpec {
     val scoredTies = gbt1.fit(asm.transform(const)).transform(asm.transform(const))
     assert(Matcher.heldOutAupr(scoredTies) ==
       Matcher.evaluator.evaluate(scoredTies))
+    // MULTI-partition scored frame (ADVICE r14): the local path's collect
+    // is partition-order-stable and the curve arithmetic is exact-integer
+    // cumulative counts, so equality must hold across a repartition too
+    // (the distributed evaluator's own trapezoid sum is task-order
+    // nondeterministic only past one partition per distinct-score run —
+    // this pins the regime the trials actually use)
+    val gbtMp = new org.apache.spark.ml.classification.GBTClassifier()
+      .setLabelCol("label").setWeightCol("weight").setFeaturesCol("features")
+      .setSeed(42L).setMaxIter(4).setMaxDepth(3)
+    val scoredMp = gbtMp.fit(asm.transform(tr))
+      .transform(asm.transform(va).repartition(5))
+    assert(Matcher.heldOutAupr(scoredMp) ==
+      Matcher.evaluator.evaluate(scoredMp))
   }
 
   test("stratified split: per-class ratios approximately preserved") {
