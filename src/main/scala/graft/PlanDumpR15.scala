@@ -92,6 +92,36 @@ object PlanDumpR15 {
       baseCached.unpersist(blocking = false)
     }
 
+    // ---- bm25 maintenance locate: full term-bucket scan vs registry-only ----
+    locally {
+      import graft.llm.Bm25Store
+      val path = "/root/repo/target/qtmp/plandump_bm25_locate"
+      graft.io.IO.deletePath(path)
+      Bm25Store.write(Tables.documents(s, dir).select("doc_id", "text")
+        .where("doc_id % 5 = 0"), path, termBuckets = 64)
+      val keySet = broadcast(Tables.documents(s, dir)
+        .select(col("doc_id")).where("doc_id % 55 = 0").distinct())
+      // before (round 14): column-pruned (doc_id, dl, bucket) scan of
+      // EVERY term bucket joined to the id set — O(store id column)
+      dump("bm25_locate_before",
+        graft.io.IO.readStoreBuckets(s, path, (0 until 64).toSet)
+          .select(col("doc_id"), col("dl"), col(graft.io.IO.BucketCol))
+          .join(keySet, Seq("doc_id")))
+      // after: ONE pruned read of the ids' registry buckets; each located
+      // registry row explodes to its recorded posting buckets — note the
+      // scan lists only the registry buckets of the requested ids
+      val regBuckets = keySet
+        .select(pmod(xxhash64(col("doc_id")), lit(64L)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      dump("bm25_locate_after",
+        graft.io.IO.readStoreBuckets(s, path, regBuckets)
+          .where(col("term") === "__DOC__")
+          .join(keySet, Seq("doc_id"))
+          .select(col("doc_id"), col("dl"),
+            explode(array_union(col("postb"),
+              array(col(graft.io.IO.BucketCol)))).as(graft.io.IO.BucketCol)))
+    }
+
     // ---- m4/m5 trial frames: 8-partition split windows vs coalesce(1) ----
     locally {
       import org.apache.spark.ml.feature.VectorAssembler

@@ -109,23 +109,41 @@ object Bm25Store {
 
   /** Postings + one registry row per doc + one stats-delta row for a
     * document batch, carrying the store's trusted routing column. Shared
-    * by build, append, and upsert; `base` comes from [[withIndexBase]]. */
+    * by build, append, and upsert; `base` comes from [[withIndexBase]].
+    *
+    * Registry rows additionally carry `postb` — the doc's DISTINCT
+    * posting-bucket set (optimization round 15, VERDICT item 4): the
+    * maintenance locate resolves a doc's touched term buckets from its
+    * registry row alone (one pruned read of the ids' doc-hash buckets)
+    * instead of scanning every term bucket's id column. The invariant —
+    * postb covers exactly the buckets holding the doc's current postings
+    * — is structural: registry and postings derive from the same token
+    * frame and ride the same atomic commit (build/append/upsert all write
+    * them together; delete removes them together; compaction is
+    * byte-identical), pinned by a TextAnalysisSpec coverage test. */
   private def indexRows(base: DataFrame, termBuckets: Int): DataFrame = {
     val nullLong = lit(null).cast("long")
+    val nullBuckets = lit(null).cast("array<int>")
     val posts = base.where(col("dl") > 0)
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl").cast("long").as("dl"),
         nullLong.as("n_docs"), nullLong.as("n_dl"), nullLong.as("sum_dl"),
+        nullBuckets.as("postb"),
         termBucket(termBuckets).as(IO.BucketCol))
     // one registry row per doc (see [[DocTerm]]): carries the doc's `dl`
     // (NULL for a null-text doc) so the maintenance locate can derive the
-    // exact stats compensation for EVERY doc, posting trail or not
+    // exact stats compensation for EVERY doc, posting trail or not — and
+    // the doc's posting-bucket set (`postb`, empty for a token-less doc)
+    // so the locate never scans a posting bucket
     val registry = base
       .select(lit(DocTerm).as("term"), col("doc_id"),
         nullLong.as("tf"), col("dl").cast("long").as("dl"),
         nullLong.as("n_docs"), nullLong.as("n_dl"), nullLong.as("sum_dl"),
+        when(col("dl") > 0, array_distinct(transform(col("toks"),
+            t => pmod(xxhash64(t), lit(termBuckets.toLong)).cast("int"))))
+          .otherwise(array().cast("array<int>")).as("postb"),
         pmod(xxhash64(col("doc_id")), lit(termBuckets.toLong)).cast("int")
           .as(IO.BucketCol))
     val stats = base.agg(
@@ -135,6 +153,7 @@ object Bm25Store {
       .select(lit(StatsTerm).as("term"), lit(-1L).as("doc_id"),
         nullLong.as("tf"), nullLong.as("dl"),
         col("n_docs"), col("n_dl"), col("sum_dl"),
+        nullBuckets.as("postb"),
         lit(termBuckets).as(IO.BucketCol))
     posts.unionByName(registry).unionByName(stats)
   }
@@ -385,17 +404,32 @@ object Bm25Store {
       .select(lit(StatsTerm).as("term"), lit(-1L).as("doc_id"),
         nullLong.as("tf"), nullLong.as("dl"),
         (-col("n")).as("n_docs"), (-col("ndl")).as("n_dl"),
-        (-col("s")).as("sum_dl"), lit(termBuckets).as(IO.BucketCol))
+        (-col("s")).as("sum_dl"), lit(null).cast("array<int>").as("postb"),
+        lit(termBuckets).as(IO.BucketCol))
   }
 
-  /** Locate closure for the routed delete/upsert: the ids' CURRENT rows
-    * (registry row + every posting) as (doc_id, dl, bucket) — a
-    * column-pruned projection scan of the term buckets (stats bucket
-    * excluded by the read set) joined to the broadcast id set, re-run
-    * per OCC attempt against the then-current manifest. An id of -1
-    * fails LOUDLY: it is the stats-row sentinel — silently filtering it
-    * would let an upsert insert a doc whose old rows were never located
-    * (duplicate postings, doubled stats). */
+  /** Locate closure for the routed delete/upsert — REGISTRY-ONLY
+    * (optimization round 15, VERDICT item 4): resolve the ids' CURRENT
+    * rows as (doc_id, dl, bucket) from their registry rows alone. The
+    * ids' registry buckets are a pure doc-hash function (one tiny
+    * bounded-by-termBuckets collect), so the read prunes to those
+    * buckets; each located registry row then EXPLODES to one row per
+    * touched bucket — its own bucket plus the doc's recorded
+    * posting-bucket set (`postb`) — which is exactly the
+    * (key, bucket) surface the routed rewrite needs (the anti-join
+    * removes by doc_id WITHIN touched buckets, so per-posting rows were
+    * never required). Replaces a column-pruned scan of EVERY term
+    * bucket's id column — O(store) however small the delta — with
+    * O(delta registry rows): the locate now reads the registry only.
+    * Re-run per OCC attempt against the then-current manifest, as
+    * before.
+    *
+    * Fail-loud edges: an id of -1 is the stats-row sentinel (silently
+    * filtering it would let an upsert insert a doc whose old rows were
+    * never located); a registry row with NULL `postb` but a token
+    * surface means the store predates the posting-bucket registry — a
+    * pruned locate against it would strand postings, so it raises
+    * instead (rebuild the store). */
   private def locateDocs(spark: SparkSession, path: String, termBuckets: Int,
                          ids: DataFrame): () => DataFrame = {
     val keySet = broadcast(ids.select(col("doc_id").cast("long").as("doc_id"))
@@ -405,9 +439,25 @@ object Bm25Store {
         .otherwise(raise_error(lit("doc_id -1 is the reserved stats-row " +
           "sentinel — it cannot be indexed, deleted, or upserted"))
           .cast("long")).as("doc_id")))
-    () => IO.readStoreBuckets(spark, path, (0 until termBuckets).toSet)
-      .select(col("doc_id"), col("dl"), col(IO.BucketCol))
-      .join(keySet, Seq("doc_id"))
+    () => {
+      // the ids' registry buckets: pure doc-hash arithmetic, ≤ termBuckets
+      // distinct values by construction — same bounded-collect shape as
+      // scoresBatch's probed-bucket set
+      val regBuckets = keySet
+        .select(pmod(xxhash64(col("doc_id")), lit(termBuckets.toLong))
+          .cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val reg = IO.readStoreBuckets(spark, path, regBuckets)
+        .where(col("term") === DocTerm)
+        .join(keySet, Seq("doc_id"))
+      val pb = when(col("postb").isNotNull, col("postb"))
+        .when(col("dl").isNull || col("dl") <= 0, array().cast("array<int>"))
+        .otherwise(raise_error(lit("registry row without a posting-bucket " +
+          "list — this store predates the registry-postb layout; rebuild " +
+          "it before routed maintenance")).cast("array<int>"))
+      reg.select(col("doc_id"), col("dl"),
+        explode(array_union(pb, array(col(IO.BucketCol)))).as(IO.BucketCol))
+    }
   }
 
   /** Keyed DELETE — remove every posting of the given doc ids AND write

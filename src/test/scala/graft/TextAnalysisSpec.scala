@@ -644,4 +644,47 @@ class TextAnalysisSpec extends SparkSpec {
       .select("n_grams").as[Int].head()
     assert(ng == multiCorpus.head._3.length) // ' '-padded trigrams: L+2-3+1
   }
+
+  test("Bm25Store: registry postb covers every posting bucket after " +
+       "build, append, and upsert — the registry-only locate's invariant") {
+    import graft.llm.Bm25Store
+    val path = "/root/repo/target/qtmp/txspec_bm25_postb"
+    graft.io.IO.deletePath(path)
+    val docs = Seq((1L, "cat dog cat"), (2L, "dog fish bird owl"),
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    Bm25Store.write(docs, path, termBuckets = 8)
+    Bm25Store.append(Seq((5L, "bat cat owl"), (6L, "newt")).toDF("doc_id", "text"), path)
+    Bm25Store.upsert(Seq((2L, "entirely different words"), (7L, "eel ray"))
+      .toDF("doc_id", "text"), path)
+    def check(): Unit = {
+      val all = graft.io.IO.readPartitionedStore(spark, path)
+      // recompute each doc's ACTUAL posting buckets from the postings and
+      // compare against its registry row's postb set
+      val actual = all.where($"term" =!= "__DOC__" && $"term" =!= "__STATS__")
+        .select($"doc_id",
+          pmod(xxhash64($"term"), lit(8L)).cast("int").as("b"))
+        .groupBy("doc_id").agg(collect_set($"b").as("actual"))
+      val recorded = all.where($"term" === "__DOC__")
+        .select($"doc_id", $"postb")
+      val rows = recorded.join(actual, Seq("doc_id"), "full_outer")
+        .select($"doc_id", $"postb", $"actual")
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val rec = Option(r.getSeq[Int](1)).map(_.toSet)
+        val act = Option(r.getSeq[Int](2)).map(_.toSet).getOrElse(Set.empty[Int])
+        assert(rec.isDefined, s"doc ${r.getLong(0)} has postings but no registry row")
+        assert(rec.get == act,
+          s"doc ${r.getLong(0)}: recorded postb ${rec.get} != actual $act")
+      }
+    }
+    check()
+    // and the pruned locate built on it: delete/upsert leave no stale row
+    Bm25Store.delete(spark, path, Seq(1L, 5L).toDF("doc_id"))
+    val left = graft.io.IO.readPartitionedStore(spark, path)
+      .where($"doc_id".isin(1L, 5L)).count()
+    assert(left == 0L, "pruned locate stranded rows of deleted docs")
+    check()
+  }
 }
